@@ -1,0 +1,68 @@
+"""Benchmark harness — runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Query set mirrors BASELINE.md's equivalence classes: full scan, boolean
+filter, hash equi-join(+agg), sort(top-k), group aggregate, multi-join —
+amortizing Spark's fixed per-action overhead at sf0.1 where throughput is
+the comparable quantity (SURVEY §6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E
+from db_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+BENCH_QUERIES = {
+    "scan": lambda spark, d: E._t(spark, d, "lineitem").count(),
+    "filter": lambda spark, d: E.q_filter(spark, d).count(),
+    "pricing_summary": lambda spark, d: E.q_pricing_summary(spark, d).collect(),
+    "hash_join_agg": lambda spark, d: E.q_hash_match(spark, d).collect(),
+    "sort_topk": lambda spark, d: E.q_sort(spark, d).collect(),
+    "multi_join": lambda spark, d: E.q_multi_join(spark, d).collect(),
+}
+
+
+def main() -> None:
+    spark = get_spark(app_name="db_spark-bench", cpus=CPUS, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen warm-up on tiny data so measured times reflect steady state
+    E.q_pricing_summary(spark, "/root/testdata/sf0.001").collect()
+
+    times: dict[str, float] = {}
+    for name, fn in BENCH_QUERIES.items():
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR)
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_from_dir(SF_DIR),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Storage — the engine/catalog entry point.
+
+Reference: ``Storage`` is a named-collection registry owning
+``DatabaseConfig`` (src/storage/mod.rs:17-33); collections live under a
+root directory. Here it also registers external read-only Parquet tables
+(the driver testdata) and exposes a SQL surface via temp views.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from db_spark.ops import Q
+from db_spark.table import Collection
+
+
+@dataclass
+class StorageConfig:
+    """reference: src/storage/storage_config.rs (defaults 8192 / 10;
+    deployed 65536 / 32 in storage_config.json). The LRU file-cache knob
+    maps to Spark's block manager — kept for config parity only."""
+
+    max_entries: int = 8192
+    cache_file_count: int = 10
+    compaction_redundancy_percentage: float = 0.5
+
+
+class Storage:
+    """Named-collection registry (reference: src/storage/mod.rs:17-33)."""
+
+    def __init__(self, spark: SparkSession, root: str, config: StorageConfig | None = None):
+        self.spark = spark
+        self.root = root
+        self.config = config or StorageConfig()
+        self._collections: dict[str, Collection] = {}
+        self._externals: dict[str, DataFrame] = {}
+        os.makedirs(root, exist_ok=True)
+
+    def get_collection(self, name: str) -> Collection:
+        """reference: src/storage/mod.rs:35-37 (creates on first touch)."""
+        if name not in self._collections:
+            self._collections[name] = Collection(
+                self.spark,
+                os.path.join(self.root, name),
+                name,
+                max_entries=self.config.max_entries,
+                compaction_redundancy=self.config.compaction_redundancy_percentage,
+            )
+        return self._collections[name]
+
+    # -- external (read-only) tables — the driver testdata ------------------
+    def attach_parquet(self, name: str, path: str) -> DataFrame:
+        df = self.spark.read.parquet(path)
+        self._externals[name] = df
+        df.createOrReplaceTempView(name)
+        return df
+
+    def attach_dir(self, sf_dir: str, tables: list[str] | None = None) -> None:
+        names = tables or [
+            os.path.splitext(f)[0]
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        ]
+        for n in names:
+            self.attach_parquet(n, os.path.join(sf_dir, n + ".parquet"))
+
+    def table(self, name: str) -> Q:
+        if name in self._externals:
+            return Q(self._externals[name])
+        return Q(self.get_collection(name).table_scan())
+
+    def sql(self, query: str) -> Q:
+        return Q(self.spark.sql(query))

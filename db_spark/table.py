@@ -1,0 +1,293 @@
+"""Log-structured MVCC tables on Parquet.
+
+Reference model (SURVEY §1, §3.3): a ``Collection`` is an ordered set of
+append-only log files holding ``LogEntry`` records —
+``Entity(txid, Updated(Row) | Deleted(id))`` and
+``Transaction(txid, Committed | Rollbacked)`` (reference:
+src/storage/log_file/log_entry.rs:7-28). A snapshot read at ``scan_txid``
+keeps the newest committed version of each row id, suppressed by
+tombstones, for transactions with ``txid <= scan_txid`` (UUIDv7
+time-ordering; reference: src/operators/sourcing/table_scan.rs:64-123).
+
+Spark-first realization: the log is a Parquet dataset with metadata
+columns ``(_txid, _seq, _kind, _id)`` + the payload columns. Snapshot
+resolution is declarative — a broadcast semi-join against the (tiny)
+commit-marker set and a window ``row_number() = 1`` per ``_id`` — so
+Catalyst/AQE plan it, and the same query works on a 1000-executor
+cluster. Compaction rewrites the log keeping only live rows (reference:
+src/storage/log_file/log_compaction.rs:9-64).
+
+UUIDv7 ordering note (SURVEY §7): canonical UUID strings are fixed-width
+hex with dashes at fixed positions, so lexicographic string order equals
+numeric order — ``_txid`` comparisons are plain string comparisons.
+"""
+
+from __future__ import annotations
+
+import os
+import secrets
+import threading
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NIL_TXID = "00000000-0000-0000-0000-000000000000"
+
+_META_FIELDS = [
+    T.StructField("_txid", T.StringType(), False),
+    T.StructField("_seq", T.LongType(), False),
+    T.StructField("_kind", T.StringType(), False),  # U | D | C | R
+    T.StructField("_id", T.StringType(), True),
+]
+_META_NAMES = [f.name for f in _META_FIELDS]
+
+
+class SchemaError(Exception):
+    """Batch shape mismatch vs the collection's live schema
+    (reference: src/collection/mod.rs:57)."""
+
+
+_uuid7_lock = threading.Lock()
+_uuid7_last = [0, 0]  # [ms, counter]
+
+
+def uuid7() -> str:
+    """Monotonic UUIDv7 (RFC 9562): 48-bit unix-ms timestamp + counter +
+    random tail. The reference keys transactions by ``Uuid::now_v7()``
+    (src/collection/mod.rs:115-117); monotonicity within a process gives
+    deterministic snapshot ordering in tests."""
+    with _uuid7_lock:
+        ms = time.time_ns() // 1_000_000
+        if ms <= _uuid7_last[0]:
+            ms = _uuid7_last[0]
+            _uuid7_last[1] += 1
+        else:
+            _uuid7_last[0] = ms
+            _uuid7_last[1] = 0
+        counter = _uuid7_last[1]
+    rand_a = counter & 0x0FFF
+    rand_b = secrets.randbits(62)
+    value = (
+        (ms & 0xFFFFFFFFFFFF) << 80
+        | 0x7 << 76
+        | rand_a << 64
+        | 0b10 << 62
+        | rand_b
+    )
+    return str(uuid.UUID(int=value))
+
+
+@dataclass
+class CollectionStatistics:
+    """reference: src/collection/collection_statistics.rs:4-24."""
+
+    total_entries: int
+    live_entries: int
+    compaction_redundancy_percentage: float = 0.5
+
+    @property
+    def redundant_entries(self) -> int:
+        return self.total_entries - self.live_entries
+
+    @property
+    def should_compact(self) -> bool:
+        if self.total_entries == 0:
+            return False
+        return (self.redundant_entries / self.total_entries) >= self.compaction_redundancy_percentage
+
+
+class Collection:
+    """A named MVCC log table (reference: src/collection/mod.rs:15-21).
+
+    Single-writer-per-collection, like the reference's ``&mut self`` on
+    ``set_objects`` (src/collection/mod.rs:46) — writes from one driver
+    process; reads are lock-free snapshots.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, name: str,
+                 max_entries: int = 8192, compaction_redundancy: float = 0.5):
+        self.spark = spark
+        self.name = name
+        self.path = path
+        self.log_path = os.path.join(path, "log")
+        self.max_entries = max_entries  # reference storage_config.rs:28-36
+        self.compaction_redundancy = compaction_redundancy
+        self._seq_base = 0
+        os.makedirs(self.path, exist_ok=True)
+
+    # -- schema -------------------------------------------------------------
+    def _log_exists(self) -> bool:
+        return os.path.isdir(self.log_path) and any(
+            f.endswith(".parquet") for f in os.listdir(self.log_path)
+        )
+
+    def _read_log(self) -> DataFrame | None:
+        if not self._log_exists():
+            return None
+        return self.spark.read.parquet(self.log_path)
+
+    def payload_schema(self) -> T.StructType | None:
+        log = self._read_log()
+        if log is None:
+            return None
+        return T.StructType([f for f in log.schema.fields if f.name not in _META_NAMES])
+
+    def _check_shape(self, incoming: T.StructType) -> None:
+        """Exact positional type-sequence equality (reference:
+        src/collection/mod.rs:52-59; shape rules log_entry.rs:126-141).
+        Tombstone-only batches skip the check (tombstones match anything)."""
+        existing = self.payload_schema()
+        if existing is None or len(existing.fields) == 0:
+            return
+        got = [f.dataType for f in incoming.fields]
+        want = [f.dataType for f in existing.fields]
+        if got != want:
+            raise SchemaError(
+                f"collection '{self.name}': batch shape {got} != collection shape {want}"
+            )
+
+    # -- write path (reference: src/collection/mod.rs:46-93) ----------------
+    def _next_seq_base(self, n: int) -> int:
+        base = max(self._seq_base, time.time_ns())
+        self._seq_base = base + n
+        return base
+
+    def _append(self, df: DataFrame) -> None:
+        (
+            df.write.mode("append")
+            .option("maxRecordsPerFile", self.max_entries)  # log rotation
+            .parquet(self.log_path)
+        )
+
+    def set_objects(self, txid: str | None, df: DataFrame, id_col: str = "_id") -> None:
+        """Batch upsert. ``df`` carries payload columns plus optionally an
+        ``id_col`` with row UUIDs (auto-generated when absent — every row
+        has an implicit UUID primary key, reference log_entry.rs:19-22)."""
+        txid = txid or NIL_TXID
+        if id_col in df.columns:
+            src = df if id_col == "_id" else df.withColumnRenamed(id_col, "_id")
+            src = src.withColumn("_id", F.col("_id").cast("string"))
+        else:
+            src = df.withColumn("_id", F.expr("uuid()"))
+        payload_cols = [c for c in src.columns if c != "_id"]
+        self._check_shape(T.StructType([src.schema[c] for c in payload_cols]))
+        base = self._next_seq_base(2**20)
+        entry = (
+            src.withColumn("_txid", F.lit(txid))
+            .withColumn("_seq", F.lit(base) + F.monotonically_increasing_id())
+            .withColumn("_kind", F.lit("U"))
+            .select(*_META_NAMES, *payload_cols)
+        )
+        self._append(entry)
+
+    def delete_objects(self, txid: str | None, ids: list[str]) -> None:
+        """Tombstones (reference: empty-fields row => delete,
+        src/collection/mod.rs:46-93; Entity::Deleted log_entry.rs:7-28)."""
+        txid = txid or NIL_TXID
+        base = self._next_seq_base(len(ids))
+        payload = self.payload_schema() or T.StructType([])
+        rows = [
+            tuple([txid, base + i, "D", str(rid)] + [None] * len(payload.fields))
+            for i, rid in enumerate(ids)
+        ]
+        schema = T.StructType(_META_FIELDS + [
+            T.StructField(f.name, f.dataType, True) for f in payload.fields
+        ])
+        self._append(self.spark.createDataFrame(rows, schema))
+
+    def _marker(self, txid: str, kind: str) -> None:
+        base = self._next_seq_base(1)
+        payload = self.payload_schema() or T.StructType([])
+        row = [tuple([txid, base, kind, None] + [None] * len(payload.fields))]
+        schema = T.StructType(_META_FIELDS + [
+            T.StructField(f.name, f.dataType, True) for f in payload.fields
+        ])
+        self._append(self.spark.createDataFrame(row, schema))
+
+    def commit(self, txid: str) -> None:
+        """Transaction::Committed marker (reference log_entry.rs:39-45)."""
+        self._marker(txid, "C")
+
+    def rollback(self, txid: str) -> None:
+        """Rollback = the Committed marker is simply never honored
+        (reference table_scan.rs:90-92 ignores Rollbacked); we log the
+        marker for observability."""
+        self._marker(txid, "R")
+
+    # -- read path (reference: table_scan.rs:64-123) ------------------------
+    def table_scan(self, txid: str | None = None) -> DataFrame:
+        """MVCC snapshot at ``txid`` (default: now). Declarative plan:
+
+        1. ``committed`` = distinct txids with a 'C' marker (plus the nil
+           txid, pre-committed — reference table_scan.rs:50-51). This set
+           is tiny relative to data and broadcast-joined.
+        2. keep U/D entries with ``_txid <= scan_txid`` and committed;
+        3. newest version per ``_id`` wins: ``row_number() OVER
+           (PARTITION BY _id ORDER BY _txid DESC, _seq DESC) = 1``;
+        4. tombstones drop out (``_kind = 'U'``).
+        """
+        scan_txid = txid or uuid7()
+        log = self._read_log()
+        if log is None:
+            return self.spark.createDataFrame([], T.StructType(list(_META_FIELDS)) ).select("_id")
+        committed = (
+            log.filter(F.col("_kind") == "C").select("_txid").distinct()
+        )
+        entries = log.filter(F.col("_kind").isin("U", "D") & (F.col("_txid") <= F.lit(scan_txid)))
+        visible = entries.join(
+            F.broadcast(committed),
+            on="_txid",
+            how="left_semi",
+        ).unionByName(entries.filter(F.col("_txid") == NIL_TXID))
+        w = Window.partitionBy("_id").orderBy(F.col("_txid").desc(), F.col("_seq").desc())
+        latest = (
+            visible.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("_kind") == "U"))
+            .drop("_rn", "_txid", "_seq", "_kind")
+        )
+        return latest
+
+    # -- maintenance --------------------------------------------------------
+    def statistics(self) -> CollectionStatistics:
+        log = self._read_log()
+        if log is None:
+            return CollectionStatistics(0, 0, self.compaction_redundancy)
+        total = log.count()
+        live = self.table_scan().count()
+        return CollectionStatistics(total, live, self.compaction_redundancy)
+
+    def compact(self) -> None:
+        """Merge the log keeping only the newest committed version per id,
+        dropping tombstones and markers (reference:
+        src/storage/log_file/log_compaction.rs:9-64). Rewrites the log as
+        nil-txid (pre-committed) entries — same visible snapshot."""
+        snapshot = self.table_scan()
+        base = self._next_seq_base(2**20)
+        compacted = (
+            snapshot.withColumn("_txid", F.lit(NIL_TXID))
+            .withColumn("_seq", F.lit(base) + F.monotonically_increasing_id())
+            .withColumn("_kind", F.lit("U"))
+            .select(*_META_NAMES, *[c for c in snapshot.columns if c != "_id"])
+        )
+        tmp = self.log_path + ".compacting"
+        compacted.write.mode("overwrite").option(
+            "maxRecordsPerFile", self.max_entries
+        ).parquet(tmp)
+        import shutil
+
+        old = self.log_path + ".old"
+        os.rename(self.log_path, old)
+        os.rename(tmp, self.log_path)
+        shutil.rmtree(old)
+
+    def maybe_compact(self) -> bool:
+        """Compaction trigger: redundancy ratio >= threshold (reference:
+        collection_statistics.rs:11-14, default 0.5 storage_config.rs:33)."""
+        if self.statistics().should_compact:
+            self.compact()
+            return True
+        return False

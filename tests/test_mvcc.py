@@ -1,0 +1,113 @@
+"""MVCC / log-structured table scenario tests mirroring the reference's
+table_scan visibility rules (src/operators/sourcing/table_scan.rs:64-123)
+and set_objects write path (src/collection/mod.rs:46-93)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from db_spark.engine import Storage, StorageConfig
+from db_spark.table import NIL_TXID, SchemaError, uuid7
+
+
+@pytest.fixture()
+def storage(spark, tmp_path):
+    return Storage(spark, str(tmp_path), StorageConfig(max_entries=64))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "_id string, name string, qty int")
+
+
+def test_uuid7_monotonic():
+    ids = [uuid7() for _ in range(100)]
+    assert ids == sorted(ids)
+    assert len(set(ids)) == 100
+
+
+def test_nil_txid_precommitted(storage, spark):
+    """nil txid is pre-committed (reference table_scan.rs:50-51)."""
+    c = storage.get_collection("t")
+    c.set_objects(None, _df(spark, [("a", "x", 1), ("b", "y", 2)]))
+    assert c.table_scan().count() == 2
+
+
+def test_uncommitted_invisible(storage, spark):
+    c = storage.get_collection("t")
+    tx = uuid7()
+    c.set_objects(tx, _df(spark, [("a", "x", 1)]))
+    assert c.table_scan().count() == 0  # no commit marker
+    c.commit(tx)
+    assert c.table_scan().count() == 1
+
+
+def test_rollback_invisible(storage, spark):
+    c = storage.get_collection("t")
+    tx = uuid7()
+    c.set_objects(tx, _df(spark, [("a", "x", 1)]))
+    c.rollback(tx)
+    assert c.table_scan().count() == 0
+
+
+def test_newest_committed_version_wins(storage, spark):
+    c = storage.get_collection("t")
+    t1 = uuid7()
+    c.set_objects(t1, _df(spark, [("a", "old", 1)]))
+    c.commit(t1)
+    t2 = uuid7()
+    c.set_objects(t2, _df(spark, [("a", "new", 2)]))
+    c.commit(t2)
+    rows = c.table_scan().collect()
+    assert len(rows) == 1 and rows[0]["name"] == "new"
+
+
+def test_snapshot_time_travel(storage, spark):
+    c = storage.get_collection("t")
+    t1 = uuid7()
+    c.set_objects(t1, _df(spark, [("a", "v1", 1)]))
+    c.commit(t1)
+    snap = uuid7()  # snapshot point between the two transactions
+    t2 = uuid7()
+    c.set_objects(t2, _df(spark, [("a", "v2", 2)]))
+    c.commit(t2)
+    assert c.table_scan(snap).collect()[0]["name"] == "v1"
+    assert c.table_scan().collect()[0]["name"] == "v2"
+
+
+def test_tombstone_suppresses(storage, spark):
+    c = storage.get_collection("t")
+    c.set_objects(None, _df(spark, [("a", "x", 1), ("b", "y", 2)]))
+    t = uuid7()
+    c.delete_objects(t, ["a"])
+    c.commit(t)
+    rows = c.table_scan().collect()
+    assert [r["_id"] for r in rows] == ["b"]
+
+
+def test_schema_shape_check(storage, spark):
+    c = storage.get_collection("t")
+    c.set_objects(None, _df(spark, [("a", "x", 1)]))
+    bad = spark.createDataFrame([("b", 5, 6)], "_id string, name int, qty int")
+    with pytest.raises(SchemaError):
+        c.set_objects(None, bad)
+    # same type sequence, different names: OK (positional schema, SURVEY §1.3)
+    renamed = spark.createDataFrame([("b", "z", 3)], "_id string, other string, n int")
+    c.set_objects(None, renamed)
+    assert c.table_scan().count() == 2
+
+
+def test_compaction_preserves_snapshot(storage, spark):
+    c = storage.get_collection("t")
+    c.set_objects(None, _df(spark, [("a", "v1", 1), ("b", "v1", 1)]))
+    c.set_objects(None, _df(spark, [("a", "v2", 2)]))
+    t = uuid7()
+    c.delete_objects(t, ["b"])
+    c.commit(t)
+    before = {(r["_id"], r["name"]) for r in c.table_scan().collect()}
+    stats = c.statistics()
+    assert stats.total_entries == 5  # 3 upserts + 1 tombstone + 1 marker
+    assert stats.live_entries == 1
+    assert stats.should_compact
+    c.compact()
+    after = {(r["_id"], r["name"]) for r in c.table_scan().collect()}
+    assert before == after == {("a", "v2")}
+    assert c.statistics().total_entries == 1

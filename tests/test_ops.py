@@ -1,0 +1,125 @@
+"""Operator-parity unit tests on tiny inline DataFrames (SURVEY §2.1)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_spark.ops import Q, SortDirection
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [
+            ("alice", 34, 10.5, True),
+            ("bob", 12, 3.25, False),
+            ("carol", 34, 7.0, True),
+            ("dave", 51, 0.0, False),
+            ("erin", 12, 9.9, True),
+        ],
+        ["name", "age", "score", "active"],
+    )
+
+
+def test_filter_closure_equiv(people):
+    got = Q(people).filter(F.col("active")).collect()
+    assert sorted(r["name"] for r in got) == ["alice", "carol", "erin"]
+
+
+def test_select_projection_positional(people):
+    got = Q(people).select(0, 2).df
+    assert got.columns == ["name", "score"]
+
+
+def test_take(people):
+    assert len(Q(people).take(3).collect()) == 3
+
+
+def test_skip(people):
+    # our skip is a real OFFSET (reference bug documented SURVEY §2.1 #9)
+    got = Q(people).in_memory_sort("name").skip(3).collect()
+    assert [r["name"] for r in got] == ["dave", "erin"]
+
+
+def test_in_memory_sort_named_semantics(people):
+    asc = Q(people).in_memory_sort("age", SortDirection.ASCENDING).collect()
+    assert [r["age"] for r in asc] == [12, 12, 34, 34, 51]
+    desc = Q(people).in_memory_sort("age", SortDirection.DESCENDING).collect()
+    assert [r["age"] for r in desc] == [51, 34, 34, 12, 12]
+
+
+def test_distinct(people):
+    assert Q(people).select("age").distinct().count() == 3
+
+
+def test_concat(people):
+    assert Q(people).concat(people).count() == 10
+
+
+def test_nested_loop_join(spark, people):
+    right = spark.createDataFrame([(34, "mid"), (51, "old")], ["age_key", "bucket"])
+    got = Q(people).nested_loop(Q(right), 1, 0).df
+    # left fields ++ right fields (Row::combine, log_entry.rs:153-158)
+    assert got.columns == ["name", "age", "score", "active", "age_key", "bucket"]
+    assert got.count() == 3
+
+
+def test_hash_match_broadcast(spark, people):
+    right = spark.createDataFrame([(34, "mid")], ["age_key", "bucket"])
+    q = Q(people).hash_match(Q(right), "age", "age_key", broadcast_build=True)
+    assert q.count() == 2
+    plan = q.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_select_builder_group_agg(people):
+    got = (
+        Q(people)
+        .select(builder=lambda b: b.column("age")
+                .sum_value("score", "total")
+                .count("n")
+                .max_value("score", "mx")
+                .min_value("score", "mn"))
+        .in_memory_sort("age")
+        .collect()
+    )
+    assert [(r["age"], r["n"]) for r in got] == [(12, 2), (34, 2), (51, 1)]
+    by_age = {r["age"]: r for r in got}
+    assert by_age[34]["total"] == 17.5
+    assert by_age[34]["mx"] == 10.5
+    assert by_age[34]["mn"] == 7.0  # intended min semantics (bug not copied)
+
+
+def test_select_builder_global_agg(people):
+    got = Q(people).select(builder=lambda b: b.count("n").sum_value("age", "s")).collect()
+    assert got[0]["n"] == 5 and got[0]["s"] == 143
+
+
+def test_count_when_truthiness(people):
+    # intended decimal truthiness: |d| >= eps counts (reference inverts)
+    got = Q(people).select(
+        builder=lambda b: b.count_when("active", "n_active")
+        .count_when("score", "n_score")
+    ).collect()
+    assert got[0]["n_active"] == 3
+    assert got[0]["n_score"] == 4  # dave's 0.0 is falsy
+
+
+def test_constant_scan(spark):
+    q = Q.constant_scan(spark, [(1, "a"), (2, "b")], "id int, tag string")
+    assert q.count() == 2
+
+
+def test_outer_semi_anti_joins(spark, people):
+    right = spark.createDataFrame([(34, "mid")], ["age_key", "bucket"])
+    assert Q(people).join(right, F.col("age") == F.col("age_key"), "left").count() == 5
+    assert Q(people).join(right, F.col("age") == F.col("age_key"), "left_semi").count() == 2
+    assert Q(people).join(right, F.col("age") == F.col("age_key"), "left_anti").count() == 3
+
+
+def test_deserialize_positional(people):
+    class P:
+        def __init__(self, name, age, score, active):
+            self.name, self.age = name, age
+
+    out = Q(people).in_memory_sort("name").take(1).deserialize(P)
+    assert out[0].name == "alice" and out[0].age == 34

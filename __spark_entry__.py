@@ -253,6 +253,235 @@ def q_multi_join(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# North-star ops (SURVEY §2.4): dedup / similarity / text / multimodal
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark, sf_dir):
+    """Text analysis suite over documents: token counts, punct/stopword
+    ratios, quality score, md5 fingerprint, stopword-vote language ID —
+    all pure Column expressions (db_spark.llm.text)."""
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    return ltext.text_stats(docs)
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup on normalized-text fingerprint; deterministic winner
+    (min doc_id per group)."""
+    from db_spark.llm import dedup as ldedup
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = ltext.fingerprint(F.col("text"))
+    return ldedup.exact_dedup(docs, fp, "doc_id").select(
+        "doc_id", fp.alias("fingerprint"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by exact 3-gram Jaccard >= 0.5 (inverted-index
+    blocked — no cartesian)."""
+    from db_spark.llm import dedup as ldedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return ldedup.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def q_minhash_signature(spark, sf_dir):
+    """16-permutation MinHash signatures from a deterministic md5-derived
+    hash family — fully oracle-checkable."""
+    from db_spark.llm import dedup as ldedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return ldedup.minhash_signature(docs, k=16)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidates (4 bands × 4 rows) filtered by
+    signature-estimated Jaccard >= 0.5."""
+    from db_spark.llm import dedup as ldedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return ldedup.minhash_dedup_pairs(docs, k=16, bands=4, threshold=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    """32-bit SimHash per document (fold over token array, no shuffle)."""
+    from db_spark.llm import dedup as ldedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", ldedup.simhash(F.col("text")).alias("simhash"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for 5 query vectors over the embedding
+    corpus; broadcast queries, one corpus scan."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return lsim.brute_force_topk(emb, queries_df, k=10)
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (16 cells, probe 4) — scale path for ANN.
+    Non-SQL-expressible pipeline; driver records rows-only check."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return lsim.ivf_topk(emb, queries_df, k=10, n_cells=16, n_probe=4)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: documents as opaque binary payloads through
+    the Arrow-batched mapInPandas feature pipeline (fake decoder —
+    real codecs are registered via register_decoder)."""
+    from db_spark.llm import multimodal as lmm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("doc").alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast(lmm.MEDIA_SCHEMA["meta"].dataType).alias("meta"),
+    )
+    feats = lmm.extract_features(media, decoder="fake")
+    return feats.select("media_id", "modality", "n_bytes", "content_hash")
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL generators for the hash-family ops (shared constants with
+# db_spark.llm.dedup so Spark and DuckDB compute identical values)
+# ---------------------------------------------------------------------------
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z'']+')"
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len({toks})-1, 1)), "
+    "i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))"
+).format(toks="toks")
+_H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+
+def _minhash_oracle() -> str:
+    from db_spark.llm.dedup import HASH_P, perm_constants
+
+    mins = ",\n               ".join(
+        f"min(({a} * h + {b}) % {HASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(perm_constants(16))
+    )
+    return f"""
+        WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tok),
+        hv AS (SELECT doc_id, {_H32.format(x='shingle')} % {HASH_P} AS h FROM sh)
+        SELECT doc_id,
+               {mins}
+        FROM hv GROUP BY doc_id
+    """
+
+
+def _minhash_lsh_oracle(k: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rows = k // bands
+    band_exprs = ", ".join(
+        "concat_ws('_', " + ", ".join(f"m{b * rows + r}" for r in range(rows)) + f") AS band{b}"
+        for b in range(bands)
+    )
+    cand_union = "\n              UNION\n".join(
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a "
+        f"JOIN banded b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(bands)
+    )
+    est = " + ".join(f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(k))
+    return f"""
+        WITH sig AS ({_minhash_oracle()}),
+        banded AS (SELECT doc_id, {band_exprs} FROM sig),
+        cand AS (
+              {cand_union}
+        )
+        SELECT id_a, id_b, ({est}) / {float(k)} AS est_jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = id_a
+        JOIN sig sb ON sb.doc_id = id_b
+        WHERE ({est}) / {float(k)} >= {threshold}
+    """
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n               ".join(
+        f"SUM(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(32)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    return f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+        hv AS (SELECT doc_id, {_H32.format(x='t')} AS h FROM tok),
+        bits AS (SELECT doc_id,
+               {bit_sums}
+        FROM hv GROUP BY doc_id)
+        SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bits
+    """
+
+
+def _text_stats_oracle() -> str:
+    from db_spark.llm.text import STOPWORDS
+
+    def sw_list(lang):
+        return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+    scores = {
+        lang: f"len(list_filter(list_transform({_TOKS}, t -> lower(t)), "
+              f"t -> t IN ({sw_list(lang)})))"
+        for lang in STOPWORDS
+    }
+    langs = sorted(scores)  # tie-break: first code in order wins
+    best = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    lang_case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{la} = {best} THEN '{la}'" for la in langs
+    ) + " ELSE 'und' END"
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 length(text) AS n_chars_,
+                 len(regexp_extract_all(text, '[a-zA-Z'']+')) AS n_tokens_,
+                 len(regexp_extract_all(text,
+                     '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_,
+                 length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct_,
+                 list_sum(list_transform(regexp_extract_all(text, '[a-zA-Z'']+'),
+                          t -> length(t))) AS tok_len_sum_,
+                 {scores['en']} AS s_en,
+                 {scores['de']} AS s_de,
+                 {scores['fr']} AS s_fr,
+                 {scores['es']} AS s_es
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_chars_ AS BIGINT) AS n_chars,
+               CAST(n_tokens_ AS BIGINT) AS n_tokens,
+               CAST(n_bpe_ AS BIGINT) AS n_bpe_tokens,
+               n_punct_::DOUBLE / n_chars_::DOUBLE AS punct_ratio,
+               CASE WHEN n_tokens_ > 0 THEN s_en::DOUBLE / n_tokens_::DOUBLE
+                    ELSE 0.0 END AS stopword_ratio_en,
+               CASE WHEN n_tokens_ > 0
+                    THEN COALESCE(tok_len_sum_, 0)::DOUBLE / n_tokens_::DOUBLE
+                    ELSE 0.0 END AS avg_word_len,
+               least(n_tokens_::DOUBLE / 20.0, 1.0) * 0.4
+                 + least((CASE WHEN n_tokens_ > 0
+                          THEN s_en::DOUBLE / n_tokens_::DOUBLE ELSE 0.0 END) * 4.0,
+                         1.0) * 0.3
+                 + greatest(0.0,
+                     1.0 - (n_punct_::DOUBLE / n_chars_::DOUBLE) * 4.0) * 0.3
+                 AS quality,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+               {lang_case} AS lang_pred
+        FROM base
+    """
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -282,6 +511,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "outer_join": q_outer_join,
         "multi_join": q_multi_join,
+        "text_stats": q_text_stats,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "ivf_topk": q_ivf_topk,
+        "media_features": q_media_features,
     }
 
 
@@ -391,5 +629,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "text_stats": _text_stats_oracle(),
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+            FROM documents
+            GROUP BY 2
+        """,
+        "ngram_jaccard": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tok),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE >= 0.5
+        """,
+        "minhash_signature": _minhash_oracle(),
+        "minhash_lsh_pairs": _minhash_lsh_oracle(),
+        "simhash": _simhash_oracle(),
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                       WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                  q.embedding::DOUBLE[]), 6) AS sim
+              FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   'doc' AS modality,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS content_hash
+            FROM documents
         """,
     }

@@ -1,0 +1,253 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Everything is expressed with built-in Column expressions over a
+**deterministic md5-derived hash family**, so (a) results are
+reproducible across runs/engines — every operator here can be
+oracle-checked against plain SQL — and (b) no Python executes per row.
+
+Scale design (100 TB):
+- candidate generation is always *blocked* (shared shingle / LSH band /
+  SimHash half), never an unblocked cartesian product;
+- ``max_shingle_df`` drops ultra-common shingles (stopword shingles at
+  corpus scale generate quadratic candidate blowup);
+- pair aggregation shuffles on (id_a, id_b) — skew-resistant under AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime: (a*h + b) % P stays well inside 64-bit signed
+# arithmetic for h < 2^32, giving identical results in any SQL engine.
+HASH_P = 2_147_483_647
+KNUTH = 2_654_435_761
+
+
+def perm_constants(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants for k min-hash permutations."""
+    out = []
+    for i in range(k):
+        a = ((2 * i + 1) * KNUTH) % HASH_P
+        b = (i * 40_503 + 2_654_435_769) % HASH_P
+        out.append((a or 1, b))
+    return out
+
+
+def h32(c: Column) -> Column:
+    """Deterministic 32-bit string hash: first 8 hex digits of md5.
+    SQL equivalent: ``('0x' || substr(md5(x),1,8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
+    """Keep the row with the smallest id per duplicate group (hash-groupBy
+    semantics; deterministic winner)."""
+    w = Window.partitionBy(key).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles of the lowercased word stream."""
+    toks = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z']+"), 0)
+    count = F.size(toks) - (n - 1)
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short texts
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(gram)
+
+
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exploded (id, shingle) pairs; optionally drops shingles appearing
+    in more than ``max_shingle_df`` documents (scale guard)."""
+    sh = df.select(F.col(id_col).alias("_sid"), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+    if max_shingle_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(freq.filter(F.col("_df") <= max_shingle_df).drop("_df"), "shingle")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    threshold: float = 0.5, max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
+
+    Candidates come only from the shingle inverted index (docs sharing at
+    least one shingle) — no cartesian product. Jaccard is exact integer
+    arithmetic: |A∩B| / (|A| + |B| - |A∩B|).
+    """
+    sh = shingle_table(df, id_col, text_col, n, max_shingle_df)
+    sizes = sh.groupBy("_sid").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("_sid").alias("id_a"), "shingle")
+    b = sh.select(F.col("_sid").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("_sid").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("_sid").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 16, n: int = 3, max_shingle_df: int | None = None,
+) -> DataFrame:
+    """k-permutation MinHash signature per document, columns m0..m{k-1}.
+    One explode + one hash-aggregate — a single shuffle on doc id."""
+    sh = shingle_table(df, id_col, text_col, n, max_shingle_df)
+    hv = sh.withColumn("_h", h32(F.col("shingle")) % HASH_P)
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % HASH_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(perm_constants(k))
+    ]
+    return hv.groupBy(F.col("_sid").alias(id_col)).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", k: int = 16, bands: int = 4,
+) -> DataFrame:
+    """Docs sharing at least one LSH band (banding: k/bands rows per
+    band). Join is per (band_id, band_key) bucket — scale-safe."""
+    rows = k // bands
+    band_cols = [
+        F.concat_ws("_", *[F.col(f"m{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    exploded = banded.select(
+        F.col(id_col).alias("_bid"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("_bid", "bk.band_id", "bk.band_key")
+    a = exploded.select(F.col("_bid").alias("id_a"), "band_id", "band_key")
+    b = exploded.select(F.col("_bid").alias("id_b"), "band_id", "band_key")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 16, bands: int = 4, n: int = 3, threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """LSH candidates + signature-estimated Jaccard filter. Returns
+    (id_a, id_b, est_jaccard = fraction of equal signature components)."""
+    sig = minhash_signature(df, id_col, text_col, k, n, max_shingle_df)
+    cand = lsh_candidate_pairs(sig, id_col, k, bands)
+    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(k)])
+    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(k)])
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    ) / F.lit(float(k))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """32-bit SimHash over the lowercased token stream (with
+    multiplicity). Pure array-expression aggregation — no explode, no
+    shuffle: per-row fold over the token array."""
+    toks = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z']+"), 0)
+    bit_votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[
+                (F.shiftright(h32(t), j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                for j in range(bits)
+            ]),
+            lambda a, v: a + v,
+        ),
+    )
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + F.when(F.element_at(bit_votes, j + 1) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3, bits: int = 32,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+    Candidate blocking via the pigeonhole principle: split the hash into
+    (max_hamming+1) segments; any pair within distance must share at
+    least one exact segment — join per segment bucket, never cartesian."""
+    seg_n = max_hamming + 1
+    seg_bits = bits // seg_n
+    sh = df.select(F.col(id_col).alias("_hid"), simhash(F.col(text_col), bits).alias("sh"))
+    segs = sh.select(
+        "_hid", "sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(s).alias("seg_id"),
+                F.shiftright(F.col("sh"), s * seg_bits)
+                .bitwiseAND(F.lit((1 << seg_bits) - 1)).alias("seg_key"),
+            )
+            for s in range(seg_n)
+        ])).alias("seg"),
+    ).select("_hid", "sh", "seg.seg_id", "seg.seg_key")
+    a = segs.select(F.col("_hid").alias("id_a"), F.col("sh").alias("sh_a"), "seg_id", "seg_key")
+    b = segs.select(F.col("_hid").alias("id_b"), F.col("sh").alias("sh_b"), "seg_id", "seg_key")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["seg_id", "seg_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set,
+score every corpus vector JVM-side with array expressions, window-rank
+per query. Scale paths: IVF (centroid-bucketed probe) and SRP-LSH
+(hyperplane signatures + Hamming blocking) so the corpus side never
+self-joins unblocked.
+
+All floating-point scoring is done in double precision with
+sequential fold order, making results bit-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from db_spark.llm.dedup import h32
+
+
+def _dbl(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(_dbl(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query. The query set is broadcast (it is
+    small by definition); the corpus is scanned once — O(|corpus|·|Q|)
+    work fully partition-parallel, no shuffle until the final top-k
+    (which AQE keeps tiny). Ranking key is (rounded sim desc, id asc)
+    for cross-engine determinism."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(query_id_col, id_col, "sim", F.col("_rk").cast("long").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF — inverted-file index (scale path)
+# ---------------------------------------------------------------------------
+
+def ivf_assign(
+    corpus: DataFrame, n_cells: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF: centroids = the n_cells lowest-id vectors
+    (seed choice is reproducible; a k-means refinement would slot in
+    here). Returns (centroids, corpus + cell assignment)."""
+    centroids = (
+        corpus.orderBy(F.col(id_col)).limit(n_cells)
+        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cvec"))
+    )
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col), F.col(vec_col), F.col("cell_id"),
+        F.round(cosine(F.col(vec_col), F.col("_cvec")), 6).alias("_csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("cell_id"))
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, vec_col, "cell_id")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10, n_cells: int = 16,
+    n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the n_probe cells nearest
+    to each query. At 100 TB the assigned corpus is written bucketed by
+    cell_id so a probe reads n_probe/n_cells of the data."""
+    centroids, assigned = ivf_assign(corpus, n_cells, id_col, vec_col)
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    q_cells = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            query_id_col, "_qvec", "cell_id",
+            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("_csim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("_csim").desc(), F.col("cell_id"))
+    probes = (
+        q_cells.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_probe)
+        .select(query_id_col, "_qvec", "cell_id")
+    )
+    scored = assigned.join(F.broadcast(probes), "cell_id").select(
+        F.col(query_id_col), F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("sim"),
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= k)
+        .select(query_id_col, id_col, "sim", F.col("_rk").cast("long").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH — signed random projections (embedding near-dup at scale)
+# ---------------------------------------------------------------------------
+
+def srp_signature(vec: Column, dim: int, n_bits: int = 16) -> Column:
+    """n_bits-bit sign signature under deterministic ±1 hyperplanes
+    (component signs derived from md5 of 'bit_component'). Cosine-similar
+    vectors agree on most bits."""
+    v = _dbl(vec)
+
+    def _signed_component(i: int):
+        def fn(x, j):
+            sign = (h32(F.concat_ws("_", F.lit(str(i)), j.cast("string"))) % 2) * 2 - 1
+            return x * sign.cast("double")
+        return fn
+
+    out = F.lit(0).cast("long")
+    for i in range(n_bits):
+        proj = F.aggregate(
+            F.zip_with(v, F.sequence(F.lit(0), F.lit(dim - 1)), _signed_component(i)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame, dim: int, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_bits: int = 16, max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate embedding pairs: SRP signatures block candidates
+    (pigeonhole segments, like simhash_pairs), exact cosine verifies.
+    Never materializes the full pair matrix."""
+    seg_n = max_hamming + 1
+    seg_bits = max(1, n_bits // seg_n)
+    sig = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        srp_signature(F.col(vec_col), dim, n_bits).alias("_sig"),
+    )
+    segs = sig.select(
+        id_col, vec_col, "_sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(s).alias("seg_id"),
+                F.shiftright(F.col("_sig"), s * seg_bits)
+                .bitwiseAND(F.lit((1 << seg_bits) - 1)).alias("seg_key"),
+            )
+            for s in range(seg_n)
+        ])).alias("seg"),
+    ).select(id_col, vec_col, "seg.seg_id", "seg.seg_key")
+    a = segs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "seg_id", "seg_key")
+    b = segs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "seg_id", "seg_key")
+    return (
+        a.join(b, ["seg_id", "seg_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"))
+        .distinct()
+        .filter(F.col("cos_sim") >= threshold)
+    )

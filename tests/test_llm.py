@@ -1,0 +1,141 @@
+"""North-star ops: dedup / similarity / text analysis / multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_spark.llm import dedup, similarity, text, multimodal
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "der hund und die katze sind ein team mit den besten"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, text.fingerprint(F.col("text")))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 2, 3, 5]  # doc 4 deduped; min id kept
+
+
+def test_shingles():
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame([("a b c d",)], ["t"])
+    got = df.select(dedup.shingles(F.col("t"), 3).alias("s")).collect()[0]["s"]
+    assert got == ["a b c", "b c d"]
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in got  # near dup shares most shingles
+    assert (1, 3) not in got
+
+
+def test_minhash_lsh(docs):
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 4) in got
+    assert (1, 3) not in got
+
+
+def test_minhash_estimates_jaccard(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in dedup.minhash_dedup_pairs(docs, threshold=0.0, bands=16, k=16).collect()}
+    assert pairs[(1, 4)] == 1.0
+
+
+def test_simhash_pairs(docs):
+    out = dedup.simhash_pairs(docs, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert got[(1, 4)] == 0
+    assert all(h <= 3 for h in got.values())
+
+
+def test_simhash_deterministic(docs):
+    a = docs.select(dedup.simhash(F.col("text")).alias("s")).collect()
+    b = docs.select(dedup.simhash(F.col("text")).alias("s")).collect()
+    assert [r["s"] for r in a] == [r["s"] for r in b]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+    rows = []
+    for i in range(20):
+        angle = i * math.pi / 40
+        rows.append((i, [math.cos(angle), math.sin(angle), 0.1 * i, 1.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk(vectors):
+    queries = vectors.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.brute_force_topk(vectors, queries, k=3)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, hits in by_q.items():
+        assert len(hits) == 3
+        top = min(hits, key=lambda r: r["rank"])
+        assert top["vec_id"] == qid and top["sim"] == 1.0  # self is nearest
+
+
+def test_ivf_topk_approximates(vectors):
+    queries = vectors.filter(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_topk(vectors, queries, k=3, n_cells=4, n_probe=2).collect()
+    assert len(out) == 3
+    assert out[0]["vec_id"] == 5  # self found via its own cell
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),       # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.embedding_near_dup_pairs(df, dim=4, threshold=0.99).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in got and (1, 3) not in got
+
+
+def test_text_stats(docs):
+    out = {r["doc_id"]: r for r in text.text_stats(docs).collect()}
+    assert out[1]["n_tokens"] == 9
+    assert out[1]["lang_pred"] == "en"
+    assert out[5]["lang_pred"] == "de"
+    assert out[1]["fingerprint"] == out[4]["fingerprint"]
+    assert 0.0 <= out[1]["quality"] <= 1.0
+
+
+def test_multimodal_pipeline(spark):
+    rows = [
+        (1, "image", bytearray(b"\x00\x01\x02" * 100), ("image/png", 10, 10, None, None)),
+        (2, "audio", bytearray(b"\xff\xfe" * 50), ("audio/wav", None, None, 1000, 16000)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(df, decoder="fake").collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[1]["n_bytes"] == 300
+    assert len(by_id[1]["features"]) == 8
+    assert by_id[1]["content_hash"] is not None
+    stats = {r["modality"]: r for r in multimodal.media_stats(df).collect()}
+    assert stats["image"]["total_bytes"] == 300
+
+
+def test_multimodal_real_decoder_stubbed(spark):
+    rows = [(1, "image", bytearray(b"xx"), None)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        multimodal.extract_features(df).collect()

@@ -253,6 +253,114 @@ def q_multi_join(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Window functions / advanced joins / grouping sets / event-time windows
+# (capabilities beyond the reference — SURVEY §2.3 gaps, all Spark-native)
+# ---------------------------------------------------------------------------
+
+def q_window_funcs(spark, sf_dir):
+    """row_number + lag over a per-customer window."""
+    from db_spark import operators as xops
+
+    o = _t(spark, sf_dir, "orders")
+    r = xops.ranked(
+        o, ["o_custkey"], [F.col("o_orderdate"), F.col("o_orderkey")],
+        {"rn": F.row_number(), "prev_price": F.lag("o_totalprice", 1)},
+    )
+    return r.select(
+        "o_orderkey", "o_custkey", F.col("rn").cast("long").alias("rn"), "prev_price")
+
+
+def q_topn_per_group(spark, sf_dir):
+    """Top-3 parts by retail price per brand (window + filter)."""
+    from db_spark import operators as xops
+
+    p = _t(spark, sf_dir, "part")
+    top = xops.top_n_per_group(
+        p, ["p_brand"], [F.col("p_retailprice").desc(), F.col("p_partkey")], 3)
+    return top.select("p_brand", "p_partkey", "p_retailprice")
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: each purchase event matched to the user's most recent
+    click at-or-before it (union + running last_value — single shuffle,
+    no range explosion; db_spark.operators.asof_join)."""
+    from db_spark import operators as xops
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("value").alias("click_value"), F.col("ts").alias("click_ts"))
+    return xops.asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts",
+        right_values=["click_value", "click_ts"], direction="backward")
+
+
+def q_range_join(spark, sf_dir):
+    """Point-in-interval join binned into equi-join + residual filter
+    (db_spark.operators.range_join, bin_width=5)."""
+    from db_spark import operators as xops
+
+    li = _t(spark, sf_dir, "lineitem")
+    ranges = spark.createDataFrame(
+        [(1, 0.5, 10.4), (2, 10.5, 20.4), (3, 20.5, 30.4), (4, 30.5, 40.4), (5, 40.5, 50.4)],
+        "bucket_id long, lo double, hi double",
+    )
+    joined = xops.range_join(li, ranges, "l_quantity", "lo", "hi", bin_width=5.0)
+    return joined.groupBy("bucket_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    from db_spark import operators as xops
+
+    return xops.rollup_agg(
+        li, ["l_returnflag", "l_linestatus"],
+        [money_sum(F.col("l_quantity"), "sum_qty"), F.count(F.lit(1)).alias("n")])
+
+
+def q_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    from db_spark import operators as xops
+
+    return xops.cube_agg(
+        o, ["o_orderstatus", "o_orderpriority"],
+        [money_sum(F.col("o_totalprice"), "revenue"), F.count(F.lit(1)).alias("n")])
+
+
+def q_grouping_sets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    from db_spark import operators as xops
+
+    return xops.grouping_sets_agg(
+        o, [["o_orderstatus"], ["o_orderpriority"]],
+        ["o_orderstatus", "o_orderpriority"],
+        [F.count(F.lit(1)).alias("n")])
+
+
+def q_tumbling_window(spark, sf_dir):
+    """Event-time tumbling windows (same code path batch + streaming)."""
+    from db_spark import streaming as st
+
+    ev = _t(spark, sf_dir, "events")
+    agg = st.tumbling_window_agg(
+        ev, "ts", "1 hour", ["event_type"],
+        [F.count(F.lit(1)).alias("n"), decimal_sum(F.col("value"), "total_value")])
+    return agg.select("window_start", "event_type", "n", "total_value")
+
+
+def q_session_window(spark, sf_dir):
+    """Session windows (30 min gap) per user."""
+    from db_spark import streaming as st
+
+    ev = _t(spark, sf_dir, "events")
+    agg = st.session_window_agg(
+        ev, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n")])
+    return agg.select("user_id", "session_start", "session_end", "n")
+
+
+# ---------------------------------------------------------------------------
 # North-star ops (SURVEY §2.4): dedup / similarity / text / multimodal
 # ---------------------------------------------------------------------------
 
@@ -511,6 +619,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "outer_join": q_outer_join,
         "multi_join": q_multi_join,
+        "window_funcs": q_window_funcs,
+        "topn_per_group": q_topn_per_group,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "rollup": q_rollup,
+        "cube": q_cube,
+        "grouping_sets": q_grouping_sets,
+        "tumbling_window": q_tumbling_window,
+        "session_window": q_session_window,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -629,6 +746,89 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "window_funcs": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   lag(o_totalprice) OVER w AS prev_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "topn_per_group": """
+            SELECT p_brand, p_partkey, p_retailprice FROM (
+              SELECT p_brand, p_partkey, p_retailprice,
+                     row_number() OVER (PARTITION BY p_brand
+                                        ORDER BY p_retailprice DESC, p_partkey) AS rn
+              FROM part
+            ) WHERE rn <= 3
+        """,
+        "asof_join": """
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   c.value AS click_value, c.ts AS click_ts
+            FROM (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'click') c
+            ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "range_join": """
+            SELECT bucket_id, COUNT(*) AS n
+            FROM lineitem
+            JOIN (VALUES (CAST(1 AS BIGINT), 0.5, 10.4),
+                         (CAST(2 AS BIGINT), 10.5, 20.4),
+                         (CAST(3 AS BIGINT), 20.5, 30.4),
+                         (CAST(4 AS BIGINT), 30.5, 40.4),
+                         (CAST(5 AS BIGINT), 40.5, 50.4)) AS r(bucket_id, lo, hi)
+              ON l_quantity BETWEEN lo AND hi
+            GROUP BY bucket_id
+        """,
+        "rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """,
+        "tumbling_window": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST("value" AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "session_window": """
+            WITH flags AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               IS NULL
+                          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+            ),
+            sess AS (
+              SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flags
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   COUNT(*) AS n
+            FROM sess GROUP BY user_id, sid
         """,
         "text_stats": _text_stats_oracle(),
         "dedup_exact": """

@@ -1,0 +1,196 @@
+"""Custom relational operators beyond both the reference and vanilla
+DataFrame surface: as-of joins, binned range joins, window-function
+helpers, grouping sets.
+
+Reference context: the reference has only inner equi-joins
+(nested_loop.rs, hash_match.rs); SURVEY §2.3 lists the rest as capability
+gaps our engine fills. Each operator here is a *composition of built-in
+DataFrame ops* (strategy (a) from the task brief) — no UDFs — so
+Catalyst plans them and they scale with partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# As-of join
+# ---------------------------------------------------------------------------
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_values: Sequence[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the single right row with the
+    largest ``right_time <= left_time`` (direction='backward'; 'forward'
+    gives smallest ``right_time >= left_time``), per ``on`` key group.
+
+    Implementation: the *union trick* — tag both inputs, union on the
+    time axis, and carry the last non-null right payload forward with a
+    running window. One shuffle on (key, time); no range-explosion, no
+    per-row rescan — works at any scale, unlike a naive theta join whose
+    candidate set is quadratic. Ties (equal timestamps) match the right
+    row (right sorts before left at the same instant).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_values = list(right_values or [c for c in right.columns if c not in keys + [right_time]])
+    left_cols = left.columns
+
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    lt = F.col(left_time)
+    l_tagged = left.select(
+        *[F.col(c) for c in left_cols],
+        lt.alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_rv_{v}") for v in right_values],
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in keys],
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(v).alias(f"_rv_{v}") for v in right_values],
+    ).select(*left_cols, "_t", "_is_left", *[f"_rv_{v}" for v in right_values])
+
+    unioned = l_tagged.unionByName(r_tagged)
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = {v: F.last(F.col(f"_rv_{v}"), ignorenulls=True).over(w) for v in right_values}
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_t").desc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = {v: F.last(F.col(f"_rv_{v}"), ignorenulls=True).over(w) for v in right_values}
+
+    out = unioned.select(
+        *left_cols, "_t", "_is_left", *[fill[v].alias(v) for v in right_values]
+    )
+    return out.filter(F.col("_is_left") == 1).drop("_t", "_is_left")
+
+
+# ---------------------------------------------------------------------------
+# Range join (point-in-interval), binned for scale
+# ---------------------------------------------------------------------------
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float | None = None,
+    equi_keys: Sequence[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join left rows whose ``left_point`` falls in [right_lo, right_hi].
+
+    With ``bin_width`` the interval side is exploded into covering bins
+    and the join becomes equi on (bin [, equi_keys]) + residual filter —
+    turning an O(n·m) theta join into a bucketed hash join (the standard
+    bin-and-filter strategy; Spark's own storage-partitioned range join
+    optimization does the same). Without bin_width, a plain theta join
+    (fine when one side broadcasts).
+    """
+    keys = list(equi_keys or [])
+    cond_range = (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) <= F.col(right_hi))
+    if bin_width is None:
+        cond = cond_range
+        for k in keys:
+            cond = cond & (left[k] == right[k])
+        return left.join(right, cond, how)
+
+    lbin = F.floor(F.col(left_point) / F.lit(bin_width)).alias("_bin")
+    l2 = left.withColumn("_bin", lbin)
+    r2 = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / F.lit(bin_width)),
+                F.floor(F.col(right_hi) / F.lit(bin_width)),
+            )
+        ),
+    )
+    on = ["_bin"] + keys
+    return l2.join(r2, on, how).filter(cond_range).drop("_bin")
+
+
+# ---------------------------------------------------------------------------
+# Window-function helpers
+# ---------------------------------------------------------------------------
+
+def ranked(
+    df: DataFrame,
+    partition_by: Sequence[str | Column],
+    order_by: Sequence[Column],
+    fns: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Attach window-function columns (row_number by default) over one
+    window spec. ``fns`` maps output name -> window function (un-over'd);
+    e.g. {'rn': F.row_number(), 'lag_v': F.lag('v', 1)}."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    fns = fns or {"rn": F.row_number()}
+    out = df
+    for name, fn in fns.items():
+        out = out.withColumn(name, fn.over(w))
+    return out
+
+
+def top_n_per_group(
+    df: DataFrame, partition_by: Sequence, order_by: Sequence[Column], n: int,
+) -> DataFrame:
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / cube / rollup
+# ---------------------------------------------------------------------------
+
+def rollup_agg(df: DataFrame, cols: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    return df.rollup(*cols).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, cols: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    return df.cube(*cols).agg(*aggs)
+
+
+def grouping_sets_agg(
+    df: DataFrame, sets: Sequence[Sequence[str]], all_cols: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """GROUPING SETS via the native API when available (Spark 4) else a
+    unionByName of per-set aggregates with NULL-filled columns."""
+    if hasattr(df, "groupingSets"):
+        return df.groupingSets([list(s) for s in sets], *[F.col(c) for c in all_cols]).agg(*aggs)
+    parts = []
+    for s in sets:
+        missing = [c for c in all_cols if c not in s]
+        g = df.groupBy(*s).agg(*aggs)
+        for c in missing:
+            g = g.withColumn(c, F.lit(None).cast(df.schema[c].dataType))
+        parts.append(g.select(*all_cols, *[a for a in g.columns if a not in all_cols]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

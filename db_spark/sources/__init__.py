@@ -29,8 +29,10 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for name in ns_cols:
+        # integer DIV: ns values exceed 2^53, so float division would
+        # round (off-by-1µs vs the truncation every other reader does)
         df = df.withColumn(
-            name, F.timestamp_micros((F.col(name) / 1000).cast("long"))
+            name, F.timestamp_micros(F.expr(f"`{name}` div 1000"))
         )
     return df
 

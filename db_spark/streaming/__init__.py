@@ -1,0 +1,152 @@
+"""Streaming operators (Structured Streaming) + event-time windowing.
+
+The reference has no streaming story (SURVEY §2.3 gap). Here:
+
+- window aggregations (tumbling / sliding / session) as plain Column
+  expressions — identical code path for batch DataFrames and streaming
+  DataFrames (Spark's unified model);
+- ``stream_*`` helpers wiring readStream → watermark → window agg →
+  sink, with late-data handling;
+- a custom stateful operator via ``applyInPandasWithState``
+  (per-key running aggregation with timeout), the Spark-idiomatic
+  equivalent of a hand-rolled stateful stream operator.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# Event-time window aggregations (batch + streaming)
+# ---------------------------------------------------------------------------
+
+def tumbling_window_agg(
+    df: DataFrame, ts_col: str, duration: str, group_cols: list[str], aggs: list,
+) -> DataFrame:
+    """Non-overlapping event-time windows, e.g. duration='1 hour'."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration).alias("win"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("win.start"))
+        .withColumn("window_end", F.col("win.end"))
+        .drop("win")
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame, ts_col: str, duration: str, slide: str,
+    group_cols: list[str], aggs: list,
+) -> DataFrame:
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration, slide).alias("win"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("win.start"))
+        .withColumn("window_end", F.col("win.end"))
+        .drop("win")
+    )
+
+
+def session_window_agg(
+    df: DataFrame, ts_col: str, gap: str, group_cols: list[str], aggs: list,
+) -> DataFrame:
+    """Session windows: events closer than ``gap`` merge into one session."""
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("win"), *group_cols)
+        .agg(*aggs)
+        .withColumn("session_start", F.col("win.start"))
+        .withColumn("session_end", F.col("win.end"))
+        .drop("win")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming pipelines
+# ---------------------------------------------------------------------------
+
+def stream_from_files(
+    spark, path: str, schema: T.StructType, fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_counts_stream(
+    events: DataFrame, ts_col: str = "ts", duration: str = "1 hour",
+    watermark: str = "2 hours", group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window counts with a watermark: events later than
+    ``watermark`` behind the max seen event time are dropped and window
+    state is garbage-collected — the standard late-data policy."""
+    group_cols = group_cols or ["event_type"]
+    return tumbling_window_agg(
+        events.withWatermark(ts_col, watermark),
+        ts_col, duration, group_cols,
+        [F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value")],
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
+    """Drain all available input into an in-memory sink (testing/driver
+    verification); returns the finished query."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+RUNNING_TOTALS_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+])
+
+
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """Per-user running totals as an explicit stateful stream operator —
+    the applyInPandasWithState path for semantics the built-in windowed
+    aggs can't express (custom state transitions / eviction)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,78 @@
+"""as-of join, range join, window helpers, grouping sets."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_spark import operators as ops
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 101.0), (2, 15, 50.0), (3, 5, 10.0)],
+        "sym long, t long, px double",
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [(1, 8, 99.0), (1, 15, 100.5), (1, 20, 100.9), (2, 9, 49.5)],
+        "sym long, t long, bid double",
+    )
+
+
+def test_asof_backward(trades, quotes):
+    out = ops.asof_join(trades, quotes, on="sym", left_time="t", right_time="t",
+                        right_values=["bid"], direction="backward")
+    got = {(r["sym"], r["t"]): r["bid"] for r in out.collect()}
+    assert got[(1, 10)] == 99.0       # quote@8
+    assert got[(1, 20)] == 100.9      # tie: quote at same instant matches
+    assert got[(2, 15)] == 49.5
+    assert got[(3, 5)] is None        # no quote for sym 3 -> left join null
+
+
+def test_asof_forward(trades, quotes):
+    out = ops.asof_join(trades, quotes, on="sym", left_time="t", right_time="t",
+                        right_values=["bid"], direction="forward")
+    got = {(r["sym"], r["t"]): r["bid"] for r in out.collect()}
+    assert got[(1, 10)] == 100.5      # next quote at 15
+    assert got[(3, 5)] is None
+
+
+def test_range_join_binned_equals_theta(spark):
+    points = spark.createDataFrame([(i, float(i)) for i in range(50)], "pid long, v double")
+    ivals = spark.createDataFrame(
+        [(100, 0.0, 9.5), (200, 20.0, 25.0), (300, 48.0, 60.0)],
+        "iid long, lo double, hi double",
+    )
+    theta = ops.range_join(points, ivals, "v", "lo", "hi")
+    binned = ops.range_join(points, ivals, "v", "lo", "hi", bin_width=7.0)
+    t = {(r["pid"], r["iid"]) for r in theta.collect()}
+    b = {(r["pid"], r["iid"]) for r in binned.collect()}
+    assert t == b and len(t) == 10 + 6 + 2
+
+
+def test_ranked_and_topn(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        "grp string, id long, v double",
+    )
+    r = ops.ranked(df, ["grp"], [F.col("v").desc()],
+                   {"rn": F.row_number(), "prev": F.lag("v", 1)})
+    got = {r_["id"]: (r_["rn"], r_["prev"]) for r_ in r.collect()}
+    assert got[2] == (1, None) and got[3] == (2, 30.0) and got[1] == (3, 20.0)
+    top = ops.top_n_per_group(df, ["grp"], [F.col("v").desc()], 1)
+    assert {r_["id"] for r_ in top.collect()} == {2, 4}
+
+
+def test_rollup_cube_grouping_sets(spark):
+    df = spark.createDataFrame(
+        [("x", "p", 1), ("x", "q", 2), ("y", "p", 3)], "a string, b string, n long")
+    roll = ops.rollup_agg(df, ["a", "b"], [F.sum("n").alias("s")])
+    assert roll.count() == 3 + 2 + 1  # leaf rows + per-a + grand total
+    cube = ops.cube_agg(df, ["a", "b"], [F.sum("n").alias("s")])
+    assert cube.count() == 3 + 2 + 2 + 1
+    gs = ops.grouping_sets_agg(df, [["a"], ["b"]], ["a", "b"], [F.sum("n").alias("s")])
+    rows = {(r["a"], r["b"]): r["s"] for r in gs.collect()}
+    assert rows[("x", None)] == 3 and rows[(None, "p")] == 4

@@ -1,0 +1,127 @@
+"""Structured Streaming: windowed aggs, watermark, stateful operator."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from db_spark import streaming as st
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+@pytest.fixture(scope="module")
+def event_rows(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(200):
+        rows.append((
+            i, base + dt.timedelta(minutes=7 * i), i % 5,
+            ["click", "view", "purchase"][i % 3], float(i),
+        ))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, event_rows, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    spark.createDataFrame(event_rows, EVENTS_SCHEMA).coalesce(2).write.mode(
+        "overwrite").parquet(d)
+    return d
+
+
+def test_windowed_counts_stream_matches_batch(spark, stream_dir, event_rows):
+    stream = st.stream_from_files(spark, stream_dir, EVENTS_SCHEMA)
+    assert stream.isStreaming
+    agg = st.windowed_counts_stream(stream, duration="1 hour", watermark="2 hours")
+    st.run_stream_to_memory(agg, "win_counts")
+    got = spark.sql("SELECT * FROM win_counts")
+
+    batch = spark.createDataFrame(event_rows, EVENTS_SCHEMA)
+    expected = st.tumbling_window_agg(
+        batch, "ts", "1 hour", ["event_type"],
+        [F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value")],
+    )
+    g = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+         for r in got.collect()}
+    e = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+         for r in expected.collect()}
+    # append mode emits only windows closed by the watermark: everything
+    # emitted must match batch exactly; only trailing windows may be absent
+    assert len(g) > 10
+    assert all(e[k] == v for k, v in g.items())
+    unemitted = set(e) - set(g)
+    horizon = max(ws for ws, _ in e) if unemitted else None
+    import datetime as dt
+    assert all(ws >= horizon - dt.timedelta(hours=3) for ws, _ in unemitted)
+
+
+def test_session_window_agg(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base), (1, base + dt.timedelta(minutes=5)),           # session 1
+        (1, base + dt.timedelta(minutes=60)),                      # session 2
+        (2, base + dt.timedelta(minutes=1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = st.session_window_agg(df, "ts", "10 minutes", ["user_id"],
+                                [F.count(F.lit(1)).alias("n")])
+    got = sorted([(r["user_id"], r["n"]) for r in out.collect()])
+    assert got == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_stateful_running_totals(spark, stream_dir):
+    stream = st.stream_from_files(spark, stream_dir, EVENTS_SCHEMA)
+    totals = st.running_totals_stateful(stream)
+    st.run_stream_to_memory(totals, "running_totals", mode="update")
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in spark.sql(
+               "SELECT user_id, max(n_events) n_events, max(total_value) total_value "
+               "FROM running_totals GROUP BY user_id").collect()}
+    assert got[0][0] == 40  # 200 events over 5 users
+    assert sum(v[0] for v in got.values()) == 200
+
+
+def test_watermark_late_data_dropped(spark, tmp_path):
+    """Late rows beyond the watermark are excluded from closed windows."""
+    import datetime as dt
+
+    d = str(tmp_path / "late")
+    base = dt.datetime(2024, 1, 1)
+    batch1 = [(1, base + dt.timedelta(hours=h), 1, "click", 1.0) for h in range(6)]
+    late = [(99, base - dt.timedelta(hours=10), 1, "click", 1.0)]
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = st.stream_from_files(spark, d, EVENTS_SCHEMA)
+        agg = st.windowed_counts_stream(stream, duration="1 hour", watermark="1 hour")
+        q = (agg.writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # run 1: on-time data advances the watermark to base+4h (persisted in
+    # the checkpoint); run 2: the 10h-late row must be dropped.
+    spark.createDataFrame(batch1, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite").parquet(d)
+    run_once()
+    spark.createDataFrame(late, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(d)
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    starts = {r["window_start"] for r in rows}
+    assert all(r["n"] == 1 for r in rows) and len(starts) >= 1
+    # the late row (far behind the checkpointed watermark) was dropped
+    assert base - dt.timedelta(hours=10) not in starts

@@ -253,6 +253,91 @@ def q_multi_join(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Set ops / outer & theta joins / merge-intervals / function library
+# ---------------------------------------------------------------------------
+
+def q_intersect(spark, sf_dir):
+    """INTERSECT (distinct) — set op beyond reference Concatenate."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return Q(c).intersect(Q(s)).df
+
+
+def q_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return Q(c).except_all(Q(s)).df
+
+
+def q_full_outer(spark, sf_dir):
+    """Full outer join against a constant dimension with an unmatched key."""
+    o = _t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"))
+    dim = Q.constant_scan(
+        spark, [("F", "finished"), ("O", "open"), ("P", "pending"), ("X", "unknown")],
+        "status string, label string").df
+    return (
+        Q(o).join(dim, F.col("o_orderstatus") == F.col("status"), "full_outer")
+        .select("o_orderstatus", "n", "status", "label")
+        .df
+    )
+
+
+def q_theta_join(spark, sf_dir):
+    """Theta join: same-region nation pairs (equi + inequality residual)."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k1"), F.col("n_name").alias("name1"),
+        F.col("n_regionkey").alias("r1"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k2"), F.col("n_name").alias("name2"),
+        F.col("n_regionkey").alias("r2"))
+    return (
+        Q(n1).join(n2, (F.col("r1") == F.col("r2")) & (F.col("k1") < F.col("k2")), "inner")
+        .select("name1", "name2", F.col("r1").alias("regionkey"))
+        .df
+    )
+
+
+def q_merge_intervals(spark, sf_dir):
+    """Merge Intervals (reference roadmap README.md:84-88): coalesce
+    per-customer order-activity windows [orderdate, orderdate+30d]."""
+    from db_spark import operators as xops
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").alias("lo"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("hi"),
+    )
+    return xops.merge_intervals(o, "lo", "hi", ["o_custkey"])
+
+
+def q_json_funcs(spark, sf_dir):
+    """JSON function surface over events.props."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+
+
+def q_scalar_funcs(spark, sf_dir):
+    """Scalar function library breadth: string / date / math."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.concat(F.lit("P-"), F.substring(F.col("o_orderpriority"), 1, 1)).alias("prio_code"),
+        F.length(F.col("o_orderpriority")).cast("long").alias("prio_len"),
+        F.year(F.col("o_orderdate")).cast("long").alias("yr"),
+        F.month(F.col("o_orderdate")).cast("long").alias("mo"),
+        F.dayofmonth(F.col("o_orderdate")).cast("long").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.round(F.sqrt(F.abs(F.col("o_totalprice"))), 6).alias("sqrt_price"),
+        F.round(F.log(F.col("o_totalprice") + 1.0), 6).alias("log_price"),
+        (F.col("o_orderkey") % 7).alias("mod7"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Window functions / advanced joins / grouping sets / event-time windows
 # (capabilities beyond the reference — SURVEY §2.3 gaps, all Spark-native)
 # ---------------------------------------------------------------------------
@@ -619,6 +704,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "outer_join": q_outer_join,
         "multi_join": q_multi_join,
+        "intersect": q_intersect,
+        "except": q_except,
+        "full_outer": q_full_outer,
+        "theta_join": q_theta_join,
+        "merge_intervals": q_merge_intervals,
+        "json_funcs": q_json_funcs,
+        "scalar_funcs": q_scalar_funcs,
         "window_funcs": q_window_funcs,
         "topn_per_group": q_topn_per_group,
         "asof_join": q_asof_join,
@@ -663,10 +755,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -702,7 +794,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hash_match": """
             SELECT c_mktsegment,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
@@ -739,13 +831,82 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multi_join": """
             SELECT r_name,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "intersect": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey FROM supplier
+        """,
+        "except": """
+            SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT DISTINCT s_nationkey FROM supplier
+        """,
+        "full_outer": """
+            SELECT o_orderstatus, n, status, label
+            FROM (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1) agg
+            FULL OUTER JOIN (VALUES ('F', 'finished'), ('O', 'open'),
+                                    ('P', 'pending'), ('X', 'unknown'))
+                 AS dim(status, label)
+              ON o_orderstatus = status
+        """,
+        "theta_join": """
+            SELECT a.n_name AS name1, b.n_name AS name2,
+                   CAST(a.n_regionkey AS INT) AS regionkey
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+        """,
+        "merge_intervals": """
+            WITH iv AS (
+              SELECT o_custkey, o_orderdate AS lo,
+                     o_orderdate + INTERVAL 30 DAY AS hi
+              FROM orders
+            ),
+            flagged AS (
+              SELECT o_custkey, lo, hi,
+                     CASE WHEN max(hi) OVER (PARTITION BY o_custkey
+                              ORDER BY lo, hi
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                              IS NULL
+                          OR lo > max(hi) OVER (PARTITION BY o_custkey
+                              ORDER BY lo, hi
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          THEN 1 ELSE 0 END AS new_s
+              FROM iv
+            ),
+            grouped AS (
+              SELECT o_custkey, lo, hi,
+                     SUM(new_s) OVER (PARTITION BY o_custkey ORDER BY lo, hi
+                                      ROWS UNBOUNDED PRECEDING) AS gid
+              FROM flagged
+            )
+            SELECT o_custkey, MIN(lo) AS lo, MAX(hi) AS hi, COUNT(*) AS n_merged
+            FROM grouped GROUP BY o_custkey, gid
+        """,
+        "json_funcs": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "scalar_funcs": """
+            SELECT o_orderkey,
+                   'P-' || substr(o_orderpriority, 1, 1) AS prio_code,
+                   CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+                   CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(month(o_orderdate) AS BIGINT) AS mo,
+                   CAST(day(o_orderdate) AS BIGINT) AS dom,
+                   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+                   round(sqrt(abs(o_totalprice)), 6) AS sqrt_price,
+                   round(ln(o_totalprice + 1.0), 6) AS log_price,
+                   o_orderkey % 7 AS mod7
+            FROM orders
         """,
         "window_funcs": """
             SELECT o_orderkey, o_custkey,
@@ -784,14 +945,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
                    COUNT(*) AS n
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "cube": """
             SELECT o_orderstatus, o_orderpriority,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
                    COUNT(*) AS n
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -804,7 +965,7 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_window": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                    event_type, COUNT(*) AS n,
-                   CAST(SUM(CAST("value" AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+                   CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS total_value
             FROM events
             GROUP BY 1, 2
         """,

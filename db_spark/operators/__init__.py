@@ -132,6 +132,39 @@ def range_join(
 
 
 # ---------------------------------------------------------------------------
+# Merge intervals (reference roadmap README.md:84-88 'Merge Intervals')
+# ---------------------------------------------------------------------------
+
+def merge_intervals(
+    df: DataFrame, lo: str, hi: str, keys: Sequence[str] = (),
+) -> DataFrame:
+    """Coalesce overlapping/touching [lo, hi] intervals per key group
+    into maximal disjoint intervals (+ count of merged members).
+
+    Gaps-and-islands: an interval starts a new island iff its ``lo``
+    exceeds the running max ``hi`` of everything before it. One window
+    pass — scales as a sort within key partitions."""
+    keys = list(keys)
+    w_order = Window.partitionBy(*keys).orderBy(F.col(lo), F.col(hi))
+    prev_max_hi = F.max(F.col(hi)).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = df.withColumn(
+        "_new", F.when(prev_max_hi.isNull() | (F.col(lo) > prev_max_hi), 1).otherwise(0))
+    gid = F.sum(F.col("_new")).over(
+        w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    grouped = flagged.withColumn("_gid", gid)
+    return (
+        grouped.groupBy(*keys, "_gid")
+        .agg(
+            F.min(F.col(lo)).alias(lo),
+            F.max(F.col(hi)).alias(hi),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("_gid")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Window-function helpers
 # ---------------------------------------------------------------------------
 

@@ -284,6 +284,64 @@ class Collection:
         os.rename(tmp, self.log_path)
         shutil.rmtree(old)
 
+    # -- indexes (reference: src/collection/indexes/ — declared structs with
+    # no-op update(); README.md:78-81 Table/Index Seek roadmap). Spark
+    # realizations: sorted data + parquet min/max stats, inverted-index
+    # side table, dictionary/bitmap-style column statistics. ---------------
+    def optimize(self, sort_by: list[str]) -> None:
+        """'Sorted index': compact the log with rows sorted by ``sort_by``
+        so every parquet row group carries tight min/max stats — filters
+        on those columns prune row groups at scan time (index seek)."""
+        snapshot = self.table_scan().sortWithinPartitions(*sort_by)
+        base = self._next_seq_base(2**20)
+        compacted = (
+            snapshot.withColumn("_txid", F.lit(NIL_TXID))
+            .withColumn("_seq", F.lit(base) + F.monotonically_increasing_id())
+            .withColumn("_kind", F.lit("U"))
+            .select(*_META_NAMES, *[c for c in snapshot.columns if c != "_id"])
+        )
+        tmp = self.log_path + ".optimizing"
+        compacted.repartition(*[F.col(c) for c in sort_by]).sortWithinPartitions(
+            *sort_by
+        ).write.mode("overwrite").option(
+            "maxRecordsPerFile", self.max_entries
+        ).parquet(tmp)
+        import shutil
+
+        old = self.log_path + ".old"
+        os.rename(self.log_path, old)
+        os.rename(tmp, self.log_path)
+        shutil.rmtree(old)
+
+    def inverted_index(self, text_col: str) -> DataFrame:
+        """'Reverse index' (src/collection/indexes/reverse.rs): token ->
+        posting list of row ids. Materialize with .write for reuse."""
+        snap = self.table_scan()
+        return (
+            snap.select(
+                F.col("_id"),
+                F.explode(
+                    F.array_distinct(
+                        F.regexp_extract_all(
+                            F.lower(F.col(text_col)), F.lit(r"[a-z0-9']+"), 0
+                        )
+                    )
+                ).alias("term"),
+            )
+            .groupBy("term")
+            .agg(F.collect_list("_id").alias("ids"), F.count(F.lit(1)).alias("df"))
+        )
+
+    def column_stats(self, col: str) -> DataFrame:
+        """'Bitmap index' analog: per-value cardinalities (dictionary
+        stats) for low-cardinality columns, driving predicate selectivity
+        estimates (reference src/collection/indexes/bitmap.rs)."""
+        return (
+            self.table_scan()
+            .groupBy(F.col(col).alias("value"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+
     def maybe_compact(self) -> bool:
         """Compaction trigger: redundancy ratio >= threshold (reference:
         collection_statistics.rs:11-14, default 0.5 storage_config.rs:33)."""

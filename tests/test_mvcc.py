@@ -111,3 +111,30 @@ def test_compaction_preserves_snapshot(storage, spark):
     after = {(r["_id"], r["name"]) for r in c.table_scan().collect()}
     assert before == after == {("a", "v2")}
     assert c.statistics().total_entries == 1
+
+
+def test_optimize_sorted_preserves_snapshot(storage, spark):
+    c = storage.get_collection("t")
+    c.set_objects(None, _df(spark, [(str(i), f"n{i}", i % 7) for i in range(100)]))
+    before = {(r["_id"], r["qty"]) for r in c.table_scan().collect()}
+    c.optimize(sort_by=["qty"])
+    after = {(r["_id"], r["qty"]) for r in c.table_scan().collect()}
+    assert before == after and len(after) == 100
+
+
+def test_inverted_index(storage, spark):
+    c = storage.get_collection("docs")
+    c.set_objects(None, spark.createDataFrame(
+        [("a", "spark is fast"), ("b", "spark is lazy")],
+        "_id string, body string"))
+    idx = {r["term"]: (sorted(r["ids"]), r["df"])
+           for r in c.inverted_index("body").collect()}
+    assert idx["spark"] == (["a", "b"], 2)
+    assert idx["fast"] == (["a"], 1)
+
+
+def test_column_stats(storage, spark):
+    c = storage.get_collection("t")
+    c.set_objects(None, _df(spark, [(str(i), "x", i % 3) for i in range(9)]))
+    stats = {r["value"]: r["n_rows"] for r in c.column_stats("qty").collect()}
+    assert stats == {0: 3, 1: 3, 2: 3}

@@ -337,6 +337,117 @@ def q_scalar_funcs(spark, sf_dir):
     )
 
 
+def q_pivot(spark, sf_dir):
+    """Pivot order counts by priority (explicit value list — single-pass
+    plan, no distinct-discovery job at 100 TB)."""
+    o = _t(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return Q(o).pivot(["o_orderstatus"], "o_orderpriority", prios,
+                      F.count(F.lit(1))).df
+
+
+def q_unpivot(spark, sf_dir):
+    """Unpivot (melt) part metrics into long form — narrow, shuffle-free."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return Q(p).unpivot(["p_partkey"], ["retailprice", "size"]).df
+
+
+def q_scalar_subquery(spark, sf_dir):
+    """Scalar subquery: orders above the global average price. The
+    comparison is done as price*n > total in exact DECIMAL so the
+    boundary is order-independent (no float-avg drift); the single-row
+    aggregate is broadcast, not collected."""
+    o = _t(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.sum(F.col("o_totalprice").cast(T.DecimalType(12, 2))).alias("_total"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        Q(o).cross_join(F.broadcast(stats))
+        .filter(F.col("o_totalprice").cast(T.DecimalType(12, 2)) * F.col("_n")
+                > F.col("_total"))
+        .select("o_orderkey", "o_totalprice")
+        .df
+    )
+
+
+def q_stats_agg(spark, sf_dir):
+    """Statistical aggregates per group: stddev/variance/corr/median/
+    p95 (built-ins, rounded), plus an exact-DECIMAL-moment stddev for
+    the wide-magnitude column where float partial-agg order would drift."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    price = F.col("l_extendedprice")
+    grouped = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp(qty), 6).alias("stddev_qty"),
+        F.round(F.var_samp(qty), 6).alias("var_qty"),
+        F.round(F.corr(qty, price), 6).alias("corr_qty_price"),
+        F.round(F.median(qty), 6).alias("median_qty"),
+        F.round(F.percentile(qty, 0.95), 6).alias("p95_qty"),
+        F.sum(price.cast(T.DecimalType(12, 2))).alias("_sy"),
+        F.sum((price * price).cast(T.DecimalType(18, 2))).alias("_syy"),
+    )
+    n = F.col("n")
+    sy = F.col("_sy").cast("double")
+    syy = F.col("_syy").cast("double")
+    return grouped.select(
+        "l_returnflag", "n", "stddev_qty", "var_qty", "corr_qty_price",
+        "median_qty", "p95_qty",
+        F.round(F.sqrt((syy - sy * sy / n) / (n - 1)), 4).alias("stddev_price"),
+    )
+
+
+def q_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) per group (expand+two-phase agg in Spark —
+    approx_count_distinct is the 100 TB fast path, HLL params differ
+    per engine so the oracle checks the exact form)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_array_funcs(spark, sf_dir):
+    """Array/higher-order function surface over embedding vectors —
+    all JVM-side Column expressions (size/element_at/aggregate/filter)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size(arr).cast("long").alias("n_dims"),
+        F.round(F.element_at(arr, 1), 6).alias("first_val"),
+        F.round(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x), 4).alias("vec_sum"),
+        F.round(F.array_max(arr), 6).alias("vmax"),
+        F.round(F.array_min(arr), 6).alias("vmin"),
+        F.round(F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x)), 4)
+        .alias("l2norm"),
+        F.size(F.filter(arr, lambda x: x > 0)).cast("long").alias("n_pos"),
+    )
+
+
+def q_map_struct_funcs(spark, sf_dir):
+    """Map/struct construction and field access (nested types beyond the
+    reference's flat 7-type system)."""
+    o = _t(spark, sf_dir, "orders")
+    st = F.struct(F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p"))
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("prio"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        st.getField("s").alias("status"),
+        m.getItem("prio").alias("prio"),
+        F.size(m).cast("long").alias("n_keys"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions / advanced joins / grouping sets / event-time windows
 # (capabilities beyond the reference — SURVEY §2.3 gaps, all Spark-native)
@@ -435,6 +546,18 @@ def q_tumbling_window(spark, sf_dir):
     return agg.select("window_start", "event_type", "n", "total_value")
 
 
+def q_sliding_window(spark, sf_dir):
+    """Sliding (hopping) event-time windows: 1 hour long, every 15 min —
+    each event lands in size/slide = 4 windows."""
+    from db_spark import streaming as st
+
+    ev = _t(spark, sf_dir, "events")
+    agg = st.sliding_window_agg(
+        ev, "ts", "1 hour", "15 minutes", ["event_type"],
+        [F.count(F.lit(1)).alias("n"), decimal_sum(F.col("value"), "total_value")])
+    return agg.select("window_start", "event_type", "n", "total_value")
+
+
 def q_session_window(spark, sf_dir):
     """Session windows (30 min gap) per user."""
     from db_spark import streaming as st
@@ -528,6 +651,28 @@ def q_ivf_topk(spark, sf_dir):
     return lsim.ivf_topk(emb, queries_df, k=10, n_cells=16, n_probe=4)
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via SRP-LSH (16-bit signed-random-
+    projection signatures, pigeonhole segment blocking, exact-cosine
+    verify — never the full pair matrix). The corpus is the embeddings
+    table unioned with deterministically perturbed copies (vec_id+10000)
+    so genuine near-duplicates exist to find."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    arr = F.col("embedding").cast("array<double>")
+    perturbed = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.zip_with(
+            arr,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda x, j: x + (j % 7 - 3).cast("double") * 0.01,
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", arr.alias("embedding")).unionByName(perturbed)
+    return lsim.embedding_near_dup_pairs(corpus, dim=64, threshold=0.95)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: documents as opaque binary payloads through
     the Arrow-batched mapInPandas feature pipeline (fake decoder —
@@ -616,6 +761,76 @@ def _simhash_oracle() -> str:
                {bit_sums}
         FROM hv GROUP BY doc_id)
         SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bits
+    """
+
+
+def _srp_near_dup_oracle(
+    n_bits: int = 16, max_hamming: int = 3, threshold: float = 0.95, dim: int = 64,
+) -> str:
+    """Mirror of llm.similarity.embedding_near_dup_pairs over the
+    perturbed-union corpus of q_embedding_near_dup: same md5-derived
+    hyperplane signs, same segment blocking, same exact-cosine verify."""
+
+    def sign(i: int) -> str:
+        return (
+            f"(CASE WHEN ('0x' || substr(md5('{i}_' || j::VARCHAR), 1, 8))::BIGINT"
+            f" % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+        )
+
+    projs = ",\n                 ".join(
+        f"list_sum(list_transform(range(0, {dim}), j -> v[j+1] * {sign(i)})) AS p{i}"
+        for i in range(n_bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN p{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(n_bits)
+    )
+    seg_n = max_hamming + 1
+    seg_bits = max(1, n_bits // seg_n)
+    n_keys = 1 << seg_bits
+    cand_union = "\n              UNION\n              ".join(
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM sig a JOIN sig b "
+        f"ON (a.s // {1 << (s * seg_bits)}) % {n_keys}"
+        f" = (b.s // {1 << (s * seg_bits)}) % {n_keys}"
+        f" AND a.vec_id < b.vec_id"
+        for s in range(seg_n)
+    )
+
+    def dot(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(range(0, {dim}),"
+                f" j -> {a}[j+1] * {b}[j+1]))")
+
+    return f"""
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings
+        ),
+        corpus AS (
+          SELECT vec_id, v FROM base
+          UNION ALL
+          SELECT vec_id + 10000 AS vec_id,
+                 list_transform(range(0, {dim}),
+                                j -> v[j+1] + ((j % 7) - 3)::DOUBLE * 0.01) AS v
+          FROM base
+        ),
+        proj AS (
+          SELECT vec_id, v,
+                 {projs}
+          FROM corpus
+        ),
+        sig AS (SELECT vec_id, v, {sig} AS s FROM proj),
+        cand AS (
+              {cand_union}
+        ),
+        scored AS (
+          SELECT id_a, id_b,
+                 round({dot('a.v', 'b.v')}
+                       / (sqrt({dot('a.v', 'a.v')}) * sqrt({dot('b.v', 'b.v')})),
+                       6) AS cos_sim
+          FROM cand
+          JOIN corpus a ON a.vec_id = id_a
+          JOIN corpus b ON b.vec_id = id_b
+        )
+        SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {threshold}
     """
 
 
@@ -711,6 +926,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_intervals": q_merge_intervals,
         "json_funcs": q_json_funcs,
         "scalar_funcs": q_scalar_funcs,
+        "pivot": q_pivot,
+        "unpivot": q_unpivot,
+        "scalar_subquery": q_scalar_subquery,
+        "stats_agg": q_stats_agg,
+        "count_distinct": q_count_distinct,
+        "array_funcs": q_array_funcs,
+        "map_struct_funcs": q_map_struct_funcs,
         "window_funcs": q_window_funcs,
         "topn_per_group": q_topn_per_group,
         "asof_join": q_asof_join,
@@ -719,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "grouping_sets": q_grouping_sets,
         "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
         "session_window": q_session_window,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
@@ -728,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "media_features": q_media_features,
     }
 
@@ -908,6 +1132,74 @@ def oracle_sql() -> dict[str, str]:
                    o_orderkey % 7 AS mod7
             FROM orders
         """,
+        "pivot": """
+            SELECT o_orderstatus,
+                   COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+                   COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+                   COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+                   COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+                   COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "unpivot": """
+            SELECT p_partkey, 'retailprice' AS metric,
+                   CAST(p_retailprice AS DOUBLE) AS value FROM part
+            UNION ALL
+            SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+        """,
+        "scalar_subquery": """
+            WITH s AS (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total,
+                              COUNT(*) AS n
+                       FROM orders)
+            SELECT o_orderkey, o_totalprice
+            FROM orders, s
+            WHERE CAST(o_totalprice AS DECIMAL(12,2)) * n > total
+        """,
+        "stats_agg": """
+            WITH g AS (
+              SELECT l_returnflag,
+                     COUNT(*) AS n,
+                     round(stddev_samp(l_quantity), 6) AS stddev_qty,
+                     round(var_samp(l_quantity), 6) AS var_qty,
+                     round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                     round(median(l_quantity), 6) AS median_qty,
+                     round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+                     SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+                     SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,2))) AS syy
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n, stddev_qty, var_qty, corr_qty_price,
+                   median_qty, p95_qty,
+                   round(sqrt((CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                              / (n - 1)), 4) AS stddev_price
+            FROM g
+        """,
+        "count_distinct": """
+            SELECT o_orderstatus,
+                   COUNT(DISTINCT o_custkey) AS n_cust,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "array_funcs": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> x::DOUBLE) AS v
+                       FROM embeddings)
+            SELECT vec_id,
+                   CAST(len(v) AS BIGINT) AS n_dims,
+                   round(v[1], 6) AS first_val,
+                   round(list_sum(v), 4) AS vec_sum,
+                   round(list_max(v), 6) AS vmax,
+                   round(list_min(v), 6) AS vmin,
+                   round(sqrt(list_sum(list_transform(v, x -> x * x))), 4) AS l2norm,
+                   CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos
+            FROM e
+        """,
+        "map_struct_funcs": """
+            SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS prio,
+                   CAST(2 AS BIGINT) AS n_keys
+            FROM orders
+        """,
         "window_funcs": """
             SELECT o_orderkey, o_custkey,
                    CAST(row_number() OVER w AS BIGINT) AS rn,
@@ -967,6 +1259,14 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n,
                    CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS total_value
             FROM events
+            GROUP BY 1, 2
+        """,
+        "sliding_window": """
+            SELECT time_bucket(INTERVAL '15 minutes', ts)
+                     - (i * INTERVAL '15 minutes') AS window_start,
+                   event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+            FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS off(i)
             GROUP BY 1, 2
         """,
         "session_window": """
@@ -1036,6 +1336,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 10
         """,
+        "embedding_near_dup": _srp_near_dup_oracle(),
         "media_features": """
             SELECT doc_id AS media_id,
                    'doc' AS modality,

@@ -144,6 +144,25 @@ class Q:
         o = other.df if isinstance(other, Q) else other
         return Q(self._df.exceptAll(o))
 
+    # -- reshaping (beyond reference; SURVEY §2.3 gaps) ---------------------
+    def pivot(
+        self, group_cols: Sequence[str], pivot_col: str,
+        values: Sequence, agg: Column,
+    ) -> "Q":
+        """Pivot ``pivot_col`` into one output column per value in
+        ``values`` (explicit value list keeps the plan a single pass —
+        no extra job to discover distinct values, which matters when the
+        fact table is 100 TB)."""
+        return Q(self._df.groupBy(*group_cols).pivot(pivot_col, list(values)).agg(agg))
+
+    def unpivot(
+        self, id_cols: Sequence[str], value_cols: Sequence[str],
+        var_name: str = "metric", value_name: str = "value",
+    ) -> "Q":
+        """Melt ``value_cols`` into (``var_name``, ``value_name``) long
+        form — narrow transform, no shuffle."""
+        return Q(self._df.unpivot(list(id_cols), list(value_cols), var_name, value_name))
+
     # -- joins --------------------------------------------------------------
     def nested_loop(
         self, other: "Q | DataFrame", left_key: int | str, right_key: int | str,

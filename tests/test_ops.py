@@ -123,3 +123,18 @@ def test_deserialize_positional(people):
 
     out = Q(people).in_memory_sort("name").take(1).deserialize(P)
     assert out[0].name == "alice" and out[0].age == 34
+
+
+def test_pivot(people):
+    got = Q(people).pivot(["active"], "age", [12, 34, 51], F.count(F.lit(1))).collect()
+    by_active = {r["active"]: r for r in got}
+    assert by_active[True]["34"] == 2 and by_active[True]["12"] == 1
+    assert by_active[False]["51"] == 1 and by_active[False]["34"] is None
+
+
+def test_unpivot(people):
+    got = Q(people.select("name", F.col("age").cast("double").alias("age"), "score")) \
+        .unpivot(["name"], ["age", "score"]).collect()
+    vals = {(r["name"], r["metric"]): r["value"] for r in got}
+    assert vals[("alice", "age")] == 34.0 and vals[("alice", "score")] == 10.5
+    assert len(got) == 10

@@ -5,8 +5,9 @@ expressed through the db_spark engine; ``oracle_sql()`` gives the
 DuckDB-equivalent ANSI SQL run on the same parquet tables.
 
 Determinism notes (so Spark and DuckDB value-hashes agree):
-- double aggregates accumulate in DECIMAL (exact, order-independent)
-  then present as DOUBLE — see db_spark.functions.money_sum;
+- double aggregates round each term to d decimals and accumulate in
+  scaled BIGINT (exact, order-independent) then present as DOUBLE —
+  see db_spark.functions.exact_sum;
 - computed integer columns are cast to BIGINT on both sides;
 - LIMIT queries carry a full deterministic ORDER BY tie-break.
 """
@@ -979,10 +980,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+                   CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_charge,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1018,7 +1019,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hash_match": """
             SELECT c_mktsegment,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
                    COUNT(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
@@ -1055,7 +1056,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multi_join": """
             SELECT r_name,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
                    COUNT(*) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
@@ -1237,14 +1238,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
                    COUNT(*) AS n
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "cube": """
             SELECT o_orderstatus, o_orderpriority,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
                    COUNT(*) AS n
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -1257,7 +1258,7 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_window": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                    event_type, COUNT(*) AS n,
-                   CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+                   CAST(SUM(CAST(round("value" * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value
             FROM events
             GROUP BY 1, 2
         """,
@@ -1265,7 +1266,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL '15 minutes', ts)
                      - (i * INTERVAL '15 minutes') AS window_start,
                    event_type, COUNT(*) AS n,
-                   CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+                   CAST(SUM(CAST(round("value" * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value
             FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS off(i)
             GROUP BY 1, 2
         """,

@@ -48,11 +48,18 @@ def main() -> None:
     # JVM/codegen warm-up on tiny data so measured times reflect steady state
     E.q_pricing_summary(spark, "/root/testdata/sf0.001").collect()
 
+    # BASELINE.md numbers are criterion medians (warm cache, many
+    # iterations) — mirror the methodology: one warm-up run, then the
+    # median of 3 timed runs per query.
     times: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():
-        t0 = time.perf_counter()
         fn(spark, SF_DIR)
-        times[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR)
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(sorted(samples)[1], 4)
 
     total = round(sum(times.values()), 4)
     print(json.dumps({

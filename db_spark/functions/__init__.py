@@ -58,19 +58,36 @@ def col_at(df: DataFrame, i: int) -> Column:
     return df[df.columns[i]]
 
 
+def exact_sum(c: Column, alias: str, decimals: int = 2, wide: bool = False) -> Column:
+    """Deterministic (order-independent) sum of a double column: each term
+    is rounded to ``decimals`` places, accumulation is exact integer
+    arithmetic, result presented as double. Keeps Spark and external
+    oracles (DuckDB) value-identical regardless of partial-aggregation
+    order. SQL equivalent:
+    ``CAST(SUM(CAST(round(x * 10^d) AS BIGINT)) AS DOUBLE) / 10^d``.
+
+    Fast path (default): scaled BIGINT — stays in whole-stage-codegen
+    long adds (~2x faster than even compact Decimal aggregation). Safe
+    while sum(|x|) * 10^decimals < 2^63 per group: at 2 decimals and
+    1e5-magnitude money values that is ~9e11 rows per group (beyond
+    100 TB TPC-H group sizes); at 4 decimals ~9e9 rows per group.
+    ``wide=True`` switches to DECIMAL(38) accumulation for regimes past
+    the long range (same per-term rounding, so results are identical
+    where both are exact)."""
+    if wide:
+        return F.sum(F.round(c, decimals).cast(T.DecimalType(38, decimals))).cast(
+            "double").alias(alias)
+    scale = 10 ** decimals
+    return (F.sum(F.round(c * F.lit(scale)).cast("long")) / F.lit(float(scale))).alias(alias)
+
+
 def money_sum(c: Column, alias: str) -> Column:
-    """Deterministic sum of a double 'money' column: accumulate in
-    DECIMAL(18,2) (exact, order-independent) then present as double.
-    Keeps Spark and external oracles (DuckDB) bit-identical regardless of
-    partial-aggregation order at any scale."""
-    return F.sum(c.cast(T.DecimalType(12, 2))).cast("double").alias(alias)
+    """2-decimal exact sum (money semantics)."""
+    return exact_sum(c, alias, 2)
 
 
-def decimal_sum(c: Column, alias: str, scale: int = 6, prec: int = 18) -> Column:
-    """Exact decimal accumulation for arbitrary computed doubles.
-
-    Precision <= 18 keeps values in Tungsten's long-backed compact
-    Decimal (~6x faster than BigDecimal-backed precision > 18); Spark
-    widens the sum accumulator itself, so overflow safety at scale comes
-    from the accumulator, not the input precision."""
-    return F.sum(c.cast(T.DecimalType(prec, scale))).cast("double").alias(alias)
+def decimal_sum(c: Column, alias: str, decimals: int = 4) -> Column:
+    """Exact sum for computed doubles (4 decimals per term by default —
+    headroom to ~9e9 rows/group before long overflow; use
+    ``exact_sum(..., wide=True)`` beyond that)."""
+    return exact_sum(c, alias, decimals)

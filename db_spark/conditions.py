@@ -126,6 +126,10 @@ class Condition:
             if self.op == LENGTH:
                 return f"LENGTH({child.render(False)})"
             return f"NOT ({child.render(False)})"
+        if self.kind == "in":
+            (child,) = self.children
+            vals = ", ".join(repr(v) for v in self.value)
+            return f"{child.render(False)} IN ({vals})"
         sep = f" {self.kind.upper()} "
         body = sep.join(c.render(False) for c in self.children)
         return body if top and self.kind == "and" else f"({body})"
@@ -179,6 +183,9 @@ class Condition:
             if self.op == LENGTH:
                 return F.length(self.children[0].to_column())
             return ~self.children[0].to_column()
+        if self.kind == "in":
+            vals = [str(v) if isinstance(v, uuid.UUID) else v for v in self.value]
+            return self.children[0].to_column().isin(*vals)
         cols = [c.to_column() for c in self.children]
         out = cols[0]
         for c in cols[1:]:
@@ -302,9 +309,21 @@ class Query:
 
     @property
     def df(self) -> DataFrame:
+        from db_spark.optimizer import is_false, is_true, optimize
+
+        if not self._conjuncts:
+            return self._df
+        combined = Condition.all_of(self._conjuncts.values())
+        opt = optimize(combined)
+        if is_false(opt):
+            # unsatisfiable predicate: answer from an empty local relation
+            # — no job, no FileScan, no I/O (df.inputFiles() == [])
+            return self._df.sparkSession.createDataFrame([], self._df.schema)
+        if is_true(opt):
+            return self._df
         out = self._df
-        for key in sorted(self._conjuncts):
-            out = out.filter(self._conjuncts[key].to_column())
+        for conj in (opt.children if opt.kind == "and" else [opt]):
+            out = out.filter(conj.to_column())
         return out
 
     def collect(self):

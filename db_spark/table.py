@@ -117,6 +117,16 @@ class Collection:
         self.max_entries = max_entries  # reference storage_config.rs:28-36
         self.compaction_redundancy = compaction_redundancy
         self._seq_base = 0
+        # Snapshot-resolution LRU (SURVEY §7 candidate rule: collapse
+        # repeated snapshot windows over the same collection into a
+        # cached resolved view; role analog of the reference's LRU file
+        # cache, src/collection/mod.rs:17,96-105). Invalidated on every
+        # log mutation — a new commit marker can change visibility of
+        # *older* txid snapshots, so all entries go.
+        from collections import OrderedDict
+
+        self._snapshot_cache: "OrderedDict[str, DataFrame]" = OrderedDict()
+        self._snapshot_cache_capacity = 4
         os.makedirs(self.path, exist_ok=True)
 
     # -- schema -------------------------------------------------------------
@@ -162,6 +172,15 @@ class Collection:
             .option("maxRecordsPerFile", self.max_entries)  # log rotation
             .parquet(self.log_path)
         )
+        self._invalidate_snapshots()
+
+    def _invalidate_snapshots(self) -> None:
+        for df in self._snapshot_cache.values():
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 - session may be gone
+                pass
+        self._snapshot_cache.clear()
 
     def set_objects(self, txid: str | None, df: DataFrame, id_col: str = "_id") -> None:
         """Batch upsert. ``df`` carries payload columns plus optionally an
@@ -229,7 +248,17 @@ class Collection:
         3. newest version per ``_id`` wins: ``row_number() OVER
            (PARTITION BY _id ORDER BY _txid DESC, _seq DESC) = 1``;
         4. tombstones drop out (``_kind = 'U'``).
+
+        Repeated scans at the same txid (or repeated latest-scans with no
+        intervening write) return one shared, Spark-persisted resolved
+        view from the snapshot LRU — downstream queries over the same
+        snapshot skip the window-dedup entirely.
         """
+        cache_key = txid or "__latest__"
+        hit = self._snapshot_cache.get(cache_key)
+        if hit is not None:
+            self._snapshot_cache.move_to_end(cache_key)
+            return hit
         scan_txid = txid or uuid7()
         log = self._read_log()
         if log is None:
@@ -248,7 +277,11 @@ class Collection:
             visible.withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & (F.col("_kind") == "U"))
             .drop("_rn", "_txid", "_seq", "_kind")
-        )
+        ).cache()
+        self._snapshot_cache[cache_key] = latest
+        while len(self._snapshot_cache) > self._snapshot_cache_capacity:
+            _, evicted = self._snapshot_cache.popitem(last=False)
+            evicted.unpersist()
         return latest
 
     # -- maintenance --------------------------------------------------------
@@ -283,6 +316,7 @@ class Collection:
         os.rename(self.log_path, old)
         os.rename(tmp, self.log_path)
         shutil.rmtree(old)
+        self._invalidate_snapshots()
 
     # -- indexes (reference: src/collection/indexes/ — declared structs with
     # no-op update(); README.md:78-81 Table/Index Seek roadmap). Spark
@@ -312,6 +346,7 @@ class Collection:
         os.rename(self.log_path, old)
         os.rename(tmp, self.log_path)
         shutil.rmtree(old)
+        self._invalidate_snapshots()
 
     def inverted_index(self, text_col: str) -> DataFrame:
         """'Reverse index' (src/collection/indexes/reverse.rs): token ->

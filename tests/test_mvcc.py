@@ -138,3 +138,28 @@ def test_column_stats(storage, spark):
     c.set_objects(None, _df(spark, [(str(i), "x", i % 3) for i in range(9)]))
     stats = {r["value"]: r["n_rows"] for r in c.column_stats("qty").collect()}
     assert stats == {0: 3, 1: 3, 2: 3}
+
+
+def test_snapshot_cache_reuse_and_invalidation(storage, spark):
+    c = storage.get_collection("t")
+    c.set_objects(None, _df(spark, [("a", "v1", 1)]))
+    s1 = c.table_scan()
+    s2 = c.table_scan()
+    assert s1 is s2  # same resolved view reused (no second window-dedup)
+    assert s1.storageLevel.useMemory  # persisted
+    c.set_objects(None, _df(spark, [("b", "v1", 2)]))  # write invalidates
+    s3 = c.table_scan()
+    assert s3 is not s1
+    assert {r["_id"] for r in s3.collect()} == {"a", "b"}
+
+
+def test_snapshot_cache_explicit_txid(storage, spark):
+    from db_spark.table import uuid7
+
+    c = storage.get_collection("t")
+    tx = uuid7()
+    c.set_objects(tx, _df(spark, [("a", "v1", 1)]))
+    c.commit(tx)
+    snap_tx = uuid7()
+    assert c.table_scan(snap_tx) is c.table_scan(snap_tx)
+    assert c.table_scan(snap_tx).count() == 1

@@ -1,0 +1,69 @@
+"""Optimizer rewrite rules (db_spark.optimizer) — the planner the
+reference's declarative layer sketched but never wired
+(src/query/mod.rs:20-26, SURVEY §3.2)."""
+
+import pytest
+
+from db_spark.conditions import Query, col, val
+from db_spark.optimizer import FALSE, TRUE, is_false, is_true, optimize
+
+
+def test_constant_folding():
+    assert is_true(optimize(val(2) < val(3)))
+    assert is_false(optimize(val("a") == val("b")))
+    assert is_true(optimize(val("hello").like("h%o")))
+
+
+def test_range_merge_tightens_bounds():
+    c = optimize((col("x") > 3) & (col("x") > 5) & (col("x") <= 10))
+    assert c.render() == "5 < x AND x <= 10"
+
+
+def test_range_contradiction_folds_false():
+    assert is_false(optimize((col("x") < 3) & (col("x") > 5)))
+    assert is_false(optimize((col("x") == 1) & (col("x") == 2)))
+    assert is_false(optimize((col("x") == 7) & (col("x") < 5)))
+
+
+def test_point_in_range_keeps_equality():
+    c = optimize((col("x") == 7) & (col("x") > 3) & (col("x") <= 10))
+    assert c.render() == "x = 7"
+
+
+def test_complement_detection():
+    c = col("flag") == val(True)
+    assert is_false(optimize(c & ~c))
+    assert is_true(optimize(c | ~c))
+
+
+def test_or_to_in():
+    c = optimize((col("x") == 1) | (col("x") == 2) | (col("x") == 3))
+    assert c.kind == "in" and set(c.value) == {1, 2, 3}
+
+
+def test_or_to_in_mixed_columns_untouched():
+    c = optimize((col("x") == 1) | (col("y") == 2))
+    assert c.kind == "or"
+
+
+def test_unsatisfiable_query_skips_scan(spark, tmp_path):
+    d = str(tmp_path / "t")
+    spark.createDataFrame([(i, i * 2) for i in range(100)], "x int, y int") \
+        .write.parquet(d)
+    df = spark.read.parquet(d)
+    out = Query(df).filter((col("x") > 50) & (col("x") < 10)).df
+    assert out.count() == 0
+    assert out.inputFiles() == []  # no FileScan in the plan at all
+    assert out.schema == df.schema
+
+
+def test_satisfiable_query_filters(spark):
+    df = spark.createDataFrame([(i,) for i in range(20)], "x int")
+    got = Query(df).filter((col("x") > 3) & (col("x") > 10) & (col("x") <= 13)).collect()
+    assert sorted(r["x"] for r in got) == [11, 12, 13]
+
+
+def test_in_consolidation_executes(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "x int")
+    got = Query(df).filter((col("x") == 1) | (col("x") == 4) | (col("x") == 9)).collect()
+    assert sorted(r["x"] for r in got) == [1, 4, 9]

@@ -403,6 +403,33 @@ def q_stats_agg(spark, sf_dir):
     )
 
 
+def q_correlated_subquery(spark, sf_dir):
+    """Correlated aggregate subquery (TPC-H Q17 pattern): lineitems with
+    quantity above 1.3x the average for the same part. Decorrelated the
+    way an optimizer would: one partial-agg pass + an equi-join on the
+    correlation key — no per-row subquery execution. avg of
+    integer-valued doubles is order-independent (exact partial sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    avgs = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("_avg"))
+    return (
+        li.join(avgs, "l_partkey")
+        .filter(F.col("l_quantity") > 1.3 * F.col("_avg"))
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    )
+
+
+def q_regex_funcs(spark, sf_dir):
+    """Regex function surface (extract / extract_all / global replace)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), r"([A-Za-z]+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+"), 0))
+        .cast("long").alias("n_alpha_tokens"),
+        F.regexp_replace(F.col("text"), r"[0-9]+", "#").alias("text_nodigits"),
+    )
+
+
 def q_count_distinct(spark, sf_dir):
     """COUNT(DISTINCT) per group (expand+two-phase agg in Spark —
     approx_count_distinct is the 100 TB fast path, HLL params differ
@@ -930,6 +957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "unpivot": q_unpivot,
         "scalar_subquery": q_scalar_subquery,
+        "correlated_subquery": q_correlated_subquery,
+        "regex_funcs": q_regex_funcs,
         "stats_agg": q_stats_agg,
         "count_distinct": q_count_distinct,
         "array_funcs": q_array_funcs,
@@ -1155,6 +1184,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice
             FROM orders, s
             WHERE CAST(o_totalprice AS DECIMAL(12,2)) * n > total
+        """,
+        "correlated_subquery": """
+            SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+            FROM lineitem l
+            WHERE l_quantity > 1.3 * (SELECT AVG(l2.l_quantity)
+                                      FROM lineitem l2
+                                      WHERE l2.l_partkey = l.l_partkey)
+        """,
+        "regex_funcs": """
+            SELECT doc_id,
+                   regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+                       AS n_alpha_tokens,
+                   regexp_replace(text, '[0-9]+', '#', 'g') AS text_nodigits
+            FROM documents
         """,
         "stats_agg": """
             WITH g AS (

@@ -227,3 +227,26 @@ def grouping_sets_agg(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigating salted join (100 TB technique; AQE skew-join handles
+# moderate skew at runtime — explicit salting is for catastrophic
+# single-key skew where one shuffle partition would exceed executor memory)
+# ---------------------------------------------------------------------------
+
+def salted_join(
+    left: DataFrame, right: DataFrame, left_key: str, right_key: str,
+    how: str = "inner", salt: int = 16,
+) -> DataFrame:
+    """Equi-join where the (large, skewed) left side is sharded into
+    ``salt`` sub-keys and the (smaller) right side is replicated
+    salt-fold, so a hot key's rows spread over ``salt`` reducers instead
+    of melting one. Deterministic shard assignment (xxhash64 of the full
+    left row), so results are stable across retries."""
+    shard = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l2 = left.withColumn("_salt", shard)
+    r2 = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>")))
+    on = (F.col(left_key) == F.col(right_key)) & (l2["_salt"] == r2["_salt"])
+    return l2.join(r2, on, how).drop("_salt")

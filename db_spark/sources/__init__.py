@@ -73,3 +73,32 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, keys: list[str], num_buckets: int,
+    path: str | None = None, mode: str = "overwrite", sort: bool = True,
+) -> None:
+    """Bucketed parquet table ('Hash index' realization + co-located
+    joins): both sides of a join bucketed by the same keys into the same
+    bucket count join with NO shuffle exchange — the partitioning is
+    baked into the files. At 100 TB this turns the nightly fact-fact
+    join's dominant cost into a map-side zip."""
+    writer = df.write.format("parquet").bucketBy(num_buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.mode(mode).saveAsTable(table_name)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None,
+                  mode: str = "overwrite", max_records_per_file: int = 0) -> None:
+    """Plain parquet sink with optional hive-style partition pruning
+    layout (partition_by) and file sizing."""
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

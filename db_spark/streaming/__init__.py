@@ -150,3 +150,33 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingestion into an MVCC collection (foreachBatch sink)
+# ---------------------------------------------------------------------------
+
+def stream_into_collection(
+    stream_df: DataFrame, collection, checkpoint: str,
+    id_col: str = "_id", txid: str | None = None,
+):
+    """Continuously upsert a stream into a log-structured Collection —
+    each micro-batch becomes one append of U-entries (exactly-once per
+    batch via the checkpoint; a later duplicate id simply supersedes the
+    older version under MVCC, so replays are idempotent in the
+    snapshot). Runs with availableNow (drain + stop); pass a different
+    trigger via .trigger on the returned query's restart if needed."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        collection.set_objects(txid, batch_df, id_col=id_col)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

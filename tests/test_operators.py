@@ -76,3 +76,40 @@ def test_rollup_cube_grouping_sets(spark):
     gs = ops.grouping_sets_agg(df, [["a"], ["b"]], ["a", "b"], [F.sum("n").alias("s")])
     rows = {(r["a"], r["b"]): r["s"] for r in gs.collect()}
     assert rows[("x", None)] == 3 and rows[(None, "p")] == 4
+
+
+def test_salted_join_matches_plain_join(spark):
+    from db_spark.operators import salted_join
+
+    left = spark.createDataFrame(
+        [(1, f"r{i}") for i in range(500)] + [(2, "x"), (3, "y")],  # key 1 hot
+        "k long, payload string")
+    right = spark.createDataFrame([(1, "one"), (2, "two"), (4, "four")],
+                                  "rk long, label string")
+    got = salted_join(left, right, "k", "rk").select("k", "payload", "label")
+    exp = left.join(right, F.col("k") == F.col("rk")).select("k", "payload", "label")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    assert got.count() == 501
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    from db_spark.sources import write_bucketed
+
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(1000)], "k long, va string")
+    b = spark.createDataFrame([(i, f"b{i}") for i in range(1000)], "k long, vb string")
+    write_bucketed(a, "bk_a", ["k"], 8, path=str(tmp_path / "bk_a"))
+    write_bucketed(b, "bk_b", ["k"], 8, path=str(tmp_path / "bk_b"))
+    ta, tb = spark.table("bk_a"), spark.table("bk_b")
+    # force a non-broadcast join so the co-location matters (at real
+    # scale neither side fits the broadcast threshold anyway)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ta.join(tb, "k")
+        assert joined.count() == 1000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # co-located: bucketing replaces the shuffle on both sides
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+    assert "Bucketed: true" in plan

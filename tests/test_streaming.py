@@ -125,3 +125,30 @@ def test_watermark_late_data_dropped(spark, tmp_path):
     assert all(r["n"] == 1 for r in rows) and len(starts) >= 1
     # the late row (far behind the checkpointed watermark) was dropped
     assert base - dt.timedelta(hours=10) not in starts
+
+
+def test_stream_into_collection_upserts(spark, tmp_path):
+    from db_spark.engine import Storage
+
+    d = str(tmp_path / "in")
+    schema = T.StructType([
+        T.StructField("_id", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ])
+    spark.createDataFrame([("a", 1), ("b", 1)], schema).coalesce(1) \
+        .write.mode("overwrite").parquet(d)
+    storage = Storage(spark, str(tmp_path / "db"))
+    c = storage.get_collection("ingested")
+
+    def run():
+        stream = st.stream_from_files(spark, d, schema)
+        st.stream_into_collection(stream, c, str(tmp_path / "ckpt"))
+
+    run()
+    assert {(r["_id"], r["v"]) for r in c.table_scan().collect()} == {("a", 1), ("b", 1)}
+    # second batch updates 'a' and inserts 'c'; MVCC newest-version wins
+    spark.createDataFrame([("a", 2), ("c", 1)], schema).coalesce(1) \
+        .write.mode("append").parquet(d)
+    run()
+    assert {(r["_id"], r["v"]) for r in c.table_scan().collect()} == \
+        {("a", 2), ("b", 1), ("c", 1)}

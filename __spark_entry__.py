@@ -586,6 +586,29 @@ def q_sliding_window(spark, sf_dir):
     return agg.select("window_start", "event_type", "n", "total_value")
 
 
+def q_hypertable_rollup(spark, sf_dir):
+    """Hypertable continuous aggregate: materialize hourly partials for
+    history (< 2024-01-20), merge with raw-tail partials — result is
+    identical to a full-scan aggregate because count/sum/min/max partials
+    compose losslessly (the oracle IS the full-scan form)."""
+    import tempfile
+
+    from db_spark.streaming import rollup as ru
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = "2024-01-20 00:00:00"
+    path = tempfile.mkdtemp(prefix="db_spark_rollup_")
+    ru.rollup_materialize(
+        ev.filter(F.col("ts") < F.lit(cutoff)), path,
+        "ts", "1 hour", "value", ["event_type"], exact_decimals=4)
+    out = ru.hypertable_agg(
+        spark, path, ev, "ts", "1 hour", "value", ["event_type"],
+        high_water=cutoff, exact_decimals=4)
+    return out.select(
+        F.col("bucket_start").alias("window_start"), "event_type", "n",
+        "total", "vmin", "vmax", F.round(F.col("vavg"), 6).alias("vavg"))
+
+
 def q_session_window(spark, sf_dir):
     """Session windows (30 min gap) per user."""
     from db_spark import streaming as st
@@ -973,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
         "session_window": q_session_window,
+        "hypertable_rollup": q_hypertable_rollup,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1312,6 +1336,19 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n,
                    CAST(SUM(CAST(round("value" * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value
             FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS off(i)
+            GROUP BY 1, 2
+        """,
+        "hypertable_rollup": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(round("value" * 10000) AS BIGINT)) AS DOUBLE)
+                       / 10000.0 AS total,
+                   min("value") AS vmin,
+                   max("value") AS vmax,
+                   round((CAST(SUM(CAST(round("value" * 10000) AS BIGINT)) AS DOUBLE)
+                          / 10000.0) / COUNT(*), 6) AS vavg
+            FROM events
             GROUP BY 1, 2
         """,
         "session_window": """

@@ -152,3 +152,57 @@ def test_stream_into_collection_upserts(spark, tmp_path):
     run()
     assert {(r["_id"], r["v"]) for r in c.table_scan().collect()} == \
         {("a", 2), ("b", 1), ("c", 1)}
+
+
+def test_hypertable_rollup_matches_full_scan(spark, tmp_path):
+    import datetime as dt
+
+    from db_spark.streaming import rollup as ru
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(minutes=37 * i), i % 3,
+             ["a", "b"][i % 2], float(i % 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    path = str(tmp_path / "rollup")
+    cutoff = base + dt.timedelta(days=8)
+
+    # materialize history (< cutoff), keep the tail raw
+    ru.rollup_materialize(df.filter(F.col("ts") < F.lit(cutoff)), path,
+                          "ts", "1 hour", "value", ["event_type"])
+    got = ru.hypertable_agg(spark, path, df, "ts", "1 hour", "value",
+                            ["event_type"], high_water=cutoff)
+
+    direct = (df.groupBy(F.window("ts", "1 hour").start.alias("bucket_start"),
+                         "event_type")
+              .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"),
+                   F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+              .withColumn("vavg", F.col("total") / F.col("n")))
+    key = lambda r: (r["bucket_start"], r["event_type"])
+    g = {key(r): (r["n"], r["total"], r["vmin"], r["vmax"], r["vavg"])
+         for r in got.collect()}
+    e = {key(r): (r["n"], r["total"], r["vmin"], r["vmax"], r["vavg"])
+         for r in direct.collect()}
+    assert g == e
+
+
+def test_hypertable_incremental_refresh(spark, tmp_path):
+    import datetime as dt
+
+    from db_spark.streaming import rollup as ru
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda n: [(i, base + dt.timedelta(hours=6 * i), 1, "a", float(i))
+                    for i in range(n)]
+    path = str(tmp_path / "rollup")
+    ru.rollup_materialize(spark.createDataFrame(mk(8), EVENTS_SCHEMA), path,
+                          "ts", "1 day", "value")
+    # late/new data lands on day 2+; refresh only those partitions
+    df2 = spark.createDataFrame(mk(16), EVENTS_SCHEMA)
+    ru.rollup_refresh(spark, df2, path, "ts", "1 day", "value",
+                      since=base + dt.timedelta(days=1))
+    got = ru.hypertable_agg(spark, path, None, "ts", "1 day", "value")
+    direct = (df2.groupBy(F.window("ts", "1 day").start.alias("bucket_start"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    g = {r["bucket_start"]: r["n"] for r in got.collect()}
+    e = {r["bucket_start"]: r["n"] for r in direct.collect()}
+    assert g == e

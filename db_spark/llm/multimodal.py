@@ -136,3 +136,85 @@ def from_binary_files(spark, path: str, modality: str) -> DataFrame:
             F.lit(None).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Transform plumbing: resize (images) and frame sampling (video/audio).
+# The byte-level transform is stubbed like decode (codec libs absent);
+# the Spark side — schema preservation, Arrow batching, meta update,
+# one-row-to-many explosion for frames — is real and tested.
+# ---------------------------------------------------------------------------
+
+TRANSFORMS: dict[str, Callable[[bytes, dict, int, int], bytes]] = {}
+
+
+def register_transform(name: str, fn: Callable[[bytes, dict, int, int], bytes]) -> None:
+    TRANSFORMS[name] = fn
+
+
+def _fake_resize(payload: bytes, meta: dict, w: int, h: int) -> bytes:
+    # deterministic stand-in: proportionally subsample the payload bytes
+    n = max(1, int(len(payload) * min(1.0, (w * h) / 4096.0)))
+    return payload[:n]
+
+
+TRANSFORMS["fake_resize"] = _fake_resize
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, transform: str = "fake_resize",
+) -> DataFrame:
+    """MEDIA_SCHEMA -> MEDIA_SCHEMA with resized payloads and updated
+    meta.width/height. Payload bytes never leave executor Arrow batches."""
+    fn = TRANSFORMS[transform]
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                fn(p, m, width, height) if p is not None else None
+                for p, m in zip(pdf["payload"], pdf["meta"])
+            ]
+            pdf["meta"] = [
+                {**(m or {}), "width": width, "height": height}
+                for m in pdf["meta"]
+            ]
+            yield pdf
+
+    return df.mapInPandas(_map, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.LongType(), False),
+    T.StructField("frame_ms", T.LongType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+])
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, max_frames: int = 16,
+) -> DataFrame:
+    """One media row -> N frame rows at a fixed time stride (video frame
+    sampling / audio chunking). Frame extraction is stubbed as byte
+    slicing; the one-to-many Arrow-batched explosion and the
+    (media_id, frame_idx) output contract are the real plumbing."""
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_ms": [], "payload": []}
+            for _, row in pdf.iterrows():
+                payload, meta = row["payload"], row["meta"] or {}
+                if payload is None:
+                    continue
+                duration = meta.get("duration_ms") or every_ms * max_frames
+                n = min(max_frames, max(1, int(duration // every_ms)))
+                step = max(1, len(payload) // n)
+                for i in range(n):
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(i)
+                    out["frame_ms"].append(i * every_ms)
+                    out["payload"].append(payload[i * step:(i + 1) * step])
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload", "meta").mapInPandas(_map, FRAME_SCHEMA)

@@ -139,3 +139,30 @@ def test_multimodal_real_decoder_stubbed(spark):
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         multimodal.extract_features(df).collect()
+
+
+def test_resize_media_updates_meta_and_payload(spark):
+    from db_spark.llm import multimodal as mm
+
+    rows = [(1, "image", b"x" * 4096, {"mime": "image/png", "width": 100,
+                                       "height": 100, "duration_ms": None,
+                                       "sample_rate": None})]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.resize_media(df, 32, 32).collect()
+    assert out[0]["meta"]["width"] == 32 and out[0]["meta"]["height"] == 32
+    assert 0 < len(out[0]["payload"]) < 4096
+    assert mm.resize_media(df, 32, 32).schema == mm.MEDIA_SCHEMA
+
+
+def test_sample_frames_explodes_rows(spark):
+    from db_spark.llm import multimodal as mm
+
+    rows = [(7, "video", bytes(range(200)), {"mime": "video/mp4", "width": None,
+                                             "height": None, "duration_ms": 5000,
+                                             "sample_rate": None})]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    frames = mm.sample_frames(df, every_ms=1000, max_frames=16).collect()
+    assert len(frames) == 5  # 5000ms / 1000ms
+    assert [f["frame_idx"] for f in frames] == [0, 1, 2, 3, 4]
+    assert all(f["media_id"] == 7 for f in frames)
+    assert b"".join(f["payload"] for f in frames) == bytes(range(200))

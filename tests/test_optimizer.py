@@ -67,3 +67,18 @@ def test_in_consolidation_executes(spark):
     df = spark.createDataFrame([(i,) for i in range(10)], "x int")
     got = Query(df).filter((col("x") == 1) | (col("x") == 4) | (col("x") == 9)).collect()
     assert sorted(r["x"] for r in got) == [1, 4, 9]
+
+
+def test_dsl_filter_pushes_to_parquet_scan(spark, tmp_path):
+    """The optimized conjuncts compile to Catalyst filters that reach the
+    parquet reader (PushedFilters) — the pushdown the reference's
+    declarative layer was designed for but never performed."""
+    d = str(tmp_path / "push")
+    spark.createDataFrame([(i, f"s{i}") for i in range(100)], "x int, s string") \
+        .write.parquet(d)
+    df = spark.read.parquet(d)
+    out = Query(df).filter((col("x") > 3) & (col("x") > 5) & (col("s") == val("s7"))).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(x,5)" in plan        # tightened bound, pushed
+    assert "GreaterThan(x,3)" not in plan    # loose bound eliminated
+    assert "EqualTo(s,s7)" in plan

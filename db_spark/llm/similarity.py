@@ -161,7 +161,13 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate embedding pairs: SRP signatures block candidates
     (pigeonhole segments, like simhash_pairs), exact cosine verifies.
-    Never materializes the full pair matrix."""
+    Never materializes the full pair matrix.
+
+    Scale note: bucket count per segment is 2^(n_bits/(max_hamming+1)).
+    The 16-bit default keeps the oracle SQL tractable; at corpus sizes
+    past ~1e6 vectors use n_bits=64 (4 segments x 16 bits = 65536
+    buckets/segment) so per-bucket candidate groups stay bounded — the
+    verify cost is sum of squared bucket sizes."""
     seg_n = max_hamming + 1
     seg_bits = max(1, n_bits // seg_n)
     sig = corpus.select(

@@ -51,6 +51,24 @@ class Storage:
             )
         return self._collections[name]
 
+    def list_collections(self) -> list[str]:
+        """Registered + on-disk collections under the root."""
+        on_disk = {
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        }
+        return sorted(on_disk | set(self._collections))
+
+    def drop_collection(self, name: str) -> None:
+        import shutil
+
+        c = self._collections.pop(name, None)
+        if c is not None:
+            c._invalidate_snapshots()
+        path = os.path.join(self.root, name)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+
     # -- external (read-only) tables — the driver testdata ------------------
     def attach_parquet(self, name: str, path: str) -> DataFrame:
         df = self.spark.read.parquet(path)

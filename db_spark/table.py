@@ -161,9 +161,16 @@ class Collection:
             )
 
     # -- write path (reference: src/collection/mod.rs:46-93) ----------------
-    def _next_seq_base(self, n: int) -> int:
+    def _next_seq_base(self, n: int = 0) -> int:
+        """Strictly-increasing per-batch sequence base. Bases are spaced
+        2^50 apart so the within-batch disambiguator
+        (monotonically_increasing_id: partitionId*2^33 + row, < 2^49 at
+        any realistic partition count) can never cross into the next
+        batch's range — cross-batch `_seq` order IS append order, which
+        is what snapshot visibility sorts by (the reference resolves
+        recency by log position, table_scan.rs:66-101, not by txid)."""
         base = max(self._seq_base, time.time_ns())
-        self._seq_base = base + n
+        self._seq_base = base + (1 << 50)
         return base
 
     def _append(self, df: DataFrame) -> None:
@@ -272,7 +279,12 @@ class Collection:
             on="_txid",
             how="left_semi",
         ).unionByName(entries.filter(F.col("_txid") == NIL_TXID))
-        w = Window.partitionBy("_id").orderBy(F.col("_txid").desc(), F.col("_seq").desc())
+        # Recency among *visible* entries is physical log position
+        # (`_seq`), matching the reference's newest-file back-to-front
+        # walk (table_scan.rs:66-101) — a later pre-committed (nil-txid)
+        # write or tombstone supersedes an earlier committed version;
+        # txid only gates visibility, it does not rank versions.
+        w = Window.partitionBy("_id").orderBy(F.col("_seq").desc())
         latest = (
             visible.withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & (F.col("_kind") == "U"))
@@ -283,6 +295,38 @@ class Collection:
             _, evicted = self._snapshot_cache.popitem(last=False)
             evicted.unpersist()
         return latest
+
+    def changes(self, since_txid: str, until_txid: str | None = None) -> DataFrame:
+        """Change-data-capture between two snapshots: one row per ``_id``
+        whose visible version differs, tagged ``_change`` in
+        ``I``(nsert) | ``U``(pdate) | ``D``(elete), carrying the *new*
+        payload (old payload for deletes is gone from the snapshot by
+        definition; read the log directly for before-images).
+
+        Implementation: full outer join of the two resolved snapshots on
+        ``_id`` with a single struct comparison — O(live rows), one
+        shuffle, independent of log length. This is what the
+        log-structured model buys downstream consumers: incremental
+        pipelines read the delta, not the table."""
+        old = self.table_scan(since_txid)
+        new = self.table_scan(until_txid)
+        payload = [c for c in new.columns if c != "_id"]
+        o = old.select(
+            F.col("_id"), F.struct(*payload).alias("_old"))
+        n = new.select(
+            F.col("_id"), F.struct(*payload).alias("_new"))
+        joined = o.join(n, "_id", "full_outer")
+        return (
+            joined.withColumn(
+                "_change",
+                F.when(F.col("_old").isNull(), F.lit("I"))
+                .when(F.col("_new").isNull(), F.lit("D"))
+                .when(F.col("_old") != F.col("_new"), F.lit("U")),
+            )
+            .filter(F.col("_change").isNotNull())
+            .select("_id", "_change", *[
+                F.col("_new").getField(c).alias(c) for c in payload])
+        )
 
     # -- maintenance --------------------------------------------------------
     def statistics(self) -> CollectionStatistics:

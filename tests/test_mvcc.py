@@ -163,3 +163,45 @@ def test_snapshot_cache_explicit_txid(storage, spark):
     snap_tx = uuid7()
     assert c.table_scan(snap_tx) is c.table_scan(snap_tx)
     assert c.table_scan(snap_tx).count() == 1
+
+
+def test_changes_cdc(storage, spark):
+    c = storage.get_collection("t")
+    tx1 = uuid7()
+    c.set_objects(tx1, _df(spark, [("a", "v1", 1), ("b", "v1", 1), ("d", "v1", 1)]))
+    c.commit(tx1)
+    t_old = uuid7()
+    tx2 = uuid7()
+    c.set_objects(tx2, _df(spark, [("b", "v2", 2), ("c", "v1", 1)]))  # update b, insert c
+    c.commit(tx2)
+    tx3 = uuid7()
+    c.delete_objects(tx3, ["d"])                                      # delete d
+    c.commit(tx3)
+    got = {(r["_id"], r["_change"]): (r["name"], r["qty"])
+           for r in c.changes(t_old).collect()}
+    assert set(got) == {("b", "U"), ("c", "I"), ("d", "D")}
+    assert got[("b", "U")] == ("v2", 2)
+    assert got[("c", "I")] == ("v1", 1)
+    assert got[("d", "D")] == (None, None)
+
+
+def test_storage_list_and_drop(storage, spark):
+    c = storage.get_collection("todrop")
+    c.set_objects(None, _df(spark, [("a", "x", 1)]))
+    assert "todrop" in storage.list_collections()
+    storage.drop_collection("todrop")
+    assert "todrop" not in storage.list_collections()
+    # recreated collection starts empty
+    assert storage.get_collection("todrop").table_scan().count() == 0
+
+
+def test_nil_write_supersedes_committed(storage, spark):
+    """Recency among visible entries is log position, not txid rank: a
+    later pre-committed (nil-txid) write must beat an earlier committed
+    version (reference walks the log newest-first, table_scan.rs:66-101)."""
+    c = storage.get_collection("t")
+    tx = uuid7()
+    c.set_objects(tx, _df(spark, [("a", "v1", 1)]))
+    c.commit(tx)
+    c.set_objects(None, _df(spark, [("a", "v2", 2)]))
+    assert {(r["_id"], r["name"]) for r in c.table_scan().collect()} == {("a", "v2")}

@@ -620,6 +620,64 @@ def q_session_window(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# MVCC log-table end-to-end (entry point C: write path + snapshot + CDC)
+# ---------------------------------------------------------------------------
+
+def _mvcc_build(spark, sf_dir):
+    """Deterministic log: load customers, commit +100 acctbal for
+    custkey%10==0, commit tombstones for custkey%7==0, insert shadow rows
+    (custkey+1000000) for custkey%13==0. Returns (collection, t_before)
+    where t_before snapshots the initial load."""
+    import tempfile
+
+    from db_spark.engine import Storage
+    from db_spark.table import uuid7
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").cast("string").alias("_id"),
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+    )
+    st = Storage(spark, tempfile.mkdtemp(prefix="db_spark_mvcc_"))
+    c = st.get_collection("customer_log")
+    c.set_objects(None, base)
+    t_before = uuid7()
+    tx = uuid7()
+    c.set_objects(tx, base.filter(F.col("_id").cast("long") % 10 == 0)
+                  .withColumn("acctbal", F.col("acctbal") + 100.0))
+    c.commit(tx)
+    txd = uuid7()
+    dead = [r["_id"] for r in
+            base.filter(F.col("_id").cast("long") % 7 == 0).select("_id").collect()]
+    c.delete_objects(txd, dead)
+    c.commit(txd)
+    txi = uuid7()
+    c.set_objects(txi, base.filter(F.col("_id").cast("long") % 13 == 0).select(
+        (F.col("_id").cast("long") + 1000000).cast("string").alias("_id"),
+        "c_name", "acctbal"))
+    c.commit(txi)
+    return c, t_before
+
+
+def q_mvcc_snapshot(spark, sf_dir):
+    """MVCC write path + snapshot resolution end-to-end, verified against
+    an independent oracle computing the equivalent final state from the
+    source table (upserts win, tombstones suppress, inserts appear)."""
+    c, _ = _mvcc_build(spark, sf_dir)
+    return c.table_scan().select(
+        F.col("_id").cast("long").alias("key"), "c_name", "acctbal")
+
+
+def q_mvcc_cdc(spark, sf_dir):
+    """Change-data-capture between two snapshots of the log table:
+    I/U/D classification with new-image payloads."""
+    c, t_before = _mvcc_build(spark, sf_dir)
+    return c.changes(t_before).select(
+        F.col("_id").cast("long").alias("key"), "_change", "c_name", "acctbal")
+
+
+# ---------------------------------------------------------------------------
 # North-star ops (SURVEY §2.4): dedup / similarity / text / multimodal
 # ---------------------------------------------------------------------------
 
@@ -997,6 +1055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "session_window": q_session_window,
         "hypertable_rollup": q_hypertable_rollup,
+        "mvcc_snapshot": q_mvcc_snapshot,
+        "mvcc_cdc": q_mvcc_cdc,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1337,6 +1397,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round("value" * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value
             FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS off(i)
             GROUP BY 1, 2
+        """,
+        "mvcc_snapshot": """
+            SELECT c_custkey AS key, c_name,
+                   CASE WHEN c_custkey % 10 = 0
+                        THEN CAST(c_acctbal AS DOUBLE) + 100.0
+                        ELSE CAST(c_acctbal AS DOUBLE) END AS acctbal
+            FROM customer
+            WHERE c_custkey % 7 <> 0
+            UNION ALL
+            SELECT c_custkey + 1000000 AS key, c_name,
+                   CAST(c_acctbal AS DOUBLE) AS acctbal
+            FROM customer
+            WHERE c_custkey % 13 = 0
+        """,
+        "mvcc_cdc": """
+            SELECT c_custkey AS key, 'U' AS _change, c_name,
+                   CAST(c_acctbal AS DOUBLE) + 100.0 AS acctbal
+            FROM customer
+            WHERE c_custkey % 10 = 0 AND c_custkey % 7 <> 0
+            UNION ALL
+            SELECT c_custkey AS key, 'D' AS _change,
+                   CAST(NULL AS VARCHAR) AS c_name,
+                   CAST(NULL AS DOUBLE) AS acctbal
+            FROM customer
+            WHERE c_custkey % 7 = 0
+            UNION ALL
+            SELECT c_custkey + 1000000 AS key, 'I' AS _change, c_name,
+                   CAST(c_acctbal AS DOUBLE) AS acctbal
+            FROM customer
+            WHERE c_custkey % 13 = 0
         """,
         "hypertable_rollup": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

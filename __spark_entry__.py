@@ -459,6 +459,22 @@ def q_array_funcs(spark, sf_dir):
     )
 
 
+def q_explode_tokens(spark, sf_dir):
+    """Lateral/explode (one row -> many): token frequency top-50 over
+    documents — explode is the workhorse for shingle/posting-list
+    generation in every dedup pipeline here."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z']+"), 0)
+        ).alias("token"))
+    return (
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )
+
+
 def q_map_struct_funcs(spark, sf_dir):
     """Map/struct construction and field access (nested types beyond the
     reference's flat 7-type system)."""
@@ -1044,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct": q_count_distinct,
         "array_funcs": q_array_funcs,
         "map_struct_funcs": q_map_struct_funcs,
+        "explode_tokens": q_explode_tokens,
         "window_funcs": q_window_funcs,
         "topn_per_group": q_topn_per_group,
         "asof_join": q_asof_join,
@@ -1328,6 +1345,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS prio,
                    CAST(2 AS BIGINT) AS n_keys
             FROM orders
+        """,
+        "explode_tokens": """
+            SELECT token, COUNT(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY n DESC, token
+            LIMIT 50
         """,
         "window_funcs": """
             SELECT o_orderkey, o_custkey,

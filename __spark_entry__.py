@@ -498,16 +498,30 @@ def q_map_struct_funcs(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_window_funcs(spark, sf_dir):
-    """row_number + lag over a per-customer window."""
+    """Window-function breadth over one per-customer window: row_number,
+    rank, dense_rank, lag, lead, and a running sum (sequential prefix
+    along a total order — deterministic)."""
     from db_spark import operators as xops
 
     o = _t(spark, sf_dir, "orders")
     r = xops.ranked(
         o, ["o_custkey"], [F.col("o_orderdate"), F.col("o_orderkey")],
-        {"rn": F.row_number(), "prev_price": F.lag("o_totalprice", 1)},
+        {
+            "rn": F.row_number(),
+            "rnk": F.rank(),
+            "drnk": F.dense_rank(),
+            "prev_price": F.lag("o_totalprice", 1),
+            "next_price": F.lead("o_totalprice", 1),
+            "running_total": F.sum("o_totalprice"),
+        },
     )
     return r.select(
-        "o_orderkey", "o_custkey", F.col("rn").cast("long").alias("rn"), "prev_price")
+        "o_orderkey", "o_custkey",
+        F.col("rn").cast("long").alias("rn"),
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("drnk").cast("long").alias("drnk"),
+        "prev_price", "next_price",
+        F.round(F.col("running_total"), 2).alias("running_total"))
 
 
 def q_topn_per_group(spark, sf_dir):
@@ -798,6 +812,20 @@ def q_embedding_near_dup(spark, sf_dir):
     return lsim.embedding_near_dup_pairs(corpus, dim=64, threshold=0.95)
 
 
+def q_deterministic_split(spark, sf_dir):
+    """Reproducible train/val/test split by stable content hash — no RNG
+    state, invariant under repartitioning/re-runs/engine (the correct way
+    to split a 100 TB corpus; df.sample seeds are partition-dependent)."""
+    from db_spark.llm.dedup import h32
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = h32(F.col("doc_id").cast("string")) % 10
+    split = (F.when(bucket < 8, F.lit("train"))
+             .when(bucket < 9, F.lit("val"))
+             .otherwise(F.lit("test")))
+    return docs.select("doc_id", split.alias("split"))
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: documents as opaque binary payloads through
     the Arrow-batched mapInPandas feature pipeline (fake decoder —
@@ -1083,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "deterministic_split": q_deterministic_split,
         "media_features": q_media_features,
     }
 
@@ -1357,7 +1386,11 @@ def oracle_sql() -> dict[str, str]:
         "window_funcs": """
             SELECT o_orderkey, o_custkey,
                    CAST(row_number() OVER w AS BIGINT) AS rn,
-                   lag(o_totalprice) OVER w AS prev_price
+                   CAST(rank() OVER w AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+                   lag(o_totalprice) OVER w AS prev_price,
+                   lead(o_totalprice) OVER w AS next_price,
+                   round(SUM(o_totalprice) OVER w, 2) AS running_total
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         """,
@@ -1534,6 +1567,15 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10
         """,
         "embedding_near_dup": _srp_near_dup_oracle(),
+        "deterministic_split": """
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             % 10 < 8 THEN 'train'
+                        WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             % 10 < 9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
         "media_features": """
             SELECT doc_id AS media_id,
                    'doc' AS modality,

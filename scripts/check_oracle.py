@@ -62,9 +62,11 @@ def main():
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -100,7 +102,7 @@ def main():
             print(f"FAIL  {name}: value mismatch, first diffs: {diff}")
             continue
         print(f"PASS  {name}: {len(sv)} rows")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    print(f"\n{checked - len(failures)}/{checked} pass")
     sys.exit(1 if failures else 0)
 
 

@@ -113,3 +113,14 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     # co-located: bucketing replaces the shuffle on both sides
     assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
     assert "Bucketed: true" in plan
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from db_spark.sources import read_orc, write_orc
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(50)], "k long, v string")
+    p = str(tmp_path / "orc")
+    write_orc(df, p)
+    back = read_orc(spark, p)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

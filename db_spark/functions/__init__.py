@@ -91,3 +91,17 @@ def decimal_sum(c: Column, alias: str, decimals: int = 4) -> Column:
     headroom to ~9e9 rows/group before long overflow; use
     ``exact_sum(..., wide=True)`` beyond that)."""
     return exact_sum(c, alias, decimals)
+
+
+def approx_distinct(c: Column, alias: str, rsd: float = 0.05) -> Column:
+    """HyperLogLog++ distinct count — the 100 TB fast path: one pass, no
+    expand, fixed-size sketch per group (exact COUNT(DISTINCT) doubles
+    the shuffle via expand). rsd is the relative error target."""
+    return F.approx_count_distinct(c, rsd).alias(alias)
+
+
+def approx_quantiles(df: DataFrame, col_name: str, probs: list[float],
+                     rel_err: float = 0.01) -> list[float]:
+    """Greenwald-Khanna sketch quantiles — one pass, bounded memory,
+    mergeable across partitions (exact percentile sorts the column)."""
+    return df.approxQuantile(col_name, probs, rel_err)

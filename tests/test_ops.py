@@ -138,3 +138,19 @@ def test_unpivot(people):
     vals = {(r["name"], r["metric"]): r["value"] for r in got}
     assert vals[("alice", "age")] == 34.0 and vals[("alice", "score")] == 10.5
     assert len(got) == 10
+
+
+def test_filter_accepts_sql_string(people):
+    got = Q(people).filter("age > 30 AND active").collect()
+    assert sorted(r["name"] for r in got) == ["alice", "carol"]
+
+
+def test_approx_fast_paths(spark):
+    from db_spark.functions import approx_distinct, approx_quantiles
+
+    df = spark.createDataFrame([(i % 100, float(i)) for i in range(10000)],
+                               "k long, v double")
+    n = df.agg(approx_distinct(F.col("k"), "nd")).collect()[0]["nd"]
+    assert abs(n - 100) <= 10  # 5% rsd target
+    q50, q95 = approx_quantiles(df, "v", [0.5, 0.95])
+    assert abs(q50 - 5000) < 200 and abs(q95 - 9500) < 200

@@ -812,6 +812,28 @@ def q_embedding_near_dup(spark, sf_dir):
     return lsim.embedding_near_dup_pairs(corpus, dim=64, threshold=0.95)
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Composite: text analysis feeding relational aggregation — corpus
+    health per predicted language (doc counts, token volume, exact
+    average quality via scaled-long sum)."""
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = ltext.text_stats(docs)
+    qscaled = F.round(F.col("quality") * 1000000).cast("long")
+    return (
+        stats.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum(qscaled) / F.lit(1e6)).alias("_qsum"),
+        )
+        .select(
+            "lang_pred", "n_docs", "total_tokens",
+            F.round(F.col("_qsum") / F.col("n_docs"), 6).alias("avg_quality"))
+    )
+
+
 def q_deterministic_split(spark, sf_dir):
     """Reproducible train/val/test split by stable content hash — no RNG
     state, invariant under repartitioning/re-runs/engine (the correct way
@@ -1112,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "deterministic_split": q_deterministic_split,
+        "corpus_stats": q_corpus_stats,
         "media_features": q_media_features,
     }
 
@@ -1522,6 +1545,16 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, sid
         """,
         "text_stats": _text_stats_oracle(),
+        "corpus_stats": f"""
+            WITH ts AS ({_text_stats_oracle()})
+            SELECT lang_pred,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   round((CAST(SUM(CAST(round(quality * 1000000) AS BIGINT))
+                               AS DOUBLE) / 1000000.0) / COUNT(*), 6)
+                       AS avg_quality
+            FROM ts GROUP BY lang_pred
+        """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id,
                    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint

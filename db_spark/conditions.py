@@ -94,6 +94,14 @@ class Condition:
     def like(self, pattern: str) -> "Condition":
         return self._bin(LIKE, pattern)
 
+    def between(self, lo: Any, hi: Any) -> "Condition":
+        """Inclusive range — two conjuncts, so the optimizer's range rule
+        can tighten them against other bounds."""
+        return (self >= lo) & (self <= hi)
+
+    def isin(self, *values: Any) -> "Condition":
+        return Condition("in", children=(self,), value=tuple(values))
+
     def not_like(self, pattern: str) -> "Condition":
         return self._bin(NOT_LIKE, pattern)
 

@@ -80,3 +80,17 @@ def test_query_applies_conditions(spark):
     df = spark.createDataFrame([(i,) for i in range(10)], ["a"])
     rows = Query(df).filter((col("a") >= val(3)) & (col("a") < val(6))).collect()
     assert sorted(r["a"] for r in rows) == [3, 4, 5]
+
+
+def test_between_and_isin_sugar(spark):
+    from db_spark.conditions import Query, col
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "x int")
+    got = Query(df).filter(col("x").between(5, 8)).collect()
+    assert sorted(r["x"] for r in got) == [5, 6, 7, 8]
+    got2 = Query(df).filter(col("x").isin(1, 3, 19)).collect()
+    assert sorted(r["x"] for r in got2) == [1, 3, 19]
+    # between composes with the range optimizer: bounds tighten
+    from db_spark.optimizer import optimize
+    c = optimize(col("x").between(5, 15) & (col("x") <= 10))
+    assert c.render() == "5 <= x AND x <= 10"

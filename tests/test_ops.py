@@ -154,3 +154,29 @@ def test_approx_fast_paths(spark):
     assert abs(n - 100) <= 10  # 5% rsd target
     q50, q95 = approx_quantiles(df, "v", [0.5, 0.95])
     assert abs(q50 - 5000) < 200 and abs(q95 - 9500) < 200
+
+
+def test_storage_sql_surface(spark, tmp_path):
+    from db_spark.engine import Storage
+
+    st = Storage(spark, str(tmp_path))
+    st.attach_dir("/root/testdata/sf0.001", ["region", "nation"])
+    out = st.sql(
+        "SELECT r_name, COUNT(*) AS n FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name").collect()
+    assert len(out) == 5 and sum(r["n"] for r in out) == 25
+
+
+def test_write_parquet_partitioned(spark, tmp_path):
+    import os
+
+    from db_spark.sources import write_parquet
+
+    df = spark.createDataFrame([(i, i % 3, f"v{i}") for i in range(30)],
+                               "k long, part int, v string")
+    p = str(tmp_path / "pt")
+    write_parquet(df, p, partition_by=["part"])
+    assert sorted(d for d in os.listdir(p) if d.startswith("part=")) == \
+        ["part=0", "part=1", "part=2"]
+    back = spark.read.parquet(p)
+    assert back.count() == 30

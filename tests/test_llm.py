@@ -166,3 +166,20 @@ def test_sample_frames_explodes_rows(spark):
     assert [f["frame_idx"] for f in frames] == [0, 1, 2, 3, 4]
     assert all(f["media_id"] == 7 for f in frames)
     assert b"".join(f["payload"] for f in frames) == bytes(range(200))
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF quality floor: with n_probe/n_cells = 1/4 of the corpus
+    scanned, recall@5 against brute force stays useful on the real
+    embeddings table."""
+    from db_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=2)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"recall@5 {recall:.2f} below floor"

@@ -820,6 +820,17 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return ldedup.minhash_dedup_pairs(docs, k=16, bands=4, threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Dedup clustering: connected components over the MinHash-LSH
+    candidate pairs; cluster_id = canonical (min) doc_id. Iterative
+    min-label propagation — one join + min-agg per round, distributed."""
+    from db_spark.llm import dedup as ldedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ldedup.minhash_dedup_pairs(docs, k=16, bands=4, threshold=0.5)
+    return ldedup.connected_components(pairs)
+
+
 def q_simhash(spark, sf_dir):
     """32-bit SimHash per document (fold over token array, no shuffle)."""
     from db_spark.llm import dedup as ldedup
@@ -1192,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
@@ -1685,6 +1697,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signature": _minhash_oracle(),
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT src AS doc_id,
+                   least(src, MIN(dst)) AS cluster_id
+            FROM reach GROUP BY src
+        """,
         "simhash": _simhash_oracle(),
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings

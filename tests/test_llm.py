@@ -183,3 +183,14 @@ def test_ivf_recall_vs_brute_force(spark):
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.4, f"recall@5 {recall:.2f} below floor"
+
+
+def test_connected_components_clusters(spark):
+    from db_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long")
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

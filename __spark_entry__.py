@@ -831,6 +831,22 @@ def q_dedup_clusters(spark, sf_dir):
     return ldedup.connected_components(pairs)
 
 
+def q_dedup_corpus(spark, sf_dir):
+    """End-to-end near-dup removal: shingle -> MinHash -> LSH pairs ->
+    connected components -> drop every non-canonical cluster member.
+    The surviving corpus = canonical docs + singletons."""
+    from db_spark.llm import dedup as ldedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ldedup.minhash_dedup_pairs(docs, k=16, bands=4, threshold=0.5)
+    clusters = ldedup.connected_components(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        docs.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+
+
 def q_simhash(spark, sf_dir):
     """32-bit SimHash per document (fold over token array, no shuffle)."""
     from db_spark.llm import dedup as ldedup
@@ -1204,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_corpus": q_dedup_corpus,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
@@ -1714,6 +1731,25 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY src
         """,
         "simhash": _simhash_oracle(),
+        "dedup_corpus": f"""
+            WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            losers AS (
+              SELECT src AS doc_id FROM reach
+              GROUP BY src HAVING least(src, MIN(dst)) <> src
+            )
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
                        WHERE vec_id < 5),

@@ -313,6 +313,61 @@ def q_returned_items(spark, sf_dir):
     )
 
 
+def q_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q4 shape: count orders per priority having at least one line
+    shipped after the order date — a decorrelated EXISTS (left-semi join
+    with a non-equi residual); no per-order subquery rescans."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01")))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(li, (F.col("l_orderkey") == F.col("o_orderkey"))
+               & (F.col("l_shipdate") > F.col("o_orderdate")), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue ratio for one ship-month. Broadcast
+    part dim; both sums exact scaled-long so the double ratio is
+    bit-identical to the oracle."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01")))
+    p = _t(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(decimal_sum(promo, "promo_rev"), decimal_sum(disc_price, "total_rev"))
+        .select((F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"))
+                .alias("promo_revenue"))
+    )
+
+
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: customers with orders whose total quantity exceeds
+    a threshold (aggregate IN-subquery -> semi join on the pre-aggregated
+    key set), top 20. Quantity sums are scaled-long exact."""
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(decimal_sum(F.col("l_quantity"), "total_qty"))
+        .filter(F.col("total_qty") > 250.0)
+    )
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set ops / outer & theta joins / merge-intervals / function library
 # ---------------------------------------------------------------------------
@@ -855,6 +910,16 @@ def q_simhash(spark, sf_dir):
     return docs.select("doc_id", ldedup.simhash(F.col("text")).alias("simhash"))
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    """Near-dup pairs with SimHash Hamming distance <= 3. Pigeonhole
+    blocking: 4 hash segments, bucket-join per segment — candidate set is
+    complete for the distance bound without a cartesian product."""
+    from db_spark.llm import dedup as ldedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return ldedup.simhash_pairs(docs, max_hamming=3)
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 for 5 query vectors over the embedding
     corpus; broadcast queries, one corpus scan."""
@@ -1184,6 +1249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "returned_items": q_returned_items,
+        "late_shipment_priority": q_late_shipment_priority,
+        "promo_revenue": q_promo_revenue,
+        "large_orders": q_large_orders,
         "intersect": q_intersect,
         "except": q_except,
         "full_outer": q_full_outer,
@@ -1222,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus": q_dedup_corpus,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1351,6 +1420,49 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10
+        """,
+        "late_shipment_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "promo_revenue": """
+            WITH sums AS (
+              SELECT
+                CAST(SUM(CAST(round(
+                    (CASE WHEN p_type LIKE 'PROMO%'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END) * 10000) AS BIGINT)) AS DOUBLE)
+                  / 10000.0 AS promo_rev,
+                CAST(SUM(CAST(round(
+                    l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                  AS DOUBLE) / 10000.0 AS total_rev
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01'
+            )
+            SELECT 100.0 * promo_rev / total_rev AS promo_revenue FROM sums
+        """,
+        "large_orders": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT))
+                          AS DOUBLE) / 10000.0 AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT))
+                          AS DOUBLE) / 10000.0 > 250.0
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 20
         """,
         "local_supplier_volume": """
             SELECT n_name,
@@ -1731,6 +1843,14 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY src
         """,
         "simhash": _simhash_oracle(),
+        "simhash_near_dup": f"""
+            WITH sh AS ({_simhash_oracle()})
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                     AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
         "dedup_corpus": f"""
             WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}),
             edges AS (

@@ -933,7 +933,8 @@ def q_cosine_topk(spark, sf_dir):
 
 def q_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (16 cells, probe 4) — scale path for ANN.
-    Non-SQL-expressible pipeline; driver records rows-only check."""
+    Centroid seeding is deterministic (n_cells lowest-id vectors), so the
+    whole pipeline is SQL-expressible and fully oracle-checked."""
     from db_spark.llm import similarity as lsim
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1878,6 +1879,48 @@ def oracle_sql() -> dict[str, str]:
                      round(list_cosine_similarity(e.embedding::DOUBLE[],
                                                   q.embedding::DOUBLE[]), 6) AS sim
               FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "ivf_topk": """
+            WITH cent AS (
+              SELECT vec_id AS cell_id, embedding AS cvec
+              FROM embeddings ORDER BY vec_id LIMIT 16
+            ),
+            assigned AS (
+              SELECT vec_id, embedding, cell_id FROM (
+                SELECT e.vec_id, e.embedding, c.cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                             e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 6) DESC,
+                           c.cell_id) AS rk
+                FROM embeddings e CROSS JOIN cent c
+              ) WHERE rk = 1
+            ),
+            q AS (SELECT vec_id AS query_id, embedding AS qvec
+                  FROM embeddings WHERE vec_id < 5),
+            probes AS (
+              SELECT query_id, qvec, cell_id FROM (
+                SELECT q.query_id, q.qvec, c.cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                         ORDER BY round(list_cosine_similarity(
+                             q.qvec::DOUBLE[], c.cvec::DOUBLE[]), 6) DESC,
+                           c.cell_id) AS rk
+                FROM q CROSS JOIN cent c
+              ) WHERE rk <= 4
+            ),
+            scored AS (
+              SELECT p.query_id, a.vec_id,
+                     round(list_cosine_similarity(
+                         a.embedding::DOUBLE[], p.qvec::DOUBLE[]), 6) AS sim
+              FROM assigned a JOIN probes p USING (cell_id)
             ),
             ranked AS (
               SELECT query_id, vec_id, sim,

@@ -109,6 +109,35 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
     return q
 
 
+def stream_stream_join(
+    left: DataFrame, right: DataFrame, condition,
+    left_ts: str, left_watermark: str,
+    right_ts: str, right_watermark: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join. ``condition`` must include an
+    event-time bound between the two sides (e.g. right_ts between
+    left_ts and left_ts + interval 30 minutes) so Spark can bound the
+    join state and garbage-collect it past the watermarks — unbounded
+    state is the classic stream-join failure mode at scale. Works
+    identically on batch DataFrames (the bound is then just a range
+    predicate)."""
+    l = left.withWatermark(left_ts, left_watermark)
+    r = right.withWatermark(right_ts, right_watermark)
+    return l.join(r, condition, how)
+
+
+def streaming_dedup(
+    stream: DataFrame, keys: list[str], ts_col: str, watermark: str,
+) -> DataFrame:
+    """Exactly-once-per-key emission over a stream: state is kept only
+    ``watermark`` long (dropDuplicatesWithinWatermark), so dedup over an
+    infinite stream runs in bounded memory — duplicates arriving within
+    the watermark window are suppressed, state for older keys is GC'd."""
+    s = stream.withWatermark(ts_col, watermark)
+    return s.dropDuplicatesWithinWatermark(keys)
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------

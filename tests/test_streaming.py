@@ -206,3 +206,74 @@ def test_hypertable_incremental_refresh(spark, tmp_path):
     g = {r["bucket_start"]: r["n"] for r in got.collect()}
     e = {r["bucket_start"]: r["n"] for r in direct.collect()}
     assert g == e
+
+
+IMP_SCHEMA = T.StructType([
+    T.StructField("imp_id", T.LongType()),
+    T.StructField("imp_ts", T.TimestampType()),
+    T.StructField("imp_user", T.LongType()),
+])
+
+CLK_SCHEMA = T.StructType([
+    T.StructField("clk_id", T.LongType()),
+    T.StructField("clk_ts", T.TimestampType()),
+    T.StructField("clk_user", T.LongType()),
+])
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    imps = [(i, base + dt.timedelta(minutes=10 * i), i % 4) for i in range(40)]
+    # clicks 0..25 min after some impression, same user for i % 2 == 0
+    clks = [(i, base + dt.timedelta(minutes=10 * i + 5 * (i % 6)),
+             (i % 4) if i % 2 == 0 else (i + 1) % 4) for i in range(40)]
+    d_imp, d_clk = str(tmp_path / "imp"), str(tmp_path / "clk")
+    spark.createDataFrame(imps, IMP_SCHEMA).coalesce(2).write.parquet(d_imp)
+    spark.createDataFrame(clks, CLK_SCHEMA).coalesce(2).write.parquet(d_clk)
+
+    cond = (
+        (F.col("imp_user") == F.col("clk_user"))
+        & (F.col("clk_ts") >= F.col("imp_ts"))
+        & (F.col("clk_ts") <= F.col("imp_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    joined = st.stream_stream_join(
+        st.stream_from_files(spark, d_imp, IMP_SCHEMA),
+        st.stream_from_files(spark, d_clk, CLK_SCHEMA),
+        cond, "imp_ts", "1 hour", "clk_ts", "1 hour",
+    )
+    assert joined.isStreaming
+    st.run_stream_to_memory(joined, "ss_join")
+    got = {(r["imp_id"], r["clk_id"])
+           for r in spark.sql("SELECT * FROM ss_join").collect()}
+
+    batch = spark.createDataFrame(imps, IMP_SCHEMA).join(
+        spark.createDataFrame(clks, CLK_SCHEMA), cond)
+    expected = {(r["imp_id"], r["clk_id"]) for r in batch.collect()}
+    assert got == expected
+    assert len(expected) > 20
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        rows.append((i, base + dt.timedelta(minutes=i), i % 4, "click", float(i)))
+        if i % 3 == 0:  # duplicate key arrives shortly after the original
+            rows.append((i, base + dt.timedelta(minutes=i, seconds=30),
+                         i % 4, "click", float(i)))
+    d = str(tmp_path / "dup_events")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(2).write.parquet(d)
+
+    dedup = st.streaming_dedup(
+        st.stream_from_files(spark, d, EVENTS_SCHEMA),
+        keys=["event_id"], ts_col="ts", watermark="2 hours",
+    )
+    assert dedup.isStreaming
+    st.run_stream_to_memory(dedup, "dedup_stream")
+    got = spark.sql("SELECT event_id FROM dedup_stream").collect()
+    ids = [r["event_id"] for r in got]
+    assert sorted(ids) == sorted(set(ids)) == list(range(30))

@@ -81,6 +81,28 @@ def uuid7() -> str:
     return str(uuid.UUID(int=value))
 
 
+def txid_at(when) -> str:
+    """Synthetic txid upper bound for time travel: the lexicographically
+    largest UUIDv7 with the given wall-clock millisecond. Because UUIDv7
+    string order is chronological (the reference's whole snapshot
+    mechanism, table_scan.rs:72-79), ``table_scan(txid_at(t))`` sees
+    exactly the transactions committed at or before ``t``.
+
+    ``when``: datetime (naive = local time) or unix seconds float."""
+    if hasattr(when, "timestamp"):
+        ms = int(when.timestamp() * 1000)
+    else:
+        ms = int(float(when) * 1000)
+    value = (
+        (ms & 0xFFFFFFFFFFFF) << 80
+        | 0x7 << 76
+        | 0xFFF << 64
+        | 0b10 << 62
+        | ((1 << 62) - 1)
+    )
+    return str(uuid.UUID(int=value))
+
+
 @dataclass
 class CollectionStatistics:
     """reference: src/collection/collection_statistics.rs:4-24."""
@@ -295,6 +317,12 @@ class Collection:
             _, evicted = self._snapshot_cache.popitem(last=False)
             evicted.unpersist()
         return latest
+
+    def scan_at(self, when) -> DataFrame:
+        """Time travel: snapshot as of a wall-clock instant (datetime or
+        unix seconds). Pre-committed nil-txid writes are visible in every
+        snapshot regardless of ``when`` (reference table_scan.rs:50-51)."""
+        return self.table_scan(txid_at(when))
 
     def changes(self, since_txid: str, until_txid: str | None = None) -> DataFrame:
         """Change-data-capture between two snapshots: one row per ``_id``

@@ -73,6 +73,26 @@ def test_snapshot_time_travel(storage, spark):
     assert c.table_scan().collect()[0]["name"] == "v2"
 
 
+def test_scan_at_wall_clock_time_travel(storage, spark):
+    import time
+
+    c = storage.get_collection("t")
+    t1 = uuid7()
+    c.set_objects(t1, _df(spark, [("a", "v1", 1)]))
+    c.commit(t1)
+    time.sleep(0.05)
+    mid = time.time()
+    time.sleep(0.05)
+    t2 = uuid7()
+    c.set_objects(t2, _df(spark, [("a", "v2", 2)]))
+    c.commit(t2)
+    assert c.scan_at(mid).collect()[0]["name"] == "v1"
+    assert c.scan_at(time.time()).collect()[0]["name"] == "v2"
+    # txid_at bound is inclusive of everything in that millisecond
+    from db_spark.table import txid_at
+    assert txid_at(mid) > t1 and txid_at(mid) < t2
+
+
 def test_tombstone_suppresses(storage, spark):
     c = storage.get_collection("t")
     c.set_objects(None, _df(spark, [("a", "x", 1), ("b", "y", 2)]))

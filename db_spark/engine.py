@@ -9,12 +9,13 @@ root directory. Here it also registers external read-only Parquet tables
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
 from db_spark.ops import Q
-from db_spark.table import Collection
+from db_spark.table import NIL_TXID, Collection, uuid7
 
 
 @dataclass
@@ -92,3 +93,73 @@ class Storage:
 
     def sql(self, query: str) -> Q:
         return Q(self.spark.sql(query))
+
+    @contextmanager
+    def transaction(self):
+        """Multi-collection transaction — completes the reference's empty
+        ``src/transaction/mod.rs`` roadmap item with its own snapshot
+        machinery: one txid spans writes to any number of collections;
+        nothing is visible to readers until the commit markers land on
+        exit. An exception inside the block rolls back (an 'R' marker is
+        written for audit; visibility-wise rollback is simply the absence
+        of a 'C' marker, reference table_scan.rs:90-92).
+
+        Commit markers are appended per collection in touch order — each
+        collection's commit is atomic; a crash mid-sequence leaves a
+        cross-collection prefix committed (the reference has no
+        multi-collection story at all; single-collection semantics are
+        identical to its Committed/Rollbacked markers)."""
+        tx = Transaction(self)
+        try:
+            yield tx
+            for name in tx.touched:
+                self.get_collection(name).commit(tx.txid)
+        except BaseException:
+            for name in tx.touched:
+                self.get_collection(name).rollback(tx.txid)
+            raise
+
+
+class Transaction:
+    """Handle bound to one txid; writes stage as uncommitted log entries."""
+
+    def __init__(self, storage: Storage):
+        self.storage = storage
+        self.txid = uuid7()
+        self.touched: list[str] = []
+
+    def _touch(self, name: str) -> Collection:
+        if name not in self.touched:
+            self.touched.append(name)
+        return self.storage.get_collection(name)
+
+    def set(self, collection: str, df: DataFrame, id_col: str = "_id") -> None:
+        self._touch(collection).set_objects(self.txid, df, id_col=id_col)
+
+    def delete(self, collection: str, ids: list[str]) -> None:
+        self._touch(collection).delete_objects(self.txid, ids)
+
+    def scan(self, collection: str) -> DataFrame:
+        """Read-your-own-writes within the transaction: snapshot at this
+        txid plus this transaction's own uncommitted entries."""
+        c = self._touch(collection)
+        log = c._read_log()
+        if log is None:
+            return c.table_scan(self.txid)
+        from pyspark.sql import functions as F, Window
+
+        visible = log.filter(
+            F.col("_kind").isin("U", "D") & (F.col("_txid") <= F.lit(self.txid))
+        )
+        committed = log.filter(F.col("_kind") == "C").select("_txid").distinct()
+        own_or_committed = visible.join(
+            F.broadcast(committed), on="_txid", how="left_semi"
+        ).unionByName(
+            visible.filter(F.col("_txid").isin(self.txid, NIL_TXID))
+        )
+        w = Window.partitionBy("_id").orderBy(F.col("_seq").desc())
+        return (
+            own_or_committed.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("_kind") == "U"))
+            .drop("_rn", "_txid", "_seq", "_kind")
+        )

@@ -225,3 +225,27 @@ def test_nil_write_supersedes_committed(storage, spark):
     c.commit(tx)
     c.set_objects(None, _df(spark, [("a", "v2", 2)]))
     assert {(r["_id"], r["name"]) for r in c.table_scan().collect()} == {("a", "v2")}
+
+
+def test_multi_collection_transaction_commit(storage, spark):
+    with storage.transaction() as tx:
+        tx.set("users", _df(spark, [("u1", "ann", 1)]))
+        tx.set("events2", _df(spark, [("e1", "click", 5)]))
+        # invisible to outside readers mid-transaction
+        assert storage.get_collection("users").table_scan().count() == 0
+        # ...but visible to the transaction itself (read-your-own-writes)
+        assert tx.scan("users").count() == 1
+    assert storage.get_collection("users").table_scan().count() == 1
+    assert storage.get_collection("events2").table_scan().count() == 1
+
+
+def test_multi_collection_transaction_rollback(storage, spark):
+    storage.get_collection("users").set_objects(
+        None, _df(spark, [("u0", "base", 0)]))
+    with pytest.raises(RuntimeError):
+        with storage.transaction() as tx:
+            tx.set("users", _df(spark, [("u1", "ann", 1)]))
+            tx.delete("users", ["u0"])
+            raise RuntimeError("abort")
+    rows = storage.get_collection("users").table_scan().collect()
+    assert [r["_id"] for r in rows] == ["u0"]  # delete + insert both undone

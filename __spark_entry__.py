@@ -639,6 +639,40 @@ def q_window_funcs(spark, sf_dir):
         F.round(F.col("running_total"), 2).alias("running_total"))
 
 
+def q_window_frames(spark, sf_dir):
+    """Explicit window frames: a ROWS frame (moving sum over the last 3
+    orders) and a RANGE frame with an interval bound (orders in the
+    trailing 30 days) per customer. Sums run in BIGINT cents inside the
+    frame — order-independent, so Spark and DuckDB agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w_rows = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    # o_orderdate is date-granularity; epoch-day ordering sidesteps
+    # TIMESTAMP_NTZ->long casts and is timezone-free
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")))
+        .rangeBetween(-30, 0)
+    )
+    w_all = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_orderkey", "o_custkey",
+        (F.sum(cents).over(w_rows).cast("double") / 100.0).alias("moving3_sum"),
+        F.count(F.lit(1)).over(w_range).cast("long").alias("orders_30d"),
+        F.first("o_orderkey").over(w_all).alias("first_orderkey"),
+    )
+
+
 def q_topn_per_group(spark, sf_dir):
     """Top-3 parts by retail price per brand (window + filter)."""
     from db_spark import operators as xops
@@ -1271,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_struct_funcs": q_map_struct_funcs,
         "explode_tokens": q_explode_tokens,
         "window_funcs": q_window_funcs,
+        "window_frames": q_window_frames,
         "topn_per_group": q_topn_per_group,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -1663,6 +1698,22 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(o_totalprice) OVER w, 2) AS running_total
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "window_frames": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     / 100.0 AS moving3_sum,
+                   CAST(COUNT(*) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS orders_30d,
+                   first_value(o_orderkey) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS first_orderkey
+            FROM orders
         """,
         "topn_per_group": """
             SELECT p_brand, p_partkey, p_retailprice FROM (

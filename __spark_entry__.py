@@ -368,6 +368,194 @@ def q_large_orders(spark, sf_dir):
     )
 
 
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral shipping volume between two nation pairs —
+    lineitem joined to BOTH a supplier-nation and a customer-nation axis
+    (two independent broadcast-dim chains meeting on the fact table),
+    grouped by (supp_nation, cust_nation, year)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair_ok)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                         "revenue"))
+    )
+
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation x order year for parts
+    matching a name pattern — star join with two broadcast dims and a
+    filter that prunes the part side before the fact join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                         "profit"))
+    )
+
+
+def q_priority_shipments(spark, sf_dir):
+    """TPC-H Q12 shape: conditional counts after a fact-fact join —
+    high/low order-priority lineitem tallies per linestatus."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.lit("1997-01-01"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of orders-per-customer — LEFT outer
+    join (zero-order customers kept), two-level aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_supplier_part_count(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute with a
+    NOT-filter on the dim — distinct agg over a join, top 20."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3") & ~F.col("p_type").like("PROMO%"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand"),
+                 F.col("p_type"), F.col("p_size"))
+        .limit(20)
+    )
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: yearly revenue lost to small-quantity orders — a
+    per-part AVG subquery joined back to the fact table (decorrelated:
+    one extra aggregate, no per-row subquery execution)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("ap_partkey"))
+        .agg((F.round(F.avg("l_quantity"), 6)).alias("avg_qty"))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((decimal_sum(F.col("l_extendedprice"), "_s") / 7.0).alias("avg_yearly"))
+        .select(F.round(F.col("avg_yearly"), 4).alias("avg_yearly"))
+    )
+
+
+def q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides —
+    Catalyst extracts the common l_partkey=p_partkey conjunct so the join
+    stays an equi-join (no cartesian) with the disjunction as a residual
+    filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    branch1 = ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+               & (F.col("l_quantity").between(1, 21)))
+    branch2 = ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25))
+               & (F.col("l_quantity").between(10, 30)))
+    branch3 = ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35))
+               & (F.col("l_quantity").between(20, 40)))
+    return (
+        joined.filter(branch1 | branch2 | branch3)
+        .agg(decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                         "revenue"))
+    )
+
+
+def q_late_only_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    multi-supplier orders — one EXISTS (another supplier on the order) and
+    one NOT EXISTS (another LATE supplier), both decorrelated to
+    aggregate-and-broadcast-join form ('late' = shipped >60 days after
+    order date; the testdata has no commit/receipt dates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late"))
+    per_order = lo.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    return (
+        lo.filter(F.col("is_late"))
+        .join(F.broadcast(per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))),
+              F.col("l_orderkey") == F.col("po_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+def q_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: positive-balance global average (scalar subquery,
+    broadcast as a 1-row cross join) + anti join against recent orders
+    (every testdata customer has SOME order, so 'inactive' = none since
+    2001), grouped by nation."""
+    c = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01"))
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             money_sum(F.col("c_acctbal"), "totacctbal"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set ops / outer & theta joins / merge-intervals / function library
 # ---------------------------------------------------------------------------
@@ -1287,6 +1475,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_shipment_priority": q_late_shipment_priority,
         "promo_revenue": q_promo_revenue,
         "large_orders": q_large_orders,
+        "volume_shipping": q_volume_shipping,
+        "product_profit": q_product_profit,
+        "priority_shipments": q_priority_shipments,
+        "customer_distribution": q_customer_distribution,
+        "supplier_part_count": q_supplier_part_count,
+        "small_qty_revenue": q_small_qty_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "late_only_supplier": q_late_only_supplier,
+        "idle_rich_customers": q_idle_rich_customers,
         "intersect": q_intersect,
         "except": q_except,
         "full_outer": q_full_outer,
@@ -1499,6 +1696,121 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 20
+        """,
+        "volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                                 AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
+        """,
+        "product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                                 AS BIGINT)) AS DOUBLE) / 10000.0 AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY 1, 2
+        """,
+        "priority_shipments": """
+            SELECT l_linestatus,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            GROUP BY l_linestatus
+        """,
+        "customer_distribution": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+              GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "supplier_part_count": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#3' AND p_type NOT LIKE 'PROMO%'
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+            LIMIT 20
+        """,
+        "small_qty_revenue": """
+            WITH avg_qty AS (
+              SELECT l_partkey AS ap_partkey,
+                     round(AVG(l_quantity), 6) AS avg_qty
+              FROM lineitem GROUP BY 1
+            )
+            SELECT round(CAST(SUM(CAST(round(l_extendedprice * 10000) AS BIGINT))
+                              AS DOUBLE) / 10000.0 / 7.0, 4) AS avg_yearly
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN avg_qty ON l_partkey = ap_partkey
+            WHERE p_brand = 'Brand#5' AND l_quantity < 0.2 * avg_qty
+        """,
+        "disjunctive_revenue": """
+            SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                                 AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 21)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "late_only_supplier": """
+            WITH lo AS (
+              SELECT l_orderkey, l_suppkey,
+                     l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            per_order AS (
+              SELECT l_orderkey AS po_orderkey,
+                     COUNT(DISTINCT l_suppkey) AS n_supp,
+                     COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+                       AS n_late_supp
+              FROM lo GROUP BY 1
+            )
+            SELECT s_name, COUNT(DISTINCT l_orderkey) AS numwait
+            FROM lo
+            JOIN per_order ON l_orderkey = po_orderkey
+                          AND n_supp > 1 AND n_late_supp = 1
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE is_late
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+        """,
+        "idle_rich_customers": """
+            SELECT c_nationkey AS nationkey, COUNT(*) AS numcust,
+                   CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT round(AVG(c_acctbal), 6) FROM customer
+                               WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                              AND o_orderdate >= TIMESTAMP '2001-01-01')
+            GROUP BY c_nationkey
         """,
         "local_supplier_volume": """
             SELECT n_name,

@@ -14,6 +14,7 @@ Determinism notes (so Spark and DuckDB value-hashes agree):
 
 from __future__ import annotations
 
+import datetime
 import os
 from collections.abc import Callable
 
@@ -426,11 +427,11 @@ def q_priority_shipments(spark, sf_dir):
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") >= F.lit("1997-01-01"))
+        .filter(F.col("l_shipdate") >= F.lit(datetime.date(1997, 1, 1)))
         .groupBy("l_linestatus")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
     )
 
@@ -958,13 +959,11 @@ def q_hypertable_rollup(spark, sf_dir):
     history (< 2024-01-20), merge with raw-tail partials — result is
     identical to a full-scan aggregate because count/sum/min/max partials
     compose losslessly (the oracle IS the full-scan form)."""
-    import tempfile
-
     from db_spark.streaming import rollup as ru
 
     ev = _t(spark, sf_dir, "events")
     cutoff = "2024-01-20 00:00:00"
-    path = tempfile.mkdtemp(prefix="db_spark_rollup_")
+    path = _scratch_dir("db_spark_rollup_")
     ru.rollup_materialize(
         ev.filter(F.col("ts") < F.lit(cutoff)), path,
         "ts", "1 hour", "value", ["event_type"], exact_decimals=4)
@@ -990,13 +989,30 @@ def q_session_window(spark, sf_dir):
 # MVCC log-table end-to-end (entry point C: write path + snapshot + CDC)
 # ---------------------------------------------------------------------------
 
-def _mvcc_build(spark, sf_dir):
-    """Deterministic log: load customers, commit +100 acctbal for
-    custkey%10==0, commit tombstones for custkey%7==0, insert shadow rows
-    (custkey+1000000) for custkey%13==0. Returns (collection, t_before)
-    where t_before snapshots the initial load."""
+_TMP_DIRS: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Temp dir for demo MVCC logs, removed at interpreter exit (the
+    returned DataFrames read the log lazily, so the dir must outlive the
+    query function — but not the process)."""
+    import atexit
+    import shutil
     import tempfile
 
+    if not _TMP_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True) for d in _TMP_DIRS])
+    d = tempfile.mkdtemp(prefix=prefix)
+    _TMP_DIRS.append(d)
+    return d
+
+
+def _mvcc_build(spark, sf_dir):
+    """Deterministic log: load customers, commit +100 acctbal for
+    custkey%10==0, commit predicate-deletes for custkey%7==0, insert
+    shadow rows (custkey+1000000) for custkey%13==0. Returns
+    (collection, t_before) where t_before snapshots the initial load."""
     from db_spark.engine import Storage
     from db_spark.table import uuid7
 
@@ -1006,7 +1022,7 @@ def _mvcc_build(spark, sf_dir):
         "c_name",
         F.col("c_acctbal").cast("double").alias("acctbal"),
     )
-    st = Storage(spark, tempfile.mkdtemp(prefix="db_spark_mvcc_"))
+    st = Storage(spark, _scratch_dir("db_spark_mvcc_"))
     c = st.get_collection("customer_log")
     c.set_objects(None, base)
     t_before = uuid7()
@@ -1015,9 +1031,10 @@ def _mvcc_build(spark, sf_dir):
                   .withColumn("acctbal", F.col("acctbal") + 100.0))
     c.commit(tx)
     txd = uuid7()
-    dead = [r["_id"] for r in
-            base.filter(F.col("_id").cast("long") % 7 == 0).select("_id").collect()]
-    c.delete_objects(txd, dead)
+    # Predicate delete: tombstones from a DataFrame plan — the id set
+    # never passes through the driver (reference deletes via rows in the
+    # batch write, src/collection/mod.rs:46-93).
+    c.delete_where(txd, F.col("_id").cast("long") % 7 == 0)
     c.commit(txd)
     txi = uuid7()
     c.set_objects(txi, base.filter(F.col("_id").cast("long") % 13 == 0).select(
@@ -1042,6 +1059,29 @@ def q_mvcc_cdc(spark, sf_dir):
     c, t_before = _mvcc_build(spark, sf_dir)
     return c.changes(t_before).select(
         F.col("_id").cast("long").alias("key"), "_change", "c_name", "acctbal")
+
+
+def q_mvcc_delete_where(spark, sf_dir):
+    """Predicate delete on payload values: tombstone every customer with
+    negative balance via ``delete_where`` (DataFrame-planned tombstones,
+    no driver-side id list), then snapshot the survivors."""
+    from db_spark.engine import Storage
+    from db_spark.table import uuid7
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").cast("string").alias("_id"),
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+    )
+    st = Storage(spark, _scratch_dir("db_spark_mvccdel_"))
+    c = st.get_collection("customer_log")
+    c.set_objects(None, base)
+    tx = uuid7()
+    c.delete_where(tx, F.col("acctbal") < 0.0)
+    c.commit(tx)
+    return c.table_scan().select(
+        F.col("_id").cast("long").alias("key"), "c_name", "acctbal")
 
 
 # ---------------------------------------------------------------------------
@@ -1449,57 +1489,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order matters: the driver's correctness gate checks the
+    first 50 entries. Round-2 window = 10 round-1-green anchors (incl. the
+    two hash-canonicalization fixes) + the 30 queries without a round-1
+    CORRECTNESS row (MVCC, windows, streaming, full LLM tier) + new
+    round-2 queries. Round-1-verified TPC-H variants sit below 50."""
     return {
+        # -- anchors (round-1 green / round-2 fixed) ------------------------
         "table_scan": q_table_scan,
         "filter": q_filter,
         "condition_dsl": q_condition_dsl,
-        "projection": q_projection,
         "pricing_summary": q_pricing_summary,
         "global_agg": q_global_agg,
         "count_when": q_count_when,
-        "take": q_take,
-        "skip": q_skip,
-        "nested_loop": q_nested_loop,
         "hash_match": q_hash_match,
-        "sort": q_sort,
-        "distinct": q_distinct,
-        "concat": q_concat,
-        "constant_scan": q_constant_scan,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "outer_join": q_outer_join,
         "multi_join": q_multi_join,
-        "shipping_priority": q_shipping_priority,
-        "local_supplier_volume": q_local_supplier_volume,
-        "returned_items": q_returned_items,
-        "late_shipment_priority": q_late_shipment_priority,
-        "promo_revenue": q_promo_revenue,
-        "large_orders": q_large_orders,
-        "volume_shipping": q_volume_shipping,
-        "product_profit": q_product_profit,
         "priority_shipments": q_priority_shipments,
-        "customer_distribution": q_customer_distribution,
-        "supplier_part_count": q_supplier_part_count,
-        "small_qty_revenue": q_small_qty_revenue,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "late_only_supplier": q_late_only_supplier,
-        "idle_rich_customers": q_idle_rich_customers,
-        "intersect": q_intersect,
-        "except": q_except,
-        "full_outer": q_full_outer,
-        "theta_join": q_theta_join,
         "merge_intervals": q_merge_intervals,
-        "json_funcs": q_json_funcs,
-        "scalar_funcs": q_scalar_funcs,
-        "pivot": q_pivot,
-        "unpivot": q_unpivot,
-        "scalar_subquery": q_scalar_subquery,
-        "correlated_subquery": q_correlated_subquery,
-        "regex_funcs": q_regex_funcs,
-        "stats_agg": q_stats_agg,
-        "count_distinct": q_count_distinct,
-        "array_funcs": q_array_funcs,
-        "map_struct_funcs": q_map_struct_funcs,
+        # -- promoted: no round-1 driver row --------------------------------
         "explode_tokens": q_explode_tokens,
         "window_funcs": q_window_funcs,
         "window_frames": q_window_frames,
@@ -1530,6 +1537,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_split": q_deterministic_split,
         "corpus_stats": q_corpus_stats,
         "media_features": q_media_features,
+        # -- new in round 2 (inserted here, inside the window) --------------
+        "mvcc_delete_where": q_mvcc_delete_where,
+        # -- round-1-verified (CORRECTNESS_r01 green), below the window -----
+        "projection": q_projection,
+        "take": q_take,
+        "skip": q_skip,
+        "nested_loop": q_nested_loop,
+        "sort": q_sort,
+        "distinct": q_distinct,
+        "concat": q_concat,
+        "constant_scan": q_constant_scan,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "outer_join": q_outer_join,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "returned_items": q_returned_items,
+        "late_shipment_priority": q_late_shipment_priority,
+        "promo_revenue": q_promo_revenue,
+        "large_orders": q_large_orders,
+        "volume_shipping": q_volume_shipping,
+        "product_profit": q_product_profit,
+        "customer_distribution": q_customer_distribution,
+        "supplier_part_count": q_supplier_part_count,
+        "small_qty_revenue": q_small_qty_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "late_only_supplier": q_late_only_supplier,
+        "idle_rich_customers": q_idle_rich_customers,
+        "intersect": q_intersect,
+        "except": q_except,
+        "full_outer": q_full_outer,
+        "theta_join": q_theta_join,
+        "json_funcs": q_json_funcs,
+        "scalar_funcs": q_scalar_funcs,
+        "pivot": q_pivot,
+        "unpivot": q_unpivot,
+        "scalar_subquery": q_scalar_subquery,
+        "correlated_subquery": q_correlated_subquery,
+        "regex_funcs": q_regex_funcs,
+        "stats_agg": q_stats_agg,
+        "count_distinct": q_count_distinct,
+        "array_funcs": q_array_funcs,
+        "map_struct_funcs": q_map_struct_funcs,
     }
 
 
@@ -1573,8 +1623,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "count_when": """
             SELECT COUNT(*) AS n,
-                   SUM(CASE WHEN NOT isnan("value") AND abs("value") >= 0.000001
-                            THEN 1 ELSE 0 END) AS n_value_truthy
+                   CAST(SUM(CASE WHEN NOT isnan("value") AND abs("value") >= 0.000001
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_value_truthy
             FROM events
         """,
         "take": """
@@ -1727,10 +1777,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "priority_shipments": """
             SELECT l_linestatus,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS low_line_count
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
             GROUP BY l_linestatus
@@ -2118,6 +2168,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c_acctbal AS DOUBLE) AS acctbal
             FROM customer
             WHERE c_custkey % 13 = 0
+        """,
+        "mvcc_delete_where": """
+            SELECT c_custkey AS key, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+            FROM customer
+            WHERE CAST(c_acctbal AS DOUBLE) >= 0.0
         """,
         "hypertable_rollup": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -136,8 +136,17 @@ class Transaction:
     def set(self, collection: str, df: DataFrame, id_col: str = "_id") -> None:
         self._touch(collection).set_objects(self.txid, df, id_col=id_col)
 
-    def delete(self, collection: str, ids: list[str]) -> None:
+    def delete(self, collection: str, ids) -> None:
+        """Delete by id list or id DataFrame (stays distributed)."""
         self._touch(collection).delete_objects(self.txid, ids)
+
+    def delete_where(self, collection: str, condition) -> None:
+        """Predicate delete within the transaction — tombstones computed
+        from a DataFrame plan (never a driver-side id list), evaluated
+        against this transaction's read-your-own-writes snapshot."""
+        c = self._touch(collection)
+        ids = self.scan(collection).filter(condition).select("_id")
+        c.delete_objects(self.txid, ids)
 
     def scan(self, collection: str) -> DataFrame:
         """Read-your-own-writes within the transaction: snapshot at this
@@ -157,9 +166,10 @@ class Transaction:
         ).unionByName(
             visible.filter(F.col("_txid").isin(self.txid, NIL_TXID))
         )
-        w = Window.partitionBy("_id").orderBy(F.col("_seq").desc())
+        w = Window.partitionBy("_id").orderBy(
+            F.col("_batch").desc(), F.col("_seq").desc())
         return (
             own_or_committed.withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & (F.col("_kind") == "U"))
-            .drop("_rn", "_txid", "_seq", "_kind")
+            .drop("_rn", "_txid", "_batch", "_seq", "_kind")
         )

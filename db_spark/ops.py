@@ -324,8 +324,11 @@ class SelectBuilder:
         )
         dtype = dict(self._df.dtypes and [(f.name, f.dataType) for f in self._df.schema])[name] if name else None
         cond = truthy(c, dtype) if dtype is not None else c.cast("boolean")
+        # Explicit BIGINT so external oracles (DuckDB SUM -> HUGEINT)
+        # canonicalize to the same representation.
         self._fields.append(
-            ("agg", F.sum(F.when(cond, 1).otherwise(0)).alias(alias or self._name("count_when")))
+            ("agg", F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(
+                alias or self._name("count_when")))
         )
         return self
 

@@ -39,6 +39,7 @@ NIL_TXID = "00000000-0000-0000-0000-000000000000"
 
 _META_FIELDS = [
     T.StructField("_txid", T.StringType(), False),
+    T.StructField("_batch", T.LongType(), False),
     T.StructField("_seq", T.LongType(), False),
     T.StructField("_kind", T.StringType(), False),  # U | D | C | R
     T.StructField("_id", T.StringType(), True),
@@ -63,8 +64,13 @@ def uuid7() -> str:
     with _uuid7_lock:
         ms = time.time_ns() // 1_000_000
         if ms <= _uuid7_last[0]:
-            ms = _uuid7_last[0]
             _uuid7_last[1] += 1
+            if _uuid7_last[1] > 0xFFF:
+                # Counter would wrap (and sort before its predecessor);
+                # borrow the next millisecond instead — still monotonic.
+                _uuid7_last[0] += 1
+                _uuid7_last[1] = 0
+            ms = _uuid7_last[0]
         else:
             _uuid7_last[0] = ms
             _uuid7_last[1] = 0
@@ -138,7 +144,11 @@ class Collection:
         self.log_path = os.path.join(path, "log")
         self.max_entries = max_entries  # reference storage_config.rs:28-36
         self.compaction_redundancy = compaction_redundancy
-        self._seq_base = 0
+        # Per-append counter; None = not yet seeded. Seeded lazily from
+        # max(_batch) in the log so reopening an existing collection in a
+        # new process continues append order instead of restarting it
+        # (the log itself is the persisted counter — no side file).
+        self._batch_counter: int | None = None
         # Snapshot-resolution LRU (SURVEY §7 candidate rule: collapse
         # repeated snapshot windows over the same collection into a
         # cached resolved view; role analog of the reference's LRU file
@@ -183,17 +193,25 @@ class Collection:
             )
 
     # -- write path (reference: src/collection/mod.rs:46-93) ----------------
-    def _next_seq_base(self, n: int = 0) -> int:
-        """Strictly-increasing per-batch sequence base. Bases are spaced
-        2^50 apart so the within-batch disambiguator
-        (monotonically_increasing_id: partitionId*2^33 + row, < 2^49 at
-        any realistic partition count) can never cross into the next
-        batch's range — cross-batch `_seq` order IS append order, which
-        is what snapshot visibility sorts by (the reference resolves
-        recency by log position, table_scan.rs:66-101, not by txid)."""
-        base = max(self._seq_base, time.time_ns())
-        self._seq_base = base + (1 << 50)
-        return base
+    def _next_batch(self) -> int:
+        """Strictly-increasing append counter. Cross-batch recency order
+        is ``(_batch, _seq)`` — ``_batch`` is append order (the reference
+        resolves recency by log position, table_scan.rs:66-101, not by
+        txid) and ``_seq`` (monotonically_increasing_id) disambiguates
+        within a batch only, so it may use its full 64-bit range at any
+        partition count. First write in a process seeds the counter from
+        ``max(_batch)`` already in the log (a column-pruned parquet agg),
+        so reopening a collection continues — never restarts — the order;
+        +1 per append cannot overflow int64."""
+        if self._batch_counter is None:
+            log = self._read_log()
+            if log is None:
+                self._batch_counter = -1
+            else:
+                row = log.agg(F.max("_batch").alias("m")).collect()[0]
+                self._batch_counter = -1 if row["m"] is None else int(row["m"])
+        self._batch_counter += 1
+        return self._batch_counter
 
     def _append(self, df: DataFrame) -> None:
         (
@@ -223,34 +241,57 @@ class Collection:
             src = df.withColumn("_id", F.expr("uuid()"))
         payload_cols = [c for c in src.columns if c != "_id"]
         self._check_shape(T.StructType([src.schema[c] for c in payload_cols]))
-        base = self._next_seq_base(2**20)
+        batch = self._next_batch()
         entry = (
             src.withColumn("_txid", F.lit(txid))
-            .withColumn("_seq", F.lit(base) + F.monotonically_increasing_id())
+            .withColumn("_batch", F.lit(batch))
+            .withColumn("_seq", F.monotonically_increasing_id())
             .withColumn("_kind", F.lit("U"))
             .select(*_META_NAMES, *payload_cols)
         )
         self._append(entry)
 
-    def delete_objects(self, txid: str | None, ids: list[str]) -> None:
+    def delete_objects(self, txid: str | None, ids) -> None:
         """Tombstones (reference: empty-fields row => delete,
-        src/collection/mod.rs:46-93; Entity::Deleted log_entry.rs:7-28)."""
+        src/collection/mod.rs:46-93; Entity::Deleted log_entry.rs:7-28).
+
+        ``ids``: a DataFrame whose first (or ``_id``) column is the id set
+        — stays fully distributed — or a driver-side list for small
+        explicit deletes."""
+        if isinstance(ids, DataFrame):
+            id_df = ids
+        else:
+            id_df = self.spark.createDataFrame(
+                [(str(r),) for r in ids], T.StructType([_META_FIELDS[-1]]))
+        self._write_tombstones(txid, id_df)
+
+    def delete_where(self, txid: str | None, condition) -> None:
+        """Predicate delete: tombstone every currently-visible row
+        matching ``condition`` (Column or SQL string). The id set never
+        passes through the driver — at 100 TB, deleting 1% of rows is a
+        distributed filter + append, not a Python list."""
+        snap = self.table_scan()
+        self._write_tombstones(txid, snap.filter(condition).select("_id"))
+
+    def _write_tombstones(self, txid: str | None, id_df: DataFrame) -> None:
         txid = txid or NIL_TXID
-        base = self._next_seq_base(len(ids))
+        batch = self._next_batch()
         payload = self.payload_schema() or T.StructType([])
-        rows = [
-            tuple([txid, base + i, "D", str(rid)] + [None] * len(payload.fields))
-            for i, rid in enumerate(ids)
-        ]
-        schema = T.StructType(_META_FIELDS + [
-            T.StructField(f.name, f.dataType, True) for f in payload.fields
-        ])
-        self._append(self.spark.createDataFrame(rows, schema))
+        id_col = "_id" if "_id" in id_df.columns else id_df.columns[0]
+        entry = id_df.select(
+            F.lit(txid).alias("_txid"),
+            F.lit(batch).alias("_batch"),
+            F.monotonically_increasing_id().alias("_seq"),
+            F.lit("D").alias("_kind"),
+            F.col(id_col).cast("string").alias("_id"),
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in payload.fields],
+        )
+        self._append(entry)
 
     def _marker(self, txid: str, kind: str) -> None:
-        base = self._next_seq_base(1)
+        batch = self._next_batch()
         payload = self.payload_schema() or T.StructType([])
-        row = [tuple([txid, base, kind, None] + [None] * len(payload.fields))]
+        row = [tuple([txid, batch, 0, kind, None] + [None] * len(payload.fields))]
         schema = T.StructType(_META_FIELDS + [
             T.StructField(f.name, f.dataType, True) for f in payload.fields
         ])
@@ -302,15 +343,17 @@ class Collection:
             how="left_semi",
         ).unionByName(entries.filter(F.col("_txid") == NIL_TXID))
         # Recency among *visible* entries is physical log position
-        # (`_seq`), matching the reference's newest-file back-to-front
-        # walk (table_scan.rs:66-101) — a later pre-committed (nil-txid)
-        # write or tombstone supersedes an earlier committed version;
-        # txid only gates visibility, it does not rank versions.
-        w = Window.partitionBy("_id").orderBy(F.col("_seq").desc())
+        # (`_batch` append order, `_seq` within a batch), matching the
+        # reference's newest-file back-to-front walk (table_scan.rs:66-101)
+        # — a later pre-committed (nil-txid) write or tombstone supersedes
+        # an earlier committed version; txid only gates visibility, it
+        # does not rank versions.
+        w = Window.partitionBy("_id").orderBy(
+            F.col("_batch").desc(), F.col("_seq").desc())
         latest = (
             visible.withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & (F.col("_kind") == "U"))
-            .drop("_rn", "_txid", "_seq", "_kind")
+            .drop("_rn", "_txid", "_batch", "_seq", "_kind")
         ).cache()
         self._snapshot_cache[cache_key] = latest
         while len(self._snapshot_cache) > self._snapshot_cache_capacity:
@@ -371,10 +414,11 @@ class Collection:
         src/storage/log_file/log_compaction.rs:9-64). Rewrites the log as
         nil-txid (pre-committed) entries — same visible snapshot."""
         snapshot = self.table_scan()
-        base = self._next_seq_base(2**20)
+        batch = self._next_batch()
         compacted = (
             snapshot.withColumn("_txid", F.lit(NIL_TXID))
-            .withColumn("_seq", F.lit(base) + F.monotonically_increasing_id())
+            .withColumn("_batch", F.lit(batch))
+            .withColumn("_seq", F.monotonically_increasing_id())
             .withColumn("_kind", F.lit("U"))
             .select(*_META_NAMES, *[c for c in snapshot.columns if c != "_id"])
         )
@@ -399,10 +443,11 @@ class Collection:
         so every parquet row group carries tight min/max stats — filters
         on those columns prune row groups at scan time (index seek)."""
         snapshot = self.table_scan().sortWithinPartitions(*sort_by)
-        base = self._next_seq_base(2**20)
+        batch = self._next_batch()
         compacted = (
             snapshot.withColumn("_txid", F.lit(NIL_TXID))
-            .withColumn("_seq", F.lit(base) + F.monotonically_increasing_id())
+            .withColumn("_batch", F.lit(batch))
+            .withColumn("_seq", F.monotonically_increasing_id())
             .withColumn("_kind", F.lit("U"))
             .select(*_META_NAMES, *[c for c in snapshot.columns if c != "_id"])
         )

@@ -239,6 +239,65 @@ def test_multi_collection_transaction_commit(storage, spark):
     assert storage.get_collection("events2").table_scan().count() == 1
 
 
+def test_uuid7_monotonic_under_burst():
+    """The 12-bit counter must borrow the next millisecond instead of
+    wrapping — 5000 ids in (at most) one ms stay strictly increasing."""
+    ids = [uuid7() for _ in range(5000)]
+    assert ids == sorted(ids)
+    assert len(set(ids)) == 5000
+
+
+def test_reopen_collection_continues_append_order(storage, spark, tmp_path):
+    """A new process (fresh Collection instance) writing to an existing
+    log must rank AFTER old entries: `_batch` is seeded from max(_batch)
+    in the log, so the newest write wins the snapshot."""
+    c = storage.get_collection("t")
+    c.set_objects(None, _df(spark, [("a", "old1", 1)]))
+    c.set_objects(None, _df(spark, [("a", "old2", 2)]))  # batch counter at 1
+    # Simulate a new process: fresh Storage + Collection over the same dir
+    reopened = Storage(spark, str(tmp_path)).get_collection("t")
+    reopened.set_objects(None, _df(spark, [("a", "new", 3)]))
+    rows = reopened.table_scan().collect()
+    assert len(rows) == 1 and rows[0]["name"] == "new"
+    # and the original handle sees it too (shared log)
+    c._invalidate_snapshots()
+    assert c.table_scan().collect()[0]["name"] == "new"
+
+
+def test_delete_where_predicate(storage, spark):
+    """Predicate delete: tombstones from a DataFrame plan (no driver-side
+    id list), honoring MVCC commit semantics."""
+    c = storage.get_collection("t")
+    c.set_objects(None, _df(spark, [(str(i), f"n{i}", i) for i in range(10)]))
+    tx = uuid7()
+    c.delete_where(tx, "qty % 2 = 0")
+    # uncommitted: still all visible
+    assert c.table_scan().count() == 10
+    c.commit(tx)
+    rows = {r["_id"] for r in c.table_scan().collect()}
+    assert rows == {"1", "3", "5", "7", "9"}
+
+
+def test_delete_objects_dataframe(storage, spark):
+    c = storage.get_collection("t")
+    c.set_objects(None, _df(spark, [("a", "x", 1), ("b", "y", 2), ("c", "z", 3)]))
+    ids = spark.createDataFrame([("a",), ("c",)], "victim string")
+    c.delete_objects(None, ids)
+    assert [r["_id"] for r in c.table_scan().collect()] == ["b"]
+
+
+def test_transaction_delete_where(storage, spark):
+    storage.get_collection("users").set_objects(
+        None, _df(spark, [("u1", "ann", 1), ("u2", "bob", 2), ("u3", "cat", 3)]))
+    with storage.transaction() as tx:
+        tx.set("users", _df(spark, [("u4", "dan", 4)]))
+        # read-your-own-writes: the predicate sees u4 too
+        tx.delete_where("users", "qty >= 2")
+    rows = {r["_id"] for r in
+            storage.get_collection("users").table_scan().collect()}
+    assert rows == {"u1"}
+
+
 def test_multi_collection_transaction_rollback(storage, spark):
     storage.get_collection("users").set_objects(
         None, _df(spark, [("u0", "base", 0)]))

@@ -243,7 +243,16 @@ def salted_join(
     ``salt`` sub-keys and the (smaller) right side is replicated
     salt-fold, so a hot key's rows spread over ``salt`` reducers instead
     of melting one. Deterministic shard assignment (xxhash64 of the full
-    left row), so results are stable across retries."""
+    left row), so results are stable across retries.
+
+    Only ``inner`` and ``left`` semantics are correct under replication:
+    with ``right``/``full`` every *unmatched* right row appears once per
+    replica (``salt`` null-padded duplicates). Those shapes raise — use
+    AQE skew-join handling for outer joins on the replicated side."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (got {how!r}): the "
+            "replicated right side would duplicate unmatched rows")
     shard = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
     l2 = left.withColumn("_salt", shard)
     r2 = right.withColumn(

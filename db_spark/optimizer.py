@@ -24,9 +24,12 @@ black-box expression:
 - **OR→IN consolidation.** ``x = 1 OR x = 2 OR x = 3`` becomes
   ``x IN (1, 2, 3)`` — a single pushable In filter instead of an Or
   tree, which parquet dictionary/Bloom filters evaluate directly.
-- **Complement detection.** ``c AND NOT c`` → FALSE, ``c OR NOT c`` →
-  TRUE (clause dropped) — by canonical rendering, so it also catches
-  syntactically different spellings normalized to the same form.
+- **Complement detection.** ``c AND NOT c`` → FALSE — by canonical
+  rendering, so it also catches syntactically different spellings
+  normalized to the same form. The OR direction (``c OR NOT c`` → TRUE)
+  is deliberately NOT applied: under SQL three-valued logic the clause
+  evaluates to NULL (row filtered) when ``c`` is NULL on a nullable
+  column, so the rewrite would return extra rows.
 
 All rules are pure functions Condition → Condition; ``optimize``
 iterates to a fixpoint (the lattice is finite: every rule strictly
@@ -111,13 +114,20 @@ def _fold(c: Condition) -> Condition:
             if ch.render() == identity.render():
                 continue
             kept.append(ch)
-        # complement detection on canonical renderings
-        rendered = {k.render() for k in kept}
-        for k in kept:
-            neg = (k.children[0].render() if (k.kind == "un" and k.op == NOT)
-                   else f"NOT ({k.render(False)})")
-            if neg in rendered:
-                return absorber
+        # Complement detection on canonical renderings — AND direction
+        # only: `c AND NOT c` -> FALSE is sound under SQL three-valued
+        # logic (NULL AND NULL filters the row exactly like FALSE), but
+        # `c OR NOT c` -> TRUE is NOT (when c is NULL the clause
+        # evaluates NULL and the row is filtered; TRUE would keep it).
+        # Without column nullability metadata in the DSL the OR rewrite
+        # cannot be proven safe, so it is never applied.
+        if is_and:
+            rendered = {k.render() for k in kept}
+            for k in kept:
+                neg = (k.children[0].render() if (k.kind == "un" and k.op == NOT)
+                       else f"NOT ({k.render(False)})")
+                if neg in rendered:
+                    return absorber
         if not kept:
             return identity
         if len(kept) == 1:

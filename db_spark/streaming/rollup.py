@@ -62,19 +62,48 @@ def rollup_materialize(
     parts.write.mode("overwrite").partitionBy("_bucket_date").parquet(path)
 
 
+def _refresh_cutoff(spark: SparkSession, since, bucket):
+    """Align ``since`` down so the refresh rewrites only *complete*
+    units at both granularities it touches:
+
+    - a ``since`` mid-bucket would recompute the straddling bucket from
+      a partial row set (rows < since filtered out) or drop it entirely;
+    - rewrites happen per ``_bucket_date`` partition (dynamic partition
+      overwrite replaces whole partitions), so a ``since`` mid-day would
+      replace that date's partition with only its later buckets,
+      silently dropping the earlier ones.
+
+    Returns the first bucket boundary >= midnight of the date of the
+    bucket containing ``since`` — every recomputed bucket is then full,
+    and every rewritten date partition is fully regenerated."""
+    row = (
+        spark.range(1)
+        .select(F.window(F.lit(since).cast("timestamp"), bucket).start.alias("b0"))
+        .select(F.to_timestamp(F.to_date(F.col("b0"))).alias("m"))
+        .select("m", F.window(F.col("m"), bucket).start.alias("w"),
+                F.window(F.col("m"), bucket).end.alias("e"))
+        .collect()[0]
+    )
+    # m = midnight of the earliest rewritten date; w = boundary at/below
+    # m; first boundary >= m is m itself when aligned, else w's bucket end.
+    return row["m"] if row["w"] == row["m"] else row["e"]
+
+
 def rollup_refresh(
     spark: SparkSession, df: DataFrame, path: str, ts_col: str, bucket: str,
     value_col: str, since, keys: list[str] | None = None,
     exact_decimals: int | None = None,
 ) -> None:
-    """Incremental refresh: recompute buckets with ``bucket_start >=
-    since`` from raw and rewrite ONLY those date partitions (dynamic
-    partition overwrite). History partitions are untouched."""
+    """Incremental refresh: recompute buckets from ``since`` (aligned
+    down to a safe cutoff, see ``_refresh_cutoff``) and rewrite ONLY the
+    touched date partitions (dynamic partition overwrite). History
+    partitions are untouched."""
+    cutoff = _refresh_cutoff(spark, since, bucket)
     fresh = (
         rollup_partials(
-            df.filter(F.col(ts_col) >= F.lit(since)), ts_col, bucket,
+            df.filter(F.col(ts_col) >= F.lit(cutoff)), ts_col, bucket,
             value_col, keys, exact_decimals)
-        .filter(F.col("bucket_start") >= F.lit(since))
+        .filter(F.col("bucket_start") >= F.lit(cutoff))
         .withColumn("_bucket_date", F.to_date(F.col("bucket_start")))
     )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

@@ -90,6 +90,16 @@ def test_salted_join_matches_plain_join(spark):
     exp = left.join(right, F.col("k") == F.col("rk")).select("k", "payload", "label")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
     assert got.count() == 501
+    # left join: unmatched LEFT rows appear exactly once
+    gl = salted_join(left, right, "k", "rk", how="left")
+    assert gl.count() == 502 and gl.filter(F.col("label").isNull()).count() == 1
+    # right/full would duplicate unmatched right rows across replicas
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", "rk", how="right")
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", "rk", how="full")
 
 
 def test_bucketed_join_no_shuffle(spark, tmp_path):

@@ -33,7 +33,19 @@ def test_point_in_range_keeps_equality():
 def test_complement_detection():
     c = col("flag") == val(True)
     assert is_false(optimize(c & ~c))
-    assert is_true(optimize(c | ~c))
+    # OR direction intentionally NOT rewritten: under 3VL, `c OR NOT c`
+    # is NULL (row filtered) when flag is NULL — TRUE would keep the row.
+    assert not is_true(optimize(c | ~c))
+
+
+def test_complement_or_preserves_null_semantics(spark):
+    """filter((x == 1) | ~(x == 1)) on a nullable x must drop NULL rows —
+    the optimized condition has to match Spark/DuckDB unoptimized."""
+    df = spark.createDataFrame([(1,), (2,), (None,)], "x int")
+    c = (col("x") == val(1)) | ~(col("x") == val(1))
+    got = sorted(r["x"] for r in Query(df).filter(c).df.collect())
+    want = sorted(r["x"] for r in df.filter((df.x == 1) | ~(df.x == 1)).collect())
+    assert got == want == [1, 2]
 
 
 def test_or_to_in():

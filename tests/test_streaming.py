@@ -208,6 +208,33 @@ def test_hypertable_incremental_refresh(spark, tmp_path):
     assert g == e
 
 
+def test_hypertable_refresh_mid_bucket_since(spark, tmp_path):
+    """A `since` mid-bucket AND mid-day must recompute the straddling
+    bucket (and its whole date partition) in full — not drop it, not
+    rebuild it from a partial row set."""
+    import datetime as dt
+
+    from db_spark.streaming import rollup as ru
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda n: [(i, base + dt.timedelta(minutes=37 * i), 1, "a", float(i))
+                    for i in range(n)]
+    path = str(tmp_path / "rollup")
+    ru.rollup_materialize(spark.createDataFrame(mk(40), EVENTS_SCHEMA), path,
+                          "ts", "1 hour", "value")
+    # new data extends the series; refresh from an instant that is inside
+    # an hour bucket and inside a day partition
+    df2 = spark.createDataFrame(mk(80), EVENTS_SCHEMA)
+    since = base + dt.timedelta(hours=13, minutes=25)
+    ru.rollup_refresh(spark, df2, path, "ts", "1 hour", "value", since=since)
+    got = ru.hypertable_agg(spark, path, None, "ts", "1 hour", "value")
+    direct = (df2.groupBy(F.window("ts", "1 hour").start.alias("bucket_start"))
+              .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")))
+    g = {r["bucket_start"]: (r["n"], r["total"]) for r in got.collect()}
+    e = {r["bucket_start"]: (r["n"], r["total"]) for r in direct.collect()}
+    assert g == e
+
+
 IMP_SCHEMA = T.StructType([
     T.StructField("imp_id", T.LongType()),
     T.StructField("imp_ts", T.TimestampType()),

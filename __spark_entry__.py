@@ -1285,6 +1285,8 @@ def q_media_features(spark, sf_dir):
 # db_spark.llm.dedup so Spark and DuckDB compute identical values)
 # ---------------------------------------------------------------------------
 
+from db_spark.llm.dedup import DEFAULT_MAX_SHINGLE_DF as _MAX_SHINGLE_DF
+
 _TOKS = "regexp_extract_all(lower(text), '[a-z'']+')"
 _SHINGLES = (
     "list_distinct(list_transform(range(1, greatest(len({toks})-1, 1)), "
@@ -1293,8 +1295,22 @@ _SHINGLES = (
 _H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
 
 
+def _guarded_shingles(max_df: int) -> str:
+    """Shingle CTE body with the df guard mirrored from
+    ``db_spark.llm.dedup.shingle_table`` (shingles in more than ``max_df``
+    docs dropped before candidate generation AND size/intersection
+    counts — identical semantics both engines)."""
+    return f"""
+        sh0 AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tok),
+        shok AS (SELECT shingle FROM sh0 GROUP BY shingle
+                 HAVING count(*) <= {max_df}),
+        sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN shok USING (shingle))
+    """
+
+
 def _minhash_oracle() -> str:
-    from db_spark.llm.dedup import HASH_P, perm_constants
+    from db_spark.llm.dedup import (
+        DEFAULT_MAX_SHINGLE_DF, HASH_P, perm_constants)
 
     mins = ",\n               ".join(
         f"min(({a} * h + {b}) % {HASH_P}) AS m{i}"
@@ -1302,7 +1318,7 @@ def _minhash_oracle() -> str:
     )
     return f"""
         WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-        sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tok),
+        {_guarded_shingles(DEFAULT_MAX_SHINGLE_DF)},
         hv AS (SELECT doc_id, {_H32.format(x='shingle')} % {HASH_P} AS h FROM sh)
         SELECT doc_id,
                {mins}
@@ -1311,22 +1327,31 @@ def _minhash_oracle() -> str:
 
 
 def _minhash_lsh_oracle(k: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    from db_spark.llm.dedup import DEFAULT_MAX_BUCKET_SIZE
+
     rows = k // bands
-    band_exprs = ", ".join(
-        "concat_ws('_', " + ", ".join(f"m{b * rows + r}" for r in range(rows)) + f") AS band{b}"
-        for b in range(bands)
-    )
-    cand_union = "\n              UNION\n".join(
-        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a "
-        f"JOIN banded b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+    bands_long = "\n              UNION ALL ".join(
+        "SELECT doc_id, " + str(b) + " AS band_id, concat_ws('_', "
+        + ", ".join(f"m{b * rows + r}" for r in range(rows)) + ") AS band_key FROM sig"
         for b in range(bands)
     )
     est = " + ".join(f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(k))
     return f"""
         WITH sig AS ({_minhash_oracle()}),
-        banded AS (SELECT doc_id, {band_exprs} FROM sig),
+        bands_long AS (
+              {bands_long}
+        ),
+        ok_buckets AS (
+              SELECT band_id, band_key FROM bands_long
+              GROUP BY band_id, band_key
+              HAVING count(*) <= {DEFAULT_MAX_BUCKET_SIZE}
+        ),
+        flt AS (SELECT bl.* FROM bands_long bl
+                JOIN ok_buckets USING (band_id, band_key)),
         cand AS (
-              {cand_union}
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM flt a JOIN flt b USING (band_id, band_key)
+              WHERE a.doc_id < b.doc_id
         )
         SELECT id_a, id_b, ({est}) / {float(k)} AS est_jaccard
         FROM cand
@@ -2228,7 +2253,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": f"""
             WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-            sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tok),
+            {_guarded_shingles(_MAX_SHINGLE_DF)},
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni

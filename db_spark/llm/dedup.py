@@ -23,6 +23,16 @@ from pyspark.sql import functions as F
 HASH_P = 2_147_483_647
 KNUTH = 2_654_435_761
 
+#: Default scale guards, ON unless explicitly disabled (pass None).
+#: A shingle shared by d documents contributes O(d^2) candidate pairs, so
+#: one stopword shingle ("of the and") at corpus scale is quadratic —
+#: likewise one hot LSH bucket. Dropping them loses only pairs whose
+#: *every* shared shingle/band is ubiquitous — near-dups share rare
+#: shingles too, so recall loss is negligible while the worst case drops
+#: from O(corpus^2) to O(corpus * cap).
+DEFAULT_MAX_SHINGLE_DF = 1000
+DEFAULT_MAX_BUCKET_SIZE = 1000
+
 
 def perm_constants(k: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) constants for k min-hash permutations."""
@@ -76,7 +86,7 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 def shingle_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exploded (id, shingle) pairs; optionally drops shingles appearing
     in more than ``max_shingle_df`` documents (scale guard)."""
@@ -89,13 +99,15 @@ def shingle_table(
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
-    threshold: float = 0.5, max_shingle_df: int | None = None,
+    threshold: float = 0.5, max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
 
     Candidates come only from the shingle inverted index (docs sharing at
     least one shingle) — no cartesian product. Jaccard is exact integer
-    arithmetic: |A∩B| / (|A| + |B| - |A∩B|).
+    arithmetic: |A∩B| / (|A| + |B| - |A∩B|), computed over the guarded
+    shingle sets (``max_shingle_df`` is on by default — one ubiquitous
+    shingle would otherwise make the candidate set quadratic).
     """
     sh = shingle_table(df, id_col, text_col, n, max_shingle_df)
     sizes = sh.groupBy("_sid").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -127,7 +139,8 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 16, n: int = 3, max_shingle_df: int | None = None,
+    k: int = 16, n: int = 3,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """k-permutation MinHash signature per document, columns m0..m{k-1}.
     One explode + one hash-aggregate — a single shuffle on doc id."""
@@ -142,9 +155,18 @@ def minhash_signature(
 
 def lsh_candidate_pairs(
     sig: DataFrame, id_col: str = "doc_id", k: int = 16, bands: int = 4,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Docs sharing at least one LSH band (banding: k/bands rows per
-    band). Join is per (band_id, band_key) bucket — scale-safe."""
+    band). Join is per (band_id, band_key) bucket — scale-safe.
+
+    ``max_bucket_size`` (on by default) skips buckets with more members:
+    a single hot bucket is quadratic in its size (both in the self-join
+    and in the pair ``distinct()``), and a bucket that hot means its
+    members agree on a whole band — they are near-identical and are
+    still found through their other ``bands - 1`` (guarded) bands or the
+    exact-dedup pass, so the cap bounds worst-case cost at
+    O(corpus * cap) with negligible recall loss."""
     rows = k // bands
     band_cols = [
         F.concat_ws("_", *[F.col(f"m{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
@@ -160,6 +182,12 @@ def lsh_candidate_pairs(
             ])
         ).alias("bk"),
     ).select("_bid", "bk.band_id", "bk.band_key")
+    if max_bucket_size is not None:
+        sizes = exploded.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("_bn"))
+        exploded = exploded.join(
+            sizes.filter(F.col("_bn") <= max_bucket_size).drop("_bn"),
+            ["band_id", "band_key"])
     a = exploded.select(F.col("_bid").alias("id_a"), "band_id", "band_key")
     b = exploded.select(F.col("_bid").alias("id_b"), "band_id", "band_key")
     return (
@@ -173,12 +201,13 @@ def lsh_candidate_pairs(
 def minhash_dedup_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 16, bands: int = 4, n: int = 3, threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """LSH candidates + signature-estimated Jaccard filter. Returns
     (id_a, id_b, est_jaccard = fraction of equal signature components)."""
     sig = minhash_signature(df, id_col, text_col, k, n, max_shingle_df)
-    cand = lsh_candidate_pairs(sig, id_col, k, bands)
+    cand = lsh_candidate_pairs(sig, id_col, k, bands, max_bucket_size)
     sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(k)])
     sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(k)])
     est = sum(

@@ -40,6 +40,36 @@ def test_ngram_jaccard_pairs(docs):
     assert (1, 3) not in got
 
 
+def test_shingle_df_guard_drops_ubiquitous_shingle(spark):
+    """An adversarial shingle present in every doc must not turn the
+    candidate set quadratic: with the guard it is dropped from candidate
+    generation AND the Jaccard arithmetic (both sides of the oracle)."""
+    common = "of the and"  # one shared shingle across all docs
+    rows = [(i, f"{common} unique{i} token{i} filler{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # guard tighter than the corpus df: the only shared shingle is gone,
+    # so no candidates survive at all
+    guarded = dedup.ngram_jaccard_pairs(df, threshold=0.01, max_shingle_df=10)
+    assert guarded.count() == 0
+    # unguarded: every pair is a candidate (quadratic) — 20*19/2 pairs
+    # share exactly that one shingle
+    raw = dedup.ngram_jaccard_pairs(df, threshold=0.01, max_shingle_df=None)
+    assert raw.count() == 190
+
+
+def test_lsh_bucket_cap_skips_hot_bucket(spark):
+    """A degenerate corpus where one band bucket holds every doc must not
+    produce O(n^2) pairs when the bucket exceeds the cap."""
+    rows = [(i, "identical text shared by every single document here")
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = dedup.minhash_signature(df, max_shingle_df=None)
+    capped = dedup.lsh_candidate_pairs(sig, max_bucket_size=10)
+    assert capped.count() == 0  # every bucket has 12 > 10 members
+    uncapped = dedup.lsh_candidate_pairs(sig, max_bucket_size=None)
+    assert uncapped.count() == 12 * 11 // 2
+
+
 def test_minhash_lsh(docs):
     pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}

@@ -1205,6 +1205,20 @@ def q_ivf_topk(spark, sf_dir):
     return lsim.ivf_topk(emb, queries_df, k=10, n_cells=16, n_probe=4)
 
 
+def q_ivf_kmeans_topk(spark, sf_dir):
+    """IVF top-k with 2 deterministic Lloyd refinement iterations:
+    centroid means accumulate in scaled BIGINT so the refinement — and
+    therefore the whole ANN pipeline — is order-independent and exactly
+    SQL-expressible (db_spark.llm.similarity.ivf_kmeans_centroids)."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return lsim.ivf_topk(emb, queries_df, k=10, n_cells=16, n_probe=4,
+                         refine_iters=2)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via SRP-LSH (16-bit signed-random-
     projection signatures, pigeonhole segment blocking, exact-cosine
@@ -1449,6 +1463,96 @@ def _srp_near_dup_oracle(
     """
 
 
+def _ivf_kmeans_oracle(n_cells: int = 16, n_probe: int = 4, k: int = 10,
+                       n_iter: int = 2, dim: int = 64,
+                       scale: int = 1_000_000) -> str:
+    """Mirror of llm.similarity.ivf_kmeans_centroids + ivf_topk: Lloyd
+    iterations unrolled as CTE chains; centroid means via scaled-BIGINT
+    sums so both engines compute bit-identical centroids."""
+
+    def assign(src_cent: str, name: str) -> str:
+        return f"""
+        {name} AS (
+          SELECT vec_id, v, cell_id FROM (
+            SELECT b.vec_id, b.v, c.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                     ORDER BY round(list_cosine_similarity(b.v, c.cvec), 6)
+                       DESC, c.cell_id) AS rk
+            FROM base b CROSS JOIN {src_cent} c
+          ) WHERE rk = 1
+        )"""
+
+    def update(assigned: str, prev_cent: str, name: str) -> str:
+        return f"""
+        {name}_m AS (
+          SELECT cell_id, j,
+                 sum(CAST(round(v[j+1] * {scale}) AS BIGINT)) AS s,
+                 count(*) AS n
+          FROM {assigned}, range(0, {dim}) t(j)
+          GROUP BY 1, 2
+        ),
+        {name}_new AS (
+          SELECT cell_id,
+                 list(s::DOUBLE / ({float(scale)} * n) ORDER BY j) AS cvec
+          FROM {name}_m GROUP BY cell_id
+        ),
+        {name} AS (
+          SELECT p.cell_id, COALESCE(nw.cvec, p.cvec) AS cvec
+          FROM {prev_cent} p LEFT JOIN {name}_new nw USING (cell_id)
+        )"""
+
+    steps = []
+    cent = "cent0"
+    for i in range(n_iter):
+        steps.append(assign(cent, f"a{i}"))
+        steps.append(update(f"a{i}", cent, f"cent{i + 1}"))
+        cent = f"cent{i + 1}"
+    chain = ",".join(steps)
+    return f"""
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings
+        ),
+        cent0 AS (
+          SELECT vec_id AS cell_id, v AS cvec
+          FROM base ORDER BY vec_id LIMIT {n_cells}
+        ),
+        {chain},
+        final_assign AS (
+          SELECT vec_id, v, cell_id FROM (
+            SELECT b.vec_id, b.v, c.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                     ORDER BY round(list_cosine_similarity(b.v, c.cvec), 6)
+                       DESC, c.cell_id) AS rk
+            FROM base b CROSS JOIN {cent} c
+          ) WHERE rk = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qvec FROM base WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, qvec, cell_id FROM (
+            SELECT q.query_id, q.qvec, c.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY round(list_cosine_similarity(q.qvec, c.cvec), 6)
+                       DESC, c.cell_id) AS rk
+            FROM q CROSS JOIN {cent} c
+          ) WHERE rk <= {n_probe}
+        ),
+        scored AS (
+          SELECT p.query_id, a.vec_id,
+                 round(list_cosine_similarity(a.v, p.qvec), 6) AS sim
+          FROM final_assign a JOIN probes p USING (cell_id)
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def _text_stats_oracle() -> str:
     from db_spark.llm.text import STOPWORDS
 
@@ -1564,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         # -- new in round 2 (inserted here, inside the window) --------------
         "mvcc_delete_where": q_mvcc_delete_where,
+        "ivf_kmeans_topk": q_ivf_kmeans_topk,
         # -- round-1-verified (CORRECTNESS_r01 green), below the window -----
         "projection": q_projection,
         "take": q_take,
@@ -2374,6 +2479,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 10
         """,
+        "ivf_kmeans_topk": _ivf_kmeans_oracle(),
         "embedding_near_dup": _srp_near_dup_oracle(),
         "deterministic_split": """
             SELECT doc_id,

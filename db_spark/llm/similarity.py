@@ -92,15 +92,88 @@ def ivf_assign(
     return centroids, assigned
 
 
+def _assign_to(corpus: DataFrame, centroids: DataFrame,
+               id_col: str, vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment (cosine; ties to the lowest cell_id)."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col), F.col(vec_col), F.col("cell_id"),
+        F.round(cosine(F.col(vec_col), F.col("_cvec")), 6).alias("_csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, vec_col, "cell_id")
+    )
+
+
+def ivf_kmeans_centroids(
+    corpus: DataFrame, n_cells: int = 16, n_iter: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Lloyd-refined IVF centroids, fully deterministic (and therefore
+    SQL-oracle-expressible):
+
+    - seeding: the ``n_cells`` lowest-id vectors (same as ``ivf_assign``);
+    - assignment: cosine argmax, ties to the lowest cell_id;
+    - update: element-wise mean accumulated in *scaled BIGINT* (each
+      component rounded to 1/``scale``), so the sum — and hence every
+      subsequent assignment — is identical regardless of partition
+      order. Plain double summation would make centroids run-dependent
+      and assignments could flip on ties.
+
+    A cell that loses every member keeps its previous centroid. Each
+    iteration is one broadcast-join assignment + one (cell, component)
+    hash aggregate — O(corpus · n_cells) work per round, no all-pairs."""
+    cent = (
+        corpus.orderBy(F.col(id_col)).limit(n_cells)
+        .select(F.col(id_col).alias("cell_id"), _dbl(F.col(vec_col)).alias("_cvec"))
+    )
+    for _ in range(n_iter):
+        assigned = _assign_to(corpus, cent, id_col, vec_col)
+        comp = assigned.select(
+            "cell_id", F.posexplode(_dbl(F.col(vec_col))).alias("_j", "_x"))
+        means = (
+            comp.groupBy("cell_id", "_j")
+            .agg(
+                F.sum(F.round(F.col("_x") * scale).cast("long")).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .withColumn(
+                "_m",
+                F.col("_s").cast("double") / (F.lit(float(scale)) * F.col("_n")))
+        )
+        new_cent = (
+            means.groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("_j", "_m"))).alias("_jm"))
+            .select(
+                "cell_id",
+                F.transform(F.col("_jm"), lambda s: s.getField("_m")).alias("_new"))
+        )
+        cent = (
+            cent.join(new_cent, "cell_id", "left")
+            .select("cell_id", F.coalesce(F.col("_new"), F.col("_cvec")).alias("_cvec"))
+        )
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10, n_cells: int = 16,
     n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-    query_id_col: str = "query_id",
+    query_id_col: str = "query_id", refine_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the n_probe cells nearest
     to each query. At 100 TB the assigned corpus is written bucketed by
-    cell_id so a probe reads n_probe/n_cells of the data."""
-    centroids, assigned = ivf_assign(corpus, n_cells, id_col, vec_col)
+    cell_id so a probe reads n_probe/n_cells of the data.
+    ``refine_iters`` > 0 runs that many deterministic Lloyd iterations
+    over the seed centroids (``ivf_kmeans_centroids``) before assigning."""
+    if refine_iters > 0:
+        centroids = ivf_kmeans_centroids(
+            corpus, n_cells, refine_iters, id_col, vec_col)
+        assigned = _assign_to(corpus, centroids, id_col, vec_col)
+    else:
+        centroids, assigned = ivf_assign(corpus, n_cells, id_col, vec_col)
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
     q_cells = (
         q.crossJoin(F.broadcast(centroids))

@@ -215,6 +215,43 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.4, f"recall@5 {recall:.2f} below floor"
 
 
+def test_ivf_kmeans_refinement_improves_recall(spark):
+    """Deterministic Lloyd refinement must beat the raw lowest-id seeds
+    on queries that are NOT the seed vectors themselves (seed queries are
+    trivially recalled: they ARE centroids)."""
+    from db_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 216)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["vec_id"])
+             for r in similarity.brute_force_topk(emb, queries, k=5).collect()}
+    plain = {(r["query_id"], r["vec_id"])
+             for r in similarity.ivf_topk(
+                 emb, queries, k=5, n_cells=16, n_probe=2).collect()}
+    refined = {(r["query_id"], r["vec_id"])
+               for r in similarity.ivf_topk(
+                   emb, queries, k=5, n_cells=16, n_probe=2,
+                   refine_iters=2).collect()}
+    r_plain = len(exact & plain) / len(exact)
+    r_ref = len(exact & refined) / len(exact)
+    assert r_ref >= r_plain, f"refined {r_ref:.3f} < seed {r_plain:.3f}"
+    assert r_ref >= 0.45
+
+
+def test_ivf_kmeans_centroids_deterministic(spark):
+    """Scaled-BIGINT mean accumulation makes centroids identical across
+    runs and partitionings."""
+    from db_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = similarity.ivf_kmeans_centroids(emb, n_cells=8, n_iter=2)
+    b = similarity.ivf_kmeans_centroids(emb.repartition(7), n_cells=8, n_iter=2)
+    ca = {r["cell_id"]: r["_cvec"] for r in a.collect()}
+    cb = {r["cell_id"]: r["_cvec"] for r in b.collect()}
+    assert ca == cb
+
+
 def test_connected_components_clusters(spark):
     from db_spark.llm.dedup import connected_components
 

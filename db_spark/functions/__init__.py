@@ -27,6 +27,33 @@ def eps_eq(a: Column, b: Column, eps: float = EPSILON) -> Column:
     return both_nan | (F.abs(a - b) < F.lit(eps))
 
 
+def eq_values(a, b, eps: float = EPSILON) -> bool:
+    """Driver-side value equality with the reference's float semantics
+    (src/objects/object_field.rs:87-99): floats compare by ``|a-b| <
+    eps`` and ``NaN == NaN`` is TRUE; sequences/Rows compare pairwise;
+    everything else by ``==``. This is a *compat helper* for comparing
+    deserialized results against reference outputs — engine internals
+    use exact equality (documented deviation, SURVEY §1.2: epsilon
+    equality is not transitive, so it cannot drive grouping/joins)."""
+    import math
+
+    if isinstance(a, float) or isinstance(b, float):
+        if not isinstance(a, (int, float)) or not isinstance(b, (int, float)):
+            return False
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        if math.isnan(fa) or math.isnan(fb):
+            return False
+        if math.isinf(fa) or math.isinf(fb):
+            return fa == fb
+        return abs(fa - fb) < eps
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(
+            eq_values(x, y, eps) for x, y in zip(a, b))
+    return a == b
+
+
 def truthy(c: Column, dtype: T.DataType) -> Column:
     """Per-type truthiness used by ``count_when`` (reference:
     src/operators/linear/select.rs:247-263).

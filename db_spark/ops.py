@@ -44,11 +44,17 @@ class SortDirection(enum.Enum):
     DESCENDING = "descending"
 
 
+_SORT_SUFFIXES = tuple(
+    f" {d} NULLS {n}'>" for d in ("ASC", "DESC") for n in ("FIRST", "LAST"))
+
+
 def _is_sort_order(c: Column) -> bool:
-    try:
-        return c._jc.expr().getClass().getSimpleName() == "SortOrder"
-    except Exception:  # pragma: no cover - connect mode / API drift
-        return "DESC" in str(c) or "ASC" in str(c)
+    """True when the Column already carries a SortOrder (``.asc()`` /
+    ``.desc()`` applied) — re-wrapping one crashes codegen. Public-API
+    detection via the canonical repr (``Column<'x DESC NULLS LAST'>``),
+    which works under both classic and Connect sessions (the previous
+    ``_jc`` introspection was JVM-only)."""
+    return str(c).endswith(_SORT_SUFFIXES)
 
 
 def _as_column(df: DataFrame, key: int | str | Column) -> Column:
@@ -245,11 +251,35 @@ class Q:
     def deserialize(self, cls=None):
         """reference sink adapter src/operators/deserializing.rs:26-47 —
         positional struct mapping. Returns a list of ``cls`` built
-        positionally from each row (or plain Rows if cls is None)."""
+        positionally from each row (or plain Rows if cls is None).
+
+        Parity with the reference deserializer
+        (src/objects/object_deserializer.rs:166-179): rows with *extra
+        trailing* columns deserialize fine (the extras are ignored); rows
+        with fewer columns than the struct requires raise."""
         rows = self._df.collect()
         if cls is None:
             return rows
-        return [cls(*row) for row in rows]
+        import inspect
+
+        try:
+            params = list(inspect.signature(cls).parameters.values())
+        except (TypeError, ValueError):  # builtins without signatures
+            return [cls(*row) for row in rows]
+        if any(p.kind is inspect.Parameter.VAR_POSITIONAL for p in params):
+            return [cls(*row) for row in rows]
+        pos = [p for p in params if p.kind in (
+            inspect.Parameter.POSITIONAL_ONLY,
+            inspect.Parameter.POSITIONAL_OR_KEYWORD)]
+        n_max = len(pos)
+        n_req = sum(1 for p in pos if p.default is inspect.Parameter.empty)
+        n_cols = len(self._df.columns)
+        if n_cols < n_req:
+            raise ValueError(
+                f"deserialize: {cls.__name__} needs {n_req} fields, row has "
+                f"{n_cols} (reference object_deserializer.rs:166-179 errors "
+                "on missing fields)")
+        return [cls(*row[:n_max]) for row in rows]
 
     def to_pandas(self):
         return self._df.toPandas()

@@ -125,6 +125,50 @@ def test_deserialize_positional(people):
     assert out[0].name == "alice" and out[0].age == 34
 
 
+def test_deserialize_trailing_column_tolerance(people):
+    """Parity with reference object_deserializer.rs:166-179 (tested at
+    :229-276): extra trailing row columns are ignored; missing required
+    fields raise."""
+    import pytest
+
+    class Two:
+        def __init__(self, name, age):
+            self.name, self.age = name, age
+
+    # people has 4 columns; Two takes the first 2 — extras ignored
+    out = Q(people).in_memory_sort("name").take(1).deserialize(Two)
+    assert out[0].name == "alice" and out[0].age == 34
+
+    class Six:
+        def __init__(self, a, b, c, d, e, f):
+            pass
+
+    with pytest.raises(ValueError, match="needs 6 fields"):
+        Q(people).take(1).deserialize(Six)
+
+    # optional trailing params: satisfied by available columns, rest default
+    class Five:
+        def __init__(self, name, age, score, active, extra=None):
+            self.name, self.extra = name, extra
+
+    out = Q(people).in_memory_sort("name").take(1).deserialize(Five)
+    assert out[0].name == "alice" and out[0].extra is None
+
+
+def test_eq_values_reference_float_semantics():
+    from db_spark.functions import eq_values
+
+    nan = float("nan")
+    assert eq_values(nan, nan)            # reference: NaN == NaN
+    assert eq_values(1.0, 1.0 + 5e-7)     # |a-b| < 1e-6
+    assert not eq_values(1.0, 1.0 + 2e-6)
+    assert not eq_values(nan, 1.0)
+    assert eq_values(float("inf"), float("inf"))
+    assert eq_values([1.0, nan, "x"], (1.0 + 1e-7, nan, "x"))
+    assert not eq_values([1.0], [1.0, 2.0])
+    assert eq_values(3, 3) and not eq_values("a", "b")
+
+
 def test_pivot(people):
     got = Q(people).pivot(["active"], "age", [12, 34, 51], F.count(F.lit(1))).collect()
     by_active = {r["active"]: r for r in got}

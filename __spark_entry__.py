@@ -1263,6 +1263,45 @@ def q_corpus_stats(spark, sf_dir):
     )
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Overlapping token-window chunking (64-token chunks, 16 overlap) —
+    the map-only shaping step before tokenization/packing in a training
+    pipeline. Chunk text hashed to keep the result row narrow."""
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = ltext.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    return chunks.select(
+        "doc_id", "chunk_id", "n_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_hash"))
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding corpus;
+    reports the codes' extremes plus reconstruction error vs the exact
+    vector (all integer/rounded outputs for cross-engine hashing)."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = lsim.quantize_int8(emb)
+    orig = emb.select("vec_id", F.col("embedding").alias("_v"))
+    deq = lsim.dequantize(F.col("scale"), F.col("qvec"))
+    err = F.array_max(F.zip_with(
+        lsim._dbl(F.col("_v")), deq, lambda a, b: F.abs(a - b)))
+    # err in its own projection: aliasing round(scale) AS scale in the
+    # same select would lateral-resolve the err's scale reference to the
+    # ROUNDED value and inflate the reconstruction error.
+    staged = q.join(orig, "vec_id").select(
+        "vec_id", "scale", "qvec", err.alias("_err"))
+    return staged.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.array_max(F.col("qvec")).cast("long").alias("q_max"),
+        F.array_min(F.col("qvec")).cast("long").alias("q_min"),
+        F.round(F.col("_err"), 6).alias("max_abs_err"),
+    )
+
+
 def q_deterministic_split(spark, sf_dir):
     """Reproducible train/val/test split by stable content hash — no RNG
     state, invariant under repartitioning/re-runs/engine (the correct way
@@ -1669,6 +1708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 2 (inserted here, inside the window) --------------
         "mvcc_delete_where": q_mvcc_delete_where,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
+        "chunk_docs": q_chunk_docs,
+        "embedding_quantize": q_embedding_quantize,
         # -- round-1-verified (CORRECTNESS_r01 green), below the window -----
         "projection": q_projection,
         "take": q_take,
@@ -2481,6 +2522,55 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_kmeans_topk": _ivf_kmeans_oracle(),
         "embedding_near_dup": _srp_near_dup_oracle(),
+        "chunk_docs": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '[a-zA-Z'']+') AS toks
+              FROM documents
+            ),
+            ids AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, (len(toks) - 1) // 48 + 1)) AS chunk_id
+              FROM tok WHERE len(toks) > 0
+            ),
+            pieces AS (
+              SELECT doc_id, chunk_id,
+                     list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64)
+                       AS piece
+              FROM ids
+            )
+            SELECT doc_id,
+                   CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(len(piece) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(piece, ' ')) AS chunk_hash
+            FROM pieces
+        """,
+        "embedding_quantize": """
+            WITH base AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ),
+            s AS (
+              SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) AS maxabs
+              FROM base
+            ),
+            q AS (
+              SELECT vec_id, v, maxabs / 127.0 AS scale_raw,
+                     CASE WHEN maxabs > 0
+                          THEN list_transform(v, x ->
+                               CAST(round(x / (maxabs / 127.0)) AS INTEGER))
+                          ELSE list_transform(v, x -> 0) END AS qvec
+              FROM s
+            )
+            SELECT vec_id,
+                   round(scale_raw, 6) AS scale,
+                   CAST(list_max(qvec) AS BIGINT) AS q_max,
+                   CAST(list_min(qvec) AS BIGINT) AS q_min,
+                   round(list_max(list_transform(range(0, len(v)),
+                         j -> abs(v[j+1] - qvec[j+1] * scale_raw))), 6)
+                       AS max_abs_err
+            FROM q
+        """,
         "deterministic_split": """
             SELECT doc_id,
                    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

@@ -201,6 +201,33 @@ def ivf_topk(
 
 
 # ---------------------------------------------------------------------------
+# Embedding quantization (int8 storage path)
+# ---------------------------------------------------------------------------
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale) in [-127, 127]. Cuts embedding storage and
+    shuffle width 4x (float32) / 8x (float64) for ANN-recall workloads.
+    Pure Column expressions; zero vectors get scale 0 and all-zero codes.
+    Returns (id, scale, qvec array<int>)."""
+    v = _dbl(F.col(vec_col))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = (maxabs / F.lit(127.0)).alias("scale")
+    q = F.when(
+        maxabs > 0,
+        F.transform(v, lambda x: F.round(x / (maxabs / F.lit(127.0))).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(F.col(id_col), scale, q.alias("qvec"))
+
+
+def dequantize(scale: Column, qvec: Column) -> Column:
+    """Reconstruct the (lossy) double vector from int8 codes."""
+    return F.transform(qvec, lambda x: x.cast("double") * scale)
+
+
+# ---------------------------------------------------------------------------
 # SRP-LSH — signed random projections (embedding near-dup at scale)
 # ---------------------------------------------------------------------------
 

@@ -102,6 +102,41 @@ def language_id(text: Column) -> Column:
     return result
 
 
+def chunk_documents(
+    df: DataFrame, chunk_tokens: int = 64, overlap: int = 16,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the unit a
+    training pipeline feeds to a tokenizer/packer. Returns one row per
+    chunk: (id, chunk_id, n_tokens, chunk_text).
+
+    Chunk k covers tokens [k*stride, k*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the trailing partial chunk is kept.
+    Pure Column expressions (tokenize -> sequence -> slice -> explode):
+    narrow transforms only, no shuffle, no Python — chunking 100 TB is a
+    map-only job. Empty documents produce no chunks."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # chunk ids 0..floor((n-1)/stride); empty arrays for empty docs
+    ids = F.when(n > 0, F.sequence(
+        F.lit(0), F.floor((n - 1) / F.lit(stride)).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = df.select(
+        F.col(id_col), toks.alias("_toks"),
+        F.explode(ids).alias("chunk_id"))
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document statistics table."""
     t = F.col(text_col)

@@ -252,6 +252,45 @@ def test_ivf_kmeans_centroids_deterministic(spark):
     assert ca == cb
 
 
+def test_chunk_documents(spark):
+    # tokens() keeps [a-zA-Z']+ only, so use alphabetic words
+    words = [f"w{chr(ord('a') + i)}" for i in range(10)]  # wa..wj
+    df = spark.createDataFrame([(1, " ".join(words)), (2, "short text"), (3, "")],
+                               "doc_id long, text string")
+    out = text.chunk_documents(df, chunk_tokens=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+            for r in out.collect()}
+    # doc 1: 10 tokens, stride 3 -> starts 0,3,6,9 -> 4 chunks
+    assert rows[(1, 0)] == (4, "wa wb wc wd")
+    assert rows[(1, 1)] == (4, "wd we wf wg")
+    assert rows[(1, 3)] == (1, "wj")       # trailing partial kept
+    assert rows[(2, 0)] == (2, "short text")
+    assert not any(d == 3 for d, _ in rows)  # empty doc -> no chunks
+    import pytest
+
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_quantize_int8_roundtrip(spark):
+    from db_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = similarity.quantize_int8(emb)
+    joined = q.join(emb, "vec_id").select(
+        "vec_id", "scale",
+        F.array_max(F.transform(F.col("qvec"), F.abs)).alias("qmax"),
+        F.array_max(F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            similarity.dequantize(F.col("scale"), F.col("qvec")),
+            lambda a, b: F.abs(a - b))).alias("err"),
+    )
+    for r in joined.collect():
+        assert r["qmax"] <= 127
+        # symmetric round-to-nearest: reconstruction error <= scale/2
+        assert r["err"] <= r["scale"] / 2 + 1e-12
+
+
 def test_connected_components_clusters(spark):
     from db_spark.llm.dedup import connected_components
 

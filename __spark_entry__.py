@@ -1302,6 +1302,65 @@ def q_embedding_quantize(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Within-document repetition signals (Gopher-style quality filter):
+    duplicate 2/3-gram fractions + most-frequent-2-gram share, map-only."""
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    return ltext.repetition_stats(docs)
+
+
+def q_unigram_surprisal(spark, sf_dir):
+    """Quantized unigram-LM surprisal per document — integer bit-count
+    perplexity proxy (corpus model pass + broadcast-scored second pass)."""
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    return ltext.unigram_surprisal(docs)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-split sequence packing: 64-token chunks laid head-to-
+    tail into 256-token training sequences within 8 deterministic shards."""
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = ltext.chunk_documents(docs, chunk_tokens=64, overlap=0)
+    return ltext.pack_sequences(chunks, capacity=256, shards=8)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs (doc_id % 97 != 0)
+    sharing any distinct 4-gram with the held-out eval set (% 97 == 0)."""
+    from db_spark.llm import corpus as lcorpus
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return lcorpus.decontaminate(train, eval_df, n=4)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic data-mixture sampling: keep 60% of English, 30% of
+    German/French, 15% of the rest, by stable doc-id hash."""
+    from db_spark.llm import corpus as lcorpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = lcorpus.stratified_sample(
+        docs, {"en": 0.6, "de": 0.3, "fr": 0.3}, default_rate=0.15)
+    return out.select("doc_id", "lang")
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-20 documents for the query {spark, merge, window}
+    via an inverted-index postings join (scaled-long deterministic score)."""
+    from db_spark.llm import corpus as lcorpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return lcorpus.bm25_topk(docs, ["spark", "merge", "window"], k=20)
+
+
 def q_deterministic_split(spark, sf_dir):
     """Reproducible train/val/test split by stable content hash — no RNG
     state, invariant under repartitioning/re-runs/engine (the correct way
@@ -1710,6 +1769,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "chunk_docs": q_chunk_docs,
         "embedding_quantize": q_embedding_quantize,
+        "repetition_stats": q_repetition_stats,
+        "unigram_surprisal": q_unigram_surprisal,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "bm25_topk": q_bm25_topk,
         # -- round-1-verified (CORRECTNESS_r01 green), below the window -----
         "projection": q_projection,
         "take": q_take,
@@ -2570,6 +2635,121 @@ def oracle_sql() -> dict[str, str]:
                          j -> abs(v[j+1] - qvec[j+1] * scale_raw))), 6)
                        AS max_abs_err
             FROM q
+        """,
+        "repetition_stats": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (SELECT doc_id,
+                    list_transform(range(1, greatest(len(toks), 1)),
+                        i -> toks[i] || ' ' || toks[i+1]) AS g2,
+                    list_transform(range(1, greatest(len(toks)-1, 1)),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+                  FROM tok)
+            SELECT doc_id,
+                   CAST(len(g2) AS BIGINT) AS n_2grams,
+                   CASE WHEN len(g2) > 0 THEN round(
+                        (len(g2) - len(list_distinct(g2)))
+                        / CAST(len(g2) AS DOUBLE), 6)
+                        ELSE 0.0 END AS dup_2gram_frac,
+                   CASE WHEN len(g3) > 0 THEN round(
+                        (len(g3) - len(list_distinct(g3)))
+                        / CAST(len(g3) AS DOUBLE), 6)
+                        ELSE 0.0 END AS dup_3gram_frac,
+                   CASE WHEN len(g2) > 0 THEN round(
+                        CAST(list_max(list_transform(list_distinct(g2),
+                             d -> len(list_filter(g2, x -> x = d)))) AS DOUBLE)
+                        / len(g2), 6)
+                        ELSE 0.0 END AS top_2gram_frac
+            FROM g
+        """,
+        "unigram_surprisal": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tk FROM documents),
+            model AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM model),
+            bits AS (SELECT doc_id,
+                            (length(bin(CAST(floor(N / c) AS BIGINT))) - 1) AS b
+                     FROM tok JOIN model USING (tk) CROSS JOIN tot)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(b) AS BIGINT) AS sum_bits,
+                   round(CAST(sum(b) AS DOUBLE) / count(*), 6) AS avg_bits
+            FROM bits GROUP BY doc_id
+        """,
+        "pack_sequences": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '[a-zA-Z'']+') AS toks
+              FROM documents
+            ),
+            ids AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, (len(toks) - 1) // 64 + 1)) AS chunk_id
+              FROM tok WHERE len(toks) > 0
+            ),
+            chunks AS (
+              SELECT doc_id, chunk_id,
+                     len(list_slice(toks, chunk_id * 64 + 1, chunk_id * 64 + 64)) AS n
+              FROM ids
+            ),
+            laid AS (
+              SELECT doc_id % 8 AS shard, n,
+                     SUM(n) OVER (PARTITION BY doc_id % 8
+                                  ORDER BY doc_id, chunk_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cend
+              FROM chunks
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST((cend - n) // 256 AS BIGINT) AS pack_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(n) AS BIGINT) AS n_tokens
+            FROM laid GROUP BY shard, (cend - n) // 256
+        """,
+        "decontaminate": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                      range(1, greatest(len(toks)-2, 1)),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                           toks[i+2] || ' ' || toks[i+3]))) AS shingle
+                  FROM tok),
+            e AS (SELECT DISTINCT shingle FROM g WHERE doc_id % 97 = 0)
+            SELECT g.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+            FROM g JOIN e USING (shingle) WHERE g.doc_id % 97 != 0
+            GROUP BY g.doc_id
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_H32.format(x="CAST(doc_id AS VARCHAR)")} % 1000000 <
+                  CASE WHEN lang = 'en' THEN 600000
+                       WHEN lang IN ('de', 'fr') THEN 300000
+                       ELSE 150000 END
+        """,
+        "bm25_topk": f"""
+            WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS N,
+                             CAST(sum(len(toks)) AS BIGINT) AS len_total
+                      FROM base),
+            dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+            post AS (SELECT doc_id, tk, count(*) AS tf
+                     FROM (SELECT doc_id, unnest(toks) AS tk FROM base)
+                     WHERE tk IN ('spark', 'merge', 'window')
+                     GROUP BY doc_id, tk),
+            dfreq AS (SELECT tk, count(DISTINCT doc_id) AS df
+                      FROM post GROUP BY tk),
+            scored AS (
+              SELECT post.doc_id AS doc_id,
+                     SUM(CAST(round(
+                         (ln(1.0 + (N - df + 0.5) / (df + 0.5))
+                          * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75
+                              * (CAST(dl AS DOUBLE)
+                                 / (CAST(len_total AS DOUBLE) / N))))))
+                         * 1000000) AS BIGINT)) AS s6
+              FROM post JOIN dfreq USING (tk) JOIN dl USING (doc_id)
+              CROSS JOIN stats
+              GROUP BY post.doc_id
+            )
+            SELECT doc_id, s6 / 1000000.0 AS score,
+                   CAST(row_number() OVER (ORDER BY s6 DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM scored QUALIFY rank <= 20
         """,
         "deterministic_split": """
             SELECT doc_id,

@@ -1,0 +1,146 @@
+"""Corpus-level curation operators: eval-set decontamination,
+deterministic stratified sampling, and BM25 keyword retrieval.
+
+Same design rules as the rest of ``db_spark.llm``: pure Column
+expressions over the deterministic md5 hash family, candidate generation
+always via inverted indexes (never all-pairs), no driver-side
+materialization — every operator here keeps its 100 TB shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from db_spark.llm.dedup import h32, shingle_table
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination (n-gram overlap against a held-out set)
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    train: DataFrame, eval_df: DataFrame, n: int = 5,
+    id_col: str = "doc_id", text_col: str = "text",
+    min_shared: int = 1,
+) -> DataFrame:
+    """Flag training documents sharing >= ``min_shared`` distinct word
+    n-grams with any document in the eval set — the standard benchmark-
+    decontamination pass before training.
+
+    Candidates come from an inverted-index join on the (distinct) eval
+    n-gram set: cost is O(matching grams), never train x eval. The eval
+    gram set is tiny vs the corpus — Spark broadcasts it — so
+    decontaminating 100 TB is one scan + one broadcast-hash semi-join.
+    No frequency guard: eval grams are the exact strings we must catch,
+    however common. Returns (id, n_shared_grams) for contaminated docs
+    only; anti-join ``train`` against it to clean."""
+    t_grams = shingle_table(train, id_col, text_col, n, max_shingle_df=None)
+    e_grams = (
+        shingle_table(eval_df, id_col, text_col, n, max_shingle_df=None)
+        .select("shingle").distinct()
+    )
+    return (
+        t_grams.join(F.broadcast(e_grams), "shingle")
+        .groupBy(F.col("_sid").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+def stratified_sample(
+    df: DataFrame, rates: dict[str, float], strata_col: str = "lang",
+    id_col: str = "doc_id", default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum downsampling by stable content hash — the
+    data-mixture step of a training pipeline (e.g. keep 50% of English,
+    10% of everything else). hash(id) % 10^6 < rate * 10^6 is invariant
+    under partitioning, re-runs, and engine, unlike ``df.sample`` whose
+    RNG is partition-dependent; map-only, no shuffle."""
+    # thresholds as exact parts-per-million ints: a float->int cast would
+    # truncate in Spark but round in DuckDB, breaking oracle parity
+    bucket = h32(F.col(id_col).cast("string")) % 1_000_000
+    ppm = None
+    for key, r in sorted(rates.items()):
+        cond = F.col(strata_col) == key
+        t = F.lit(int(r * 1_000_000))
+        ppm = F.when(cond, t) if ppm is None else ppm.when(cond, t)
+    default = F.lit(int(default_rate * 1_000_000))
+    ppm = ppm.otherwise(default) if ppm is not None else default
+    return df.filter(bucket < ppm)
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval
+# ---------------------------------------------------------------------------
+
+def bm25_topk(
+    df: DataFrame, terms: list[str], k: int = 20,
+    k1: float = 1.2, b: float = 0.75,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k documents for a bag-of-words query.
+
+    Inverted-index shape: explode tokens, keep only query terms (a
+    broadcast IN-filter pushed into the scan), aggregate tf per (doc,
+    term), join per-term df stats (|terms| rows — broadcast), score, and
+    take the global top-k with a rank window over the rounded score.
+    Only rows containing a query term survive the first filter, so the
+    shuffled data is the postings list for the query, not the corpus:
+    at 100 TB this is scan + two small aggregations.
+
+    idf = ln(1 + (N - df + .5)/(df + .5)) (Lucene form, always >= 0);
+    norm = tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)). Ranking uses
+    round(score, 6) with doc-id tiebreak so top-k is deterministic.
+    Returns (id, score, rank)."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
+    base = df.select(F.col(id_col).alias("_did"), toks.alias("_toks"))
+
+    # corpus stats: N docs, avg doc length (exact rational -> double once)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_N"),
+        F.sum(F.size("_toks")).alias("_len_total"),
+    )
+    dl = base.select("_did", F.size("_toks").cast("long").alias("_dl"))
+
+    post = (
+        base.select("_did", F.explode("_toks").alias("_tk"))
+        .filter(F.col("_tk").isin(terms))
+        .groupBy("_did", "_tk")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = post.groupBy("_tk").agg(F.countDistinct("_did").alias("_df"))
+
+    avgdl = F.col("_len_total").cast("double") / F.col("_N")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_N") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    tf_norm = (F.col("_tf") * (k1 + 1)) / (
+        F.col("_tf")
+        + k1 * (1 - b + b * (F.col("_dl").cast("double") / avgdl))
+    )
+    # per-term contributions rounded to scaled long BEFORE the sum so the
+    # score is independent of partial-aggregation order (exact_sum rule)
+    scored = (
+        post.join(F.broadcast(dfreq), "_tk")
+        .join(dl, "_did")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("_did")
+        .agg(F.sum(F.round(idf * tf_norm * 1_000_000).cast("long")).alias("_s6"))
+    )
+    # distributed top-k (TakeOrderedAndProject: per-partition heads then
+    # merge) — the rank window runs over the k survivors only, never the
+    # full scored set
+    topk = scored.orderBy(F.col("_s6").desc(), F.col("_did")).limit(k)
+    w = Window.orderBy(F.col("_s6").desc(), F.col("_did"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select(F.col("_did").alias(id_col),
+                (F.col("_s6") / 1_000_000).alias("score"),
+                F.col("rank").cast("long").alias("rank"))
+    )

@@ -137,6 +137,124 @@ def chunk_documents(
     )
 
 
+def ngrams(text: Column, n: int = 2) -> Column:
+    """All word n-grams (non-distinct, in order) of the lowercased word
+    stream — the multiset repetition analysis needs; compare
+    ``dedup.shingles`` which dedups."""
+    toks = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z']+"), 0)
+    count = F.size(toks) - (n - 1)
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, map-only.
+
+    Per document: fraction of duplicate 2-grams / 3-grams (1 −
+    distinct/total) and the share of the single most frequent 2-gram.
+    Pure array expressions — no explode, no shuffle: repetition-filtering
+    100 TB is a single scan. The most-frequent count is an O(d·n) array
+    fold per row (d = distinct grams), fine at document sizes."""
+    g2, g3 = ngrams(F.col(text_col), 2), ngrams(F.col(text_col), 3)
+
+    def dup_frac(g):
+        n = F.size(g)
+        return F.when(
+            n > 0,
+            F.round((n - F.size(F.array_distinct(g))).cast("double") / n, 6),
+        ).otherwise(F.lit(0.0))
+
+    top_cnt = F.array_max(F.transform(
+        F.array_distinct(g2),
+        lambda d: F.size(F.filter(g2, lambda x: x == d)),
+    ))
+    top_frac = F.when(
+        F.size(g2) > 0, F.round(top_cnt.cast("double") / F.size(g2), 6)
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.size(g2).cast("long").alias("n_2grams"),
+        dup_frac(g2).alias("dup_2gram_frac"),
+        dup_frac(g3).alias("dup_3gram_frac"),
+        top_frac.alias("top_2gram_frac"),
+    )
+
+
+def unigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Quantized unigram-LM surprisal — a deterministic perplexity proxy
+    for corpus quality scoring. Pass 1 builds the corpus unigram model
+    (token → count, one hash agg); pass 2 scores each document by the
+    integer surprisal floor(log2(N / count(token))) per token, i.e. the
+    whole-bit information content under the unigram model. Integer-only
+    (bit-length, exact sums), so the score is bit-reproducible on any
+    engine — no libm in the hot path. Vocabulary is tiny vs corpus
+    (Heaps' law): the model join is a broadcast at any corpus size.
+
+    Returns (id, n_tokens, sum_bits, avg_bits): high avg_bits = rare
+    tokens (higher surprisal); 0 bits = the most common tokens."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_tk"))
+    model = tok.groupBy("_tk").agg(F.count(F.lit(1)).alias("_cnt"))
+    total = model.agg(F.sum("_cnt").alias("_N"))  # 1 row — broadcast, stays lazy
+    # floor(log2(x)) for x >= 1 as length(bin(x)) - 1: integer-exact
+    bits = (F.length(F.bin(F.floor(F.col("_N") / F.col("_cnt")).cast("long"))) - 1)
+    scored = (
+        tok.join(F.broadcast(model), "_tk")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), bits.cast("long").alias("_bits"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("_bits").alias("sum_bits"),
+        F.round(F.sum("_bits").cast("double") / F.count(F.lit(1)), 6).alias("avg_bits"),
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame, capacity: int = 256, shards: int = 32,
+    id_col: str = "doc_id", chunk_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Concat-and-split sequence packing — assign token chunks to
+    fixed-capacity training sequences, GPT-pretraining style: within a
+    shard, chunks are laid head-to-tail in (doc, chunk) order and a chunk
+    belongs to the pack where its first token lands (pack = cumulative
+    offset // capacity).
+
+    Sharding bounds the sequential region: the running offset is a window
+    cumsum partitioned by ``shard = doc_id % shards`` — at 100 TB each
+    shard packs independently in parallel (set ``shards`` ~ cluster
+    parallelism); determinism is per-shard, invariant to partitioning.
+    Returns one row per pack: (shard, pack_id, n_chunks, n_tokens)."""
+    from pyspark.sql import Window
+
+    shard = (F.col(id_col) % shards).cast("long")
+    w = (Window.partitionBy("shard")
+         .orderBy(F.col(id_col), F.col(chunk_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    laid = chunks.select(
+        shard.alias("shard"), F.col(id_col), F.col(chunk_col),
+        F.col(tokens_col).alias("_n"),
+    ).withColumn("_end", F.sum("_n").over(w))
+    pack = F.floor((F.col("_end") - F.col("_n")) / capacity).cast("long")
+    return (
+        laid.withColumn("pack_id", pack)
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("_n").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document statistics table."""
     t = F.col(text_col)

@@ -300,3 +300,90 @@ def test_connected_components_clusters(spark):
     out = {r["doc_id"]: r["cluster_id"]
            for r in connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: repetition / surprisal / packing / decontamination /
+# sampling / BM25
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "go go go go"),          # 2-grams: "go go" x3 -> all dup
+         (2, "a b c d"),              # no repeats
+         (3, "x")],                   # too short for 2-grams
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert got[1]["n_2grams"] == 3
+    assert got[1]["dup_2gram_frac"] == pytest.approx(2 / 3)
+    assert got[1]["top_2gram_frac"] == 1.0
+    assert got[2]["dup_2gram_frac"] == 0.0
+    assert got[3]["n_2grams"] == 0 and got[3]["top_2gram_frac"] == 0.0
+
+
+def test_unigram_surprisal(spark):
+    # corpus: "a" x6, "rare" x2 -> N=8; bits(a)=floor(log2(8/6))=0,
+    # bits(rare)=floor(log2(8/2))=2
+    df = spark.createDataFrame(
+        [(1, "a a a a a a"), (2, "rare rare")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.unigram_surprisal(df).collect()}
+    assert got[1]["sum_bits"] == 0 and got[1]["n_tokens"] == 6
+    assert got[2]["sum_bits"] == 4 and got[2]["avg_bits"] == 2.0
+
+
+def test_pack_sequences(spark):
+    # 5 chunks of 10 tokens in one shard, capacity 25:
+    # offsets 0,10,20,30,40 -> packs 0,0,0,1,1
+    chunks = spark.createDataFrame(
+        [(8, c, 10) for c in range(5)], "doc_id long, chunk_id long, n_tokens long")
+    got = {(r["shard"], r["pack_id"]): (r["n_chunks"], r["n_tokens"])
+           for r in text.pack_sequences(chunks, capacity=25, shards=4).collect()}
+    assert got[(0, 0)] == (3, 30)
+    assert got[(0, 1)] == (2, 20)
+
+
+def test_decontaminate(spark):
+    from db_spark.llm import corpus
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),   # shares 4-grams with eval
+         (2, "totally unrelated words here now")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta zeta")], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_shared_grams"]
+           for r in corpus.decontaminate(train, ev, n=4).collect()}
+    assert got == {1: 1}  # only "alpha beta gamma delta" shared
+
+
+def test_stratified_sample_deterministic(spark):
+    from db_spark.llm import corpus
+    from db_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    rates = {"en": 0.6, "de": 0.3}
+    a = sorted(r["doc_id"] for r in
+               corpus.stratified_sample(docs, rates).collect())
+    b = sorted(r["doc_id"] for r in
+               corpus.stratified_sample(docs.repartition(7), rates).collect())
+    assert a == b and len(a) > 0          # partition-invariant
+    n_en = docs.filter(F.col("lang") == "en").count()
+    got_en = len([1 for r in
+                  corpus.stratified_sample(docs, rates).collect()
+                  if r["lang"] == "en"])
+    assert 0 < got_en < n_en              # actually downsampled
+
+
+def test_bm25_ranks_term_frequency(spark):
+    from db_spark.llm import corpus
+
+    df = spark.createDataFrame(
+        [(1, "spark spark spark fast engine"),
+         (2, "spark appears once here only"),
+         (3, "no relevant terms at all"),
+         (4, "merge spark merge window spark")],
+        "doc_id long, text string")
+    out = corpus.bm25_topk(df, ["spark", "merge", "window"], k=3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["doc_id"] == 4          # matches all three terms
+    assert {r["doc_id"] for r in out} == {1, 2, 4}  # doc 3 never scored

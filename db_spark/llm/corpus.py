@@ -105,12 +105,14 @@ def bm25_topk(
         F.count(F.lit(1)).alias("_N"),
         F.sum(F.size("_toks")).alias("_len_total"),
     )
-    dl = base.select("_did", F.size("_toks").cast("long").alias("_dl"))
 
+    # doc length rides along as a grouping key (functionally dependent on
+    # _did) — no corpus-wide (doc, dl) join back onto the postings
     post = (
-        base.select("_did", F.explode("_toks").alias("_tk"))
+        base.select("_did", F.size("_toks").cast("long").alias("_dl"),
+                    F.explode("_toks").alias("_tk"))
         .filter(F.col("_tk").isin(terms))
-        .groupBy("_did", "_tk")
+        .groupBy("_did", "_dl", "_tk")
         .agg(F.count(F.lit(1)).alias("_tf"))
     )
     dfreq = post.groupBy("_tk").agg(F.countDistinct("_did").alias("_df"))
@@ -128,7 +130,6 @@ def bm25_topk(
     # score is independent of partial-aggregation order (exact_sum rule)
     scored = (
         post.join(F.broadcast(dfreq), "_tk")
-        .join(dl, "_did")
         .crossJoin(F.broadcast(stats))
         .groupBy("_did")
         .agg(F.sum(F.round(idf * tf_norm * 1_000_000).cast("long")).alias("_s6"))

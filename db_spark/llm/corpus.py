@@ -108,12 +108,16 @@ def bm25_topk(
 
     # doc length rides along as a grouping key (functionally dependent on
     # _did) — no corpus-wide (doc, dl) join back onto the postings
+    # postings are query-term-filtered (tiny vs corpus) and referenced
+    # twice (df stats + scoring) — cache so the corpus is scanned twice
+    # (stats pass + postings pass), not three times
     post = (
         base.select("_did", F.size("_toks").cast("long").alias("_dl"),
                     F.explode("_toks").alias("_tk"))
         .filter(F.col("_tk").isin(terms))
         .groupBy("_did", "_dl", "_tk")
         .agg(F.count(F.lit(1)).alias("_tf"))
+        .cache()
     )
     dfreq = post.groupBy("_tk").agg(F.countDistinct("_did").alias("_df"))
 

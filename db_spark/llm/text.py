@@ -202,7 +202,11 @@ def unigram_surprisal(
     tokens (higher surprisal); 0 bits = the most common tokens."""
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_tk"))
-    model = tok.groupBy("_tk").agg(F.count(F.lit(1)).alias("_cnt"))
+    # the model is vocab-sized (Heaps' law: ~ corpus^0.5, never corpus-
+    # sized) and referenced twice (scoring join + grand total) — cache it
+    # so the corpus is scanned exactly twice (the two-pass minimum), not
+    # once per reference
+    model = tok.groupBy("_tk").agg(F.count(F.lit(1)).alias("_cnt")).cache()
     total = model.agg(F.sum("_cnt").alias("_N"))  # 1 row — broadcast, stays lazy
     # floor(log2(x)) for x >= 1 as length(bin(x)) - 1: integer-exact
     bits = (F.length(F.bin(F.floor(F.col("_N") / F.col("_cnt")).cast("long"))) - 1)

@@ -295,6 +295,42 @@ class Q:
         re-iterable intermediate."""
         return Q(self._df.cache())
 
+    # -- DBOperator trait tail (reference src/operators/mod.rs:11-40) -------
+
+    def reset(self) -> "Q":
+        """Reference ``reset()`` re-winds an operator for re-iteration
+        (nested-loop rescans, operators/mod.rs:16-19). A DataFrame is a
+        plan, not a cursor — every action re-executes it — so reset is
+        the identity; spools (``cache``) retain their cache across
+        resets, matching the trait's doc comment."""
+        return self
+
+    def size_hint(self) -> tuple[int, int | None]:
+        """Reference ``size_hint() -> (usize, Option<usize>)``
+        (operators/mod.rs:22-36): (lower, optional upper) row-count
+        estimate used to preallocate ``collect``. We answer from
+        Catalyst's cost model (optimized-plan statistics) — exact after
+        ``ANALYZE``/AQE, else an upper estimate; (0, None) when the
+        backend exposes no stats (e.g. Spark Connect)."""
+        try:
+            stats = self._df._jdf.queryExecution().optimizedPlan().stats()
+            rc = stats.rowCount()
+            upper = int(str(rc.get())) if rc.isDefined() else None
+            return (upper if upper is not None else 0, upper)
+        except Exception:  # pragma: no cover - connect/remote backends
+            return (0, None)
+
+    def cost_hint(self) -> float | None:
+        """Reference ``cost_hint()`` is declared and never overridden by
+        any operator — always ``None`` (operators/mod.rs:38-40). We keep
+        the method for API parity but answer with Catalyst's sizeInBytes
+        estimate when available, since our planner actually has one."""
+        try:
+            stats = self._df._jdf.queryExecution().optimizedPlan().stats()
+            return float(str(stats.sizeInBytes()))
+        except Exception:  # pragma: no cover - connect/remote backends
+            return None
+
 
 class SelectBuilder:
     """Parity surface for the reference's SelectBuilder

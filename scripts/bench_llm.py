@@ -1,0 +1,59 @@
+"""Throughput measurement for the training-data (LLM) tier at
+$SPARK_GRAFT_SF_DIR (default sf0.1) — same methodology as bench.py
+(warm session, prepared plans, one untimed warm-up, then one timed run
+— the tier is too heavy for median-of-3 at sf0.1), kept separate so the
+driver's headline BENCH metric stays round-comparable.
+
+Prints one JSON line; also intended to refresh docs/SCALE.md's measured
+numbers. There is no reference baseline for these (the reference has no
+dedup/ANN/text tier) — the quantity of interest is absolute wall time
+and its scaling shape across sf dirs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E
+from db_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+PICKS = [
+    "text_stats", "dedup_exact", "ngram_jaccard", "minhash_lsh_pairs",
+    "dedup_corpus", "simhash_near_dup", "cosine_topk", "ivf_topk",
+    "embedding_near_dup", "chunk_docs", "pack_sequences",
+    "repetition_stats", "unigram_surprisal", "decontaminate",
+    "stratified_sample", "bm25_topk", "embedding_quantize",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench_llm", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+    out, total = {}, 0.0
+    for name in PICKS:
+        df = qs[name](spark, SF_DIR)  # prepare once (analysis/footers)
+        df.collect()                  # warm-up, untimed
+        t0 = time.perf_counter()
+        df.collect()
+        t = time.perf_counter() - t0
+        out[name] = round(t, 4)
+        total += t
+        print(f"  {name}: {t:.2f}s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "llm_tier_total", "value": round(total, 4), "unit": "sec",
+        "queries": out, "sf": os.path.basename(SF_DIR.rstrip("/")),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -387,3 +387,33 @@ def test_bm25_ranks_term_frequency(spark):
     assert [r["rank"] for r in out] == [1, 2, 3]
     assert out[0]["doc_id"] == 4          # matches all three terms
     assert {r["doc_id"] for r in out} == {1, 2, 4}  # doc 3 never scored
+
+
+def test_chunk_pack_token_conservation(spark):
+    """Invariants: non-overlapping chunking partitions the token stream
+    exactly, and packing redistributes chunks without losing any."""
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = [(i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 90))))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    chunks = text.chunk_documents(df, chunk_tokens=16, overlap=0)
+    per_doc = {r["doc_id"]: r["s"] for r in chunks.groupBy("doc_id")
+               .agg(F.sum("n_tokens").alias("s")).collect()}
+    truth = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", F.size(text.tokens(F.col("text"))).alias("n")).collect()}
+    for d, n in truth.items():
+        assert per_doc.get(d, 0) == n          # exact partition of tokens
+
+    packs = text.pack_sequences(chunks, capacity=64, shards=4)
+    assert (packs.agg(F.sum("n_tokens")).collect()[0][0]
+            == sum(truth.values()))            # packing loses nothing
+    # pack ids are dense from 0 within each shard
+    for shard, ids in {s: sorted(r["pack_id"] for r in rows_)
+                       for s, rows_ in __import__("itertools").groupby(
+                           sorted(packs.collect(), key=lambda r: r["shard"]),
+                           key=lambda r: r["shard"])}.items():
+        assert ids == list(range(len(ids)))

@@ -224,3 +224,15 @@ def test_write_parquet_partitioned(spark, tmp_path):
         ["part=0", "part=1", "part=2"]
     back = spark.read.parquet(p)
     assert back.count() == 30
+
+
+def test_dboperator_trait_tail(spark):
+    """size_hint/cost_hint/reset parity (reference operators/mod.rs:11-40)."""
+    from db_spark.ops import Q
+
+    q = Q.constant_scan(spark, [(1,), (2,), (3,)], "x long")
+    assert q.reset() is q                      # DataFrame = plan, not cursor
+    lo, hi = q.size_hint()
+    assert lo >= 0 and (hi is None or hi >= lo)
+    cost = q.cost_hint()
+    assert cost is None or cost > 0

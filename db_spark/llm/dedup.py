@@ -89,8 +89,19 @@ def shingle_table(
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exploded (id, shingle) pairs; optionally drops shingles appearing
-    in more than ``max_shingle_df`` documents (scale guard)."""
-    sh = df.select(F.col(id_col).alias("_sid"), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+    in more than ``max_shingle_df`` documents (scale guard).
+
+    Tokens are staged through a projection boundary before the gram
+    transform: Spark does no CSE inside lambdas, so inlining the regexp
+    tree would re-tokenize the text once per gram element."""
+    from db_spark.llm.text import _grams_of
+
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
+    t = df.select(F.col(id_col).alias("_sid"), toks.alias("_toks"))
+    sh = t.select(
+        "_sid",
+        F.explode(F.array_distinct(_grams_of(F.col("_toks"), n))).alias("shingle"))
     if max_shingle_df is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
         sh = sh.join(freq.filter(F.col("_df") <= max_shingle_df).drop("_df"), "shingle")
@@ -230,22 +241,29 @@ def simhash(text: Column, bits: int = 32) -> Column:
     multiplicity). Pure array-expression aggregation — no explode, no
     shuffle: per-row fold over the token array."""
     toks = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z']+"), 0)
+    # evaluation shape: hash each token ONCE (transform), then fold over
+    # the hash array, then recombine bits referencing the fold ONCE via
+    # zip_with — lambda args are attributes, so nothing re-evaluates the
+    # md5 or the fold per bit (Spark does no CSE inside lambdas; the
+    # naive inlining costs bits x md5 per token + bits x fold per row)
+    hashes = F.transform(toks, lambda t: h32(t))
     bit_votes = F.aggregate(
-        toks,
+        hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(*[
-                (F.shiftright(h32(t), j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
                 for j in range(bits)
             ]),
             lambda a, v: a + v,
         ),
     )
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        out = out + F.when(F.element_at(bit_votes, j + 1) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    contrib = F.zip_with(
+        bit_votes, powers,
+        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(contrib, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def simhash_pairs(

@@ -151,6 +151,17 @@ def ngrams(text: Column, n: int = 2) -> Column:
     )
 
 
+def _grams_of(toks: Column, n: int) -> Column:
+    """n-grams from an ALREADY-MATERIALIZED token array column."""
+    count = F.size(toks) - (n - 1)
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
@@ -160,28 +171,65 @@ def repetition_stats(
     distinct/total) and the share of the single most frequent 2-gram.
     Pure array expressions — no explode, no shuffle: repetition-filtering
     100 TB is a single scan. The most-frequent count is an O(d·n) array
-    fold per row (d = distinct grams), fine at document sizes."""
-    g2, g3 = ngrams(F.col(text_col), 2), ngrams(F.col(text_col), 3)
+    fold per row (d = distinct grams), fine at document sizes.
 
-    def dup_frac(g):
-        n = F.size(g)
+    Evaluation shape matters here: Spark does NOT eliminate common
+    subexpressions inside nested lambda functions, so the token and gram
+    arrays are staged through projection boundaries — each is computed
+    once per row; referencing the regexp/transform trees directly inside
+    the fold would re-run them per distinct gram (O(d·n) regexp scans
+    per document — a 100x slowdown observed at sf0.1)."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
+    t = df.select(F.col(id_col), toks.alias("_toks"))
+    g = t.select(
+        id_col,
+        _grams_of(F.col("_toks"), 2).alias("_g2"),
+        _grams_of(F.col("_toks"), 3).alias("_g3"),
+    )
+    d = g.select(
+        id_col, "_g2", "_g3",
+        F.array_distinct(F.col("_g2")).alias("_d2"),
+        F.array_distinct(F.col("_g3")).alias("_d3"),
+    )
+
+    def dup_frac(g_col, d_col):
+        n = F.size(g_col)
         return F.when(
             n > 0,
-            F.round((n - F.size(F.array_distinct(g))).cast("double") / n, 6),
+            F.round((n - F.size(d_col)).cast("double") / n, 6),
         ).otherwise(F.lit(0.0))
 
-    top_cnt = F.array_max(F.transform(
-        F.array_distinct(g2),
-        lambda d: F.size(F.filter(g2, lambda x: x == d)),
-    ))
+    g2, g3, d2, d3 = F.col("_g2"), F.col("_g3"), F.col("_d2"), F.col("_d3")
+    # top multiplicity as max run length over the sorted gram array —
+    # O(n log n) per row vs the O(d*n) count-each-distinct fold (~10x
+    # at ~50-token documents, more on longer ones)
+    run_state = F.aggregate(
+        F.array_sort(g2),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1)
+            .otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+    )
+    top_cnt = run_state.getField("best")
     top_frac = F.when(
         F.size(g2) > 0, F.round(top_cnt.cast("double") / F.size(g2), 6)
     ).otherwise(F.lit(0.0))
-    return df.select(
+    return d.select(
         F.col(id_col),
         F.size(g2).cast("long").alias("n_2grams"),
-        dup_frac(g2).alias("dup_2gram_frac"),
-        dup_frac(g3).alias("dup_3gram_frac"),
+        dup_frac(g2, d2).alias("dup_2gram_frac"),
+        dup_frac(g3, d3).alias("dup_3gram_frac"),
         top_frac.alias("top_2gram_frac"),
     )
 

@@ -1361,6 +1361,67 @@ def q_bm25_topk(spark, sf_dir):
     return lcorpus.bm25_topk(docs, ["spark", "merge", "window"], k=20)
 
 
+def q_span_dup(spark, sf_dir):
+    """Corpus-wide exact repeated-span flagging: documents containing a
+    5-token window that also appears in another document (substring-dedup
+    audit; grouped on a 60-bit window hash, one shuffle)."""
+    from db_spark.llm import dedup as ldedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return ldedup.span_dup_stats(docs, window=5, min_df=2)
+
+
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-flattened language mixture (tau=0.5): downsample each
+    language at sqrt(c_min/c_lang) by stable doc-id hash — rarest
+    language keeps everything; sqrt/divide are IEEE-exact so thresholds
+    are engine-identical."""
+    from db_spark.llm import corpus as lcorpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = lcorpus.temperature_sample(docs, group_col="lang", tau=0.5)
+    return out.select("doc_id", "lang")
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain cap: keep at most 20 documents per source, chosen by
+    stable id hash (reproducible anti-domination rule)."""
+    from db_spark.llm import corpus as lcorpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = lcorpus.cap_per_group(docs, group_col="source", n=20)
+    return out.select("doc_id", "source")
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII audit + scrub over a corpus with deterministically injected
+    PII (emails/phones on doc_id%7, ip/ssn on doc_id%11): per-category
+    match counts and the md5 of the redacted text. Map-only scan."""
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = (
+        F.when(did % 7 == 0, F.concat(
+            F.col("text"), F.lit(" reach user"), did.cast("string"),
+            F.lit("@example.com or call 555-867-5309")))
+        .when(did % 11 == 0, F.concat(
+            F.lit("host 10.0."), (did % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789 "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    staged = docs.select("doc_id", aug.alias("_text"))
+    pc = staged.withColumn("_pc", ltext.pii_counts(F.col("_text")))
+    return pc.select(
+        "doc_id",
+        F.col("_pc.n_email").alias("n_email"),
+        F.col("_pc.n_ssn").alias("n_ssn"),
+        F.col("_pc.n_phone").alias("n_phone"),
+        F.col("_pc.n_ipv4").alias("n_ipv4"),
+        F.md5(ltext.redact_pii(F.col("_text"))).alias("redacted_md5"),
+    )
+
+
 def q_deterministic_split(spark, sf_dir):
     """Reproducible train/val/test split by stable content hash — no RNG
     state, invariant under repartitioning/re-runs/engine (the correct way
@@ -1417,6 +1478,37 @@ def _guarded_shingles(max_df: int) -> str:
         shok AS (SELECT shingle FROM sh0 GROUP BY shingle
                  HAVING count(*) <= {max_df}),
         sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN shok USING (shingle))
+    """
+
+
+def _pii_oracle() -> str:
+    """redact_pii oracle built from the SAME pattern strings the Spark
+    side uses (db_spark.llm.text.PII_PATTERNS) — the patterns stay in the
+    Java-regex/RE2 shared subset, so match sets are byte-identical."""
+    from db_spark.llm.text import PII_PATTERNS
+
+    redacted = "t"
+    for _, pat, token in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{token}', 'g')"
+    counts = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    return f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN text || ' reach user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com or call 555-867-5309'
+                      WHEN doc_id % 11 = 0
+                      THEN 'host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                           || '.7 ssn 123-45-6789 ' || text
+                      ELSE text END AS t
+          FROM documents)
+        SELECT doc_id,
+               {counts},
+               md5({redacted}) AS redacted_md5
+        FROM aug
     """
 
 
@@ -1775,6 +1867,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "bm25_topk": q_bm25_topk,
+        # -- new in round 2, second wave (positions 51+: rotate into the
+        # driver window next round; oracle-checked locally meanwhile) -------
+        "span_dup": q_span_dup,
+        "temperature_sample": q_temperature_sample,
+        "domain_cap": q_domain_cap,
+        "redact_pii": q_redact_pii,
         # -- round-1-verified (CORRECTNESS_r01 green), below the window -----
         "projection": q_projection,
         "take": q_take,
@@ -2760,6 +2858,49 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM documents
         """,
+        "span_dup": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            w AS (SELECT doc_id, len(toks) - 4 AS nw,
+                         unnest(range(1, greatest(len(toks) - 3, 1))) AS pos,
+                         toks
+                  FROM tok),
+            g AS (SELECT doc_id, nw, pos,
+                         ('0x' || substr(md5(
+                             toks[pos] || ' ' || toks[pos+1] || ' ' ||
+                             toks[pos+2] || ' ' || toks[pos+3] || ' ' ||
+                             toks[pos+4]), 1, 15))::BIGINT AS wh
+                  FROM w),
+            freq AS (SELECT wh FROM g GROUP BY wh
+                     HAVING count(DISTINCT doc_id) >= 2)
+            SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
+                   CAST(count(*) AS BIGINT) AS n_dup_windows,
+                   CAST(count(DISTINCT wh) AS BIGINT) AS n_dup_distinct,
+                   CAST(min(pos) AS BIGINT) AS first_dup_pos,
+                   round(count(*)::DOUBLE / nw, 6) AS dup_frac
+            FROM g JOIN freq USING (wh)
+            GROUP BY doc_id, nw
+        """,
+        "temperature_sample": f"""
+            WITH counts AS (SELECT lang, count(*) AS cg FROM documents
+                            GROUP BY lang),
+            ppm AS (SELECT lang,
+                           CAST(round(sqrt((SELECT min(cg) FROM counts)::DOUBLE
+                                           / cg) * 1000000) AS BIGINT) AS p
+                    FROM counts)
+            SELECT d.doc_id, d.lang FROM documents d JOIN ppm USING (lang)
+            WHERE {_H32.format(x="CAST(doc_id AS VARCHAR)")} % 1000000 < p
+        """,
+        "domain_cap": f"""
+            WITH r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY {_H32.format(x="CAST(doc_id AS VARCHAR)")},
+                                  doc_id) AS rk
+              FROM documents)
+            SELECT doc_id, source FROM r WHERE rk <= 20
+        """,
+        "redact_pii": _pii_oracle(),
         "media_features": """
             SELECT doc_id AS media_id,
                    'doc' AS modality,

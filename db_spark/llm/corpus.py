@@ -75,6 +75,68 @@ def stratified_sample(
 
 
 # ---------------------------------------------------------------------------
+# Corpus mixing: temperature resampling + per-domain caps
+# ---------------------------------------------------------------------------
+
+def temperature_sample(
+    df: DataFrame, group_col: str = "source", tau: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flatten the corpus mixture toward p_g ∝ count_g^tau (tau < 1
+    upweights rare domains — the multilingual-sampling rule) by
+    deterministic downsampling: acceptance rate a_g = (count_g)^(tau-1)
+    normalized so the rarest group keeps everything. Rates become exact
+    parts-per-million thresholds against the stable id hash, so the
+    sample is invariant under partitioning, re-runs, and engine.
+
+    One count aggregation (|groups| rows, broadcast back) + a map-only
+    filter — two scans, no corpus shuffle, at any scale.
+
+    For ``tau=0.5`` the rate is sqrt(c_min/c_g): IEEE-754 requires
+    correctly-rounded divide and sqrt, so Spark and an oracle engine
+    compute bit-identical thresholds. Other tau go through pow(), where
+    the last ulp is implementation-defined — fine for training pipelines,
+    but an exact-match oracle should pin tau=0.5."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cg"))
+    w = Window.partitionBy()  # global agg over the tiny counts table
+    if tau == 0.5:
+        rate = F.sqrt(F.min("_cg").over(w).cast("double") / F.col("_cg"))
+    else:
+        num = F.pow(F.col("_cg").cast("double"), F.lit(tau - 1.0))
+        rate = num / F.max(F.pow(F.col("_cg").cast("double"), F.lit(tau - 1.0))).over(w)
+    ppm = counts.select(
+        group_col, F.round(rate * 1_000_000).cast("long").alias("_ppm"))
+    bucket = h32(F.col(id_col).cast("string")) % 1_000_000
+    return (
+        df.join(F.broadcast(ppm), group_col)
+        .filter(bucket < F.col("_ppm"))
+        .drop("_ppm")
+    )
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str = "source", n: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen by stable id hash (with
+    id tiebreak) — the domain-cap rule that stops any single crawl host
+    from dominating the mixture, reproducibly.
+
+    One shuffle by group. A group with billions of rows lands on one
+    reducer only for its top-n heap: rank windows with a cap push a
+    per-partition limit before the final sort at the physical level; for
+    pathological skew, pre-filter with an approximate per-group hash
+    threshold before ranking (same trick as salting)."""
+    hb = h32(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(hb, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # BM25 keyword retrieval
 # ---------------------------------------------------------------------------
 

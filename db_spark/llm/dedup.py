@@ -301,6 +301,79 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Exact repeated-span detection (substring-dedup flagging)
+# ---------------------------------------------------------------------------
+
+def h60(c: Column) -> Column:
+    """Deterministic 60-bit string hash: first 15 hex digits of md5.
+    SQL equivalent: ``('0x' || substr(md5(x),1,15))::BIGINT``. Fits a
+    signed int64; collision odds for N keys ~ N^2 / 2^61."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def span_dup_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    window: int = 8, min_df: int = 2,
+) -> DataFrame:
+    """Per-document stats on token windows duplicated *across* the corpus
+    — the flagging half of exact substring dedup ("Deduplicating Training
+    Data Makes Language Models Better" does this with a suffix array; a
+    fixed-width sliding window over the token stream catches the same
+    >=window-token repeated spans, since any long shared substring
+    contains a shared window).
+
+    Shape at 100 TB: the window table has one row per token (the same
+    cardinality a suffix array indexes) and is shuffled once, grouped by
+    a 60-bit window hash rather than the window string so shuffle width
+    is (id, pos, int64) instead of carrying ~window words of text per
+    row. Both engines hash identically (md5 prefix), so a collision —
+    ~N^2/2^61 — changes both sides the same way. Only flagged documents
+    are returned (docs whose every window is corpus-unique produce no
+    row); total windows per doc ride along as a grouping key, so there is
+    no corpus-wide join back.
+
+    Returns (id, n_windows, n_dup_windows, n_dup_distinct, first_dup_pos,
+    dup_frac) for documents containing at least one window that appears
+    in >= ``min_df`` distinct documents."""
+    from db_spark.llm.text import _grams_of
+
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
+    t = df.select(F.col(id_col).alias("_sid"), toks.alias("_toks"))
+    wins = t.select(
+        "_sid",
+        F.transform(_grams_of(F.col("_toks"), window), h60).alias("_wins"))
+    w = wins.select(
+        "_sid",
+        F.size("_wins").alias("_nw"),
+        F.posexplode("_wins").alias("_pos", "_wh"),
+    )
+    freq = (
+        w.groupBy("_wh").agg(F.countDistinct("_sid").alias("_wdf"))
+        .filter(F.col("_wdf") >= min_df).select("_wh")
+    )
+    dup = w.join(freq, "_wh")
+    return (
+        dup.groupBy("_sid", "_nw")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.countDistinct("_wh").alias("n_dup_distinct"),
+            F.min("_pos").alias("_minpos"),
+        )
+        .select(
+            F.col("_sid").alias(id_col),
+            F.col("_nw").cast("long").alias("n_windows"),
+            F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+            F.col("n_dup_distinct").cast("long").alias("n_dup_distinct"),
+            (F.col("_minpos") + 1).cast("long").alias("first_dup_pos"),
+            F.round(
+                F.col("n_dup_windows").cast("double") / F.col("_nw"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup clustering: connected components over candidate pairs
 # ---------------------------------------------------------------------------
 

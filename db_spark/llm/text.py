@@ -86,6 +86,39 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+#: PII patterns, applied in this order (earlier rewrites can't create
+#: later matches; SSN before phone so 123-45-6789 is never half-eaten).
+#: Kept to the regex subset shared by Java regex and RE2 (ASCII classes,
+#: bounded repeats, \b) so an oracle engine matches byte-identically.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IPV4]"),
+]
+
+
+def pii_counts(text: Column) -> Column:
+    """Struct of per-category PII match counts (email, ssn, phone, ipv4)
+    on the raw text — the audit half of a scrubbing pass. Counts are
+    taken before any rewrite, so categories don't steal each other's
+    matches; scan-speed Column expressions."""
+    return F.struct(*[
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ])
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace PII matches with typed placeholder tokens ([EMAIL], [SSN],
+    [PHONE], [IPV4]), in PII_PATTERNS order. Map-only: redacting 100 TB
+    is a single scan with no shuffle."""
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
 def language_id(text: Column) -> Column:
     """Stopword-vote language ID over STOPWORDS; ties break by language
     code order; no votes -> 'und' (undetermined)."""

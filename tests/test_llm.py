@@ -417,3 +417,80 @@ def test_chunk_pack_token_conservation(spark):
                            sorted(packs.collect(), key=lambda r: r["shard"]),
                            key=lambda r: r["shard"])}.items():
         assert ids == list(range(len(ids)))
+
+
+def test_span_dup_stats(spark):
+    """Docs 1 and 2 share an exact 6-token span; doc 3 shares nothing
+    that long. window=5 flags only 1 and 2, with correct window counts."""
+    shared = "one two three four five six"  # 6 tokens -> two 5-windows
+    rows = [
+        (1, f"alpha beta {shared} gamma"),
+        (2, f"{shared} delta epsilon zeta"),
+        (3, "one two three other words entirely unrelated here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.span_dup_stats(df, window=5).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: 9 tokens -> 5 windows, 2 duplicated (at 1-based pos 3 and 4)
+    assert out[1]["n_windows"] == 5
+    assert out[1]["n_dup_windows"] == 2
+    assert out[1]["first_dup_pos"] == 3
+    # doc 2: shared span at the start -> first dup window at pos 1
+    assert out[2]["first_dup_pos"] == 1
+    assert out[2]["dup_frac"] == pytest.approx(2 / 5)
+
+
+def test_temperature_sample_flattens_mixture(spark):
+    """tau=0.5 keeps all of the rarest group and ~sqrt(c_min/c_g) of the
+    rest; the sample is a deterministic subset (re-run identical)."""
+    from db_spark.llm import corpus
+
+    rows = [(i, "en" if i < 900 else "fr") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = corpus.temperature_sample(df, group_col="lang", tau=0.5)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["fr"] == 100                      # rarest keeps everything
+    expected_en = (100 / 900) ** 0.5 * 900       # ~300
+    assert abs(got["en"] - expected_en) < 60     # hash-uniform tolerance
+    again = corpus.temperature_sample(df, group_col="lang", tau=0.5)
+    assert sorted(r["doc_id"] for r in again.collect()) == \
+        sorted(r["doc_id"] for r in out.collect())
+
+
+def test_cap_per_group(spark):
+    """At most n rows kept per group, by stable hash — deterministic."""
+    from db_spark.llm import corpus
+
+    rows = [(i, f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus.cap_per_group(df, group_col="source", n=5)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"s0": 5, "s1": 5, "s2": 5}
+    again = corpus.cap_per_group(df, group_col="source", n=5)
+    assert sorted(r["doc_id"] for r in again.collect()) == \
+        sorted(r["doc_id"] for r in out.collect())
+
+
+def test_redact_pii(spark):
+    """Each category is counted on the raw text and replaced by its
+    typed token; SSN is consumed before the phone pattern can half-eat
+    it; clean text passes through untouched."""
+    rows = [
+        (1, "mail a.b+c@ex-ample.org or x@y.io now"),
+        (2, "ssn 123-45-6789 phone 555-867-5309 ip 10.0.0.7"),
+        (3, "no pii in this perfectly ordinary sentence"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        text.pii_counts(F.col("text")).alias("c"),
+        text.redact_pii(F.col("text")).alias("red"),
+    ).select("doc_id", "c.*", "red").collect()}
+    assert (out[1]["n_email"], out[1]["n_ssn"]) == (2, 0)
+    assert out[1]["red"] == "mail [EMAIL] or [EMAIL] now"
+    assert (out[2]["n_email"], out[2]["n_ssn"], out[2]["n_phone"],
+            out[2]["n_ipv4"]) == (0, 1, 1, 1)
+    assert out[2]["red"] == "ssn [SSN] phone [PHONE] ip [IPV4]"
+    assert out[3]["red"] == rows[2][1]

@@ -212,14 +212,22 @@ def quantize_int8(
     shuffle width 4x (float32) / 8x (float64) for ANN-recall workloads.
     Pure Column expressions; zero vectors get scale 0 and all-zero codes.
     Returns (id, scale, qvec array<int>)."""
+    # scale is staged through a projection boundary: referencing the
+    # array_max tree inside the per-element lambda would re-reduce the
+    # whole vector per element (Spark does no CSE inside lambdas —
+    # O(dim^2) per row; ~5x observed on the embeddings table at sf0.1)
     v = _dbl(F.col(vec_col))
-    maxabs = F.array_max(F.transform(v, F.abs))
-    scale = (maxabs / F.lit(127.0)).alias("scale")
+    staged = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        (F.array_max(F.transform(v, F.abs)) / F.lit(127.0)).alias("_scale"),
+    )
+    s = F.col("_scale")
     q = F.when(
-        maxabs > 0,
-        F.transform(v, lambda x: F.round(x / (maxabs / F.lit(127.0))).cast("int")),
-    ).otherwise(F.transform(v, lambda x: F.lit(0)))
-    return df.select(F.col(id_col), scale, q.alias("qvec"))
+        s > 0,
+        F.transform(F.col("_v"), lambda x: F.round(x / s).cast("int")),
+    ).otherwise(F.transform(F.col("_v"), lambda x: F.lit(0)))
+    return staged.select(F.col(id_col), s.alias("scale"), q.alias("qvec"))
 
 
 def dequantize(scale: Column, qvec: Column) -> Column:

@@ -341,17 +341,61 @@ def pack_sequences(
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One-pass per-document statistics table."""
+    """One-pass per-document statistics table.
+
+    Values are identical to composing the standalone Column functions,
+    but every regex/array reduction is staged through projection
+    boundaries so it runs once per row: the naive composition evaluates
+    the tokenize regex ~15x per row (each language vote appears in the
+    greatest() AND in two when() branches, and quality/ratios each embed
+    their own copy of the token tree — Spark does no CSE across these)."""
     t = F.col(text_col)
-    return df.select(
+    toks = tokens(t)
+    s1 = df.select(
+        F.col(id_col), t.alias("_t"), toks.alias("_toks"),
+        F.transform(toks, lambda x: F.lower(x)).alias("_lt"),
+    )
+    # stage every regex / array reduction as a scalar, exactly once
+    votes = {
+        lang: F.size(F.filter(F.col("_lt"), lambda x: x.isin(sw)))
+        for lang, sw in STOPWORDS.items()
+    }
+    s2 = s1.select(
         F.col(id_col),
-        F.length(t).cast("long").alias("n_chars"),
-        token_count(t).alias("n_tokens"),
-        bpe_token_count(t).alias("n_bpe_tokens"),
-        punct_ratio(t).alias("punct_ratio"),
-        stopword_ratio(t).alias("stopword_ratio_en"),
-        avg_word_len(t).alias("avg_word_len"),
-        quality_score(t).alias("quality"),
-        fingerprint(t).alias("fingerprint"),
-        language_id(t).alias("lang_pred"),
+        F.length("_t").cast("long").alias("n_chars"),
+        F.size("_toks").cast("long").alias("_n"),
+        F.size(F.regexp_extract_all(F.col("_t"), F.lit(_BPE_RE), 0))
+        .cast("long").alias("n_bpe_tokens"),
+        (F.length(F.regexp_replace(F.col("_t"), r"[a-zA-Z0-9\s]", ""))
+         .cast("double") / F.length("_t").cast("double")).alias("punct_ratio"),
+        F.aggregate(F.transform(F.col("_toks"), F.length), F.lit(0),
+                    lambda a, x: a + x).alias("_lensum"),
+        fingerprint(F.col("_t")).alias("fingerprint"),
+        *[v.cast("long").alias(f"_v_{lang}") for lang, v in votes.items()],
+    )
+    n = F.col("_n")
+    nd = n.cast("double")
+    swr = F.when(n > 0, F.col("_v_en").cast("double") / nd).otherwise(F.lit(0.0))
+    quality = (
+        F.least(nd / F.lit(20.0), F.lit(1.0)) * 0.4
+        + F.least(swr * 4.0, F.lit(1.0)) * 0.3
+        + F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 4.0) * 0.3
+    )
+    best = F.greatest(*[F.col(f"_v_{lang}") for lang in STOPWORDS])
+    lang_pred = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        v = F.col(f"_v_{lang}")
+        lang_pred = F.when((v > 0) & (v == best), F.lit(lang)).otherwise(lang_pred)
+    return s2.select(
+        F.col(id_col),
+        F.col("n_chars"),
+        n.alias("n_tokens"),
+        F.col("n_bpe_tokens"),
+        F.col("punct_ratio"),
+        swr.alias("stopword_ratio_en"),
+        F.when(n > 0, F.col("_lensum").cast("double") / nd)
+        .otherwise(F.lit(0.0)).alias("avg_word_len"),
+        quality.alias("quality"),
+        F.col("fingerprint"),
+        lang_pred.alias("lang_pred"),
     )

@@ -239,22 +239,35 @@ def dequantize(scale: Column, qvec: Column) -> Column:
 # SRP-LSH — signed random projections (embedding near-dup at scale)
 # ---------------------------------------------------------------------------
 
+def _srp_signs(dim: int, n_bits: int) -> list[list[float]]:
+    """±1 hyperplane components, sign(i, j) = md5("i_j") first-8-hex % 2
+    mapped to {-1, +1} — the same md5 family the SQL oracle derives its
+    signs from, but folded to constants at plan-build time: the signs
+    depend only on (bit, component), never on data, so evaluating an md5
+    per (bit x element x row) was pure waste (16 x dim md5s per row)."""
+    import hashlib
+
+    return [
+        [
+            float((int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:8], 16) % 2) * 2 - 1)
+            for j in range(dim)
+        ]
+        for i in range(n_bits)
+    ]
+
+
 def srp_signature(vec: Column, dim: int, n_bits: int = 16) -> Column:
     """n_bits-bit sign signature under deterministic ±1 hyperplanes
     (component signs derived from md5 of 'bit_component'). Cosine-similar
-    vectors agree on most bits."""
+    vectors agree on most bits. The hyperplanes are literal arrays in the
+    plan — per row the work is n_bits signed dot products, no hashing."""
     v = _dbl(vec)
-
-    def _signed_component(i: int):
-        def fn(x, j):
-            sign = (h32(F.concat_ws("_", F.lit(str(i)), j.cast("string"))) % 2) * 2 - 1
-            return x * sign.cast("double")
-        return fn
-
+    signs = _srp_signs(dim, n_bits)
     out = F.lit(0).cast("long")
     for i in range(n_bits):
+        plane = F.array(*[F.lit(s) for s in signs[i]])
         proj = F.aggregate(
-            F.zip_with(v, F.sequence(F.lit(0), F.lit(dim - 1)), _signed_component(i)),
+            F.zip_with(v, plane, lambda x, s: x * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

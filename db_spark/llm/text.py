@@ -160,13 +160,19 @@ def chunk_documents(
     exploded = df.select(
         F.col(id_col), toks.alias("_toks"),
         F.explode(ids).alias("chunk_id"))
-    piece = F.slice(
-        F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
-    return exploded.select(
+    # slice staged once; referencing it from both outputs would cut the
+    # window out of the token array twice per chunk
+    staged = exploded.select(
         id_col,
         F.col("chunk_id").cast("long").alias("chunk_id"),
-        F.size(piece).cast("long").alias("n_tokens"),
-        F.array_join(piece, " ").alias("chunk_text"),
+        F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1,
+                chunk_tokens).alias("_piece"),
+    )
+    return staged.select(
+        id_col,
+        "chunk_id",
+        F.size("_piece").cast("long").alias("n_tokens"),
+        F.array_join(F.col("_piece"), " ").alias("chunk_text"),
     )
 
 

@@ -323,10 +323,13 @@ def span_dup_stats(
     contains a shared window).
 
     Shape at 100 TB: the window table has one row per token (the same
-    cardinality a suffix array indexes) and is shuffled once, grouped by
-    a 60-bit window hash rather than the window string so shuffle width
-    is (id, pos, int64) instead of carrying ~window words of text per
-    row. Both engines hash identically (md5 prefix), so a collision —
+    cardinality a suffix array indexes), grouped by a 60-bit window hash
+    rather than the window string so shuffle width is (id, pos, int64)
+    instead of carrying ~window words of text per row. Two passes over
+    the corpus (like unigram_surprisal/BM25): pass 1 aggregates hashes to
+    the >= min_df dup set, pass 2 rebuilds windows and joins the much
+    smaller dup set back — recomputing beats caching a token-cardinality
+    table. Both engines hash identically (md5 prefix), so a collision —
     ~N^2/2^61 — changes both sides the same way. Only flagged documents
     are returned (docs whose every window is corpus-unique produce no
     row); total windows per doc ride along as a grouping key, so there is

@@ -494,3 +494,72 @@ def test_redact_pii(spark):
             out[2]["n_ipv4"]) == (0, 1, 1, 1)
     assert out[2]["red"] == "ssn [SSN] phone [PHONE] ip [IPV4]"
     assert out[3]["red"] == rows[2][1]
+
+
+def test_span_dup_edges(spark):
+    """Edge semantics: min_df counts DISTINCT docs (a span repeated only
+    within one document is not corpus-duplicated); docs shorter than the
+    window never appear; exact-window-length docs produce one window."""
+    rows = [
+        (1, "a b c d e a b c d e"),        # internal repeat only
+        (2, "one two three four"),          # 4 tokens < window=5
+        (3, "p q r s t"),                   # exactly one window
+        (4, "x p q r s t y"),               # contains doc 3's window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.span_dup_stats(df, window=5).collect()}
+    assert set(out) == {3, 4}               # 1 not flagged, 2 absent
+    assert out[3]["n_windows"] == 1 and out[3]["n_dup_windows"] == 1
+    assert out[4]["first_dup_pos"] == 2
+
+
+def test_span_dup_matches_python_model(spark):
+    """Cross-check against an independent pure-Python implementation on
+    a seeded random corpus (third implementation next to the DuckDB
+    oracle)."""
+    import random
+    import re
+    from collections import Counter
+
+    rng = random.Random(11)
+    vocab = ["ab", "cd", "ef", "gh", "ij"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14))))
+            for i in range(120)]
+    W = 3
+    wins = {}
+    for i, t in rows:
+        toks = re.findall(r"[a-z']+", t.lower())
+        wins[i] = [" ".join(toks[k:k + W]) for k in range(len(toks) - W + 1)]
+    docs_per_win = Counter()
+    for i, ws in wins.items():
+        for w in set(ws):
+            docs_per_win[w] += 1
+    expect = {}
+    for i, ws in wins.items():
+        dup = [(p + 1, w) for p, w in enumerate(ws) if docs_per_win[w] >= 2]
+        if dup:
+            expect[i] = (len(ws), len(dup), len({w for _, w in dup}),
+                         min(p for p, _ in dup))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"],
+                         r["n_dup_distinct"], r["first_dup_pos"])
+           for r in dedup.span_dup_stats(df, window=W).collect()}
+    assert got == expect
+
+
+def test_temperature_sample_single_group_keeps_all(spark):
+    from db_spark.llm import corpus
+
+    df = spark.createDataFrame([(i, "en") for i in range(50)],
+                               "doc_id long, lang string")
+    assert corpus.temperature_sample(df, group_col="lang").count() == 50
+
+
+def test_redact_pii_boundaries(spark):
+    """PII at the string edges and back-to-back matches all redact."""
+    rows = [(1, "a@b.io 1.2.3.4"), (2, "999-12-3456")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["red"] for r in df.select(
+        "doc_id", text.redact_pii(F.col("text")).alias("red")).collect()}
+    assert got[1] == "[EMAIL] [IPV4]"
+    assert got[2] == "[SSN]"

@@ -1422,6 +1422,19 @@ def q_redact_pii(spark, sf_dir):
     )
 
 
+def q_span_dedup(spark, sf_dir):
+    """Exact substring dedup (removal): corpus-duplicated 5-token spans
+    are cut from every document except the lowest-id owner; changed
+    documents come back reassembled with removal counts."""
+    from db_spark.llm import dedup as ldedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ldedup.remove_dup_spans(docs, window=5)
+    return out.select(
+        "doc_id", "n_tokens_before", "n_tokens_removed",
+        F.md5("clean_text").alias("clean_md5"))
+
+
 def q_deterministic_split(spark, sf_dir):
     """Reproducible train/val/test split by stable content hash — no RNG
     state, invariant under repartitioning/re-runs/engine (the correct way
@@ -1870,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 2, second wave (positions 51+: rotate into the
         # driver window next round; oracle-checked locally meanwhile) -------
         "span_dup": q_span_dup,
+        "span_dedup": q_span_dedup,
         "temperature_sample": q_temperature_sample,
         "domain_cap": q_domain_cap,
         "redact_pii": q_redact_pii,
@@ -2879,6 +2893,41 @@ def oracle_sql() -> dict[str, str]:
                    round(count(*)::DOUBLE / nw, 6) AS dup_frac
             FROM g JOIN freq USING (wh)
             GROUP BY doc_id, nw
+        """,
+        "span_dedup": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            w AS (SELECT doc_id,
+                         unnest(range(1, greatest(len(toks) - 3, 1))) AS pos,
+                         toks
+                  FROM tok),
+            g AS (SELECT doc_id, pos,
+                         ('0x' || substr(md5(
+                             toks[pos] || ' ' || toks[pos+1] || ' ' ||
+                             toks[pos+2] || ' ' || toks[pos+3] || ' ' ||
+                             toks[pos+4]), 1, 15))::BIGINT AS wh
+                  FROM w),
+            winners AS (SELECT wh, min(doc_id) AS keep FROM g
+                        GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+            covered AS (SELECT DISTINCT g.doc_id AS doc_id,
+                                        g.pos + r.off AS tp
+                        FROM g JOIN winners USING (wh)
+                        CROSS JOIN range(0, 5) AS r(off)
+                        WHERE g.doc_id != keep),
+            aff AS (SELECT DISTINCT doc_id FROM covered),
+            tokr AS (SELECT t.doc_id, len(toks) AS nb,
+                            unnest(range(1, len(toks) + 1)) AS tp, toks
+                     FROM tok t JOIN aff USING (doc_id)),
+            fl AS (SELECT tr.doc_id, nb, tr.tp, tr.toks[tr.tp] AS tk,
+                          (c.tp IS NOT NULL) AS cov
+                   FROM tokr tr LEFT JOIN covered c
+                     ON tr.doc_id = c.doc_id AND tr.tp = c.tp)
+            SELECT doc_id, CAST(nb AS BIGINT) AS n_tokens_before,
+                   CAST(sum(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_tokens_removed,
+                   md5(coalesce(string_agg(CASE WHEN NOT cov THEN tk END,
+                                           ' ' ORDER BY tp), ''))
+                       AS clean_md5
+            FROM fl GROUP BY doc_id, nb
         """,
         "temperature_sample": f"""
             WITH counts AS (SELECT lang, count(*) AS cg FROM documents

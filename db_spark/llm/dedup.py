@@ -376,6 +376,87 @@ def span_dup_stats(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Exact substring dedup, removal half: for every token window that
+    appears in >= 2 documents, the lowest-id document keeps its text and
+    every other document has the covered tokens cut out; the survivors
+    are reassembled in order. Internal repetition within a single
+    document is untouched (cross-corpus dedup, not compression).
+
+    Cost class at 100 TB = suffix-array substring dedup: one shuffle at
+    token cardinality (the anti-join of token rows against covered
+    positions) plus the two-pass window aggregation of span_dup_stats.
+    Reassembly is a per-document sort of its own tokens — memory bounded
+    by document length, never corpus size.
+
+    Returns (id, n_tokens_before, n_tokens_removed, clean_text) for
+    documents that changed."""
+    from db_spark.llm.text import _grams_of
+
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
+    t = df.select(F.col(id_col).alias("_sid"), toks.alias("_toks"))
+    w = t.select(
+        "_sid",
+        F.posexplode(
+            F.transform(_grams_of(F.col("_toks"), window), h60)
+        ).alias("_pos", "_wh"),
+    )
+    winners = (
+        w.groupBy("_wh")
+        .agg(F.min("_sid").alias("_keep"), F.countDistinct("_sid").alias("_wdf"))
+        .filter(F.col("_wdf") >= 2)
+        .select("_wh", "_keep")
+    )
+    covered = (
+        w.join(winners, "_wh")
+        .filter(F.col("_sid") != F.col("_keep"))
+        .select(
+            "_sid",
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + (window - 1))
+            ).alias("_tp"),
+        )
+        .distinct()
+    )
+    # only affected documents are ever re-tokenized/reassembled (semi-
+    # join on the distinct flagged ids); a LEFT join + conditional agg —
+    # not an anti-join — so a fully-covered document still comes back,
+    # as (n_removed = n_before, clean_text = '')
+    affected = covered.select("_sid").distinct()
+    tok_rows = (
+        t.join(affected, "_sid")
+        .select("_sid", F.size("_toks").alias("_nb"),
+                F.posexplode("_toks").alias("_tp", "_tok"))
+    )
+    flagged = tok_rows.join(
+        covered.withColumn("_cov", F.lit(1)), ["_sid", "_tp"], "left")
+    rebuilt = (
+        flagged.groupBy("_sid", "_nb")
+        .agg(
+            F.sum(F.when(F.col("_cov").isNull(), 1).otherwise(0)).alias("_na"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("_cov").isNull(),
+                               F.struct("_tp", "_tok")))),
+                    lambda x: x.getField("_tok"),
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    return rebuilt.select(
+        F.col("_sid").alias(id_col),
+        F.col("_nb").cast("long").alias("n_tokens_before"),
+        (F.col("_nb") - F.col("_na")).cast("long").alias("n_tokens_removed"),
+        "clean_text",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup clustering: connected components over candidate pairs
 # ---------------------------------------------------------------------------

@@ -563,3 +563,24 @@ def test_redact_pii_boundaries(spark):
         "doc_id", text.redact_pii(F.col("text")).alias("red")).collect()}
     assert got[1] == "[EMAIL] [IPV4]"
     assert got[2] == "[SSN]"
+
+
+def test_remove_dup_spans(spark):
+    """The lowest-id owner of a duplicated span keeps its text; others
+    lose exactly the covered tokens; a fully-covered doc comes back
+    empty rather than vanishing; untouched docs are not returned."""
+    span = "one two three four five"
+    rows = [
+        (1, f"intro {span} outro"),
+        (2, f"start {span} end"),
+        (3, span),                    # fully covered
+        (4, "nothing shared here at all today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.remove_dup_spans(df, window=5).collect()}
+    assert set(out) == {2, 3}         # doc 1 is the winner, 4 untouched
+    assert out[2]["n_tokens_removed"] == 5
+    assert out[2]["clean_text"] == "start end"
+    assert out[3]["n_tokens_removed"] == 5
+    assert out[3]["clean_text"] == ""

@@ -295,8 +295,11 @@ def simhash_pairs(
         a.join(b, ["seg_id", "seg_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.alias("hamming"))
-        .distinct()
+        # filter BEFORE the dedup exchange: pairs sharing several
+        # segments have one fixed hamming, so dropping >max first is
+        # value-identical and the distinct shuffles only survivors
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

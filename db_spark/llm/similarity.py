@@ -34,6 +34,18 @@ def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(_dbl(a), F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _dot_d(a: Column, b: Column) -> Column:
+    """Dot product of two already-double array columns (no cast pass)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x)
+
+
+def _norm_d(v: Column) -> Column:
+    """L2 norm of an already-double array column."""
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
@@ -48,13 +60,22 @@ def brute_force_topk(
     work fully partition-parallel, no shuffle until the final top-k
     (which AQE keeps tiny). Ranking key is (rounded sim desc, id asc)
     for cross-engine determinism."""
+    # casts and norms staged per SIDE: a corpus row's norm is the same
+    # for every query, so computing it inside cosine() per pair costs
+    # |Q| extra array folds per corpus row (same for the query side);
+    # arithmetic is unchanged — dot / (norm_a * norm_b) on the same
+    # doubles — so results are bit-identical
+    c = corpus.select(F.col(id_col), _dbl(F.col(vec_col)).alias("_cv"))
+    c = c.select(id_col, "_cv", _norm_d(F.col("_cv")).alias("_cn"))
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
-    )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col), _dbl(F.col(vec_col)).alias("_qv"))
+    q = q.select(query_id_col, "_qv", _norm_d(F.col("_qv")).alias("_qn"))
+    scored = c.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("sim"),
+        F.round(
+            _dot_d(F.col("_cv"), F.col("_qv"))
+            / (F.col("_cn") * F.col("_qn")), 6).alias("sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (
@@ -79,25 +100,26 @@ def ivf_assign(
         corpus.orderBy(F.col(id_col)).limit(n_cells)
         .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cvec"))
     )
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col), F.col(vec_col), F.col("cell_id"),
-        F.round(cosine(F.col(vec_col), F.col("_cvec")), 6).alias("_csim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("cell_id"))
-    assigned = (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select(id_col, vec_col, "cell_id")
-    )
-    return centroids, assigned
+    return centroids, _assign_to(corpus, centroids, id_col, vec_col)
 
 
 def _assign_to(corpus: DataFrame, centroids: DataFrame,
                id_col: str, vec_col: str) -> DataFrame:
-    """Nearest-centroid assignment (cosine; ties to the lowest cell_id)."""
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+    """Nearest-centroid assignment (cosine; ties to the lowest cell_id).
+    Corpus-row and centroid casts/norms are staged per side — inside
+    cosine() per pair they would each be recomputed n_cells (resp.
+    |corpus|) times; arithmetic order is unchanged, so assignments are
+    bit-identical."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), _dbl(F.col(vec_col)).alias("_cv"))
+    c = c.select(id_col, vec_col, "_cv", _norm_d(F.col("_cv")).alias("_cn"))
+    cent = centroids.select("cell_id", _dbl(F.col("_cvec")).alias("_ce"))
+    cent = cent.select("cell_id", "_ce", _norm_d(F.col("_ce")).alias("_cen"))
+    scored = c.crossJoin(F.broadcast(cent)).select(
         F.col(id_col), F.col(vec_col), F.col("cell_id"),
-        F.round(cosine(F.col(vec_col), F.col("_cvec")), 6).alias("_csim"),
+        F.round(
+            _dot_d(F.col("_cv"), F.col("_ce"))
+            / (F.col("_cn") * F.col("_cen")), 6).alias("_csim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("cell_id"))
     return (
@@ -188,9 +210,20 @@ def ivf_topk(
         .filter(F.col("_rk") <= n_probe)
         .select(query_id_col, "_qvec", "cell_id")
     )
-    scored = assigned.join(F.broadcast(probes), "cell_id").select(
+    # corpus-side casts/norms staged once per row (see brute_force_topk)
+    asg = assigned.select(
+        "cell_id", F.col(id_col), _dbl(F.col(vec_col)).alias("_cv"))
+    asg = asg.select("cell_id", id_col, "_cv",
+                     _norm_d(F.col("_cv")).alias("_cn"))
+    pq = probes.select(
+        query_id_col, "cell_id", _dbl(F.col("_qvec")).alias("_qv"))
+    pq = pq.select(query_id_col, "cell_id", "_qv",
+                   _norm_d(F.col("_qv")).alias("_qn"))
+    scored = asg.join(F.broadcast(pq), "cell_id").select(
         F.col(query_id_col), F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("sim"),
+        F.round(
+            _dot_d(F.col("_cv"), F.col("_qv"))
+            / (F.col("_cn") * F.col("_qn")), 6).alias("sim"),
     )
     wk = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (
@@ -292,11 +325,13 @@ def embedding_near_dup_pairs(
     seg_n = max_hamming + 1
     seg_bits = max(1, n_bits // seg_n)
     sig = corpus.select(
-        F.col(id_col), F.col(vec_col),
+        F.col(id_col), _dbl(F.col(vec_col)).alias("_vd"),
         srp_signature(F.col(vec_col), dim, n_bits).alias("_sig"),
     )
+    sig = sig.select(
+        id_col, "_vd", _norm_d(F.col("_vd")).alias("_nd"), "_sig")
     segs = sig.select(
-        id_col, vec_col, "_sig",
+        id_col, "_vd", "_nd", "_sig",
         F.explode(F.array(*[
             F.struct(
                 F.lit(s).alias("seg_id"),
@@ -305,15 +340,23 @@ def embedding_near_dup_pairs(
             )
             for s in range(seg_n)
         ])).alias("seg"),
-    ).select(id_col, vec_col, "seg.seg_id", "seg.seg_key")
+    ).select(id_col, "_vd", "_nd", "seg.seg_id", "seg.seg_key")
     a = segs.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "seg_id", "seg_key")
+        F.col(id_col).alias("id_a"), F.col("_vd").alias("_va"),
+        F.col("_nd").alias("_na"), "seg_id", "seg_key")
     b = segs.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "seg_id", "seg_key")
+        F.col(id_col).alias("id_b"), F.col("_vd").alias("_vb"),
+        F.col("_nd").alias("_nb"), "seg_id", "seg_key")
     return (
         a.join(b, ["seg_id", "seg_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"))
-        .distinct()
+        .select(
+            "id_a", "id_b",
+            F.round(
+                _dot_d(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")), 6).alias("cos_sim"))
+        # threshold BEFORE the dedup exchange (a pair's cos_sim is
+        # fixed, so this is value-identical with a smaller shuffle)
         .filter(F.col("cos_sim") >= threshold)
+        .distinct()
     )

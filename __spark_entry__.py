@@ -1422,6 +1422,16 @@ def q_redact_pii(spark, sf_dir):
     )
 
 
+def q_collocations(spark, sf_dir):
+    """Top-50 corpus collocations by exponentiated PMI (>= 5
+    occurrences): one token explode, two hash aggs, vocabulary-keyed
+    joins; ratio is a fixed IEEE divide chain (log-free determinism)."""
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    return ltext.collocations(docs, min_count=5, k=50)
+
+
 def q_span_dedup(spark, sf_dir):
     """Exact substring dedup (removal): corpus-duplicated 5-token spans
     are cut from every document except the lowest-id owner; changed
@@ -1884,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver window next round; oracle-checked locally meanwhile) -------
         "span_dup": q_span_dup,
         "span_dedup": q_span_dedup,
+        "collocations": q_collocations,
         "temperature_sample": q_temperature_sample,
         "domain_cap": q_domain_cap,
         "redact_pii": q_redact_pii,
@@ -2893,6 +2904,30 @@ def oracle_sql() -> dict[str, str]:
                    round(count(*)::DOUBLE / nw, 6) AS dup_frac
             FROM g JOIN freq USING (wh)
             GROUP BY doc_id, nw
+        """,
+        "collocations": f"""
+            WITH tok AS (SELECT {_TOKS} AS toks FROM documents),
+            uc AS (SELECT w, count(*) AS cw
+                   FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w),
+            nu AS (SELECT sum(cw) AS nu FROM uc),
+            bi AS (SELECT bigram, count(*) AS cab FROM (
+                     SELECT unnest(list_transform(
+                         range(1, greatest(len(toks), 1)),
+                         i -> toks[i] || ' ' || toks[i+1])) AS bigram
+                     FROM tok)
+                   GROUP BY bigram HAVING count(*) >= 5),
+            nb AS (SELECT sum(greatest(len(toks) - 1, 0)) AS nb FROM tok),
+            sc AS (SELECT bigram, cab,
+                          round((cab::DOUBLE / nb::DOUBLE) /
+                                ((a.cw::DOUBLE / nu::DOUBLE)
+                                 * (b.cw::DOUBLE / nu::DOUBLE)), 6) AS ratio
+                   FROM bi
+                   JOIN uc a ON a.w = split_part(bigram, ' ', 1)
+                   JOIN uc b ON b.w = split_part(bigram, ' ', 2), nu, nb)
+            SELECT bigram, CAST(cab AS BIGINT) AS pair_count, ratio,
+                   CAST(row_number() OVER (ORDER BY ratio DESC, bigram)
+                        AS BIGINT) AS rank
+            FROM sc QUALIFY rank <= 50
         """,
         "span_dedup": f"""
             WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -8,7 +8,7 @@ integer-arithmetic ratios.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -344,6 +344,64 @@ def pack_sequences(
             F.sum("_n").cast("long").alias("n_tokens"),
         )
     )
+
+
+def collocations(
+    df: DataFrame, text_col: str = "text", min_count: int = 5, k: int = 50,
+) -> DataFrame:
+    """Top-k collocations: adjacent token pairs ranked by exponentiated
+    PMI — ratio = p(ab) / (p(a)·p(b)) — with a minimum pair count.
+    The ratio is reported instead of its log so the value is a fixed
+    chain of IEEE divides/multiplies (bit-identical on any engine);
+    log-PMI ordering is the same since log is monotone.
+
+    Shape at 100 TB: one token explode (corpus cardinality) feeding two
+    hash aggregations (unigram + bigram counts), then two joins keyed by
+    word — vocabulary cardinality, not corpus. min_count prunes the
+    bigram tail before the joins; top-k is a rank over the survivors.
+    Returns (bigram, pair_count, ratio, rank)."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
+    t = df.select(toks.alias("_toks"))
+    uni = (
+        t.select(F.explode("_toks").alias("_w"))
+        .groupBy("_w").agg(F.count(F.lit(1)).alias("_cw"))
+    )
+    n_uni = uni.agg(F.sum("_cw").alias("_nu"))
+    bi = (
+        t.select(F.explode(_grams_of(F.col("_toks"), 2)).alias("bigram"))
+        .groupBy("bigram").agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    n_bi = (
+        t.select((F.greatest(F.size("_toks") - 1, F.lit(0))).alias("_n"))
+        .agg(F.sum("_n").alias("_nb"))
+    )
+    split = bi.select(
+        "bigram", "pair_count",
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("_w1"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("_w2"),
+    )
+    joined = (
+        split.join(uni.select(F.col("_w").alias("_w1"),
+                              F.col("_cw").alias("_ca")), "_w1")
+        .join(uni.select(F.col("_w").alias("_w2"),
+                         F.col("_cw").alias("_cb")), "_w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    ratio = F.round(
+        (F.col("pair_count").cast("double") / F.col("_nb").cast("double"))
+        / ((F.col("_ca").cast("double") / F.col("_nu").cast("double"))
+           * (F.col("_cb").cast("double") / F.col("_nu").cast("double"))),
+        6,
+    )
+    scored = joined.select(
+        "bigram", F.col("pair_count").cast("long").alias("pair_count"),
+        ratio.alias("ratio"))
+    topk = scored.orderBy(F.col("ratio").desc(), F.col("bigram")).limit(k)
+    w = Window.orderBy(F.col("ratio").desc(), F.col("bigram"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

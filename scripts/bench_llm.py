@@ -32,7 +32,7 @@ PICKS = [
     "embedding_near_dup", "chunk_docs", "pack_sequences",
     "repetition_stats", "unigram_surprisal", "decontaminate",
     "stratified_sample", "bm25_topk", "embedding_quantize",
-    "span_dup", "span_dedup", "temperature_sample", "domain_cap", "redact_pii",
+    "span_dup", "span_dedup", "collocations", "temperature_sample", "domain_cap", "redact_pii",
 ]
 
 

@@ -584,3 +584,22 @@ def test_remove_dup_spans(spark):
     assert out[2]["clean_text"] == "start end"
     assert out[3]["n_tokens_removed"] == 5
     assert out[3]["clean_text"] == ""
+
+
+def test_collocations_ranks_association(spark):
+    """'strong coffee' co-occurs always; 'the cat' shares 'the' with
+    many other pairs — the exclusive pair must rank first, and pairs
+    under min_count must not appear."""
+    rows = [(i, "strong coffee please " * 3 + "the cat sat the dog ran the bird flew")
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.collocations(df, min_count=5, k=10).collect()
+    # 'strong coffee' and 'coffee please' are exact ties (identical pair
+    # and unigram counts); both must outrank every 'the *' pair
+    assert {out[0]["bigram"], out[1]["bigram"]} == {
+        "strong coffee", "coffee please"}
+    the_pairs = [r for r in out if r["bigram"].startswith("the ")]
+    assert all(r["ratio"] < out[0]["ratio"] for r in the_pairs)
+    assert all(r["pair_count"] >= 5 for r in out)
+    ranks = [r["rank"] for r in out]
+    assert ranks == list(range(1, len(out) + 1))

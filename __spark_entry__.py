@@ -1832,22 +1832,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate checks the
-    first 50 entries. Round-2 window = 10 round-1-green anchors (incl. the
-    two hash-canonicalization fixes) + the 30 queries without a round-1
-    CORRECTNESS row (MVCC, windows, streaming, full LLM tier) + new
-    round-2 queries. Round-1-verified TPC-H variants sit below 50."""
+    first 50 entries. Window policy: every query without a prior-round
+    CORRECTNESS row sits inside the window; queries whose family already
+    has a green row rotate below position 50. Round-2 window = 4 anchors
+    (condition_dsl / pricing_summary re-checks plus the two round-1
+    hash-canonicalization fixes) + the 30 round-1-unchecked queries
+    (MVCC, windows, streaming, full LLM tier) + all 16 round-2 queries."""
     return {
-        # -- anchors (round-1 green / round-2 fixed) ------------------------
-        "table_scan": q_table_scan,
-        "filter": q_filter,
+        # -- anchors: round-1 hash fixes + two distinctive-family re-checks -
         "condition_dsl": q_condition_dsl,
         "pricing_summary": q_pricing_summary,
-        "global_agg": q_global_agg,
         "count_when": q_count_when,
-        "hash_match": q_hash_match,
-        "multi_join": q_multi_join,
         "priority_shipments": q_priority_shipments,
-        "merge_intervals": q_merge_intervals,
         # -- promoted: no round-1 driver row --------------------------------
         "explode_tokens": q_explode_tokens,
         "window_funcs": q_window_funcs,
@@ -1890,8 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "bm25_topk": q_bm25_topk,
-        # -- new in round 2, second wave (positions 51+: rotate into the
-        # driver window next round; oracle-checked locally meanwhile) -------
+        # -- new in round 2, second wave (also inside the window) -----------
         "span_dup": q_span_dup,
         "span_dedup": q_span_dedup,
         "collocations": q_collocations,
@@ -1899,6 +1894,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "redact_pii": q_redact_pii,
         # -- round-1-verified (CORRECTNESS_r01 green), below the window -----
+        "table_scan": q_table_scan,
+        "filter": q_filter,
+        "global_agg": q_global_agg,
+        "hash_match": q_hash_match,
+        "multi_join": q_multi_join,
+        "merge_intervals": q_merge_intervals,
         "projection": q_projection,
         "take": q_take,
         "skip": q_skip,

@@ -1476,6 +1476,17 @@ def q_media_features(spark, sf_dir):
     return feats.select("media_id", "modality", "n_bytes", "content_hash")
 
 
+def q_quality_rules(spark, sf_dir):
+    """Gopher-style quality rule verdicts: five named boolean rules
+    (word count, mean word length, symbol ratio, alpha-word fraction,
+    stopword hits) plus the overall keep flag — integer-compared
+    thresholds, map-only scan."""
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    return ltext.quality_rules(docs)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL generators for the hash-family ops (shared constants with
 # db_spark.llm.dedup so Spark and DuckDB compute identical values)
@@ -1821,6 +1832,54 @@ def _text_stats_oracle() -> str:
     """
 
 
+def _quality_rules_oracle() -> str:
+    """quality_rules oracle: same integer-compared thresholds as
+    ``db_spark.llm.text.quality_rules`` defaults (10..100000 words,
+    avg word length 3.0..10.0 via x10 fixed point, symbol ratio <=
+    100 permille, >= 80% alpha words, >= 2 en-stopword hits)."""
+    from db_spark.llm.text import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             w -> length(w) > 0) AS w,
+                 length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS np,
+                 length(text) AS nc,
+                 len(list_filter({_TOKS}, t -> t IN ({sw}))) AS swh
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 len(w) AS nw,
+                 COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS wlen,
+                 len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS na,
+                 np, nc, swh
+          FROM base
+        )
+        SELECT doc_id,
+               CAST(nw AS BIGINT) AS n_words,
+               round(CASE WHEN nw > 0 THEN wlen::DOUBLE / nw::DOUBLE
+                          ELSE 0.0 END, 6) AS avg_word_len,
+               round(CASE WHEN nc > 0 THEN np::DOUBLE / nc::DOUBLE
+                          ELSE 0.0 END, 6) AS symbol_ratio,
+               CAST(swh AS BIGINT) AS stopword_hits,
+               (nw >= 10 AND nw <= 100000) AS r_word_count,
+               (nw > 0 AND wlen * 10 >= nw * 30 AND wlen * 10 <= nw * 100)
+                   AS r_avg_word_len,
+               (nc > 0 AND np * 1000 <= nc * 100) AS r_symbol_ratio,
+               (nw > 0 AND na * 100 >= nw * 80) AS r_alpha_words,
+               (swh >= 2) AS r_stopwords,
+               ((nw >= 10 AND nw <= 100000)
+                AND (nw > 0 AND wlen * 10 >= nw * 30 AND wlen * 10 <= nw * 100)
+                AND (nc > 0 AND np * 1000 <= nc * 100)
+                AND (nw > 0 AND na * 100 >= nw * 80)
+                AND (swh >= 2)) AS keep
+        FROM m
+    """
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1893,6 +1952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "domain_cap": q_domain_cap,
         "redact_pii": q_redact_pii,
+        # -- round-2 wave 3 (registered after the window filled; rotate
+        # -- into the round-3 window once the above hold green rows) --------
+        "quality_rules": q_quality_rules,
         # -- round-1-verified (CORRECTNESS_r01 green), below the window -----
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -2986,6 +3048,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM r WHERE rk <= 20
         """,
         "redact_pii": _pii_oracle(),
+        "quality_rules": _quality_rules_oracle(),
         "media_features": """
             SELECT doc_id AS media_id,
                    'doc' AS modality,

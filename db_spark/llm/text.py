@@ -404,6 +404,78 @@ def collocations(
     return topk.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def quality_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_words: int = 10, max_words: int = 100_000,
+    min_avg_len_x10: int = 30, max_avg_len_x10: int = 100,
+    max_symbol_permille: int = 100,
+    min_alpha_pct: int = 80,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1
+    style) as named per-document boolean verdicts plus an overall
+    ``keep`` flag — the filter-with-audit-trail shape a curation
+    pipeline needs (you keep the verdict columns to measure what each
+    rule removes before committing to the filtered corpus).
+
+    Rules (every threshold compared in INTEGER arithmetic — cross-
+    multiplied ratios, no float comparisons — so verdicts are
+    bit-reproducible on any engine):
+
+    - ``r_word_count``: min_words <= #whitespace words <= max_words
+    - ``r_avg_word_len``: mean word length in [min, max] (x10 fixed-point)
+    - ``r_symbol_ratio``: non-alphanumeric chars / chars <= permille cap
+    - ``r_alpha_words``: >= min_alpha_pct % of words contain a letter
+    - ``r_stopwords``: >= min_stopword_hits English stopword occurrences
+
+    Map-only: one scan, no shuffle — filtering 100 TB is
+    embarrassingly parallel. Reported ratio columns are informational
+    (rounded doubles); the verdicts never depend on them."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+    s1 = df.select(
+        F.col(id_col), t.alias("_t"), words.alias("_w"),
+        F.transform(tokens(t), lambda x: F.lower(x)).alias("_lt"),
+    )
+    sw = STOPWORDS["en"]
+    s2 = s1.select(
+        F.col(id_col),
+        F.size("_w").cast("long").alias("_nw"),
+        F.aggregate(F.transform(F.col("_w"), F.length), F.lit(0),
+                    lambda a, x: a + x).cast("long").alias("_wlen"),
+        F.size(F.filter(F.col("_w"), lambda w: w.rlike("[a-zA-Z]")))
+        .cast("long").alias("_na"),
+        F.length(F.regexp_replace(F.col("_t"), r"[a-zA-Z0-9\s]", ""))
+        .cast("long").alias("_np"),
+        F.length("_t").cast("long").alias("_nc"),
+        F.size(F.filter(F.col("_lt"), lambda x: x.isin(sw)))
+        .cast("long").alias("_sw"),
+    )
+    nw, wlen = F.col("_nw"), F.col("_wlen")
+    na, np_, nc = F.col("_na"), F.col("_np"), F.col("_nc")
+    r_words = (nw >= min_words) & (nw <= max_words)
+    r_avg = (nw > 0) & (wlen * 10 >= nw * min_avg_len_x10) & \
+        (wlen * 10 <= nw * max_avg_len_x10)
+    r_sym = (nc > 0) & (np_ * 1000 <= nc * max_symbol_permille)
+    r_alpha = (nw > 0) & (na * 100 >= nw * min_alpha_pct)
+    r_sw = F.col("_sw") >= min_stopword_hits
+    return s2.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        F.round(F.when(nw > 0, wlen.cast("double") / nw.cast("double"))
+                .otherwise(F.lit(0.0)), 6).alias("avg_word_len"),
+        F.round(F.when(nc > 0, np_.cast("double") / nc.cast("double"))
+                .otherwise(F.lit(0.0)), 6).alias("symbol_ratio"),
+        F.col("_sw").alias("stopword_hits"),
+        r_words.alias("r_word_count"),
+        r_avg.alias("r_avg_word_len"),
+        r_sym.alias("r_symbol_ratio"),
+        r_alpha.alias("r_alpha_words"),
+        r_sw.alias("r_stopwords"),
+        (r_words & r_avg & r_sym & r_alpha & r_sw).alias("keep"),
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document statistics table.
 

@@ -603,3 +603,29 @@ def test_collocations_ranks_association(spark):
     assert all(r["pair_count"] >= 5 for r in out)
     ranks = [r["rank"] for r in out]
     assert ranks == list(range(1, len(out) + 1))
+
+
+def test_quality_rules_verdicts(spark):
+    """Each rule trips on its crafted offender; the clean doc keeps."""
+    good = ("the quick brown fox and the lazy dog ran over "
+            "a hill in the warm sun for fun")          # 18 words, stopwords
+    rows = [
+        (1, good),                                     # passes all rules
+        (2, "too short"),                              # r_word_count
+        (3, "a b c d e f g h i j k l m n o p"),        # avg word len < 3
+        (4, good + " !!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@ !!! ###"),
+        (5, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16"), # alpha + stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.quality_rules(df).collect()}
+    assert out[1]["keep"]
+    assert all(out[1][f] for f in (
+        "r_word_count", "r_avg_word_len", "r_symbol_ratio",
+        "r_alpha_words", "r_stopwords"))
+    assert not out[2]["r_word_count"] and not out[2]["keep"]
+    assert not out[3]["r_avg_word_len"] and not out[3]["keep"]
+    assert not out[4]["r_symbol_ratio"] and not out[4]["keep"]
+    assert not out[5]["r_alpha_words"] and not out[5]["r_stopwords"]
+    # informational columns agree with the verdict arithmetic
+    assert out[1]["n_words"] == 18
+    assert out[5]["stopword_hits"] == 0

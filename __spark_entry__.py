@@ -1487,6 +1487,26 @@ def q_quality_rules(spark, sf_dir):
     return ltext.quality_rules(docs)
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV (bottom-k) distinct-count sketch per source: estimated vs
+    exact distinct token counts. The sketch is mergeable and engine-
+    reproducible (md5 hash family + integer estimator) — the shape that
+    lets per-partition sketches roll up without rescanning 100 TB."""
+    from db_spark import sketch as lsk
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(ltext.tokens(F.lower(F.col("text")))).alias("_tk"))
+    sk = lsk.kmv_sketch(tok, F.col("_tk"), k=64, group_cols=["source"])
+    est = lsk.kmv_estimate(sk, k=64, group_cols=["source"])
+    exact = tok.groupBy("source").agg(
+        F.count_distinct("_tk").cast("long").alias("exact_distinct"))
+    return est.join(exact, "source").select(
+        "source", "n_hashes", "est_distinct", "exact_distinct")
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL generators for the hash-family ops (shared constants with
 # db_spark.llm.dedup so Spark and DuckDB compute identical values)
@@ -1955,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-2 wave 3 (registered after the window filled; rotate
         # -- into the round-3 window once the above hold green rows) --------
         "quality_rules": q_quality_rules,
+        "kmv_distinct": q_kmv_distinct,
         # -- round-1-verified (CORRECTNESS_r01 green), below the window -----
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -3049,6 +3070,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "redact_pii": _pii_oracle(),
         "quality_rules": _quality_rules_oracle(),
+        "kmv_distinct": f"""
+            WITH tok AS (SELECT source, unnest({_TOKS}) AS t FROM documents),
+            dh AS (SELECT DISTINCT source,
+                          {_H32.format(x='t')} AS h FROM tok),
+            rk AS (SELECT source, h,
+                          row_number() OVER (PARTITION BY source ORDER BY h)
+                              AS r
+                   FROM dh),
+            agg AS (SELECT source, count(*) AS nk, max(h) AS hk
+                    FROM rk WHERE r <= 64 GROUP BY source),
+            ex AS (SELECT source, count(DISTINCT t) AS nd FROM tok GROUP BY source)
+            SELECT agg.source,
+                   CAST(nk AS BIGINT) AS n_hashes,
+                   CAST(CASE WHEN nk < 64 THEN nk
+                        ELSE {63 * (1 << 32)} // hk END AS BIGINT)
+                       AS est_distinct,
+                   CAST(nd AS BIGINT) AS exact_distinct
+            FROM agg JOIN ex ON agg.source = ex.source
+        """,
         "media_features": """
             SELECT doc_id AS media_id,
                    'doc' AS modality,

@@ -28,6 +28,12 @@ Methodology (BASELINE.md parity):
   the engine. Execution (scan/shuffle/agg/collect) is fully re-run each
   iteration — nothing is result-cached.
 - Every query: one untimed warm-up, then median of 3 timed runs.
+- scan_collect is the robustness row for the batched count-shaped scan:
+  it materializes EVERY column of every row and ships them to the
+  driver as Arrow batches (``toArrow``) — the closest analog of the
+  reference's ``collect::<Vec<Row>>()`` without paying Python
+  row-object construction, which would measure pickling, not the
+  engine. Unbatched, uncached, floor included.
 """
 
 from __future__ import annotations
@@ -82,6 +88,13 @@ def _prep_filter(spark, d):
     return (lambda: folded.count()), BATCH
 
 
+def _prep_scan_collect(spark, d):
+    li = E._t(spark, d, "lineitem")
+    if hasattr(li, "toArrow"):  # Spark 4
+        return (lambda: li.toArrow()), 1
+    return (lambda: li.toPandas()), 1
+
+
 def _plain(q):
     def prep(spark, d):
         df = q(spark, d)
@@ -91,6 +104,7 @@ def _plain(q):
 
 BENCH_QUERIES = {
     "scan": _prep_scan,
+    "scan_collect": _prep_scan_collect,
     "filter": _prep_filter,
     "pricing_summary": _plain(E.q_pricing_summary),
     "hash_join_agg": _plain(E.q_hash_match),

@@ -40,8 +40,10 @@ class Storage:
         self._externals: dict[str, DataFrame] = {}
         os.makedirs(root, exist_ok=True)
 
-    def get_collection(self, name: str) -> Collection:
-        """reference: src/storage/mod.rs:35-37 (creates on first touch)."""
+    def get_collection(self, name: str, schema=None) -> Collection:
+        """reference: src/storage/mod.rs:35-37 (creates on first touch).
+        ``schema``: optional declared payload StructType — scans before
+        the first write then return empty frames with the full shape."""
         if name not in self._collections:
             self._collections[name] = Collection(
                 self.spark,
@@ -49,6 +51,7 @@ class Storage:
                 name,
                 max_entries=self.config.max_entries,
                 compaction_redundancy=self.config.compaction_redundancy_percentage,
+                schema=schema,
             )
         return self._collections[name]
 

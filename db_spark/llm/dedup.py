@@ -466,7 +466,7 @@ def remove_dup_spans(
 
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 20, on_unconverged: str = "raise",
 ) -> DataFrame:
     """Cluster near-dup pairs into components; cluster_id = min member id
     (the canonical document). Label propagation: each node repeatedly
@@ -474,7 +474,13 @@ def connected_components(
     O(component diameter) rounds, each round one join + one min-agg, all
     distributed (the driver only checks the convergence counter).
     Near-dup components are shallow (diameter ~2-4), so this beats
-    pointer-jumping in practice at corpus scale."""
+    pointer-jumping in practice at corpus scale.
+
+    Convergence contract: if labels are still changing after
+    ``max_iter`` rounds (a pathological long chain), the result would
+    silently contain split clusters — so ``on_unconverged`` controls
+    the outcome: ``"raise"`` (default) raises RuntimeError,
+    ``"warn"`` logs a warning and returns the partial labels."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -486,18 +492,24 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .cache()
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src").agg(F.min("lbl").alias("nlbl"))
         )
+        # localCheckpoint (not cache) truncates lineage each round:
+        # without it the plan nests one join deeper per iteration —
+        # driver-side planning blows up long before the data does (on a
+        # real cluster use a reliable checkpoint dir if executor loss
+        # during the loop must be survivable).
         new_labels = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n").join(labels.alias("o"), "node")
@@ -508,4 +520,16 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — clusters would be split; "
+            f"raise max_iter (rounds needed ~ component diameter)"
+        )
+        if on_unconverged == "raise":
+            labels.unpersist()
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))

@@ -57,17 +57,17 @@ def _fake_decode(payload: bytes, modality: str) -> list[float]:
 
 def _real_decode(payload: bytes, modality: str) -> list[float]:
     raise NotImplementedError(
-        "media decode requires codec libraries (PIL/torchaudio/decord) "
-        "not present in this environment; register one with "
+        "no decoder registered for this modality (video needs a codec "
+        "library not present in this environment); register one with "
         "register_decoder('<modality>', fn)"
     )
 
 
 DECODERS: dict[str, Callable[[bytes, str], list[float]]] = {
     "fake": _fake_decode,
-    "image": _real_decode,
-    "audio": _real_decode,
-    "video": _real_decode,
+    "image": _real_decode,  # replaced by codecs.install_default_decoders()
+    "audio": _real_decode,  # replaced by codecs.install_default_decoders()
+    "video": _real_decode,  # honest stub: no stdlib video codec exists
 }
 
 
@@ -218,3 +218,10 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df.select("media_id", "payload", "meta").mapInPandas(_map, FRAME_SCHEMA)
+
+
+# Install the real (stdlib-backed, PIL-preferred) image/audio decoders on
+# import; video keeps the honest stub until a codec library is registered.
+from db_spark.llm import codecs as _codecs  # noqa: E402  (cycle-safe: lazy inside)
+
+DECODER_IMPLS = _codecs.install_default_decoders()

@@ -310,7 +310,7 @@ def unigram_surprisal(
 
 
 def pack_sequences(
-    chunks: DataFrame, capacity: int = 256, shards: int = 32,
+    chunks: DataFrame, capacity: int = 256, shards: int | None = None,
     id_col: str = "doc_id", chunk_col: str = "chunk_id",
     tokens_col: str = "n_tokens",
 ) -> DataFrame:
@@ -321,12 +321,20 @@ def pack_sequences(
     offset // capacity).
 
     Sharding bounds the sequential region: the running offset is a window
-    cumsum partitioned by ``shard = doc_id % shards`` — at 100 TB each
-    shard packs independently in parallel (set ``shards`` ~ cluster
-    parallelism); determinism is per-shard, invariant to partitioning.
-    Returns one row per pack: (shard, pack_id, n_chunks, n_tokens)."""
+    cumsum partitioned by ``shard = doc_id % shards`` — each shard packs
+    independently in parallel. ``shards`` defaults to the cluster's
+    ``defaultParallelism`` so packing parallelism scales with the
+    cluster instead of capping at a constant (a fixed 32 would mean
+    ~3 TB per reducer at 100 TB). Contract: the (shard, pack_id)
+    assignment depends on ``shards`` — pin it explicitly when outputs
+    must be reproducible across differently-sized clusters; for a fixed
+    ``shards`` the result is deterministic and invariant to input
+    partitioning. Returns one row per pack:
+    (shard, pack_id, n_chunks, n_tokens)."""
     from pyspark.sql import Window
 
+    if shards is None:
+        shards = chunks.sparkSession.sparkContext.defaultParallelism
     shard = (F.col(id_col) % shards).cast("long")
     w = (Window.partitionBy("shard")
          .orderBy(F.col(id_col), F.col(chunk_col))
@@ -430,8 +438,13 @@ def quality_rules(
 
     Map-only: one scan, no shuffle — filtering 100 TB is
     embarrassingly parallel. Reported ratio columns are informational
-    (rounded doubles); the verdicts never depend on them."""
-    t = F.col(text_col)
+    (rounded doubles); the verdicts never depend on them.
+
+    NULL text is coalesced to '' (verdicts all false, keep=false) so
+    the rules match an oracle that does the same — without it Spark's
+    legacy ``size(NULL) = -1`` would silently diverge from an engine
+    that propagates NULL."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
     words = F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
     s1 = df.select(
         F.col(id_col), t.alias("_t"), words.alias("_w"),

@@ -46,6 +46,9 @@ def kmv_sketch(
     groups = group_cols or []
     hashed = (
         df.select(*groups, h32(value.cast("string")).alias("_h"))
+        # md5(NULL) is NULL, which would sort first and consume a sketch
+        # slot, deflating the estimate for any group containing a null.
+        .filter(F.col("_h").isNotNull())
         .distinct()
     )
     cell = Window.partitionBy(*groups, F.col("_h") % shards).orderBy("_h")

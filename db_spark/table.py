@@ -137,10 +137,17 @@ class Collection:
     """
 
     def __init__(self, spark: SparkSession, path: str, name: str,
-                 max_entries: int = 8192, compaction_redundancy: float = 0.5):
+                 max_entries: int = 8192, compaction_redundancy: float = 0.5,
+                 schema: T.StructType | None = None):
         self.spark = spark
         self.name = name
         self.path = path
+        # Optional declared payload schema. The reference is
+        # schema-on-first-write (src/collection/mod.rs:52-59); declaring
+        # one up front is a superset: scans before the first write return
+        # empty frames with the right columns, and the first write is
+        # shape-checked against the declaration.
+        self._declared_schema = schema
         self.log_path = os.path.join(path, "log")
         self.max_entries = max_entries  # reference storage_config.rs:28-36
         self.compaction_redundancy = compaction_redundancy
@@ -159,6 +166,10 @@ class Collection:
 
         self._snapshot_cache: "OrderedDict[str, DataFrame]" = OrderedDict()
         self._snapshot_cache_capacity = 4
+        # Memoized live-row count of the latest snapshot; invalidated
+        # with the snapshot cache so statistics()/maybe_compact() after
+        # the first call cost zero Spark jobs until the next write.
+        self._live_count: int | None = None
         os.makedirs(self.path, exist_ok=True)
 
     # -- schema -------------------------------------------------------------
@@ -175,7 +186,7 @@ class Collection:
     def payload_schema(self) -> T.StructType | None:
         log = self._read_log()
         if log is None:
-            return None
+            return self._declared_schema
         return T.StructType([f for f in log.schema.fields if f.name not in _META_NAMES])
 
     def _check_shape(self, incoming: T.StructType) -> None:
@@ -228,6 +239,7 @@ class Collection:
             except Exception:  # noqa: BLE001 - session may be gone
                 pass
         self._snapshot_cache.clear()
+        self._live_count = None
 
     def set_objects(self, txid: str | None, df: DataFrame, id_col: str = "_id") -> None:
         """Batch upsert. ``df`` carries payload columns plus optionally an
@@ -289,13 +301,22 @@ class Collection:
         self._append(entry)
 
     def _marker(self, txid: str, kind: str) -> None:
+        """Append a 1-row C/R marker. Each marker is its own tiny parquet
+        file — at a high transaction rate the log degrades into
+        small-file soup between compactions; ``coalesce_markers()`` (or
+        any ``compact()``) folds them back. ``maybe_compact()`` runs the
+        fold automatically past a file-count threshold."""
         batch = self._next_batch()
         payload = self.payload_schema() or T.StructType([])
         row = [tuple([txid, batch, 0, kind, None] + [None] * len(payload.fields))]
         schema = T.StructType(_META_FIELDS + [
             T.StructField(f.name, f.dataType, True) for f in payload.fields
         ])
-        self._append(self.spark.createDataFrame(row, schema))
+        # coalesce(1): a 1-row local DataFrame otherwise carries
+        # defaultParallelism partitions and the writer emits an empty
+        # schema-stub part file next to the data file — one marker
+        # should be exactly one file.
+        self._append(self.spark.createDataFrame(row, schema).coalesce(1))
 
     def commit(self, txid: str) -> None:
         """Transaction::Committed marker (reference log_entry.rs:39-45)."""
@@ -332,7 +353,18 @@ class Collection:
         scan_txid = txid or uuid7()
         log = self._read_log()
         if log is None:
-            return self.spark.createDataFrame([], T.StructType(list(_META_FIELDS)) ).select("_id")
+            # Never-written collection: an empty frame must still carry
+            # the snapshot's full (_id + payload) schema so downstream
+            # filters/projections on payload columns resolve instead of
+            # throwing. Payload comes from the declared schema when one
+            # exists; otherwise it is genuinely unknown and only _id is
+            # returned.
+            payload = self._declared_schema or T.StructType([])
+            shape = T.StructType(
+                [_META_FIELDS[-1]]
+                + [T.StructField(f.name, f.dataType, True) for f in payload.fields]
+            )
+            return self.spark.createDataFrame([], shape)
         committed = (
             log.filter(F.col("_kind") == "C").select("_txid").distinct()
         )
@@ -401,12 +433,28 @@ class Collection:
 
     # -- maintenance --------------------------------------------------------
     def statistics(self) -> CollectionStatistics:
-        log = self._read_log()
-        if log is None:
+        """Log statistics (reference collection_statistics.rs:4-24).
+
+        ``total_entries`` comes from Parquet footer row counts — pure
+        metadata, zero Spark jobs, O(log files) tiny reads (the same
+        quantity the reference tracks incrementally per log file).
+        ``live_entries`` counts the resolved snapshot, which is served
+        from the snapshot LRU and memoized until the next log mutation —
+        the first ``statistics()`` after a write counts the (persisted)
+        snapshot once; every later call costs zero Spark jobs. The
+        maintenance path never triggers a second full log scan."""
+        if not self._log_exists():
             return CollectionStatistics(0, 0, self.compaction_redundancy)
-        total = log.count()
-        live = self.table_scan().count()
-        return CollectionStatistics(total, live, self.compaction_redundancy)
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root, _dirs, files in os.walk(self.log_path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+        if self._live_count is None:
+            self._live_count = self.table_scan().count()
+        return CollectionStatistics(total, self._live_count, self.compaction_redundancy)
 
     def compact(self) -> None:
         """Merge the log keeping only the newest committed version per id,
@@ -494,10 +542,80 @@ class Collection:
             .agg(F.count(F.lit(1)).alias("n_rows"))
         )
 
+    def coalesce_markers(self, min_files: int = 8) -> int:
+        """Fold marker-only log files into one segment. Every
+        ``commit()``/``rollback()`` appends a 1-row parquet file; a
+        high-transaction-rate workload accumulates thousands of them
+        between compactions, and small files are the classic scan-time
+        killer (task scheduling + footer overhead per file).
+
+        Metadata-only maintenance: candidate files are found by parquet
+        footer row count (1-row files), verified marker-only by reading
+        the tiny file, merged with pyarrow into a single segment, then
+        the originals are removed — zero Spark jobs, O(marker files)
+        tiny I/O, no data-file scan. Crash-safe ordering: the merged
+        copy is written *before* the originals are deleted (duplicate
+        markers are harmless — visibility uses the distinct txid set).
+        Marker ``_batch``/``_seq`` values are preserved verbatim, and
+        markers never participate in recency ranking, so the visible
+        snapshot is unchanged. Returns the number of files folded."""
+        if not self._log_exists():
+            return 0
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        candidates = []
+        empties = []
+        n_other = 0
+        for fn in sorted(os.listdir(self.log_path)):
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(self.log_path, fn)
+            try:
+                nrows = pq.ParquetFile(p).metadata.num_rows
+                if nrows == 0:
+                    # schema-stub part files Spark emits next to small
+                    # appends; zero information once any data file exists
+                    empties.append(p)
+                    continue
+                if nrows != 1:
+                    n_other += 1
+                    continue
+                t = pq.read_table(p)
+            except Exception:  # noqa: BLE001 - skip unreadable/foreign files
+                n_other += 1
+                continue
+            if t.column("_kind")[0].as_py() in ("C", "R"):
+                candidates.append((p, t))
+            else:
+                n_other += 1
+        if len(candidates) + len(empties) < min_files:
+            return 0
+        folded = 0
+        if candidates:
+            merged = pa.concat_tables(
+                [t for _, t in candidates], promote_options="default")
+            out = os.path.join(
+                self.log_path, f"markers-{uuid.uuid4().hex}.parquet")
+            pq.write_table(merged, out)
+            for p, _ in candidates:
+                os.remove(p)
+            folded += len(candidates)
+        if empties and (n_other > 0 or candidates):
+            # keep at least one file so the log (and its schema) survives
+            for p in empties:
+                os.remove(p)
+            folded += len(empties)
+        self._invalidate_snapshots()
+        return folded
+
     def maybe_compact(self) -> bool:
         """Compaction trigger: redundancy ratio >= threshold (reference:
-        collection_statistics.rs:11-14, default 0.5 storage_config.rs:33)."""
+        collection_statistics.rs:11-14, default 0.5 storage_config.rs:33).
+        Also opportunistically folds accumulated 1-row commit-marker
+        files (``coalesce_markers``) when not compacting outright."""
         if self.statistics().should_compact:
             self.compact()
             return True
+        self.coalesce_markers(min_files=64)
         return False

@@ -1,0 +1,168 @@
+"""Real media decode paths (db_spark/llm/codecs.py): stdlib PNG/PPM/BMP
+image parsing and WAV audio parsing, exercised end-to-end through the
+Arrow-batched extract_features pipeline."""
+
+import io
+import math
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from db_spark.llm import codecs, multimodal
+
+
+def _checker(w, h, c):
+    """Deterministic checkerboard pixels."""
+    y, x = np.mgrid[0:h, 0:w]
+    base = ((x + y) % 2 * 255).astype(np.uint8)
+    return np.stack([np.roll(base, i, axis=1) for i in range(c)], axis=2)
+
+
+def _wav_bytes(rate=8000, freq=440.0, ms=250, width=2):
+    n = rate * ms // 1000
+    t = np.arange(n) / rate
+    samples = (np.sin(2 * math.pi * freq * t) * 0.5 * (2 ** (8 * width - 1) - 1))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+def test_png_round_trip_all_color_types():
+    for c in (1, 2, 3, 4):
+        pix = _checker(6, 4, c)
+        w, h, ch, got = codecs.decode_png(codecs.encode_png(pix))
+        assert (w, h, ch) == (6, 4, c)
+        assert np.array_equal(got, pix)
+
+
+def test_png_filters_reconstruct():
+    """Exercise Sub/Up/Average/Paeth reconstruction by re-encoding with
+    each filter type manually and decoding."""
+    import zlib
+
+    pix = _checker(8, 5, 3)
+    stride = 8 * 3
+    for ftype in (0, 1, 2, 3, 4):
+        raw = bytearray()
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(5):
+            line = pix[y].reshape(-1).astype(np.int32)
+            raw.append(ftype)
+            if ftype == 0:
+                enc = line
+            elif ftype == 1:
+                left = np.concatenate([np.zeros(3, np.int32), line[:-3]])
+                enc = (line - left) % 256
+            elif ftype == 2:
+                enc = (line - prev) % 256
+            elif ftype == 3:
+                left = np.concatenate([np.zeros(3, np.int32), line[:-3]])
+                enc = (line - ((left + prev) >> 1)) % 256
+            else:  # paeth
+                enc = np.zeros(stride, np.int32)
+                for x in range(stride):
+                    a = int(line[x - 3]) if x >= 3 else 0
+                    b = int(prev[x])
+                    cc = int(prev[x - 3]) if x >= 3 else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    enc[x] = (line[x] - pred) % 256
+            raw.extend(enc.astype(np.uint8).tobytes())
+            prev = line
+
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+        png = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 5, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+        w, h, ch, got = codecs.decode_png(png)
+        assert np.array_equal(got, pix), f"filter {ftype}"
+
+
+def test_ppm_and_pgm_decode():
+    pix = _checker(5, 3, 3)
+    ppm = b"P6\n# comment\n5 3\n255\n" + pix.tobytes()
+    w, h, c, got = codecs.decode_ppm(ppm)
+    assert (w, h, c) == (5, 3, 3)
+    assert np.array_equal(got, pix)
+    mono = _checker(5, 3, 1)
+    pgm = b"P5 5 3 255\n" + mono.tobytes()
+    assert np.array_equal(codecs.decode_ppm(pgm)[3], mono)
+
+
+def test_bmp_decode_24bit():
+    pix = _checker(4, 2, 3)
+    row_bytes = ((4 * 3 + 3) // 4) * 4
+    data = bytearray()
+    for y in range(1, -1, -1):  # bottom-up
+        row = pix[y][:, ::-1].tobytes()  # RGB -> BGR
+        data.extend(row + b"\x00" * (row_bytes - len(row)))
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54) + info
+    bmp = header + bytes(data)
+    w, h, c, got = codecs.decode_bmp(bmp)
+    assert (w, h, c) == (4, 2, 3)
+    assert np.array_equal(got, pix)
+
+
+def test_image_features_values():
+    pix = np.full((4, 4, 3), 128, dtype=np.uint8)
+    feats = codecs.image_features(codecs.encode_png(pix))
+    assert feats[:3] == [4.0, 4.0, 3.0]
+    assert feats[3:6] == [128.0, 128.0, 128.0]
+    assert feats[6] == 0.0  # stddev of constant image
+    assert feats[7] == 0.0  # single-bucket entropy
+
+
+def test_audio_features_sine():
+    feats = codecs.audio_features(_wav_bytes())
+    rate, nch, dur_ms, rms, zcr, peak, mean_abs, width = feats
+    assert (rate, nch, width) == (8000.0, 1.0, 2.0)
+    assert dur_ms == 250.0
+    # 0.5-amplitude sine: rms = 0.5/sqrt(2), zcr ~ 2*440/8000
+    assert abs(rms - 0.5 / math.sqrt(2)) < 0.01
+    assert abs(zcr - 2 * 440 / 8000) < 0.01
+    assert 0.49 < peak <= 0.5
+
+
+def test_extract_features_real_decoders_in_pipeline(spark):
+    """End-to-end: real PNG + WAV payloads through the Arrow-batched
+    mapInPandas pipeline, per-row modality dispatch."""
+    png = codecs.encode_png(_checker(8, 8, 3))
+    wav = _wav_bytes()
+    rows = [
+        (1, "image", bytearray(png), ("image/png", 8, 8, None, None)),
+        (2, "audio", bytearray(wav), ("audio/wav", None, None, 250, 8000)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in
+             multimodal.extract_features(df).collect()}
+    assert feats[1]["features"][:3] == [8.0, 8.0, 3.0]
+    assert feats[2]["features"][0] == 8000.0
+    assert feats[1]["n_bytes"] == len(png)
+    # implementation registry is honest about what's real
+    assert multimodal.DECODER_IMPLS["audio"] == "stdlib-wave"
+    assert multimodal.DECODER_IMPLS["video"] == "stub"
+
+
+def test_fake_decoder_path_still_available(spark):
+    rows = [(1, "image", bytearray(b"\x00\x20\x40" * 10), None)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(df, decoder="fake").collect()
+    assert len(feats[0]["features"]) == 8
+
+
+def test_decode_image_dispatch_errors():
+    with pytest.raises(ValueError, match="unsupported image format"):
+        codecs.decode_image(b"not an image at all")

@@ -164,10 +164,19 @@ def test_multimodal_pipeline(spark):
     assert stats["image"]["total_bytes"] == 300
 
 
-def test_multimodal_real_decoder_stubbed(spark):
+def test_multimodal_video_decoder_stubbed(spark):
+    """Video has no stdlib codec — the honest stub still raises."""
+    rows = [(1, "video", bytearray(b"xx"), None)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|no decoder"):
+        multimodal.extract_features(df).collect()
+
+
+def test_multimodal_image_decoder_rejects_garbage(spark):
+    """The real image decoder parses formats — garbage bytes error."""
     rows = [(1, "image", bytearray(b"xx"), None)]
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
-    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+    with pytest.raises(Exception, match="unsupported image format"):
         multimodal.extract_features(df).collect()
 
 
@@ -629,3 +638,89 @@ def test_quality_rules_verdicts(spark):
     # informational columns agree with the verdict arithmetic
     assert out[1]["n_words"] == 18
     assert out[5]["stopword_hits"] == 0
+
+
+# -- round 3: kmv merge/null, cc convergence, pack shards, quality nulls ----
+
+def test_kmv_merge_equals_union_sketch(spark):
+    """The mergeability property the 100 TB rollup story rests on:
+    merge(sketch(A), sketch(B)) == sketch(A union B), per group."""
+    from db_spark import sketch as sk
+
+    a = spark.range(0, 500).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v"))
+    b = spark.range(300, 900).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v"))
+    sa = sk.kmv_sketch(a, F.col("v"), k=32, group_cols=["g"])
+    sb = sk.kmv_sketch(b, F.col("v"), k=32, group_cols=["g"])
+    merged = sk.kmv_merge(sa, sb, k=32, group_cols=["g"])
+    direct = sk.kmv_sketch(a.unionByName(b), F.col("v"), k=32, group_cols=["g"])
+    got = sorted((r["g"], r["_h"]) for r in merged.collect())
+    want = sorted((r["g"], r["_h"]) for r in direct.collect())
+    assert got == want
+    est = {r["g"]: r for r in
+           sk.kmv_estimate(merged, k=32, group_cols=["g"]).collect()}
+    # 450 distinct per group; k=32 estimate within 40%
+    for g in (0, 1):
+        assert 270 <= est[g]["est_distinct"] <= 630
+
+
+def test_kmv_sketch_ignores_nulls(spark):
+    from db_spark import sketch as sk
+
+    df = spark.createDataFrame(
+        [(None,), ("a",), ("b",), ("c",)], "v string")
+    got = sk.kmv_estimate(sk.kmv_sketch(df, F.col("v"), k=8), k=8).collect()
+    assert got[0]["n_hashes"] == 3  # null consumed no slot
+    assert got[0]["est_distinct"] == 3
+
+
+def test_connected_components_unconverged_raises(spark):
+    from db_spark.llm.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9, 0, -1)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # warn mode returns partial labels instead
+    import warnings
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components(chain, max_iter=2, on_unconverged="warn")
+        assert out.count() == 10
+        assert any("did not converge" in str(x.message) for x in w)
+    # enough rounds: one cluster rooted at the min id
+    ok = connected_components(chain, max_iter=12).collect()
+    assert {r["cluster_id"] for r in ok} == {1}
+
+
+def test_pack_sequences_default_shards_scale(spark):
+    from db_spark.llm import text
+
+    chunks = spark.createDataFrame(
+        [(d, c, 10) for d in range(20) for c in range(3)],
+        "doc_id long, chunk_id long, n_tokens long")
+    out = text.pack_sequences(chunks, capacity=25)  # default shards
+    n_shards = out.select("shard").distinct().count()
+    par = spark.sparkContext.defaultParallelism
+    assert n_shards == min(20, par)  # shards follows cluster parallelism
+    # pinned shards: result invariant to input partitioning
+    a = text.pack_sequences(chunks.repartition(13), capacity=25, shards=4)
+    b = text.pack_sequences(chunks.coalesce(1), capacity=25, shards=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_quality_rules_null_text(spark):
+    """NULL text coalesces to '' — all verdicts false, keep false (and
+    identical to the DuckDB oracle's COALESCE)."""
+    from db_spark.llm import text
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the quick brown fox and the lazy dog ran over "
+                        "a hill in the warm sun for fun")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.quality_rules(df).collect()}
+    assert out[1]["n_words"] == 0
+    assert not out[1]["keep"] and not out[1]["r_word_count"]
+    assert out[1]["avg_word_len"] == 0.0
+    assert out[2]["keep"]

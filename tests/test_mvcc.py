@@ -308,3 +308,104 @@ def test_multi_collection_transaction_rollback(storage, spark):
             raise RuntimeError("abort")
     rows = storage.get_collection("users").table_scan().collect()
     assert [r["_id"] for r in rows] == ["u0"]  # delete + insert both undone
+
+
+# -- round 3: empty-scan schema, statistics cost, marker hygiene ------------
+
+def test_scan_before_first_write_declared_schema(storage, spark):
+    """A never-written collection with a declared payload schema returns
+    an empty frame with the full (_id + payload) shape — payload filters
+    and projections resolve instead of throwing."""
+    schema = T.StructType([
+        T.StructField("name", T.StringType(), True),
+        T.StructField("qty", T.IntegerType(), True),
+    ])
+    c = storage.get_collection("fresh", schema=schema)
+    snap = c.table_scan()
+    assert snap.columns == ["_id", "name", "qty"]
+    assert snap.filter("qty > 1").select("name").count() == 0
+    # the first write is shape-checked against the declaration
+    c.set_objects(None, _df(spark, [("a", "x", 1)]))
+    assert c.table_scan().filter("qty >= 1").count() == 1
+
+
+def test_scan_before_first_write_undeclared(storage, spark):
+    c = storage.get_collection("fresh2")
+    snap = c.table_scan()
+    assert snap.columns == ["_id"]
+    assert snap.count() == 0
+
+
+def test_declared_schema_shape_mismatch(storage, spark):
+    schema = T.StructType([T.StructField("only", T.LongType(), True)])
+    c = storage.get_collection("fresh3", schema=schema)
+    with pytest.raises(SchemaError):
+        c.set_objects(None, _df(spark, [("a", "x", 1)]))
+
+
+def test_statistics_metadata_only(storage, spark):
+    """total_entries comes from parquet footers (zero jobs); the live
+    count is computed once from the cached snapshot and memoized — a
+    repeat statistics() call runs zero Spark jobs."""
+    c = storage.get_collection("t")
+    c.set_objects(None, _df(spark, [("a", "x", 1), ("b", "y", 2)]))
+    c.delete_objects(None, ["a"])
+    stats = c.statistics()  # warm: counts the snapshot once
+    assert stats.total_entries == 3  # 2 upserts + 1 tombstone
+    assert stats.live_entries == 1
+    assert stats.redundant_entries == 2
+    sc = spark.sparkContext
+    sc.setJobGroup("stats-probe", "statistics() job count")
+    stats2 = c.statistics()
+    sc.setJobGroup("", "")
+    assert sc.statusTracker().getJobIdsForGroup("stats-probe") == []
+    assert stats2.live_entries == 1
+    # a write invalidates the memo
+    c.set_objects(None, _df(spark, [("c", "z", 3)]))
+    assert c.statistics().live_entries == 2
+
+
+def test_marker_coalesce_bounds_files(storage, spark):
+    """Many tiny commit-marker files fold into one segment; the visible
+    snapshot and txid visibility are unchanged."""
+    import os as _os
+
+    c = storage.get_collection("t")
+    txids = []
+    for i in range(10):
+        tx = uuid7()
+        c.set_objects(tx, _df(spark, [(f"r{i}", "v", i)]))
+        c.commit(tx)
+        txids.append(tx)
+    log = c.log_path
+    n_before = len([f for f in _os.listdir(log) if f.endswith(".parquet")])
+    folded = c.coalesce_markers(min_files=2)
+    n_after = len([f for f in _os.listdir(log) if f.endswith(".parquet")])
+    # 10 marker files merged into one + 10 empty schema-stub part files
+    # (Spark writes one next to each small data append) swept
+    assert folded == 20
+    assert n_after == n_before - folded + 1
+    snap = c.table_scan()
+    assert snap.count() == 10
+    # historical snapshot still honors marker txids after the fold
+    assert c.table_scan(txids[4]).count() == 5
+
+
+def test_maybe_compact_folds_markers(spark, tmp_path):
+    # redundancy threshold 0.9 so 1-row-per-commit traffic (1 marker per
+    # data row = 50% redundancy) exercises the fold path, not compaction
+    st = Storage(spark, str(tmp_path / "mk"),
+                 StorageConfig(max_entries=64,
+                               compaction_redundancy_percentage=0.9))
+    c = st.get_collection("t")
+    for i in range(70):
+        tx = uuid7()
+        c.set_objects(tx, _df(spark, [(f"r{i}", "v", i)]))
+        c.commit(tx)
+    import os as _os
+    assert not c.statistics().should_compact
+    assert not c.maybe_compact()
+    n_files = len([f for f in _os.listdir(c.log_path) if f.endswith(".parquet")])
+    # 70 data files + 1 folded marker segment
+    assert n_files <= 71
+    assert c.table_scan().count() == 70

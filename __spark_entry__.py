@@ -1562,6 +1562,57 @@ def q_mvcc_multi_tx(spark, sf_dir):
         F.col("_id").cast("long").alias("nationkey"), "n_name", "r_name")
 
 
+def q_cm_heavy_hitters(spark, sf_dir):
+    """Count-min heavy hitters (db_spark/sketch.py:cm_sketch): tokens
+    whose estimated frequency is >= 500, from a depth=4 x width=1024
+    counter sketch — bounded state however many distinct tokens stream
+    through, mergeable cell-wise. The oracle replicates the exact salted
+    md5 cell hashes and the min-over-rows estimate, so even the sketch's
+    collision overestimates must match bit-for-bit."""
+    from db_spark import sketch as lsk
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(ltext.tokens(F.lower(F.col("text")))).alias("_tk"))
+    return lsk.cm_heavy_hitters(
+        tok, F.col("_tk"), min_count=500, depth=4, width=1024)
+
+
+def q_matview_incremental(spark, sf_dir):
+    """Incrementally-maintained aggregate view (db_spark/matview.py):
+    full build over the initial load, then upserts (+100 for custkey%10)
+    and predicate deletes (custkey%7) are committed and the view
+    refreshes from the CDC delta only — the exchange is O(changed rows),
+    not O(table). The oracle aggregates the equivalent final state
+    directly from the source table: the incremental scaled-BIGINT state
+    must be bit-identical to the from-scratch aggregate."""
+    from db_spark.engine import Storage
+    from db_spark.matview import IncrementalAggView
+    from db_spark.table import uuid7
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").cast("string").alias("_id"),
+        F.col("c_mktsegment").alias("grp"),
+        F.col("c_acctbal").cast("double").alias("val"))
+    root = _scratch_dir("db_spark_mview_")
+    st = Storage(spark, root)
+    c = st.get_collection("cust")
+    c.set_objects(None, base)
+    view = IncrementalAggView(c, "grp", "val", os.path.join(root, "view"))
+    view.refresh()  # full build
+    tx = uuid7()
+    c.set_objects(tx, base.filter(F.col("_id").cast("long") % 10 == 0)
+                  .withColumn("val", F.col("val") + 100.0))
+    c.commit(tx)
+    txd = uuid7()
+    c.delete_where(txd, F.col("_id").cast("long") % 7 == 0)
+    c.commit(txd)
+    view.refresh()  # incremental: only the delta shuffles
+    return view.read().select("grp", "n_rows", "sum_value", "avg_value")
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL generators for the hash-family ops (shared constants with
 # db_spark.llm.dedup so Spark and DuckDB compute identical values)
@@ -2081,6 +2132,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "domain_cap": q_domain_cap,
         "redact_pii": q_redact_pii,
+        # -- new in round 3, below the window: enter the r04 window at the
+        # -- next rotation (oracle-validated locally this round via
+        # -- scripts/check_oracle.py — see PROGRESS notes) ------------------
+        "cm_heavy_hitters": q_cm_heavy_hitters,
+        "matview_incremental": q_matview_incremental,
     }
 
 
@@ -3177,5 +3233,41 @@ def oracle_sql() -> dict[str, str]:
         "mvcc_multi_tx": """
             SELECT n_nationkey AS nationkey, n_name, r_name
             FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        # exact count-min replica: same salted md5 cell hashes, same
+        # min-over-depth estimate — collision overestimates included.
+        "cm_heavy_hitters": f"""
+            WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents),
+            tc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+            tcell AS (
+              SELECT t, c, d,
+                     {_H32.format(x="'cm' || CAST(d AS VARCHAR) || ':' || t")}
+                         % 1024 AS w
+              FROM tc, (SELECT unnest([0, 1, 2, 3]) AS d)
+            ),
+            cells AS (SELECT d, w, SUM(c) AS cnt FROM tcell GROUP BY d, w)
+            SELECT tcell.t AS value,
+                   CAST(MIN(cells.cnt) AS BIGINT) AS est_count
+            FROM tcell JOIN cells ON tcell.d = cells.d AND tcell.w = cells.w
+            GROUP BY tcell.t
+            HAVING MIN(cells.cnt) >= 500
+        """,
+        # from-scratch aggregate of the equivalent final state; the
+        # incrementally-maintained scaled-BIGINT view must equal it.
+        "matview_incremental": """
+            WITH final AS (
+              SELECT c_mktsegment AS grp,
+                     CASE WHEN c_custkey % 10 = 0
+                          THEN CAST(c_acctbal AS DOUBLE) + 100.0
+                          ELSE CAST(c_acctbal AS DOUBLE) END AS val
+              FROM customer WHERE c_custkey % 7 <> 0
+            )
+            SELECT grp,
+                   CAST(count(val) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(round(val * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 AS sum_value,
+                   round(CAST(SUM(CAST(round(val * 100) AS BIGINT)) AS DOUBLE)
+                         / 100.0 / count(val), 6) AS avg_value
+            FROM final GROUP BY grp
         """,
     }

@@ -33,7 +33,11 @@ Methodology (BASELINE.md parity):
   driver as Arrow batches (``toArrow``) — the closest analog of the
   reference's ``collect::<Vec<Row>>()`` without paying Python
   row-object construction, which would measure pickling, not the
-  engine. Unbatched, uncached, floor included.
+  engine. Unbatched, uncached, floor included. Note the comparison is
+  conservative against us: the reference's collected ``Row`` holds a
+  lazily-decoded byte slice (``EntryFields``, zero-copy until a column
+  is accessed — SURVEY §1.1), so its "scan" never decodes a single
+  field, while this row decodes all 16 columns to Arrow.
 """
 
 from __future__ import annotations

@@ -1,0 +1,150 @@
+"""Incrementally-maintained aggregate views over MVCC collections.
+
+The reference's log-structured model (SURVEY §1, §3.3) makes
+change-data-capture cheap (`Collection.changes`); this module is the
+downstream payoff: a grouped SUM/COUNT/AVG view that refreshes from the
+CDC delta instead of recomputing the aggregate from scratch — the
+standard incremental view-maintenance shape (delta processing per
+Blakeley et al. 1986, "Efficiently updating materialized views").
+
+Scale accounting (the reason this exists at 100 TB):
+
+- a full recompute shuffles the *entire* table on the group key every
+  refresh;
+- an incremental refresh shuffles only the changed rows: the CDC id set
+  (delta cardinality) semi-joins the two bounding snapshots, and the
+  correction aggregates are delta-sized. The snapshot scans themselves
+  prune with parquet min/max on `_id` after `Collection.optimize`, and
+  the *exchange* — the expensive part — is O(delta) regardless.
+
+Determinism: sums accumulate in scaled BIGINT (same discipline as
+`db_spark.functions.exact_sum`), so an incrementally-maintained state is
+bit-identical to a direct aggregate over the final snapshot — associative
+integer addition, no float drift. That identity is the correctness
+contract (asserted in tests and by the `matview_incremental` oracle
+query).
+
+State is versioned: each refresh writes `state-{epoch}` then atomically
+updates the meta pointer — readers of the previous epoch are undisturbed
+and a crashed refresh leaves the old state intact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class IncrementalAggView:
+    """Grouped sum/count/avg over one value column of a Collection,
+    maintained incrementally from MVCC change-data-capture."""
+
+    def __init__(self, collection, group_col: str, value_col: str,
+                 path: str, scale: int = 2):
+        self.collection = collection
+        self.group_col = group_col
+        self.value_col = value_col
+        self.path = path
+        self.scale = scale  # decimal places kept exactly in the BIGINT sum
+        os.makedirs(path, exist_ok=True)
+
+    # -- state plumbing -----------------------------------------------------
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "_view_meta.json")
+
+    def _meta(self) -> dict | None:
+        if not os.path.exists(self._meta_path):
+            return None
+        with open(self._meta_path) as fh:
+            return json.load(fh)
+
+    def _state_dir(self, epoch: int) -> str:
+        return os.path.join(self.path, f"state-{epoch}")
+
+    def _write_state(self, state: DataFrame, txid: str, epoch: int) -> None:
+        out = self._state_dir(epoch)
+        state.write.mode("overwrite").parquet(out)
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"txid": txid, "epoch": epoch}, fh)
+        os.replace(tmp, self._meta_path)  # atomic pointer swap
+        stale = self._state_dir(epoch - 1)
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+
+    # -- aggregation --------------------------------------------------------
+    def _contrib(self, snap: DataFrame, sign: int) -> DataFrame:
+        """Signed (group, scaled-sum, count) contribution of a row set.
+        Scaled-BIGINT sums keep incremental state bit-identical to a
+        direct aggregate (integer addition is associative; doubles are
+        not)."""
+        m = 10 ** self.scale
+        return snap.groupBy(F.col(self.group_col).alias("_g")).agg(
+            (F.lit(sign) * F.coalesce(
+                F.sum(F.round(F.col(self.value_col) * m).cast("long")),
+                F.lit(0))).cast("long").alias("_ssum"),
+            (F.lit(sign) * F.count(F.col(self.value_col)))
+            .cast("long").alias("_cnt"),
+        )
+
+    def refresh(self) -> str:
+        """Advance the view to the collection's current state. First call
+        is a full build; later calls apply only the CDC delta since the
+        previous refresh: new-image contributions minus old-image
+        contributions for the changed ids, merged into the stored state.
+        Returns the snapshot txid the view now reflects."""
+        from db_spark.table import uuid7
+
+        now = uuid7()
+        meta = self._meta()
+        if meta is None:
+            state = self._contrib(self.collection.table_scan(now), 1)
+            state = state.filter(F.col("_cnt") > 0)
+            self._write_state(state, now, 0)
+            return now
+        changed = (
+            self.collection.changes(meta["txid"], now)
+            .select("_id")
+        )
+        old_rows = (
+            self.collection.table_scan(meta["txid"])
+            .join(changed, "_id", "left_semi")
+        )
+        new_rows = (
+            self.collection.table_scan(now)
+            .join(changed, "_id", "left_semi")
+        )
+        prev = self.collection.spark.read.parquet(
+            self._state_dir(meta["epoch"]))
+        state = (
+            prev
+            .unionByName(self._contrib(new_rows, 1))
+            .unionByName(self._contrib(old_rows, -1))
+            .groupBy("_g")
+            .agg(F.sum("_ssum").cast("long").alias("_ssum"),
+                 F.sum("_cnt").cast("long").alias("_cnt"))
+            .filter(F.col("_cnt") > 0)
+        )
+        self._write_state(state, now, meta["epoch"] + 1)
+        return now
+
+    def read(self) -> DataFrame:
+        """The maintained aggregate: (group, n_rows, sum_value,
+        avg_value). Raises if the view was never refreshed."""
+        meta = self._meta()
+        if meta is None:
+            raise RuntimeError("view has no state yet — call refresh()")
+        m = float(10 ** self.scale)
+        st = self.collection.spark.read.parquet(self._state_dir(meta["epoch"]))
+        return st.select(
+            F.col("_g").alias(self.group_col),
+            F.col("_cnt").alias("n_rows"),
+            (F.col("_ssum").cast("double") / m).alias("sum_value"),
+            F.round(F.col("_ssum").cast("double") / m
+                    / F.col("_cnt").cast("double"), 6).alias("avg_value"),
+        )

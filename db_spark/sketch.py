@@ -1,4 +1,5 @@
-"""Mergeable distinct-count sketches (KMV / bottom-k).
+"""Mergeable sketches: KMV (bottom-k distinct counts) and count-min
+(frequency estimates / heavy hitters).
 
 A KMV (k-minimum-values) sketch keeps the ``k`` smallest 32-bit hash
 values of a column's distinct values; the distinct-count estimate is
@@ -100,3 +101,109 @@ def kmv_estimate(
         F.col("_nk").cast("long").alias("n_hashes"),
         est.cast("long").alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005, "An improved data
+# stream summary: the count-min sketch and its applications")
+# ---------------------------------------------------------------------------
+
+def _cm_cell(value: Column, d: int, width: int) -> Column:
+    """Row d's cell index for a value: salted md5-family hash mod width —
+    engine-reproducible (same SQL renders in the DuckDB oracle)."""
+    return (h32(F.concat(F.lit(f"cm{d}:"), value.cast("string"))) % width)
+
+
+def cm_sketch(
+    df: DataFrame, value: Column, depth: int = 4, width: int = 1024,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Count-min frequency sketch: ``depth x width`` counters per group,
+    one row per non-empty cell — columns ``group_cols + [_d, _w, _cnt]``.
+    State is bounded (depth*width rows per group) no matter how many
+    distinct values stream through: the 100 TB shape for "how often does
+    X occur" when the value universe is too large to groupBy exactly.
+
+    One explode (depth rows per input row) into one hash-aggregate
+    exchange keyed by (group, _d, _w) — bounded cell cardinality, so the
+    reduce side never scales with the corpus. NULL values are skipped
+    (md5(NULL) is NULL). Deterministic: salted md5-family cell hashes,
+    integer counts."""
+    groups = group_cols or []
+    cells = F.array(*[
+        F.struct(F.lit(d).cast("int").alias("_d"),
+                 _cm_cell(value, d, width).alias("_w"))
+        for d in range(depth)
+    ])
+    ex = (
+        df.filter(value.isNotNull())
+        .select(*groups, F.explode(cells).alias("_c"))
+        .select(*groups, F.col("_c._d").alias("_d"), F.col("_c._w").alias("_w"))
+    )
+    return ex.groupBy(*groups, "_d", "_w").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt"))
+
+
+def cm_merge(a: DataFrame, b: DataFrame,
+             group_cols: list[str] | None = None) -> DataFrame:
+    """Merge two count-min sketches (same depth/width/hash family):
+    cell-wise counter sum — the sketch of the concatenated streams,
+    exactly. Input is two bounded cell sets; one tiny aggregate."""
+    groups = group_cols or []
+    return (
+        a.unionByName(b)
+        .groupBy(*groups, "_d", "_w")
+        .agg(F.sum("_cnt").cast("long").alias("_cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame, probes: DataFrame, value_col: str,
+    depth: int = 4, width: int = 1024,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Frequency estimate for each probe value: ``min`` over the sketch's
+    depth rows of the value's cell counters (missing cell = 0). The
+    estimate never undercounts (one-sided error +eps*N with probability
+    1-delta; depth=ceil(ln 1/delta), width=ceil(e/eps)).
+
+    Join shape: probes explode to depth rows and hash-join the bounded
+    cell table — probe-cardinality work, independent of stream size."""
+    groups = group_cols or []
+    v = F.col(value_col)
+    cells = F.array(*[
+        F.struct(F.lit(d).cast("int").alias("_d"),
+                 _cm_cell(v, d, width).alias("_w"))
+        for d in range(depth)
+    ])
+    ex = (
+        probes.filter(v.isNotNull())
+        .select(*groups, v.alias(value_col), F.explode(cells).alias("_c"))
+        .select(*groups, value_col,
+                F.col("_c._d").alias("_d"), F.col("_c._w").alias("_w"))
+    )
+    joined = ex.join(sketch, on=[*groups, "_d", "_w"], how="left")
+    return (
+        joined.groupBy(*groups, value_col)
+        .agg(F.min(F.coalesce(F.col("_cnt"), F.lit(0)))
+             .cast("long").alias("est_count"))
+    )
+
+
+def cm_heavy_hitters(
+    df: DataFrame, value: Column, min_count: int,
+    depth: int = 4, width: int = 1024,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Values whose estimated frequency is >= min_count. Count-min never
+    undercounts, so this is a superset of the true heavy hitters (the
+    classic sketch guarantee — false positives possible at ~eps*N, no
+    false negatives). Probes are the distinct values (vocabulary
+    cardinality, not corpus); both sides of the join are bounded."""
+    groups = group_cols or []
+    sk = cm_sketch(df, value, depth=depth, width=width, group_cols=groups)
+    probes = df.filter(value.isNotNull()).select(
+        *groups, value.cast("string").alias("value")).distinct()
+    est = cm_estimate(sk, probes, "value",
+                      depth=depth, width=width, group_cols=groups)
+    return est.filter(F.col("est_count") >= min_count)

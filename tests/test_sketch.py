@@ -1,0 +1,155 @@
+"""Count-min sketch + incremental materialized aggregate views."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_spark import sketch as sk
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    # zipf-ish: value i appears (20 - i) times, i in 0..19
+    rows = [(i,) for i in range(20) for _ in range(20 - i)]
+    return spark.createDataFrame(rows, "v int")
+
+
+def test_cm_sketch_never_undercounts(stream):
+    est = {r["value"]: r["est_count"] for r in sk.cm_heavy_hitters(
+        stream, F.col("v"), min_count=1, depth=4, width=256).collect()}
+    for i in range(20):
+        assert est[str(i)] >= 20 - i  # one-sided error
+
+
+def test_cm_sketch_exact_when_wide(stream):
+    # width >> distinct values: no collisions, estimates exact
+    est = {r["value"]: r["est_count"] for r in sk.cm_heavy_hitters(
+        stream, F.col("v"), min_count=1, depth=4, width=4096).collect()}
+    assert est == {str(i): 20 - i for i in range(20)}
+
+
+def test_cm_heavy_hitters_superset(stream):
+    hh = {r["value"] for r in sk.cm_heavy_hitters(
+        stream, F.col("v"), min_count=15, depth=4, width=2048).collect()}
+    true_hh = {str(i) for i in range(20) if 20 - i >= 15}
+    assert true_hh <= hh  # no false negatives, ever
+
+
+def test_cm_merge_equals_union_sketch(spark):
+    a = spark.range(0, 300).select((F.col("id") % 17).alias("v"))
+    b = spark.range(0, 500).select((F.col("id") % 23).alias("v"))
+    sa = sk.cm_sketch(a, F.col("v"), depth=3, width=64)
+    sb = sk.cm_sketch(b, F.col("v"), depth=3, width=64)
+    merged = sk.cm_merge(sa, sb)
+    direct = sk.cm_sketch(a.unionByName(b), F.col("v"), depth=3, width=64)
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want
+
+
+def test_cm_sketch_bounded_and_null_safe(spark):
+    df = spark.createDataFrame(
+        [(None,)] + [(str(i),) for i in range(1000)], "v string")
+    cells = sk.cm_sketch(df, F.col("v"), depth=4, width=64)
+    assert cells.count() <= 4 * 64  # state bounded by depth*width
+    total = cells.groupBy("_d").agg(F.sum("_cnt").alias("n")).collect()
+    assert all(r["n"] == 1000 for r in total)  # null contributed nothing
+
+
+def test_cm_grouped(spark):
+    df = spark.createDataFrame(
+        [("a", i % 5) for i in range(50)] + [("b", 7)] * 9,
+        "g string, v int")
+    est = {(r["g"], r["value"]): r["est_count"] for r in sk.cm_heavy_hitters(
+        df, F.col("v"), min_count=1, depth=4, width=1024,
+        group_cols=["g"]).collect()}
+    assert est[("a", "0")] >= 10 and est[("b", "7")] >= 9
+    assert ("b", "0") not in est  # groups don't bleed
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized aggregate view
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def mv_setup(spark, tmp_path):
+    from db_spark.engine import Storage, StorageConfig
+    from db_spark.matview import IncrementalAggView
+
+    st = Storage(spark, str(tmp_path / "store"), StorageConfig(max_entries=64))
+    c = st.get_collection("t")
+    view = IncrementalAggView(c, "grp", "val", str(tmp_path / "view"))
+    return c, view
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, "_id string, grp string, val double")
+
+
+def test_matview_initial_build(spark, mv_setup):
+    c, view = mv_setup
+    c.set_objects(None, _rows(spark, [
+        ("1", "a", 10.5), ("2", "a", 4.5), ("3", "b", 1.0)]))
+    view.refresh()
+    got = {r["grp"]: (r["n_rows"], r["sum_value"]) for r in view.read().collect()}
+    assert got == {"a": (2, 15.0), "b": (1, 1.0)}
+
+
+def test_matview_incremental_matches_direct(spark, mv_setup):
+    from db_spark.table import uuid7
+
+    c, view = mv_setup
+    c.set_objects(None, _rows(spark, [
+        (str(i), "g" + str(i % 3), float(i)) for i in range(30)]))
+    view.refresh()
+    # upsert some, delete some, insert new — then incremental refresh
+    tx = uuid7()
+    c.set_objects(tx, _rows(spark, [
+        (str(i), "g" + str(i % 3), float(i) + 100.25) for i in range(0, 30, 5)]))
+    c.commit(tx)
+    txd = uuid7()
+    c.delete_where(txd, F.col("val") < 4.0)
+    c.commit(txd)
+    txi = uuid7()
+    c.set_objects(txi, _rows(spark, [("100", "g9", 7.75)]))
+    c.commit(txi)
+    view.refresh()
+    got = {r["grp"]: (r["n_rows"], r["sum_value"], r["avg_value"])
+           for r in view.read().collect()}
+    direct = {r["grp"]: (r["n"], r["s"], r["a"]) for r in (
+        c.table_scan().groupBy(F.col("grp"))
+        .agg(F.count("val").alias("n"),
+             (F.sum(F.round(F.col("val") * 100).cast("long"))
+              .cast("double") / 100.0).alias("s"))
+        .withColumn("a", F.round(F.col("s") / F.col("n"), 6))
+        .collect())}
+    assert got == direct  # incremental state identical to direct aggregate
+
+
+def test_matview_group_vanishes_on_full_delete(spark, mv_setup):
+    from db_spark.table import uuid7
+
+    c, view = mv_setup
+    c.set_objects(None, _rows(spark, [
+        ("1", "a", 1.0), ("2", "b", 2.0)]))
+    view.refresh()
+    tx = uuid7()
+    c.delete_where(tx, F.col("grp") == "b")
+    c.commit(tx)
+    view.refresh()
+    got = {r["grp"] for r in view.read().collect()}
+    assert got == {"a"}
+
+
+def test_matview_refresh_is_noop_without_changes(spark, mv_setup):
+    c, view = mv_setup
+    c.set_objects(None, _rows(spark, [("1", "a", 1.5)]))
+    view.refresh()
+    before = sorted(map(tuple, view.read().collect()))
+    view.refresh()
+    assert sorted(map(tuple, view.read().collect())) == before
+
+
+def test_matview_read_before_refresh_raises(mv_setup):
+    _, view = mv_setup
+    with pytest.raises(RuntimeError, match="no state"):
+        view.read()

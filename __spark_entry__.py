@@ -1613,6 +1613,41 @@ def q_matview_incremental(spark, sf_dir):
     return view.read().select("grp", "n_rows", "sum_value", "avg_value")
 
 
+def q_hist_quantiles(spark, sf_dir):
+    """Histogram quantile sketch (db_spark/sketch.py:hist_sketch):
+    per-returnflag price quantiles from a 256-bucket equi-width
+    histogram — bounded mergeable state, one-bucket-width error, and a
+    deterministic ceil-rank selection rule the oracle replicates
+    bit-for-bit (same IEEE bucket arithmetic)."""
+    from db_spark import sketch as lsk
+
+    li = _t(spark, sf_dir, "lineitem")
+    skh = lsk.hist_sketch(li, F.col("l_extendedprice"), 0.0, 110000.0,
+                          buckets=256, group_cols=["l_returnflag"])
+    return lsk.hist_quantile(skh, [0.25, 0.5, 0.75, 0.95], 0.0, 110000.0,
+                             buckets=256, group_cols=["l_returnflag"])
+
+
+def q_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter membership pre-filtering (db_spark/sketch.py:
+    bloom_sketch): build a 64 Kbit filter over urgent orders' keys, then
+    test every distinct lineitem orderkey — the portable, mergeable
+    version of runtime bloom join pruning (ship a KB-scale filter to
+    prune the probe side before the shuffle). No false negatives; the
+    oracle replicates the exact bit layout, false positives included."""
+    from db_spark import sketch as lsk
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    members = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").cast("string").alias("value")).distinct())
+    bf = lsk.bloom_sketch(members, F.col("value"), bits=1 << 16, k=4)
+    probes = li.select(
+        F.col("l_orderkey").cast("string").alias("value")).distinct()
+    return lsk.bloom_contains(bf, probes, "value", bits=1 << 16, k=4)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL generators for the hash-family ops (shared constants with
 # db_spark.llm.dedup so Spark and DuckDB compute identical values)
@@ -2137,6 +2172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- scripts/check_oracle.py — see PROGRESS notes) ------------------
         "cm_heavy_hitters": q_cm_heavy_hitters,
         "matview_incremental": q_matview_incremental,
+        "hist_quantiles": q_hist_quantiles,
+        "bloom_prefilter": q_bloom_prefilter,
     }
 
 
@@ -3251,6 +3288,65 @@ def oracle_sql() -> dict[str, str]:
             FROM tcell JOIN cells ON tcell.d = cells.d AND tcell.w = cells.w
             GROUP BY tcell.t
             HAVING MIN(cells.cnt) >= 500
+        """,
+        # exact histogram replica: same IEEE bucket arithmetic, same
+        # ceil-rank quantile selection.
+        "hist_quantiles": """
+            WITH h AS (
+              SELECT l_returnflag,
+                     CAST(LEAST(255, GREATEST(0, CAST(FLOOR(
+                         (CAST(l_extendedprice AS DOUBLE) - 0.0) * 256
+                         / 110000.0) AS BIGINT))) AS INT) AS b,
+                     count(*) AS c
+              FROM lineitem
+              GROUP BY l_returnflag, b
+            ),
+            cum AS (
+              SELECT l_returnflag, b, c,
+                     SUM(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS cm,
+                     SUM(c) OVER (PARTITION BY l_returnflag) AS tot
+              FROM h
+            ),
+            qs AS (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.95] AS DOUBLE[])) AS q)
+            SELECT cum.l_returnflag, qs.q,
+                   round(0.0 + (MIN(cum.b) + 1) * (110000.0 / 256), 6) AS est
+            FROM cum, qs
+            WHERE cum.cm >= CEIL(qs.q * cum.tot)
+            GROUP BY cum.l_returnflag, qs.q
+        """,
+        # exact bloom replica: same salted md5 positions, same 32-bit
+        # word layout — false positives must match too.
+        "bloom_prefilter": f"""
+            WITH members AS (
+              SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS v
+              FROM orders WHERE o_orderpriority = '1-URGENT'
+            ),
+            idx AS (SELECT unnest([0, 1, 2, 3]) AS i),
+            mpos AS (
+              SELECT {_H32.format(x="'bf' || CAST(i AS VARCHAR) || ':' || v")}
+                         % 65536 AS p
+              FROM members, idx
+            ),
+            words AS (
+              SELECT p // 32 AS w,
+                     bit_or(CAST(2 ** (p % 32) AS BIGINT)) AS bits
+              FROM mpos GROUP BY p // 32
+            ),
+            probes AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS v
+                       FROM lineitem),
+            ppos AS (
+              SELECT v,
+                     {_H32.format(x="'bf' || CAST(i AS VARCHAR) || ':' || v")}
+                         % 65536 AS p
+              FROM probes, idx
+            )
+            SELECT ppos.v AS value,
+                   bool_and(words.bits IS NOT NULL AND
+                            (words.bits & CAST(2 ** (p % 32) AS BIGINT))
+                                = CAST(2 ** (p % 32) AS BIGINT))
+                       AS maybe_present
+            FROM ppos LEFT JOIN words ON ppos.p // 32 = words.w
+            GROUP BY ppos.v
         """,
         # from-scratch aggregate of the equivalent final state; the
         # incrementally-maintained scaled-BIGINT view must equal it.

@@ -1,5 +1,6 @@
-"""Mergeable sketches: KMV (bottom-k distinct counts) and count-min
-(frequency estimates / heavy hitters).
+"""Mergeable sketches: KMV (bottom-k distinct counts), count-min
+(frequency estimates / heavy hitters), fixed-bucket histograms
+(quantile estimates), and Bloom filters (membership pre-filtering).
 
 A KMV (k-minimum-values) sketch keeps the ``k`` smallest 32-bit hash
 values of a column's distinct values; the distinct-count estimate is
@@ -207,3 +208,162 @@ def cm_heavy_hitters(
     est = cm_estimate(sk, probes, "value",
                       depth=depth, width=width, group_cols=groups)
     return est.filter(F.col("est_count") >= min_count)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bucket histogram sketch: mergeable quantile estimates
+# ---------------------------------------------------------------------------
+
+def hist_sketch(
+    df: DataFrame, value: Column, lo: float, hi: float,
+    buckets: int = 256, group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-width histogram over a declared [lo, hi) range: one row per
+    non-empty bucket — columns ``group_cols + [_b, _cnt]``. Bounded
+    state (<= buckets rows per group), trivially mergeable (bucket-wise
+    counter sum), deterministic (one fixed chain of IEEE ops per value,
+    identical in any engine). Values outside [lo, hi) clamp into the
+    edge buckets; NULLs are skipped. Quantile error is one bucket width
+    — pick ``buckets`` for the resolution the question needs, not for
+    the data size (that is the whole point at 100 TB: a day's histogram
+    is <= buckets rows however many values streamed through it)."""
+    groups = group_cols or []
+    b = F.floor((value.cast("double") - lo) * buckets / (hi - lo))
+    clamped = F.least(F.lit(buckets - 1), F.greatest(F.lit(0), b)).cast("int")
+    return (
+        df.filter(value.isNotNull())
+        .select(*groups, clamped.alias("_b"))
+        .groupBy(*groups, "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    )
+
+
+def hist_merge(a: DataFrame, b: DataFrame,
+               group_cols: list[str] | None = None) -> DataFrame:
+    """Merge two histograms (same lo/hi/buckets): bucket-wise sum."""
+    groups = group_cols or []
+    return (
+        a.unionByName(b)
+        .groupBy(*groups, "_b")
+        .agg(F.sum("_cnt").cast("long").alias("_cnt"))
+    )
+
+
+def hist_quantile(
+    sketch: DataFrame, qs: list[float], lo: float, hi: float,
+    buckets: int = 256, group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each q, the upper
+    edge of the first bucket whose cumulative count reaches ``ceil(q *
+    total)`` — a deterministic integer rank threshold, so estimates are
+    engine-identical. Returns ``group_cols + [q, est]``; error is one
+    bucket width. The cumulative window runs over <= buckets rows per
+    group — driver-free and cheap at any scale."""
+    groups = group_cols or []
+    w = (Window.partitionBy(*[F.lit(1)] if not groups else groups)
+         .orderBy("_b").rowsBetween(Window.unboundedPreceding, 0))
+    tot = Window.partitionBy(*[F.lit(1)] if not groups else groups)
+    cum = sketch.select(
+        *groups, "_b", "_cnt",
+        F.sum("_cnt").over(w).alias("_cum"),
+        F.sum("_cnt").over(tot).alias("_tot"),
+    )
+    width = (hi - lo) / buckets
+    out = None
+    for q in qs:
+        need = F.ceil(F.lit(q) * F.col("_tot")).cast("long")
+        hit = (
+            cum.filter(F.col("_cum") >= need)
+            .groupBy(*groups).agg(F.min("_b").alias("_b"))
+            .select(
+                *groups,
+                F.lit(q).alias("q"),
+                F.round(F.lit(lo) + (F.col("_b") + 1) * width, 6).alias("est"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable membership pre-filtering
+# ---------------------------------------------------------------------------
+
+def _bloom_pos(value: Column, i: int, bits: int) -> Column:
+    return h32(F.concat(F.lit(f"bf{i}:"), value.cast("string"))) % bits
+
+
+def _bit_mask(pos: Column) -> Column:
+    """2^(pos % 32) as BIGINT — a shift with a *column* bit count
+    (builtin shiftleft only takes a literal). Exact: doubles represent
+    every 2^k for k <= 31."""
+    return F.pow(F.lit(2.0), (pos % 32).cast("double")).cast("long")
+
+
+def bloom_sketch(
+    df: DataFrame, value: Column, bits: int = 1 << 16, k: int = 4,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Bloom filter as 32-bit words: columns ``group_cols + [_w, _bits]``
+    (word index, OR of set bit masks). State is <= bits/32 rows per
+    group; merging two filters is a word-wise ``bit_or`` — the filter of
+    the unioned inputs, exactly. Build is one explode (k rows per input)
+    into one bounded-key aggregate. 32-bit words keep every shift inside
+    BIGINT range on any engine (no sign-bit traps at position 63).
+
+    The 100 TB use: ship a fact table's join-key filter (a few KB) to
+    prune a huge probe side before the shuffle — a portable, mergeable
+    version of what AQE's runtime bloom pruning does engine-side."""
+    groups = group_cols or []
+    positions = F.array(*[_bloom_pos(value, i, bits) for i in range(k)])
+    ex = (
+        df.filter(value.isNotNull())
+        .select(*groups, F.explode(positions).alias("_p"))
+        .select(*groups, F.floor(F.col("_p") / 32).cast("int").alias("_w"),
+                _bit_mask(F.col("_p")).alias("_m"))
+    )
+    return ex.groupBy(*groups, "_w").agg(
+        F.bit_or("_m").cast("long").alias("_bits"))
+
+
+def bloom_merge(a: DataFrame, b: DataFrame,
+                group_cols: list[str] | None = None) -> DataFrame:
+    """Word-wise OR of two filters (same bits/k/hash family)."""
+    groups = group_cols or []
+    return (
+        a.unionByName(b)
+        .groupBy(*groups, "_w")
+        .agg(F.bit_or("_bits").cast("long").alias("_bits"))
+    )
+
+
+def bloom_contains(
+    sketch: DataFrame, probes: DataFrame, value_col: str,
+    bits: int = 1 << 16, k: int = 4,
+) -> DataFrame:
+    """Membership test for each probe value: true iff all k bit
+    positions are set (no false negatives; false-positive rate ~
+    (1 - e^(-k*n/bits))^k). Probes explode to k (word, mask) lookups
+    and hash-join the bounded word table — probe-cardinality work.
+    Returns ``[value_col, maybe_present]``; use as a semi-join
+    pre-filter, never as an exact membership answer."""
+    v = F.col(value_col)
+    lookups = F.array(*[
+        F.struct(
+            F.floor(_bloom_pos(v, i, bits) / 32).cast("int").alias("_w"),
+            _bit_mask(_bloom_pos(v, i, bits)).alias("_m"),
+        )
+        for i in range(k)
+    ])
+    ex = (
+        probes.filter(v.isNotNull())
+        .select(v.alias(value_col), F.explode(lookups).alias("_l"))
+        .select(value_col, F.col("_l._w").alias("_w"), F.col("_l._m").alias("_m"))
+    )
+    joined = ex.join(sketch.select("_w", "_bits"), "_w", "left")
+    hit = (F.col("_bits").isNotNull()
+           & (F.col("_bits").bitwiseAND(F.col("_m")) == F.col("_m")))
+    return (
+        joined.groupBy(value_col)
+        .agg((F.count(F.lit(1)) == F.sum(hit.cast("int"))).alias("maybe_present"))
+    )

@@ -153,3 +153,85 @@ def test_matview_read_before_refresh_raises(mv_setup):
     _, view = mv_setup
     with pytest.raises(RuntimeError, match="no state"):
         view.read()
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+def test_hist_quantile_accuracy(spark):
+    # uniform 0..999: quantile estimates within one bucket width
+    df = spark.range(0, 1000).select(F.col("id").cast("double").alias("v"))
+    skh = sk.hist_sketch(df, F.col("v"), lo=0.0, hi=1000.0, buckets=100)
+    est = {r["q"]: r["est"] for r in sk.hist_quantile(
+        skh, [0.1, 0.5, 0.9], lo=0.0, hi=1000.0, buckets=100).collect()}
+    assert abs(est[0.1] - 100.0) <= 10.0
+    assert abs(est[0.5] - 500.0) <= 10.0
+    assert abs(est[0.9] - 900.0) <= 10.0
+
+
+def test_hist_merge_equals_union(spark):
+    a = spark.range(0, 400).select(F.col("id").cast("double").alias("v"))
+    b = spark.range(300, 900).select(F.col("id").cast("double").alias("v"))
+    m = sk.hist_merge(sk.hist_sketch(a, F.col("v"), 0.0, 1000.0, 64),
+                      sk.hist_sketch(b, F.col("v"), 0.0, 1000.0, 64))
+    d = sk.hist_sketch(a.unionByName(b), F.col("v"), 0.0, 1000.0, 64)
+    assert sorted(map(tuple, m.collect())) == sorted(map(tuple, d.collect()))
+
+
+def test_hist_clamps_out_of_range(spark):
+    df = spark.createDataFrame([(-5.0,), (0.5,), (99.5,), (250.0,)], "v double")
+    cells = {r["_b"]: r["_cnt"] for r in sk.hist_sketch(
+        df, F.col("v"), lo=0.0, hi=100.0, buckets=10).collect()}
+    assert cells[0] == 2      # -5.0 clamped into bucket 0 with 0.5
+    assert cells[9] == 2      # 250.0 clamped into the top bucket with 99.5
+
+
+def test_hist_grouped_bounded(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").cast("double").alias("v"))
+    skh = sk.hist_sketch(df, F.col("v"), 0.0, 5000.0, buckets=32,
+                         group_cols=["g"])
+    assert skh.count() <= 3 * 32
+    med = {r["g"]: r["est"] for r in sk.hist_quantile(
+        skh, [0.5], 0.0, 5000.0, buckets=32, group_cols=["g"]).collect()}
+    for g in (0, 1, 2):
+        assert abs(med[g] - 2500.0) <= 5000.0 / 32 + 1
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives(spark):
+    members = spark.range(0, 500).select(F.col("id").cast("string").alias("v"))
+    bf = sk.bloom_sketch(members, F.col("v"), bits=1 << 14, k=4)
+    got = {r["v"]: r["maybe_present"] for r in sk.bloom_contains(
+        bf, members, "v", bits=1 << 14, k=4).collect()}
+    assert all(got[str(i)] for i in range(500))  # every member found
+
+
+def test_bloom_rejects_most_non_members(spark):
+    members = spark.range(0, 500).select(F.col("id").cast("string").alias("v"))
+    bf = sk.bloom_sketch(members, F.col("v"), bits=1 << 16, k=4)
+    probes = spark.range(10_000, 11_000).select(
+        F.col("id").cast("string").alias("v"))
+    got = [r["maybe_present"] for r in sk.bloom_contains(
+        bf, probes, "v", bits=1 << 16, k=4).collect()]
+    # n=500, bits=65536, k=4 -> fp ~ 8e-6; 1000 probes -> ~0 positives
+    assert sum(got) <= 5
+
+
+def test_bloom_merge_equals_union(spark):
+    a = spark.range(0, 300).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(200, 600).select(F.col("id").cast("string").alias("v"))
+    m = sk.bloom_merge(sk.bloom_sketch(a, F.col("v")),
+                       sk.bloom_sketch(b, F.col("v")))
+    d = sk.bloom_sketch(a.unionByName(b), F.col("v"))
+    assert sorted(map(tuple, m.collect())) == sorted(map(tuple, d.collect()))
+
+
+def test_bloom_state_bounded(spark):
+    df = spark.range(0, 20_000).select(F.col("id").cast("string").alias("v"))
+    bf = sk.bloom_sketch(df, F.col("v"), bits=1 << 12, k=4)
+    assert bf.count() <= (1 << 12) // 32  # word count, not value count

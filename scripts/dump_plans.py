@@ -79,6 +79,19 @@ PICKS = {
         "corpus-cardinality exchange; both rank passes are bounded "
         "windows (salt cells, then <= shards*k survivors); the merge "
         "input is <= 2k rows per group."),
+    "cm_heavy_hitters": (E.q_cm_heavy_hitters,
+        "Count-min: one explode into a bounded-key (depth x width) "
+        "hash aggregate; estimates join vocabulary-cardinality probes "
+        "against the cell table — reduce side never scales with the "
+        "corpus."),
+    "hist_quantiles": (E.q_hist_quantiles,
+        "Equi-width histogram: map-side bucket assignment into a "
+        "<= buckets-per-group aggregate; the quantile window runs over "
+        "the bounded cell set, never the data."),
+    "bloom_prefilter": (E.q_bloom_prefilter,
+        "Bloom build is an explode into a <= bits/32-row bit_or "
+        "aggregate; membership is a probe-cardinality hash join "
+        "against the bounded word table."),
 }
 
 

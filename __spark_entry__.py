@@ -1613,6 +1613,29 @@ def q_matview_incremental(spark, sf_dir):
     return view.read().select("grp", "n_rows", "sum_value", "avg_value")
 
 
+def q_event_funnel(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase (db_spark/analytics.py):
+    min-cascade of step-filtered aggregates — stage k shuffles only
+    step-k events joined to the previous frontier, never a per-user
+    event array. Strict-after ordering; the oracle runs the identical
+    cascade as chained CTEs."""
+    from db_spark import analytics
+
+    ev = _t(spark, sf_dir, "events")
+    return analytics.funnel(ev, ["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention (db_spark/analytics.py): first-touch week
+    per user x distinct active weeks — two user-keyed aggregates, one
+    join, one |cohorts x offsets| final aggregate. Monday-truncated
+    week arithmetic is engine-identical (exact 7-day multiples)."""
+    from db_spark import analytics
+
+    ev = _t(spark, sf_dir, "events")
+    return analytics.cohort_retention(ev)
+
+
 def q_hist_quantiles(spark, sf_dir):
     """Histogram quantile sketch (db_spark/sketch.py:hist_sketch):
     per-returnflag price quantiles from a 256-bucket equi-width
@@ -2174,6 +2197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matview_incremental": q_matview_incremental,
         "hist_quantiles": q_hist_quantiles,
         "bloom_prefilter": q_bloom_prefilter,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -3347,6 +3372,50 @@ def oracle_sql() -> dict[str, str]:
                        AS maybe_present
             FROM ppos LEFT JOIN words ON ppos.p // 32 = words.w
             GROUP BY ppos.v
+        """,
+        # identical min-cascade as chained CTEs: strict-after ordering,
+        # stage k joins the previous frontier.
+        "event_funnel": """
+            WITH u0 AS (
+              SELECT user_id, MIN(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            u1 AS (
+              SELECT e.user_id, MIN(e.ts) AS t
+              FROM events e JOIN u0 ON e.user_id = u0.user_id
+              WHERE e.event_type = 'click' AND e.ts > u0.t
+              GROUP BY e.user_id
+            ),
+            u2 AS (
+              SELECT e.user_id, MIN(e.ts) AS t
+              FROM events e JOIN u1 ON e.user_id = u1.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > u1.t
+              GROUP BY e.user_id
+            )
+            SELECT CAST(0 AS INT) AS step, 'view' AS event_type,
+                   CAST(count(*) AS BIGINT) AS users FROM u0
+            UNION ALL
+            SELECT 1, 'click', count(*) FROM u1
+            UNION ALL
+            SELECT 2, 'purchase', count(*) FROM u2
+        """,
+        # Monday-truncated weeks; offsets are exact 7-day multiples so
+        # the integer division matches Spark's datediff/7.
+        "cohort_retention": """
+            WITH first AS (
+              SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+              FROM events GROUP BY user_id
+            ),
+            act AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+              FROM events
+            )
+            SELECT CAST(first.cohort AS DATE) AS cohort_week,
+                   CAST(date_diff('day', first.cohort, act.wk) // 7 AS INT)
+                       AS week_offset,
+                   CAST(count(*) AS BIGINT) AS users
+            FROM act JOIN first ON act.user_id = first.user_id
+            GROUP BY 1, 2
         """,
         # from-scratch aggregate of the equivalent final state; the
         # incrementally-maintained scaled-BIGINT view must equal it.

@@ -1,0 +1,78 @@
+"""Event-sequence analytics: funnels + cohort retention."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_spark import analytics
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp")
+
+
+T0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _t(minutes):
+    return T0 + datetime.timedelta(minutes=minutes)
+
+
+def test_funnel_counts_ordered_completion(spark):
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, "view", _t(0)), (1, "click", _t(5)), (1, "purchase", _t(10)),
+        # u2 clicks BEFORE viewing: click doesn't count, purchase neither
+        (2, "click", _t(0)), (2, "view", _t(5)), (2, "purchase", _t(8)),
+        # u3 views only
+        (3, "view", _t(0)),
+        # u4 never views: not even step 0
+        (4, "click", _t(0)), (4, "purchase", _t(1)),
+    ]
+    out = {r["step"]: r["users"] for r in analytics.funnel(
+        _ev(spark, rows), ["view", "click", "purchase"]).collect()}
+    assert out == {0: 3, 1: 1, 2: 1}
+
+
+def test_funnel_second_event_can_qualify(spark):
+    # u1's first click is before the view, second click after — the
+    # cascade uses min(ts) AFTER the frontier, so the later click counts
+    rows = [(1, "click", _t(0)), (1, "view", _t(5)), (1, "click", _t(9))]
+    out = {r["step"]: r["users"] for r in analytics.funnel(
+        _ev(spark, rows), ["view", "click"]).collect()}
+    assert out == {0: 1, 1: 1}
+
+
+def test_funnel_ties_do_not_qualify(spark):
+    rows = [(1, "view", _t(0)), (1, "click", _t(0))]
+    out = {r["step"]: r["users"] for r in analytics.funnel(
+        _ev(spark, rows), ["view", "click"]).collect()}
+    assert out == {0: 1, 1: 0}
+
+
+def test_cohort_retention_counts(spark):
+    # two cohorts: week of Jan 1 (Mon) and week of Jan 8
+    rows = [
+        (1, "view", datetime.datetime(2024, 1, 2)),   # cohort w0
+        (1, "view", datetime.datetime(2024, 1, 10)),  # active w1
+        (2, "view", datetime.datetime(2024, 1, 3)),   # cohort w0, only w0
+        (3, "view", datetime.datetime(2024, 1, 9)),   # cohort w1
+        (3, "view", datetime.datetime(2024, 1, 16)),  # active w2 (offset 1)
+    ]
+    got = {(str(r["cohort_week"]), r["week_offset"]): r["users"]
+           for r in analytics.cohort_retention(_ev(spark, rows)).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
+
+
+def test_cohort_offset0_is_cohort_size(spark):
+    rows = [(u, "view", _t(u)) for u in range(7)]
+    got = analytics.cohort_retention(_ev(spark, rows)).collect()
+    assert len(got) == 1
+    assert got[0]["week_offset"] == 0 and got[0]["users"] == 7

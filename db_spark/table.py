@@ -513,6 +513,67 @@ class Collection:
         shutil.rmtree(old)
         self._invalidate_snapshots()
 
+    def optimize_zorder(self, cols: list[str], bits: int = 10) -> None:
+        """Multi-column clustering: compact the log with rows ordered by
+        the Z-value (Morton code) of ``cols`` — bit-interleaved
+        rank-scaled values — so parquet min/max stats prune row groups
+        for filters on ANY subset of the clustered columns, not just a
+        sort prefix (single-column ``optimize`` only helps its leading
+        column).
+
+        Scale shape: one tiny min/max aggregate (2·|cols| scalars to the
+        driver), then the Z-value is a map-only literal-shift bit chain
+        (plan-time constants, whole-stage codegen) and the rewrite is
+        the same partition-parallel compaction as ``optimize``. Values
+        are scaled to ``bits`` bits via global min/max — rank-exact
+        quantile mapping is unnecessary for pruning, which only needs
+        monotone per-column locality."""
+        snap = self.table_scan()
+        aggs = []
+        for c in cols:
+            aggs += [F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
+                     F.max(F.col(c).cast("double")).alias(f"_mx_{c}")]
+        row = snap.agg(*aggs).collect()[0]
+        n = len(cols)
+        top = (1 << bits) - 1
+        z = F.lit(0).cast("long")
+        for i, c in enumerate(cols):
+            mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
+            span = (mx - mn) or 1.0
+            scaled = F.least(
+                F.lit(top),
+                F.floor((F.col(c).cast("double") - mn) * ((top + 1) / span))
+                .cast("long"),
+            )
+            for b in range(bits):
+                bit = F.shiftright(scaled, b).bitwiseAND(F.lit(1).cast("long"))
+                z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+        ordered = snap.withColumn("_z", z)
+        batch = self._next_batch()
+        compacted = (
+            ordered.withColumn("_txid", F.lit(NIL_TXID))
+            .withColumn("_batch", F.lit(batch))
+            .withColumn("_seq", F.monotonically_increasing_id())
+            .withColumn("_kind", F.lit("U"))
+        )
+        tmp = self.log_path + ".zordering"
+        (
+            compacted.repartitionByRange(F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .select(*_META_NAMES, *[c for c in snap.columns if c != "_id"])
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", self.max_entries)
+            .parquet(tmp)
+        )
+        import shutil
+
+        old = self.log_path + ".old"
+        os.rename(self.log_path, old)
+        os.rename(tmp, self.log_path)
+        shutil.rmtree(old)
+        self._invalidate_snapshots()
+
     def inverted_index(self, text_col: str) -> DataFrame:
         """'Reverse index' (src/collection/indexes/reverse.rs): token ->
         posting list of row ids. Materialize with .write for reuse."""

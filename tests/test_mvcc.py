@@ -409,3 +409,39 @@ def test_maybe_compact_folds_markers(spark, tmp_path):
     # 70 data files + 1 folded marker segment
     assert n_files <= 71
     assert c.table_scan().count() == 70
+
+
+def test_zorder_clusters_both_columns(spark, tmp_path):
+    """Z-order compaction: every written file covers a small rectangle
+    in (a, b) space, so min/max stats prune on EITHER column — unlike a
+    single-column sort, which leaves the second column unclustered."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    st = Storage(spark, str(tmp_path / "z"), StorageConfig(max_entries=64))
+    c = st.get_collection("grid")
+    rows = [(f"{a}-{b}", a, b) for a in range(32) for b in range(32)]
+    c.set_objects(None, spark.createDataFrame(
+        rows, "_id string, a int, b int"))
+    before = {r["_id"] for r in c.table_scan().collect()}
+    c.optimize_zorder(["a", "b"], bits=8)
+    after = {r["_id"] for r in c.table_scan().collect()}
+    assert after == before  # same visible snapshot
+    a_spans, b_spans = [], []
+    for fn in _os.listdir(c.log_path):
+        if not fn.endswith(".parquet"):
+            continue
+        t = pq.read_table(_os.path.join(c.log_path, fn), columns=["a", "b"])
+        if t.num_rows <= 1:
+            continue
+        aa, bb = t.column("a").to_pylist(), t.column("b").to_pylist()
+        a_spans.append(max(aa) - min(aa))
+        b_spans.append(max(bb) - min(bb))
+    assert a_spans, "compaction wrote no data files"
+    avg_a = sum(a_spans) / len(a_spans)
+    avg_b = sum(b_spans) / len(b_spans)
+    # a plain a-sort gives avg_a ~2 but avg_b ~31 (sum ~33); z-order
+    # keeps BOTH small
+    assert avg_a + avg_b < 32, (avg_a, avg_b)
+    assert avg_a < 24 and avg_b < 24

@@ -1,11 +1,16 @@
 """Incrementally-maintained aggregate views over MVCC collections.
 
-The reference's log-structured model (SURVEY §1, §3.3) makes
-change-data-capture cheap (`Collection.changes`); this module is the
-downstream payoff: a grouped SUM/COUNT/AVG view that refreshes from the
-CDC delta instead of recomputing the aggregate from scratch — the
-standard incremental view-maintenance shape (delta processing per
-Blakeley et al. 1986, "Efficiently updating materialized views").
+The reference's log-structured model (SURVEY §1, §3.3) makes deltas
+cheap; this module is the downstream payoff: a grouped SUM/COUNT/AVG
+view that refreshes from the log delta instead of recomputing the
+aggregate from scratch — the standard incremental view-maintenance
+shape (delta processing per Blakeley et al. 1986, "Efficiently updating
+materialized views"). Deltas are tracked by LOG POSITION (immutable
+prefix, `Collection.scan_at_position`) rather than txid so nil-txid
+(pre-committed) writes — the streaming-ingestion pattern — are tracked
+too. After a `compact()` the position jumps and every live id lands in
+the changed set; the refresh is then full-sized but still correct
+(old/new contributions cancel per unchanged row).
 
 Scale accounting (the reason this exists at 100 TB):
 
@@ -66,12 +71,12 @@ class IncrementalAggView:
     def _state_dir(self, epoch: int) -> str:
         return os.path.join(self.path, f"state-{epoch}")
 
-    def _write_state(self, state: DataFrame, txid: str, epoch: int) -> None:
+    def _write_state(self, state: DataFrame, pos: int, epoch: int) -> None:
         out = self._state_dir(epoch)
         state.write.mode("overwrite").parquet(out)
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"txid": txid, "epoch": epoch}, fh)
+            json.dump({"pos": pos, "epoch": epoch}, fh)
         os.replace(tmp, self._meta_path)  # atomic pointer swap
         stale = self._state_dir(epoch - 1)
         if os.path.isdir(stale):
@@ -92,31 +97,54 @@ class IncrementalAggView:
             .cast("long").alias("_cnt"),
         )
 
-    def refresh(self) -> str:
+    def refresh(self) -> int:
         """Advance the view to the collection's current state. First call
-        is a full build; later calls apply only the CDC delta since the
+        is a full build; later calls apply only the delta since the
         previous refresh: new-image contributions minus old-image
         contributions for the changed ids, merged into the stored state.
-        Returns the snapshot txid the view now reflects."""
-        from db_spark.table import uuid7
+        Returns the log position the view now reflects.
 
-        now = uuid7()
+        Deltas are computed from LOG POSITIONS, not txids: a log prefix
+        is immutable, so ``scan_at_position`` gives a stable baseline —
+        txid-based CDC would silently miss nil-txid (pre-committed)
+        writes, which are visible in *every* txid snapshot including
+        past ones (this is exactly how streaming ingestion writes). An
+        id's visibility changes only if (a) a U/D entry for it landed in
+        the interval, or (b) a commit marker for its transaction landed
+        in the interval — the changed-id set is the union of both."""
+        now_pos = self.collection.log_position()
         meta = self._meta()
         if meta is None:
-            state = self._contrib(self.collection.table_scan(now), 1)
+            state = self._contrib(
+                self.collection.scan_at_position(now_pos), 1)
             state = state.filter(F.col("_cnt") > 0)
-            self._write_state(state, now, 0)
-            return now
+            self._write_state(state, now_pos, 0)
+            return now_pos
+        last = meta["pos"]
+        if now_pos == last:
+            return last  # nothing appended; state already current
+        log = self.collection.log_entries()
+        interval = log.filter(
+            (F.col("_batch") > last) & (F.col("_batch") <= now_pos))
+        newly_committed = (
+            interval.filter(F.col("_kind") == "C")
+            .select("_txid").distinct()
+        )
         changed = (
-            self.collection.changes(meta["txid"], now)
-            .select("_id")
+            interval.filter(F.col("_kind").isin("U", "D")).select("_id")
+            .unionByName(
+                log.filter((F.col("_batch") <= F.lit(now_pos))
+                           & F.col("_kind").isin("U", "D"))
+                .join(F.broadcast(newly_committed), "_txid", "left_semi")
+                .select("_id"))
+            .distinct()
         )
         old_rows = (
-            self.collection.table_scan(meta["txid"])
+            self.collection.scan_at_position(last)
             .join(changed, "_id", "left_semi")
         )
         new_rows = (
-            self.collection.table_scan(now)
+            self.collection.scan_at_position(now_pos)
             .join(changed, "_id", "left_semi")
         )
         prev = self.collection.spark.read.parquet(
@@ -130,8 +158,8 @@ class IncrementalAggView:
                  F.sum("_cnt").cast("long").alias("_cnt"))
             .filter(F.col("_cnt") > 0)
         )
-        self._write_state(state, now, meta["epoch"] + 1)
-        return now
+        self._write_state(state, now_pos, meta["epoch"] + 1)
+        return now_pos
 
     def read(self) -> DataFrame:
         """The maintained aggregate: (group, n_rows, sum_value,

@@ -256,7 +256,7 @@ class Collection:
         batch = self._next_batch()
         entry = (
             src.withColumn("_txid", F.lit(txid))
-            .withColumn("_batch", F.lit(batch))
+            .withColumn("_batch", F.lit(batch).cast("long"))
             .withColumn("_seq", F.monotonically_increasing_id())
             .withColumn("_kind", F.lit("U"))
             .select(*_META_NAMES, *payload_cols)
@@ -292,7 +292,7 @@ class Collection:
         id_col = "_id" if "_id" in id_df.columns else id_df.columns[0]
         entry = id_df.select(
             F.lit(txid).alias("_txid"),
-            F.lit(batch).alias("_batch"),
+            F.lit(batch).cast("long").alias("_batch"),
             F.monotonically_increasing_id().alias("_seq"),
             F.lit("D").alias("_kind"),
             F.col(id_col).cast("string").alias("_id"),
@@ -393,6 +393,51 @@ class Collection:
             evicted.unpersist()
         return latest
 
+    def log_entries(self) -> DataFrame | None:
+        """Raw log (meta + payload columns) for observability and
+        incremental consumers (matview refresh); None before the first
+        write."""
+        return self._read_log()
+
+    def log_position(self) -> int:
+        """Current log position = max(_batch), -1 when empty. A
+        column-pruned parquet agg (one tiny job); the position is the
+        total order the reference's newest-file-first walk implies."""
+        log = self._read_log()
+        if log is None:
+            return -1
+        row = log.agg(F.max("_batch").alias("m")).collect()[0]
+        return -1 if row["m"] is None else int(row["m"])
+
+    def scan_at_position(self, batch: int) -> DataFrame:
+        """Snapshot as of a log *position* (``_batch`` value): resolve
+        only entries appended at or before it, honoring commit markers
+        within that prefix. Unlike txid time travel, position snapshots
+        are stable under later nil-txid (pre-committed) writes — a nil
+        write appended after ``batch`` is invisible here, while
+        ``table_scan(txid)`` would show it (nil <= every txid). This is
+        the baseline incremental consumers (matview refresh) need: the
+        log prefix is immutable, so the same position always yields the
+        same rows."""
+        log = self._read_log()
+        if log is None:
+            return self.table_scan()  # empty-shape path
+        prefix = log.filter(F.col("_batch") <= F.lit(batch))
+        committed = (
+            prefix.filter(F.col("_kind") == "C").select("_txid").distinct()
+        )
+        entries = prefix.filter(F.col("_kind").isin("U", "D"))
+        visible = entries.join(
+            F.broadcast(committed), on="_txid", how="left_semi",
+        ).unionByName(entries.filter(F.col("_txid") == NIL_TXID))
+        w = Window.partitionBy("_id").orderBy(
+            F.col("_batch").desc(), F.col("_seq").desc())
+        return (
+            visible.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("_kind") == "U"))
+            .drop("_rn", "_txid", "_batch", "_seq", "_kind")
+        )
+
     def scan_at(self, when) -> DataFrame:
         """Time travel: snapshot as of a wall-clock instant (datetime or
         unix seconds). Pre-committed nil-txid writes are visible in every
@@ -465,7 +510,7 @@ class Collection:
         batch = self._next_batch()
         compacted = (
             snapshot.withColumn("_txid", F.lit(NIL_TXID))
-            .withColumn("_batch", F.lit(batch))
+            .withColumn("_batch", F.lit(batch).cast("long"))
             .withColumn("_seq", F.monotonically_increasing_id())
             .withColumn("_kind", F.lit("U"))
             .select(*_META_NAMES, *[c for c in snapshot.columns if c != "_id"])
@@ -494,7 +539,7 @@ class Collection:
         batch = self._next_batch()
         compacted = (
             snapshot.withColumn("_txid", F.lit(NIL_TXID))
-            .withColumn("_batch", F.lit(batch))
+            .withColumn("_batch", F.lit(batch).cast("long"))
             .withColumn("_seq", F.monotonically_increasing_id())
             .withColumn("_kind", F.lit("U"))
             .select(*_META_NAMES, *[c for c in snapshot.columns if c != "_id"])
@@ -552,7 +597,7 @@ class Collection:
         batch = self._next_batch()
         compacted = (
             ordered.withColumn("_txid", F.lit(NIL_TXID))
-            .withColumn("_batch", F.lit(batch))
+            .withColumn("_batch", F.lit(batch).cast("long"))
             .withColumn("_seq", F.monotonically_increasing_id())
             .withColumn("_kind", F.lit("U"))
         )

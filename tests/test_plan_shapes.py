@@ -1,0 +1,79 @@
+"""Plan-shape regression guard: the performance-critical physical-plan
+properties of headline queries, asserted in pytest so a regression shows
+up before any benchmark run. Shapes checked are the ones docs/SCALE.md
+and docs/PLANS.md argue from: broadcast joins for dims, filter/column
+pushdown to the scan, bounded exchange counts, no cartesian products."""
+
+import os
+import re
+
+import __spark_entry__ as E
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_multi_join_broadcasts_all_dims(spark):
+    plan = _plan(E.q_multi_join(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer/nation/region
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # dims must not shuffle the fact
+
+
+def test_filter_pushes_predicates_and_prunes_columns(spark):
+    df = E.q_filter(spark, SF)
+    scan = _plan(df)
+    assert "PushedFilters: [" in scan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_discount",
+                     scan), "range predicate must reach the parquet reader"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", scan)
+    assert m and len(m.group(1).split(",")) == 4  # only projected columns read
+
+
+def test_pricing_summary_single_exchange(spark):
+    plan = _plan(E.q_pricing_summary(spark, SF))
+    assert plan.count("Exchange") <= 2  # partial+final agg, one shuffle (+AQE read)
+    assert "HashAggregate" in plan
+
+
+def test_bm25_topk_avoids_global_sort(spark):
+    # distributed top-k must be TakeOrderedAndProject (per-partition
+    # heads + k-row merge), never a full global sort
+    assert "TakeOrderedAndProject" in _plan(E.q_bm25_topk(spark, SF))
+
+
+def test_cm_heavy_hitters_no_corpus_join(spark):
+    plan = _plan(E.q_cm_heavy_hitters(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    plan = _plan(E.q_cosine_topk(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    plan = _plan(E.q_decontaminate(spark, SF))
+    assert "BroadcastExchange" in plan
+
+
+def test_no_cartesian_products_anywhere_in_window(spark):
+    """The whole driver-checked window must be cartesian-free (broadcast
+    nested-loop with a tiny side is acceptable; a real CartesianProduct
+    is not)."""
+    bad = []
+    for name, fn in list(E.queries().items())[:50]:
+        try:
+            if "CartesianProduct" in _plan(fn(spark, SF)):
+                bad.append(name)
+        except Exception:  # noqa: BLE001 - runtime-only queries (mvcc builds)
+            continue
+    assert not bad, f"cartesian products in: {bad}"

@@ -181,7 +181,15 @@ class Collection:
     def _read_log(self) -> DataFrame | None:
         if not self._log_exists():
             return None
-        return self.spark.read.parquet(self.log_path)
+        # mergeSchema: log files can legitimately differ in shape — a
+        # tombstone written before the first upsert has no payload
+        # columns at all (tombstones match any shape, reference
+        # log_entry.rs:126-141). Merging unions the per-file schemas and
+        # reads missing columns as NULL; without it schema inference
+        # picks an arbitrary file and payload columns can vanish. Cost
+        # is a footer read per file at planning time — bounded by
+        # compaction, which normalizes every row to the full shape.
+        return self.spark.read.option("mergeSchema", "true").parquet(self.log_path)
 
     def payload_schema(self) -> T.StructType | None:
         log = self._read_log()

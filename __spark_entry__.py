@@ -2077,21 +2077,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate checks the
     first 50 entries. Window policy: every query without a current-round
     CORRECTNESS row sits inside the window; queries green in the
-    previous round rotate below position 50. Round-3 window = the 2
-    round-2 wave-3 queries that landed past the window (zero driver
-    evidence so far) + the 2 brand-new round-3 queries + all 46
-    core-relational queries whose green rows are from round 1 (core
-    files changed since — re-verify at current HEAD). The 50 queries
-    green in CORRECTNESS_r02 rotate below. Result: after this round,
-    every registry key has a green row at most one round old."""
+    previous round rotate below position 50. Round-4 window = the 6
+    round-3 additions that were never driver-checked (oracle-validated
+    locally in round 3 AND re-run by the round-3 judge, 6/6 pass) + 44
+    of the 50 queries whose last green row is CORRECTNESS_r02 —
+    prioritizing every query whose underlying module changes this round
+    (mvcc/table.py, similarity.py IVF, multimodal/codecs). The 50
+    queries green in CORRECTNESS_r03 rotate below. 106 entries > 2×50,
+    so 6 r02-green queries overflow the window: condition_dsl,
+    pricing_summary, count_when, priority_shipments, explode_tokens,
+    window_funcs — chosen because their code paths (ops.py relational
+    tier, conditions.py, windows) are untouched this round and each has
+    two historical green rows (r01+r02). They are marked below to enter
+    the r05 window FIRST."""
     return {
-        # -- never driver-checked (round-2 wave 3, positions 51-52 then) ----
+        # -- new in round 3, never driver-checked: r04 positions 1-6 --------
+        "cm_heavy_hitters": q_cm_heavy_hitters,
+        "matview_incremental": q_matview_incremental,
+        "hist_quantiles": q_hist_quantiles,
+        "bloom_prefilter": q_bloom_prefilter,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
+        # -- last green in r02; modules touched in round 4 — re-verify ------
+        "mvcc_snapshot": q_mvcc_snapshot,
+        "mvcc_cdc": q_mvcc_cdc,
+        "mvcc_delete_where": q_mvcc_delete_where,
+        "ivf_topk": q_ivf_topk,
+        "ivf_kmeans_topk": q_ivf_kmeans_topk,
+        "media_features": q_media_features,
+        # -- last green in r02; rotate up for a fresh row -------------------
+        "window_frames": q_window_frames,
+        "topn_per_group": q_topn_per_group,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "rollup": q_rollup,
+        "cube": q_cube,
+        "grouping_sets": q_grouping_sets,
+        "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
+        "session_window": q_session_window,
+        "hypertable_rollup": q_hypertable_rollup,
+        "text_stats": q_text_stats,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_corpus": q_dedup_corpus,
+        "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "deterministic_split": q_deterministic_split,
+        "corpus_stats": q_corpus_stats,
+        "chunk_docs": q_chunk_docs,
+        "embedding_quantize": q_embedding_quantize,
+        "repetition_stats": q_repetition_stats,
+        "unigram_surprisal": q_unigram_surprisal,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "bm25_topk": q_bm25_topk,
+        "span_dup": q_span_dup,
+        "span_dedup": q_span_dedup,
+        "collocations": q_collocations,
+        "temperature_sample": q_temperature_sample,
+        "domain_cap": q_domain_cap,
+        "redact_pii": q_redact_pii,
+        # ---- window boundary (position 50) --------------------------------
+        # -- r02-green overflow (untouched code): enter the r05 window FIRST
+        "condition_dsl": q_condition_dsl,
+        "pricing_summary": q_pricing_summary,
+        "count_when": q_count_when,
+        "priority_shipments": q_priority_shipments,
+        "explode_tokens": q_explode_tokens,
+        "window_funcs": q_window_funcs,
+        # -- green in CORRECTNESS_r03 (rows+schema+hash), rotated below -----
         "quality_rules": q_quality_rules,
         "kmv_distinct": q_kmv_distinct,
-        # -- new in round 3 -------------------------------------------------
         "kmv_merge": q_kmv_merge,
         "mvcc_multi_tx": q_mvcc_multi_tx,
-        # -- core relational tier: r01-green, re-verify at current HEAD -----
         "table_scan": q_table_scan,
         "filter": q_filter,
         "global_agg": q_global_agg,
@@ -2138,67 +2203,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct": q_count_distinct,
         "array_funcs": q_array_funcs,
         "map_struct_funcs": q_map_struct_funcs,
-        # ---- window boundary (position 50) --------------------------------
-        # -- green in CORRECTNESS_r02 (rows+schema+hash), rotated below -----
-        "condition_dsl": q_condition_dsl,
-        "pricing_summary": q_pricing_summary,
-        "count_when": q_count_when,
-        "priority_shipments": q_priority_shipments,
-        "explode_tokens": q_explode_tokens,
-        "window_funcs": q_window_funcs,
-        "window_frames": q_window_frames,
-        "topn_per_group": q_topn_per_group,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "rollup": q_rollup,
-        "cube": q_cube,
-        "grouping_sets": q_grouping_sets,
-        "tumbling_window": q_tumbling_window,
-        "sliding_window": q_sliding_window,
-        "session_window": q_session_window,
-        "hypertable_rollup": q_hypertable_rollup,
-        "mvcc_snapshot": q_mvcc_snapshot,
-        "mvcc_cdc": q_mvcc_cdc,
-        "text_stats": q_text_stats,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_signature": q_minhash_signature,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_corpus": q_dedup_corpus,
-        "simhash": q_simhash,
-        "simhash_near_dup": q_simhash_near_dup,
-        "cosine_topk": q_cosine_topk,
-        "ivf_topk": q_ivf_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "deterministic_split": q_deterministic_split,
-        "corpus_stats": q_corpus_stats,
-        "media_features": q_media_features,
-        "mvcc_delete_where": q_mvcc_delete_where,
-        "ivf_kmeans_topk": q_ivf_kmeans_topk,
-        "chunk_docs": q_chunk_docs,
-        "embedding_quantize": q_embedding_quantize,
-        "repetition_stats": q_repetition_stats,
-        "unigram_surprisal": q_unigram_surprisal,
-        "pack_sequences": q_pack_sequences,
-        "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
-        "bm25_topk": q_bm25_topk,
-        "span_dup": q_span_dup,
-        "span_dedup": q_span_dedup,
-        "collocations": q_collocations,
-        "temperature_sample": q_temperature_sample,
-        "domain_cap": q_domain_cap,
-        "redact_pii": q_redact_pii,
-        # -- new in round 3, below the window: enter the r04 window at the
-        # -- next rotation (oracle-validated locally this round via
-        # -- scripts/check_oracle.py — see PROGRESS notes) ------------------
-        "cm_heavy_hitters": q_cm_heavy_hitters,
-        "matview_incremental": q_matview_incremental,
-        "hist_quantiles": q_hist_quantiles,
-        "bloom_prefilter": q_bloom_prefilter,
-        "event_funnel": q_event_funnel,
-        "cohort_retention": q_cohort_retention,
     }
 
 

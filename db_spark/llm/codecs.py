@@ -185,11 +185,15 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     flipped = height > 0
     height = abs(height)
     row_bytes = ((width * channels + 3) // 4) * 4  # 4-byte row padding
+    # Explicit channel indices: BMP stores BGR / BGRA. A blanket [::-1]
+    # would turn BGRA into ARGB — putting alpha in ch0 — while the
+    # PNG/PIL paths put red there; features must agree across formats.
+    order = [2, 1, 0] if channels == 3 else [2, 1, 0, 3]
     rows = []
     for y in range(height):
         off = data_off + y * row_bytes
         row = np.frombuffer(payload, np.uint8, width * channels, off)
-        rows.append(row.reshape(width, channels)[:, ::-1])  # BGR(A) -> (A)RGB
+        rows.append(row.reshape(width, channels)[:, order])  # -> RGB(A)
     grid = np.stack(rows[::-1] if flipped else rows)
     return width, height, channels, grid
 

@@ -8,9 +8,14 @@ shape (delta processing per Blakeley et al. 1986, "Efficiently updating
 materialized views"). Deltas are tracked by LOG POSITION (immutable
 prefix, `Collection.scan_at_position`) rather than txid so nil-txid
 (pre-committed) writes — the streaming-ingestion pattern — are tracked
-too. After a `compact()` the position jumps and every live id lands in
-the changed set; the refresh is then full-sized but still correct
-(old/new contributions cancel per unchanged row).
+too. Compaction (`compact()` / `optimize()` / `optimize_zorder()`)
+rewrites live rows at a fresh `_batch` and deletes the old log files —
+the prefix the last refresh was based on no longer replays, so a delta
+there is undefined (the old-image scan would come back empty and the
+new-image pass would double-count onto the stored state). The
+collection persists a `compaction_watermark()`; `refresh()` compares
+its stored position against it and falls back to a from-scratch state
+rebuild whenever the baseline predates the watermark.
 
 Scale accounting (the reason this exists at 100 TB):
 
@@ -30,8 +35,10 @@ contract (asserted in tests and by the `matview_incremental` oracle
 query).
 
 State is versioned: each refresh writes `state-{epoch}` then atomically
-updates the meta pointer — readers of the previous epoch are undisturbed
-and a crashed refresh leaves the old state intact.
+updates the meta pointer; the immediately-previous epoch directory is
+retained (only epoch-2 is deleted), so a `read()` DataFrame obtained
+before a refresh still evaluates lazily afterwards. Hold results across
+more than one refresh by materializing them (collect/write).
 """
 
 from __future__ import annotations
@@ -78,9 +85,12 @@ class IncrementalAggView:
         with open(tmp, "w") as fh:
             json.dump({"pos": pos, "epoch": epoch}, fh)
         os.replace(tmp, self._meta_path)  # atomic pointer swap
-        stale = self._state_dir(epoch - 1)
-        if os.path.isdir(stale):
-            shutil.rmtree(stale)
+        # Retain epoch-1 so DataFrames read before this refresh still
+        # evaluate (lazy plans hold the old path); reap epoch-2 and any
+        # older stragglers a crashed refresh may have left behind.
+        for d in os.listdir(self.path):
+            if d.startswith("state-") and d[6:].isdigit() and int(d[6:]) <= epoch - 2:
+                shutil.rmtree(os.path.join(self.path, d))
 
     # -- aggregation --------------------------------------------------------
     def _contrib(self, snap: DataFrame, sign: int) -> DataFrame:
@@ -111,7 +121,15 @@ class IncrementalAggView:
         past ones (this is exactly how streaming ingestion writes). An
         id's visibility changes only if (a) a U/D entry for it landed in
         the interval, or (b) a commit marker for its transaction landed
-        in the interval — the changed-id set is the union of both."""
+        in the interval — the changed-id set is the union of both.
+
+        Exception: compaction destroys the log prefix (live rows are
+        rewritten at a fresh position and their original files deleted),
+        so when the stored position predates the collection's
+        ``compaction_watermark()`` the old-image baseline is gone — the
+        delta is undefined and the state is rebuilt from scratch. This
+        costs one full aggregate, same as the initial build; schedule
+        refreshes before compaction to keep every refresh delta-sized."""
         now_pos = self.collection.log_position()
         meta = self._meta()
         if meta is None:
@@ -123,6 +141,16 @@ class IncrementalAggView:
         last = meta["pos"]
         if now_pos == last:
             return last  # nothing appended; state already current
+        if self.collection.compaction_watermark() > last:
+            # Log prefix at `last` no longer replays: scan_at_position
+            # (last) would be empty, the old-image correction would
+            # subtract nothing, and merging the full new image onto the
+            # stored state would double-count. Rebuild instead.
+            state = self._contrib(
+                self.collection.scan_at_position(now_pos), 1)
+            state = state.filter(F.col("_cnt") > 0)
+            self._write_state(state, now_pos, meta["epoch"] + 1)
+            return now_pos
         log = self.collection.log_entries()
         interval = log.filter(
             (F.col("_batch") > last) & (F.col("_batch") <= now_pos))

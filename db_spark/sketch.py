@@ -340,13 +340,25 @@ def bloom_merge(a: DataFrame, b: DataFrame,
 def bloom_contains(
     sketch: DataFrame, probes: DataFrame, value_col: str,
     bits: int = 1 << 16, k: int = 4,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Membership test for each probe value: true iff all k bit
     positions are set (no false negatives; false-positive rate ~
     (1 - e^(-k*n/bits))^k). Probes explode to k (word, mask) lookups
     and hash-join the bounded word table — probe-cardinality work.
-    Returns ``[value_col, maybe_present]``; use as a semi-join
-    pre-filter, never as an exact membership answer."""
+    Returns ``[*group_cols, value_col, maybe_present]``; use as a
+    semi-join pre-filter, never as an exact membership answer.
+
+    A grouped sketch (built with ``group_cols``) must be probed with the
+    same ``group_cols`` — silently OR-ing every group's words into one
+    filter would inflate false positives, so extra sketch columns raise."""
+    groups = group_cols or []
+    extra = set(sketch.columns) - {"_w", "_bits"} - set(groups)
+    if extra:
+        raise ValueError(
+            f"sketch carries group columns {sorted(extra)}; pass group_cols= "
+            "so probes join per group (conflating groups inflates the "
+            "false-positive rate)")
     v = F.col(value_col)
     lookups = F.array(*[
         F.struct(
@@ -357,13 +369,15 @@ def bloom_contains(
     ])
     ex = (
         probes.filter(v.isNotNull())
-        .select(v.alias(value_col), F.explode(lookups).alias("_l"))
-        .select(value_col, F.col("_l._w").alias("_w"), F.col("_l._m").alias("_m"))
+        .select(*groups, v.alias(value_col), F.explode(lookups).alias("_l"))
+        .select(*groups, value_col,
+                F.col("_l._w").alias("_w"), F.col("_l._m").alias("_m"))
     )
-    joined = ex.join(sketch.select("_w", "_bits"), "_w", "left")
+    joined = ex.join(sketch.select(*groups, "_w", "_bits"),
+                     on=[*groups, "_w"], how="left")
     hit = (F.col("_bits").isNotNull()
            & (F.col("_bits").bitwiseAND(F.col("_m")) == F.col("_m")))
     return (
-        joined.groupBy(value_col)
+        joined.groupBy(*groups, value_col)
         .agg((F.count(F.lit(1)) == F.sum(hit.cast("int"))).alias("maybe_present"))
     )

@@ -24,6 +24,7 @@ numeric order — ``_txid`` comparisons are plain string comparisons.
 
 from __future__ import annotations
 
+import json
 import os
 import secrets
 import threading
@@ -485,6 +486,33 @@ class Collection:
         )
 
     # -- maintenance --------------------------------------------------------
+    @property
+    def _compaction_meta_path(self) -> str:
+        return os.path.join(self.path, "_compaction.json")
+
+    def compaction_watermark(self) -> int:
+        """Lowest log position ``p`` such that ``scan_at_position(q)`` is
+        still faithful for every ``q >= p``. Compaction rewrites live rows
+        at a fresh ``_batch`` and deletes the files they came from, so the
+        log prefix below the rewrite batch no longer replays — position
+        snapshots taken there are empty or partial. Incremental consumers
+        (matview refresh) compare their stored position against this
+        watermark and fall back to a full rebuild when their baseline
+        predates it. ``-1`` = never compacted, every position is valid."""
+        if not os.path.exists(self._compaction_meta_path):
+            return -1
+        with open(self._compaction_meta_path) as fh:
+            return int(json.load(fh).get("safe_pos", -1))
+
+    def _record_compaction(self, safe_pos: int) -> None:
+        """Persist (atomically, monotonically) that positions below
+        ``safe_pos`` are no longer replayable."""
+        prev = self.compaction_watermark()
+        tmp = self._compaction_meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"safe_pos": max(prev, safe_pos)}, fh)
+        os.replace(tmp, self._compaction_meta_path)
+
     def statistics(self) -> CollectionStatistics:
         """Log statistics (reference collection_statistics.rs:4-24).
 
@@ -514,6 +542,8 @@ class Collection:
         dropping tombstones and markers (reference:
         src/storage/log_file/log_compaction.rs:9-64). Rewrites the log as
         nil-txid (pre-committed) entries — same visible snapshot."""
+        if not self._log_exists():
+            return  # never written: nothing to rewrite
         snapshot = self.table_scan()
         batch = self._next_batch()
         compacted = (
@@ -533,6 +563,7 @@ class Collection:
         os.rename(self.log_path, old)
         os.rename(tmp, self.log_path)
         shutil.rmtree(old)
+        self._record_compaction(batch)
         self._invalidate_snapshots()
 
     # -- indexes (reference: src/collection/indexes/ — declared structs with
@@ -543,6 +574,8 @@ class Collection:
         """'Sorted index': compact the log with rows sorted by ``sort_by``
         so every parquet row group carries tight min/max stats — filters
         on those columns prune row groups at scan time (index seek)."""
+        if not self._log_exists():
+            return  # never written: nothing to rewrite
         snapshot = self.table_scan().sortWithinPartitions(*sort_by)
         batch = self._next_batch()
         compacted = (
@@ -564,6 +597,7 @@ class Collection:
         os.rename(self.log_path, old)
         os.rename(tmp, self.log_path)
         shutil.rmtree(old)
+        self._record_compaction(batch)
         self._invalidate_snapshots()
 
     def optimize_zorder(self, cols: list[str], bits: int = 10) -> None:
@@ -581,12 +615,26 @@ class Collection:
         are scaled to ``bits`` bits via global min/max — rank-exact
         quantile mapping is unnecessary for pruning, which only needs
         monotone per-column locality."""
+        if not self._log_exists():
+            return  # never written: nothing to rewrite
         snap = self.table_scan()
         aggs = []
         for c in cols:
-            aggs += [F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
-                     F.max(F.col(c).cast("double")).alias(f"_mx_{c}")]
+            # try_cast: ANSI mode makes a plain cast THROW on non-numeric
+            # strings; NULL (then a None min/max) is the signal we want.
+            aggs += [F.min(F.col(c).try_cast("double")).alias(f"_mn_{c}"),
+                     F.max(F.col(c).try_cast("double")).alias(f"_mx_{c}")]
         row = snap.agg(*aggs).collect()[0]
+        # A non-numeric / all-NULL column (try_cast -> NULL) or an
+        # empty collection yields None min/max — no locality to encode.
+        # Skip such columns; with none left, degrade to a plain compact
+        # instead of crashing on None arithmetic.
+        usable = [c for c in cols
+                  if row[f"_mn_{c}"] is not None and row[f"_mx_{c}"] is not None]
+        if not usable:
+            self.compact()
+            return
+        cols = usable
         n = len(cols)
         top = (1 << bits) - 1
         z = F.lit(0).cast("long")
@@ -595,8 +643,11 @@ class Collection:
             span = (mx - mn) or 1.0
             scaled = F.least(
                 F.lit(top),
-                F.floor((F.col(c).cast("double") - mn) * ((top + 1) / span))
-                .cast("long"),
+                F.coalesce(
+                    F.floor((F.col(c).try_cast("double") - mn) * ((top + 1) / span))
+                    .cast("long"),
+                    F.lit(0).cast("long"),  # NULL cells sort first, not crash
+                ),
             )
             for b in range(bits):
                 bit = F.shiftright(scaled, b).bitwiseAND(F.lit(1).cast("long"))
@@ -625,6 +676,7 @@ class Collection:
         os.rename(self.log_path, old)
         os.rename(tmp, self.log_path)
         shutil.rmtree(old)
+        self._record_compaction(batch)
         self._invalidate_snapshots()
 
     def inverted_index(self, text_col: str) -> DataFrame:

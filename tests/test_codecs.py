@@ -166,3 +166,21 @@ def test_fake_decoder_path_still_available(spark):
 def test_decode_image_dispatch_errors():
     with pytest.raises(ValueError, match="unsupported image format"):
         codecs.decode_image(b"not an image at all")
+
+
+def test_bmp_decode_32bit_rgba_channel_order():
+    """ADVICE r3: a blanket [::-1] turned BGRA into ARGB (alpha in ch0);
+    the explicit reorder must yield RGBA so mean_ch0 is red in every
+    decode path."""
+    pix = _checker(4, 2, 4)
+    pix[:, :, 3] = 255  # opaque alpha, distinct from the checker channels
+    row_bytes = 4 * 4  # 32bpp rows are already 4-byte aligned
+    data = bytearray()
+    for y in range(1, -1, -1):  # bottom-up
+        data.extend(pix[y][:, [2, 1, 0, 3]].tobytes())  # RGBA -> BGRA
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 32, 0, len(data),
+                       2835, 2835, 0, 0)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54) + info
+    w, h, c, got = codecs.decode_bmp(header + bytes(data))
+    assert (w, h, c) == (4, 2, 4)
+    assert np.array_equal(got, pix)  # RGBA, not ARGB

@@ -445,3 +445,57 @@ def test_zorder_clusters_both_columns(spark, tmp_path):
     # keeps BOTH small
     assert avg_a + avg_b < 32, (avg_a, avg_b)
     assert avg_a < 24 and avg_b < 24
+
+
+def test_zorder_empty_collection_no_crash(spark, tmp_path):
+    """ADVICE r3: optimize_zorder crashed with TypeError (None - None)
+    when min/max came back NULL. Empty or never-written collections must
+    be a no-op / plain compact, not a crash."""
+    st = Storage(spark, str(tmp_path / "ze"), StorageConfig(max_entries=64))
+    c = st.get_collection("empty")
+    c.optimize_zorder(["a"])  # never written: no-op
+    assert c.table_scan().count() == 0
+    # written then fully deleted: all-NULL min/max -> falls back to compact
+    c.set_objects(None, spark.createDataFrame(
+        [("x", 1)], "_id string, a int"))
+    c.delete_where(None, "a = 1")
+    c.optimize_zorder(["a"])
+    assert c.table_scan().count() == 0
+
+
+def test_zorder_non_numeric_columns_fall_back(spark, tmp_path):
+    """String columns cast('double') to NULL — they carry no numeric
+    locality. They are skipped; with none usable the call degrades to a
+    plain compact. The visible snapshot is preserved either way."""
+    st = Storage(spark, str(tmp_path / "zs"), StorageConfig(max_entries=64))
+    c = st.get_collection("strs")
+    rows = [(str(i), f"name-{i}", i) for i in range(50)]
+    c.set_objects(None, spark.createDataFrame(
+        rows, "_id string, name string, qty int"))
+    before = {(r["_id"], r["name"], r["qty"]) for r in c.table_scan().collect()}
+    c.optimize_zorder(["name"])  # all non-numeric -> compact fallback
+    assert {(r["_id"], r["name"], r["qty"])
+            for r in c.table_scan().collect()} == before
+    c.optimize_zorder(["name", "qty"])  # mixed: clusters on qty only
+    assert {(r["_id"], r["name"], r["qty"])
+            for r in c.table_scan().collect()} == before
+
+
+def test_compaction_watermark_recorded(spark, tmp_path):
+    """compact/optimize/optimize_zorder destroy the log prefix; each must
+    advance the persisted watermark incremental consumers check."""
+    st = Storage(spark, str(tmp_path / "wm"), StorageConfig(max_entries=64))
+    c = st.get_collection("t")
+    assert c.compaction_watermark() == -1
+    c.set_objects(None, spark.createDataFrame(
+        [("a", 1), ("b", 2)], "_id string, qty int"))
+    assert c.compaction_watermark() == -1  # appends don't destroy prefix
+    pos = c.log_position()
+    c.compact()
+    wm = c.compaction_watermark()
+    assert wm > pos
+    c.set_objects(None, spark.createDataFrame(
+        [("c", 3)], "_id string, qty int"))
+    c.optimize(["qty"])
+    wm2 = c.compaction_watermark()
+    assert wm2 > wm  # monotone across maintenance calls

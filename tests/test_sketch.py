@@ -276,3 +276,90 @@ def test_matview_over_streaming_ingestion(spark, tmp_path):
     drain()
     got = {r["grp"]: (r["n_rows"], r["sum_value"]) for r in view.read().collect()}
     assert got == {"a": (2, 3.25), "b": (1, 5.5)}
+
+
+@pytest.mark.parametrize("maintenance", ["compact", "optimize", "zorder"])
+def test_matview_refresh_after_compaction_rebuilds(spark, mv_setup, maintenance):
+    """ADVICE r3 (high): compaction rewrites every live row at a fresh
+    _batch and deletes the old log files, so the view's stored baseline
+    position no longer replays — a naive delta would double-count the
+    whole snapshot onto the stored state. refresh() must detect the
+    compaction watermark and rebuild, staying bit-identical to the
+    direct aggregate; later refreshes resume the delta path."""
+    from db_spark.table import uuid7
+
+    c, view = mv_setup
+    c.set_objects(None, _rows(spark, [
+        (str(i), "g" + str(i % 3), float(i)) for i in range(24)]))
+    view.refresh()
+    tx = uuid7()
+    c.set_objects(tx, _rows(spark, [
+        (str(i), "g" + str(i % 3), float(i) + 50.5) for i in range(0, 24, 4)]))
+    c.commit(tx)
+    if maintenance == "compact":
+        c.compact()
+    elif maintenance == "optimize":
+        c.optimize(["grp"])
+    else:
+        c.optimize_zorder(["val"], bits=6)
+
+    def direct():
+        return {r["grp"]: (r["n"], r["s"]) for r in (
+            c.table_scan().groupBy("grp")
+            .agg(F.count("val").alias("n"),
+                 (F.sum(F.round(F.col("val") * 100).cast("long"))
+                  .cast("double") / 100.0).alias("s")).collect())}
+
+    view.refresh()  # baseline predates watermark -> full rebuild
+    got = {r["grp"]: (r["n_rows"], r["sum_value"])
+           for r in view.read().collect()}
+    assert got == direct()
+    # post-compaction writes refresh incrementally again (no rebuild)
+    txd = uuid7()
+    c.delete_where(txd, F.col("val") < 3.0)
+    c.commit(txd)
+    c.set_objects(None, _rows(spark, [("900", "g9", 9.25)]))
+    view.refresh()
+    got = {r["grp"]: (r["n_rows"], r["sum_value"])
+           for r in view.read().collect()}
+    assert got == direct()
+
+
+def test_matview_read_survives_one_refresh(spark, mv_setup):
+    """ADVICE r3 (low): a read() DataFrame obtained before a refresh must
+    still evaluate afterwards — the previous epoch directory is retained
+    (only epoch-2 is reaped)."""
+    import os as _os
+
+    c, view = mv_setup
+    c.set_objects(None, _rows(spark, [("1", "a", 1.0)]))
+    view.refresh()
+    held = view.read()
+    c.set_objects(None, _rows(spark, [("2", "b", 2.0)]))
+    view.refresh()
+    assert {r["grp"] for r in held.collect()} == {"a"}  # lazy plan still valid
+    # epoch-2 is gone after one more refresh (bounded retention)
+    c.set_objects(None, _rows(spark, [("3", "c", 3.0)]))
+    view.refresh()
+    epochs = sorted(d for d in _os.listdir(view.path) if d.startswith("state-"))
+    assert len(epochs) == 2
+
+
+def test_bloom_grouped_probe_and_conflation_guard(spark):
+    """ADVICE r3: probing a grouped bloom filter without group_cols
+    silently OR-ed every group's words together. Now: grouped probes
+    join per group; a group-bearing sketch without group_cols raises."""
+    df = spark.createDataFrame(
+        [("g1", i) for i in range(50)] + [("g2", i) for i in range(500, 550)],
+        "g string, v int")
+    skb = sk.bloom_sketch(df, F.col("v"), bits=1 << 12, k=4, group_cols=["g"])
+    with pytest.raises(ValueError, match="group columns"):
+        sk.bloom_contains(skb, df, "v", bits=1 << 12, k=4)
+    probes = spark.createDataFrame(
+        [("g1", 5), ("g1", 510), ("g2", 510), ("g2", 5)], "g string, v int")
+    got = {(r["g"], r["v"]): r["maybe_present"] for r in sk.bloom_contains(
+        skb, probes, "v", bits=1 << 12, k=4, group_cols=["g"]).collect()}
+    assert got[("g1", 5)] and got[("g2", 510)]  # members: never negative
+    # cross-group probes are (overwhelmingly likely) rejected — the whole
+    # point of not conflating groups
+    assert not got[("g1", 510)] and not got[("g2", 5)]

@@ -566,6 +566,127 @@ class Collection:
         self._record_compaction(batch)
         self._invalidate_snapshots()
 
+    # -- incremental (segment-pair) compaction ------------------------------
+    def _data_files(self) -> list[str]:
+        """Log parquet files in append order (by min ``_batch``), each
+        with its column-pruned entry stats: ``(path, n_entries, ids,
+        max_batch)``. Bounded work: ``maxRecordsPerFile`` caps rows per
+        file, and only the ``_id``/``_batch``/``_kind`` columns are read
+        (parquet column pruning) — never the payload."""
+        import pyarrow.parquet as pq
+
+        out = []
+        if not self._log_exists():
+            return out
+        for fn in sorted(os.listdir(self.log_path)):
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(self.log_path, fn)
+            try:
+                t = pq.read_table(p, columns=["_id", "_batch", "_kind"])
+            except Exception:  # noqa: BLE001 - foreign/corrupt file: skip
+                continue
+            if t.num_rows == 0:
+                continue
+            kinds = t.column("_kind").to_pylist()
+            ids = [i for i, k in zip(t.column("_id").to_pylist(), kinds)
+                   if k in ("U", "D")]
+            if not ids:
+                continue  # marker-only file: coalesce_markers territory
+            batches = t.column("_batch").to_pylist()
+            out.append((p, len(ids), set(ids), min(batches), max(batches)))
+        out.sort(key=lambda f: f[3])
+        return out
+
+    def most_redundant_pair(self) -> tuple[str, str, float] | None:
+        """The adjacent (in append order) pair of data segments with the
+        highest redundancy = duplicate-id fraction — the pair whose merge
+        reclaims the most relative space. Adjacency matters: merging
+        non-adjacent segments could interleave recency across the gap.
+        O(files) column-pruned reads, O(max_entries) driver memory (one
+        neighbor's id multiset at a time)."""
+        files = self._data_files()
+        best = None
+        for (pa_, na, ia, _mna, _mxa), (pb_, nb, ib, _mnb, _mxb) in zip(
+                files, files[1:]):
+            total = na + nb
+            redundancy = (total - len(ia | ib)) / total
+            if best is None or redundancy > best[2]:
+                best = (pa_, pb_, redundancy)
+        return best
+
+    def compact_segments(self, file_a: str, file_b: str) -> str:
+        """Merge TWO log segments into one (reference merges segment
+        pairs, newest-entry-wins per id: src/storage/log_file/
+        log_compaction.rs:9-64) — the incremental alternative to
+        ``compact()``'s whole-log rewrite: O(two bounded files) I/O per
+        call instead of O(table).
+
+        Per row id, only the newest *decidably-visible* entry in the pair
+        survives (kept at its ORIGINAL ``_batch``/``_seq`` so recency
+        against every other segment is unchanged, rewritten to the nil
+        txid so it stays visible in every snapshot, exactly like
+        ``compact()``'s output). Entries of pending (unresolved)
+        transactions are kept verbatim — they may yet commit; entries of
+        rolled-back transactions are dropped; C/R markers are kept (they
+        gate entries in OTHER segments). Tombstone winners are kept (they
+        may suppress ids in other segments). Crash-safe: the merged file
+        is written before the originals are removed — a crash in between
+        leaves duplicate identical-payload entries, which recency
+        resolution tolerates.
+
+        Like ``compact()``, txid history inside the pair collapses and
+        log positions below the pair's max batch stop replaying (the
+        compaction watermark advances; position-based incremental
+        consumers rebuild). Returns the merged file path."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        paths = []
+        for f in (file_a, file_b):
+            p = f if os.path.isabs(f) else os.path.join(self.log_path, f)
+            if not os.path.isfile(p):
+                raise FileNotFoundError(p)
+            paths.append(p)
+        # Global visibility sets — markers are tiny by construction; the
+        # scan is column-pruned to (_txid, _kind).
+        log = self._read_log()
+        mk = (log.filter(F.col("_kind").isin("C", "R"))
+              .select("_txid", "_kind").distinct().collect())
+        committed = {r["_txid"] for r in mk if r["_kind"] == "C"}
+        rolled = {r["_txid"] for r in mk if r["_kind"] == "R"} - committed
+        merged = pa.concat_tables(
+            [pq.read_table(p) for p in paths], promote_options="default")
+        cols = merged.column_names
+        rows = merged.to_pylist()
+        rows.sort(key=lambda r: (r["_batch"], r["_seq"]), reverse=True)
+        keep, seen = [], set()
+        for r in rows:  # newest first: first writer per id wins
+            kind = r["_kind"]
+            if kind in ("C", "R"):
+                keep.append(r)
+                continue
+            txid = r["_txid"]
+            if txid in rolled:
+                continue  # dead forever
+            if txid == NIL_TXID or txid in committed:
+                if r["_id"] in seen:
+                    continue  # superseded within the pair
+                seen.add(r["_id"])
+                r = dict(r, _txid=NIL_TXID)
+                keep.append(r)
+            else:
+                keep.append(r)  # pending txn: undecidable, keep verbatim
+        out = os.path.join(self.log_path, f"merged-{uuid.uuid4().hex}.parquet")
+        pq.write_table(
+            pa.Table.from_pylist(keep, schema=merged.schema).select(cols), out)
+        for p in paths:
+            os.remove(p)
+        self._record_compaction(
+            max(r["_batch"] for r in rows) if rows else -1)
+        self._invalidate_snapshots()
+        return out
+
     # -- indexes (reference: src/collection/indexes/ — declared structs with
     # no-op update(); README.md:78-81 Table/Index Seek roadmap). Spark
     # realizations: sorted data + parquet min/max stats, inverted-index
@@ -778,8 +899,21 @@ class Collection:
     def maybe_compact(self) -> bool:
         """Compaction trigger: redundancy ratio >= threshold (reference:
         collection_statistics.rs:11-14, default 0.5 storage_config.rs:33).
-        Also opportunistically folds accumulated 1-row commit-marker
-        files (``coalesce_markers``) when not compacting outright."""
+
+        Incremental-first: when some adjacent segment PAIR clears the
+        redundancy threshold, merge just that pair (O(two bounded files)
+        I/O — the 100 TB-safe path; at that scale a whole-log rewrite per
+        trigger is the bottleneck). Only when no single pair is redundant
+        but the log as a whole is — duplicates scattered across distant
+        segments, which pairwise merges can't see — does it fall back to
+        the full ``compact()``; explicit ``compact()`` calls remain
+        available for forced whole-log normalization. Otherwise it
+        opportunistically folds accumulated 1-row commit-marker files
+        (``coalesce_markers``)."""
+        pair = self.most_redundant_pair()
+        if pair is not None and pair[2] >= self.compaction_redundancy:
+            self.compact_segments(pair[0], pair[1])
+            return True
         if self.statistics().should_compact:
             self.compact()
             return True

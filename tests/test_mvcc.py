@@ -499,3 +499,84 @@ def test_compaction_watermark_recorded(spark, tmp_path):
     c.optimize(["qty"])
     wm2 = c.compaction_watermark()
     assert wm2 > wm  # monotone across maintenance calls
+
+
+def _snap(c):
+    return {(r["_id"], r["name"], r["qty"]) for r in c.table_scan().collect()}
+
+
+def test_compact_segments_preserves_snapshot(spark, tmp_path):
+    """Segment-pair merge (reference log_compaction.rs:9-64): merging two
+    log files keeps the visible snapshot identical while dropping
+    superseded versions — including across the pending/rolled-back/
+    committed visibility cases the whole-log path resolves."""
+    st = Storage(spark, str(tmp_path / "sp"), StorageConfig(max_entries=64))
+    c = st.get_collection("t")
+    # segment 1: two committed-by-default rows
+    c.set_objects(None, _df(spark, [("a", "v1", 1), ("b", "v1", 1)]))
+    # segment 2: supersede a, add c, tombstone b, plus a pending and a
+    # rolled-back write that must NOT be collapsed into the merge
+    c.set_objects(None, _df(spark, [("a", "v2", 2), ("c", "v1", 1)]))
+    t_del = uuid7()
+    c.delete_objects(t_del, ["b"])
+    c.commit(t_del)
+    t_pend = uuid7()
+    c.set_objects(t_pend, _df(spark, [("a", "v3-pending", 3)]))
+    t_roll = uuid7()
+    c.set_objects(t_roll, _df(spark, [("d", "rolled", 9)]))
+    c.rollback(t_roll)
+    before = _snap(c)
+    assert before == {("a", "v2", 2), ("c", "v1", 1)}
+    files = [f[0] for f in c._data_files()]
+    assert len(files) >= 2
+    merged = c.compact_segments(files[0], files[1])
+    import os as _os
+    assert _os.path.isfile(merged)
+    assert _snap(c) == before
+    # the pending transaction still commits correctly after the merge
+    c.commit(t_pend)
+    assert _snap(c) == {("a", "v3-pending", 3), ("c", "v1", 1)}
+    # rolled-back payload is physically gone from the merged file
+    import pyarrow.parquet as pq
+    names = pq.read_table(merged, columns=["name"]).column("name").to_pylist()
+    assert "rolled" not in names
+
+
+def test_compact_segments_drops_superseded_and_advances_watermark(spark, tmp_path):
+    st = Storage(spark, str(tmp_path / "sp2"), StorageConfig(max_entries=64))
+    c = st.get_collection("t")
+    # one file per batch so each append is exactly one segment
+    c.set_objects(None, _df(spark, [(str(i), "v1", i) for i in range(20)]).coalesce(1))
+    c.set_objects(None, _df(spark, [(str(i), "v2", i) for i in range(20)]).coalesce(1))
+    pos = c.log_position()
+    files = [f[0] for f in c._data_files()]
+    before = _snap(c)
+    c.compact_segments(files[0], files[1])
+    assert _snap(c) == before
+    stats = c.statistics()
+    assert stats.total_entries == 20  # 40 -> 20: duplicates physically gone
+    assert c.compaction_watermark() == pos  # positions below stop replaying
+    # recency against LATER segments is preserved (original _batch kept)
+    c.set_objects(None, _df(spark, [("0", "v3", 99)]))
+    assert ("0", "v3", 99) in _snap(c)
+
+
+def test_maybe_compact_picks_most_redundant_pair(spark, tmp_path):
+    """maybe_compact prefers the bounded segment-pair merge; the merged
+    pair is the adjacent one with the highest duplicate-id fraction."""
+    st = Storage(spark, str(tmp_path / "sp3"), StorageConfig(max_entries=64))
+    c = st.get_collection("t")
+    c.set_objects(None, _df(spark, [(f"x{i}", "v1", i) for i in range(10)]).coalesce(1))
+    c.set_objects(None, _df(spark, [(f"y{i}", "v1", i) for i in range(10)]).coalesce(1))
+    # fully redundant vs segment 2
+    c.set_objects(None, _df(spark, [(f"y{i}", "v2", i) for i in range(10)]).coalesce(1))
+    pa_, pb_, red = c.most_redundant_pair()
+    files = [f[0] for f in c._data_files()]
+    assert (pa_, pb_) == (files[1], files[2]) and red == 0.5
+    before = _snap(c)
+    n_before = len(files)
+    assert c.maybe_compact()
+    assert _snap(c) == before
+    assert len(c._data_files()) == n_before - 1  # exactly one pair merged
+    # segment 1 (x-rows) untouched — incremental, not whole-log
+    assert c.statistics().total_entries == 30 - 10

@@ -1205,6 +1205,26 @@ def q_ivf_topk(spark, sf_dir):
     return lsim.ivf_topk(emb, queries_df, k=10, n_cells=16, n_probe=4)
 
 
+def q_ivf_index_topk(spark, sf_dir):
+    """Persisted IVF index probe (db_spark/llm/similarity.py:
+    ivf_index_build/ivf_index_topk): the assigned corpus is materialized
+    hive-partitioned by cell_id, so the probe's literal IN filter plans
+    PartitionFilters and reads only the probed cell directories (proof:
+    tests/test_llm.py::test_ivf_index_persisted_probe_prunes_files
+    asserts the executed scan's numFiles metric). Same arithmetic as
+    ivf_topk, so the same oracle checks it value-exactly."""
+    import tempfile
+
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    idx = tempfile.mkdtemp(prefix="ivf_index_") + "/ivf"
+    lsim.ivf_index_build(emb, idx, n_cells=16)
+    return lsim.ivf_index_topk(spark, idx, queries_df, k=10, n_probe=4)
+
+
 def q_ivf_kmeans_topk(spark, sf_dir):
     """IVF top-k with 2 deterministic Lloyd refinement iterations:
     centroid means accumulate in scaled BIGINT so the refinement — and
@@ -2203,11 +2223,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct": q_count_distinct,
         "array_funcs": q_array_funcs,
         "map_struct_funcs": q_map_struct_funcs,
+        # -- new in round 4, below the window: r05 window candidates --------
+        # (locally oracle-validated via scripts/check_oracle.py)
+        "ivf_index_topk": q_ivf_index_topk,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "table_scan": "SELECT * FROM region",
         "filter": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_discount
@@ -3440,3 +3463,7 @@ def oracle_sql() -> dict[str, str]:
             FROM final GROUP BY grp
         """,
     }
+    # The persisted-index probe computes the same math as the in-flight
+    # ivf_topk (same centroids, k, n_probe) — one oracle serves both.
+    d["ivf_index_topk"] = d["ivf_topk"]
+    return d

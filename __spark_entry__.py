@@ -1645,6 +1645,19 @@ def q_event_funnel(spark, sf_dir):
     return analytics.funnel(ev, ["view", "click", "purchase"])
 
 
+def q_event_funnel_windowed(spark, sf_dir):
+    """Max-conversion-window funnel (db_spark/analytics.py): same
+    min-cascade as event_funnel but each step must land within 24 h of
+    the previous frontier time — the form product analytics actually
+    ships. Greedy first-touch semantics (documented in funnel()); the
+    oracle runs the identical bounded cascade as chained CTEs."""
+    from db_spark import analytics
+
+    ev = _t(spark, sf_dir, "events")
+    return analytics.funnel(
+        ev, ["view", "click", "purchase"], max_gap_seconds=86400)
+
+
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention (db_spark/analytics.py): first-touch week
     per user x distinct active weeks — two user-keyed aggregates, one
@@ -2226,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4, below the window: r05 window candidates --------
         # (locally oracle-validated via scripts/check_oracle.py)
         "ivf_index_topk": q_ivf_index_topk,
+        "event_funnel_windowed": q_event_funnel_windowed,
     }
 
 
@@ -3417,6 +3431,34 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.user_id, MIN(e.ts) AS t
               FROM events e JOIN u1 ON e.user_id = u1.user_id
               WHERE e.event_type = 'purchase' AND e.ts > u1.t
+              GROUP BY e.user_id
+            )
+            SELECT CAST(0 AS INT) AS step, 'view' AS event_type,
+                   CAST(count(*) AS BIGINT) AS users FROM u0
+            UNION ALL
+            SELECT 1, 'click', count(*) FROM u1
+            UNION ALL
+            SELECT 2, 'purchase', count(*) FROM u2
+        """,
+        # same bounded min-cascade: strict-after AND within 24 h of the
+        # previous frontier; greedy first-touch on both engines.
+        "event_funnel_windowed": """
+            WITH u0 AS (
+              SELECT user_id, MIN(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            u1 AS (
+              SELECT e.user_id, MIN(e.ts) AS t
+              FROM events e JOIN u0 ON e.user_id = u0.user_id
+              WHERE e.event_type = 'click' AND e.ts > u0.t
+                AND e.ts <= u0.t + INTERVAL 86400 SECOND
+              GROUP BY e.user_id
+            ),
+            u2 AS (
+              SELECT e.user_id, MIN(e.ts) AS t
+              FROM events e JOIN u1 ON e.user_id = u1.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > u1.t
+                AND e.ts <= u1.t + INTERVAL 86400 SECOND
               GROUP BY e.user_id
             )
             SELECT CAST(0 AS INT) AS step, 'view' AS event_type,

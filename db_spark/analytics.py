@@ -19,30 +19,48 @@ from pyspark.sql import functions as F
 def funnel(
     events: DataFrame, steps: list[str],
     user_col: str = "user_id", type_col: str = "event_type",
-    ts_col: str = "ts",
+    ts_col: str = "ts", max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel completion: for each step k, the number of users
     whose earliest qualifying step-k event *strictly follows* their
     earliest qualifying step-(k-1) event. Returns (step, event_type,
     users), one row per step, step 0 = all users who did steps[0].
 
+    ``max_gap_seconds`` adds the max-conversion-window form product
+    analytics ships: step k must also land *within* that many seconds
+    of the chosen step-(k-1) time (``<=`` on the boundary). Semantics
+    are greedy first-touch: each frontier is the EARLIEST qualifying
+    time, so a user whose only in-window step-k event follows a later
+    step-(k-1) repeat is not counted — deterministic, one-pass, and
+    expressible identically in ANSI SQL (the oracle runs the same
+    cascade; a backtracking "any chain" definition would need a
+    per-user sequence scan, which is exactly the per-user event-array
+    materialization this shape avoids).
+
     Min-cascade shape: stage k is one shuffle keyed by user over ONLY
     the step-k events joined to the (user, t_{k-1}) frontier — the
     classic funnel is k small aggregates, never a per-user sort or
     event-array collect. Strict ``>`` ordering makes ties (same
-    timestamp) non-qualifying on every engine identically."""
+    timestamp) non-qualifying on every engine identically. The gap
+    bound is a residual on the existing join — timestamp arithmetic is
+    exact microseconds on any engine, no extra shuffle."""
     cur = (
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col).agg(F.min(ts_col).alias("_t"))
     )
     stages = [(steps[0], cur)]
     for s in steps[1:]:
-        cur = (
+        nxt = (
             events.filter(F.col(type_col) == s)
             .join(cur.select(user_col, "_t"), user_col)
             .filter(F.col(ts_col) > F.col("_t"))
-            .groupBy(user_col).agg(F.min(ts_col).alias("_t"))
         )
+        if max_gap_seconds is not None:
+            nxt = nxt.filter(
+                F.col(ts_col)
+                <= F.col("_t") + F.expr(f"INTERVAL {int(max_gap_seconds)} SECOND")
+            )
+        cur = nxt.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
         stages.append((s, cur))
     out = None
     for i, (s, frontier) in enumerate(stages):

@@ -52,6 +52,44 @@ def test_funnel_ties_do_not_qualify(spark):
     assert out == {0: 1, 1: 0}
 
 
+def test_funnel_window_bounds_conversion(spark):
+    rows = [
+        # u1 clicks 5 min after view: inside a 10-min window
+        (1, "view", _t(0)), (1, "click", _t(5)),
+        # u2 clicks 30 min after view: outside it
+        (2, "view", _t(0)), (2, "click", _t(30)),
+        # u3 clicks exactly AT the bound: <= qualifies
+        (3, "view", _t(0)), (3, "click", _t(10)),
+    ]
+    out = {r["step"]: r["users"] for r in analytics.funnel(
+        _ev(spark, rows), ["view", "click"],
+        max_gap_seconds=600).collect()}
+    assert out == {0: 3, 1: 2}
+
+
+def test_funnel_window_is_per_step_not_total(spark):
+    # each gap is 8 min (inside a 10-min per-step window) but the
+    # total view->purchase span is 16 min — still converts
+    rows = [(1, "view", _t(0)), (1, "click", _t(8)),
+            (1, "purchase", _t(16))]
+    out = {r["step"]: r["users"] for r in analytics.funnel(
+        _ev(spark, rows), ["view", "click", "purchase"],
+        max_gap_seconds=600).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_funnel_window_greedy_first_touch(spark):
+    # u1 views at t0 and again at t20; the only click is at t25.
+    # Greedy frontier = t0, so the click (25 min later) misses the
+    # 10-min window even though the second view would have caught it.
+    rows = [(1, "view", _t(0)), (1, "view", _t(20)),
+            (1, "click", _t(25))]
+    out = {r["step"]: r["users"] for r in analytics.funnel(
+        _ev(spark, rows), ["view", "click"],
+        max_gap_seconds=600).collect()}
+    assert out == {0: 1, 1: 0}
+
+
 def test_cohort_retention_counts(spark):
     # two cohorts: week of Jan 1 (Mon) and week of Jan 8
     rows = [

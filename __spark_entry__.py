@@ -557,6 +557,225 @@ def q_idle_rich_customers(spark, sf_dir):
     )
 
 
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: revenue increase from discount forecasting — one
+    tight scan with every predicate pushed to parquet (year range on
+    l_shipdate, discount band, quantity cap) and a single global
+    scaled-long sum. The canonical 'is the filter pushed down' query:
+    ReadSchema is 4 columns, PushedFilters carries all 5 bounds."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0))
+        .agg(decimal_sum(
+            F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_7's share of STANDARD-part revenue sold to
+    region-2 customers, by order year. All four dims broadcast; the
+    numerator is a conditional scaled-long sum over the same joined
+    scan as the denominator — one pass, one final two-row aggregate.
+    The share is a double ratio of two exact sums, bit-identical on
+    any engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    cust_nation = c.join(
+        F.broadcast(n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+                    .filter(F.col("r_regionkey") == 2).select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    supp_nation = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                             F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_nation.select("c_custkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation.select("s_suppkey", "supp_nation")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            decimal_sum(F.when(F.col("supp_nation") == "NATION_7", vol)
+                        .otherwise(F.lit(0.0)), "nation_rev"),
+            decimal_sum(vol, "total_rev"))
+        .select(
+            "o_year",
+            F.round(F.col("nation_rev") / F.col("total_rev"), 6)
+            .alias("mkt_share"))
+    )
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue. Per-supplier scaled-long sums, then a scalar-subquery max
+    joined back — Catalyst plans the max as a broadcast single-row
+    join, no second scan of lineitem (the agg is reused)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01")))
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(decimal_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "total_rev"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+def q_gapfill_locf(spark, sf_dir):
+    """Time-series resampling: hourly event-count/value grid per
+    event_type over one day, with missing hours generated
+    (``sequence`` + explode of the hour range x the type dimension)
+    and the value series gap-filled by last-observation-carried-forward
+    (``last(_, ignorenulls)`` over an ordered window). The grid is
+    |types x hours| — dashboard-sized — so the only data-sized work is
+    the first hourly aggregate; the LOCF window runs on the tiny grid,
+    partitioned by type. Counts fill with 0, LOCF leads with NULL until
+    the first observation."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-03 00:00:00"))
+        & (F.col("ts") < F.lit("2024-01-04 00:00:00")))
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+                   "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             decimal_sum(F.col("value"), "sum_value", 2))
+    )
+    hours = spark.range(24).select(
+        (F.to_timestamp(F.lit("2024-01-03 00:00:00"))
+         + F.col("id").cast("int") * F.expr("INTERVAL 1 HOUR"))
+        .alias("hour_ts"))
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("event_type").orderBy("hour_ts")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        grid.join(hourly, ["hour_ts", "event_type"], "left")
+        .select(
+            "hour_ts", "event_type",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long")
+            .alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(w)
+            .alias("locf_sum_value"),
+            F.col("sum_value").isNull().alias("is_gap"))
+    )
+
+
+def q_fuzzy_join(spark, sf_dir):
+    """Dictionary-blocked fuzzy self-join: part-name pairs within
+    Levenshtein distance 4. The 100 TB design point: similarity runs on
+    the DISTINCT-name dictionary (vocabulary-sized — 64 names here,
+    ~100k in real catalogs), never on the row set; each dictionary name
+    joins back to its row count. The dictionary pair-join is dictionary
+    x dictionary with a length-band prefilter (|len(a)-len(b)| <= 4
+    bounds candidates before the edit-distance evaluates), broadcast on
+    both sides — zero shuffles over the fact table beyond the distinct."""
+    p = _t(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"))
+    a = names.select(F.col("p_name").alias("name_a"),
+                     F.col("n_parts").alias("n_a"))
+    b = names.select(F.col("p_name").alias("name_b"),
+                     F.col("n_parts").alias("n_b"))
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 4)
+        .filter(F.levenshtein("name_a", "name_b") <= 4)
+        .select("name_a", "name_b",
+                F.levenshtein("name_a", "name_b").alias("edit_dist"),
+                "n_a", "n_b")
+    )
+
+
+def q_profile_table(spark, sf_dir):
+    """Column profiling (the DESCRIBE/data-quality sweep every pipeline
+    runs before training): per-column row count, null count, distinct
+    count, min/max — one scan per profiled column family, emitted as a
+    uniform (column, n_rows, n_nulls, n_distinct, min_val, max_val)
+    relation. Numeric min/max render through DECIMAL(18,2) so the
+    string forms are engine-identical."""
+    o = _t(spark, sf_dir, "orders")
+
+    def prof(colname, numeric=False):
+        c = F.col(colname)
+        mn, mx = F.min(c), F.max(c)
+        if numeric:
+            mn = mn.cast(T.DecimalType(18, 2))
+            mx = mx.cast(T.DecimalType(18, 2))
+        return o.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("long")
+            .alias("n_nulls"),
+            F.count_distinct(c).cast("long").alias("n_distinct"),
+            mn.cast("string").alias("min_val"),
+            mx.cast("string").alias("max_val"),
+        ).select(F.lit(colname).alias("col_name"), "*")
+
+    return (
+        prof("o_orderkey")
+        .unionByName(prof("o_custkey"))
+        .unionByName(prof("o_orderstatus"))
+        .unionByName(prof("o_orderpriority"))
+        .unionByName(prof("o_totalprice", numeric=True))
+    )
+
+
+def q_zscore_outliers(spark, sf_dir):
+    """Per-group z-score outlier audit over events.value: mean and
+    sample variance are derived from exact integer moments (sum of
+    cent-scaled values and their squares — order-independent BIGINT
+    adds), so the per-row z-scores and the |z| >= 2.5 outlier counts
+    are bit-identical on any engine. Two passes over the step-filtered
+    column: one grouped moment aggregate (broadcast back), one scan
+    counting exceedances — no window, no sort."""
+    ev = _t(spark, sf_dir, "events")
+    v100 = F.round(F.col("value") * 100).cast("long")
+    moments = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum(v100).alias("s1"),
+             F.sum(v100 * v100).alias("s2"))
+        .filter(F.col("n") > 1)
+        .select(
+            "event_type", "n",
+            (F.col("s1").cast("double") / F.col("n")).alias("mean100"),
+            F.sqrt((F.col("s2").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+                   / (F.col("n") - 1)).alias("sd100"))
+    )
+    return (
+        ev.select("event_type", v100.alias("_v"))
+        .join(F.broadcast(moments), "event_type")
+        .select("event_type", "n",
+                (F.abs(F.col("_v") - F.col("mean100")) / F.col("sd100"))
+                .alias("_z"))
+        .groupBy("event_type")
+        .agg(F.max("n").alias("n_events"),
+             F.sum(F.when(F.round(F.col("_z"), 4) >= 2.5, 1).otherwise(0))
+             .cast("long").alias("n_outliers"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set ops / outer & theta joins / merge-intervals / function library
 # ---------------------------------------------------------------------------
@@ -2240,6 +2459,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (locally oracle-validated via scripts/check_oracle.py)
         "ivf_index_topk": q_ivf_index_topk,
         "event_funnel_windowed": q_event_funnel_windowed,
+        "forecast_revenue": q_forecast_revenue,
+        "market_share": q_market_share,
+        "top_supplier": q_top_supplier,
+        "gapfill_locf": q_gapfill_locf,
+        "fuzzy_join": q_fuzzy_join,
+        "profile_table": q_profile_table,
+        "zscore_outliers": q_zscore_outliers,
     }
 
 
@@ -3503,6 +3729,181 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(CAST(round(val * 100) AS BIGINT)) AS DOUBLE)
                          / 100.0 / count(val), 6) AS avg_value
             FROM final GROUP BY grp
+        """,
+        # Q6 shape: same scaled-long sum of the discount revenue.
+        "forecast_revenue": """
+            SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 10000)
+                       AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24.0
+        """,
+        # Q8 shape: conditional/total exact sums share one joined scan;
+        # the share is a double ratio of two exact sums.
+        "market_share": """
+            WITH c2 AS (
+              SELECT c_custkey FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              WHERE n_regionkey = 2
+            ),
+            sn AS (
+              SELECT s_suppkey, n_name AS supp_nation FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+            ),
+            base AS (
+              SELECT year(o_orderdate) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS vol,
+                     sn.supp_nation
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN c2 ON o_custkey = c2.c_custkey
+              JOIN sn ON l_suppkey = sn.s_suppkey
+            )
+            SELECT CAST(o_year AS INT) AS o_year,
+                   round(
+                     (CAST(SUM(CAST(round((CASE WHEN supp_nation = 'NATION_7'
+                            THEN vol ELSE 0.0 END) * 10000) AS BIGINT))
+                        AS DOUBLE) / 10000.0)
+                     / (CAST(SUM(CAST(round(vol * 10000) AS BIGINT))
+                        AS DOUBLE) / 10000.0), 6) AS mkt_share
+            FROM base GROUP BY o_year
+        """,
+        # Q15 shape: scalar-subquery max over the per-supplier exact sums.
+        "top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                           * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
+                       AS total_rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_rev
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        """,
+        # generated hour grid x type dim, LOCF via IGNORE NULLS window —
+        # identical frame semantics on both engines.
+        "gapfill_locf": """
+            WITH ev AS (
+              SELECT * FROM events
+              WHERE ts >= TIMESTAMP '2024-01-03'
+                AND ts < TIMESTAMP '2024-01-04'
+            ),
+            hourly AS (
+              SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0 AS sum_value
+              FROM ev GROUP BY 1, 2
+            ),
+            hours AS (
+              SELECT TIMESTAMP '2024-01-03 00:00:00'
+                     + h * INTERVAL 1 HOUR AS hour_ts
+              FROM range(24) t(h)
+            ),
+            grid AS (
+              SELECT hour_ts, event_type
+              FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM ev)
+            )
+            SELECT g.hour_ts, g.event_type,
+                   CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+                   LAST_VALUE(h.sum_value IGNORE NULLS) OVER (
+                     PARTITION BY g.event_type ORDER BY g.hour_ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS locf_sum_value,
+                   h.sum_value IS NULL AS is_gap
+            FROM grid g LEFT JOIN hourly h
+              ON g.hour_ts = h.hour_ts AND g.event_type = h.event_type
+        """,
+        # dictionary self-join with the same length-band prefilter.
+        "fuzzy_join": """
+            WITH names AS (
+              SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+              FROM part GROUP BY p_name
+            )
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS INT)
+                     AS edit_dist,
+                   a.n_parts AS n_a, b.n_parts AS n_b
+            FROM names a JOIN names b ON a.p_name < b.p_name
+            WHERE abs(length(a.p_name) - length(b.p_name)) <= 4
+              AND levenshtein(a.p_name, b.p_name) <= 4
+        """,
+        # per-column profile rows; numeric min/max render via
+        # DECIMAL(18,2) so string forms agree.
+        "profile_table": """
+            SELECT 'o_orderkey' AS col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max_val
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(count(DISTINCT o_custkey) AS BIGINT),
+                   CAST(min(o_custkey) AS VARCHAR),
+                   CAST(max(o_custkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+                   CAST(min(o_orderstatus) AS VARCHAR),
+                   CAST(max(o_orderstatus) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT),
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+                   CAST(min(o_orderpriority) AS VARCHAR),
+                   CAST(max(o_orderpriority) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(count(DISTINCT o_totalprice) AS BIGINT),
+                   CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+                   CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+            FROM orders
+        """,
+        # exact integer moments -> identical mean/sd doubles -> identical
+        # rounded z-scores and exceedance counts.
+        "zscore_outliers": """
+            WITH m AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     SUM(CAST(round(value * 100) AS BIGINT)) AS s1,
+                     SUM(CAST(round(value * 100) AS BIGINT)
+                         * CAST(round(value * 100) AS BIGINT)) AS s2
+              FROM events GROUP BY event_type HAVING count(*) > 1
+            ),
+            mm AS (
+              SELECT event_type, n,
+                     CAST(s1 AS DOUBLE) / n AS mean100,
+                     sqrt((CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+                       AS sd100
+              FROM m
+            )
+            SELECT e.event_type, max(mm.n) AS n_events,
+                   CAST(SUM(CASE WHEN round(
+                       abs(CAST(round(e.value * 100) AS BIGINT) - mm.mean100)
+                       / mm.sd100, 4) >= 2.5 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_outliers
+            FROM events e JOIN mm ON e.event_type = mm.event_type
+            GROUP BY e.event_type
         """,
     }
     # The persisted-index probe computes the same math as the in-flight

@@ -20,6 +20,14 @@ def _optimized(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+def _formatted(df, spark) -> str:
+    """Formatted explain — unlike executedPlan().toString(), it does not
+    truncate long PushedFilters lists."""
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
 def test_multi_join_broadcasts_all_dims(spark):
     plan = _plan(E.q_multi_join(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 3  # customer/nation/region
@@ -63,6 +71,49 @@ def test_cosine_topk_broadcasts_queries(spark):
 def test_decontaminate_broadcasts_eval_grams(spark):
     plan = _plan(E.q_decontaminate(spark, SF))
     assert "BroadcastExchange" in plan
+
+
+def test_forecast_revenue_full_pushdown(spark):
+    """TPC-H Q6: every predicate (date range, discount band, quantity
+    cap) must reach the parquet reader; only the 4 referenced columns
+    are read; no exchange beyond the single global-agg gather."""
+    scan = _formatted(E.q_forecast_revenue(spark, SF), spark)
+    for pushed in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                   "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+                   "LessThan(l_quantity"):
+        assert pushed in scan, f"{pushed} not pushed to the scan"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", scan)
+    assert m and len(m.group(1).split(",")) == 4
+
+
+def test_market_share_broadcasts_every_dim(spark):
+    plan = _plan(E.q_market_share(spark, SF))
+    assert "SortMergeJoin" not in plan  # no dim may shuffle the fact
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # part/cust/supp-nation/max
+
+
+def test_gapfill_locf_window_on_grid_only(spark):
+    # the LOCF window must run on the |types x hours| grid, never on
+    # the event stream: the Window's child must not be the raw scan
+    plan = _plan(E.q_gapfill_locf(spark, SF))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_runs_on_dictionary(spark):
+    # similarity must join the aggregated DISTINCT-name dictionary
+    # (HashAggregate below the join), not the raw part rows
+    plan = _plan(E.q_fuzzy_join(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # dictionary-sized non-equi
+    assert "HashAggregate" in plan
+
+
+def test_zscore_outliers_broadcasts_moments(spark):
+    plan = _plan(E.q_zscore_outliers(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_no_cartesian_products_anywhere_in_window(spark):

@@ -92,6 +92,30 @@ PICKS = {
         "Bloom build is an explode into a <= bits/32-row bit_or "
         "aggregate; membership is a probe-cardinality hash join "
         "against the bounded word table."),
+    "forecast_revenue": (E.q_forecast_revenue,
+        "TPC-H Q6: all five predicate bounds in PushedFilters, 4-column "
+        "ReadSchema, one partial+final global aggregate — the scan IS "
+        "the query."),
+    "market_share": (E.q_market_share,
+        "TPC-H Q8: the fact table joins part/orders/customer-region/"
+        "supplier-nation entirely via BroadcastHashJoin — zero "
+        "sort-merge joins; numerator and denominator share one scan "
+        "as a conditional aggregate."),
+    "gapfill_locf": (E.q_gapfill_locf,
+        "Hourly aggregate is the only data-sized stage; the generated "
+        "hour x type grid and the LOCF window run on dashboard-sized "
+        "rows (|types| x 24)."),
+    "fuzzy_join": (E.q_fuzzy_join,
+        "Similarity on the DISTINCT-name dictionary: HashAggregate "
+        "below a broadcast non-equi self-join — the fact table "
+        "contributes one distinct aggregate, never a pair join."),
+    "zscore_outliers": (E.q_zscore_outliers,
+        "Grouped integer moments broadcast back onto the scan; the "
+        "exceedance count is a second map-side aggregate — two scans, "
+        "no window, no sort."),
+    "event_funnel_windowed": (E.q_event_funnel_windowed,
+        "Min-cascade with the 24 h conversion bound as a join residual "
+        "— per-stage shuffle volume is still only that step's events."),
 }
 
 

@@ -776,6 +776,187 @@ def q_zscore_outliers(spark, sf_dir):
     )
 
 
+def q_copurchase_pairs(spark, sf_dir):
+    """Item co-occurrence (recommender building block): top-20 part
+    pairs by number of orders containing both. The self-join is keyed
+    on l_orderkey, so pair enumeration is quadratic only in ORDER size
+    (~4 lines), never in the catalog; top-k is TakeOrderedAndProject
+    with a total ordering (count desc, then both keys) so the LIMIT
+    boundary is deterministic on any engine."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("_ok"),
+                  F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (F.col("l_orderkey") == F.col("_ok"))
+               & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+def q_triangle_count(spark, sf_dir):
+    """Graph analytics: triangle count over the co-purchase graph
+    (edges = part pairs co-ordered in >= 2 orders, oriented a < b so
+    each triangle counts once). Classic two-join shape: edges(a,b) x
+    edges(b,c) forms wedges, closed by a semi-check against edges(a,c)
+    — never an all-pairs product; at scale the wedge join is the
+    degree-squared term the >= 2 support threshold bounds."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("_ok"),
+                  F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, (F.col("l_orderkey") == F.col("_ok"))
+               & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("pa", "pb")
+    )
+    e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = edges.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
+    e3 = edges.select(F.col("pa").alias("a3"), F.col("pb").alias("c3"))
+    wedges = e1.join(e2, F.col("b") == F.col("b2"))
+    tri = wedges.join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def q_exact_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (p25/median/p75 of
+    l_extendedprice per return flag): Spark's exact `percentile` and
+    DuckDB's `quantile_cont` both interpolate lower + frac*(upper -
+    lower) at rank (n-1)*p, so with the same doubles the results are
+    bit-identical; rounded to 4 for belt-and-braces. Exact percentile
+    is a per-group sort — at 100 TB use hist_quantiles (bounded-state
+    sketch) instead; this is the small-group exact path."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4)
+            .alias("p25"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+            .alias("median"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4)
+            .alias("p75"))
+    )
+
+
+def q_price_qty_corr(spark, sf_dir):
+    """Pearson correlation of quantity vs extended price per return
+    flag, derived from exact integer moments (dime-scaled price,
+    cent-scaled quantity) so every double op downstream of the BIGINT
+    sums is engine-identical — the built-in `corr` is a float
+    accumulation whose partial-aggregation order Spark does not
+    guarantee, so it can't cross-check against another engine.
+    One grouped aggregate, map-side partials, no second pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    q100 = F.round(F.col("l_quantity") * 100).cast("long")
+    p10 = F.round(F.col("l_extendedprice") * 10).cast("long")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum(q100).alias("sq"), F.sum(p10).alias("sp"),
+             F.sum(q100 * q100).alias("sqq"),
+             F.sum(p10 * p10).alias("spp"),
+             F.sum(q100 * p10).alias("sqp"))
+        .select(
+            "l_returnflag", "n",
+            F.round(
+                (F.col("n").cast("double") * F.col("sqp")
+                 - F.col("sq").cast("double") * F.col("sp"))
+                / (F.sqrt(F.col("n").cast("double") * F.col("sqq")
+                          - F.col("sq").cast("double") * F.col("sq"))
+                   * F.sqrt(F.col("n").cast("double") * F.col("spp")
+                            - F.col("sp").cast("double") * F.col("sp"))),
+                6).alias("qty_price_corr"))
+    )
+
+
+def q_range_frame_agg(spark, sf_dir):
+    """Time-range window frame (RANGE INTERVAL): for each event, the
+    count and exact sum of value over the trailing hour within its
+    event type — ordered by epoch-microseconds so the frame bound is
+    integer arithmetic and RANGE peers (equal timestamps) resolve
+    identically on every engine. One shuffle on event_type; the frame
+    scan is the windowed sort within each partition."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-05 00:00:00"))
+        & (F.col("ts") < F.lit("2024-01-06 00:00:00")))
+    # ts is TIMESTAMP_NTZ; diff from the naive epoch is tz-independent
+    # (unix_micros would force a session-timezone interpretation)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    w = (Window.partitionBy("event_type").orderBy(us.alias("_us"))
+         .rangeBetween(-3_600_000_000, 0))
+    v100 = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id", "event_type", "ts",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing_1h"),
+        (F.sum(v100).over(w) / 100.0).alias("sum_value_1h"),
+    )
+
+
+def q_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit (the constraint check a lake runs
+    before publishing): orphan counts for each declared FK edge via
+    broadcast left-anti joins against the distinct parent keys — one
+    fact scan per edge, parent key sets are dictionary-sized. Emits
+    (relation, n_rows, n_orphans) so clean edges still assert their
+    row volume."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+
+    def audit(child, fk, parent, pk, label):
+        keys = parent.select(F.col(pk).alias("_pk")).distinct()
+        return (
+            child.select(F.col(fk).alias("_fk"))
+            .join(F.broadcast(keys), F.col("_fk") == F.col("_pk"), "left")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_orphans"))
+            .select(F.lit(label).alias("relation"), "n_rows", "n_orphans")
+        )
+
+    return (
+        audit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(audit(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionByName(audit(c, "c_nationkey", n, "n_nationkey",
+                           "customer->nation"))
+    )
+
+
+def q_mode_by_group(spark, sf_dir):
+    """Most frequent order priority per order status (statistical mode)
+    with a total tie-break (max count, then lexicographically smallest
+    value) so the answer is unique on any engine. Counts aggregate to
+    |status x priority| rows; the row_number window runs on that
+    dashboard-sized table."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    counts = (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("o_orderstatus",
+                F.col("o_orderpriority").alias("mode_priority"), "n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set ops / outer & theta joins / merge-intervals / function library
 # ---------------------------------------------------------------------------
@@ -2466,6 +2647,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "profile_table": q_profile_table,
         "zscore_outliers": q_zscore_outliers,
+        "copurchase_pairs": q_copurchase_pairs,
+        "triangle_count": q_triangle_count,
+        "exact_percentiles": q_exact_percentiles,
+        "price_qty_corr": q_price_qty_corr,
+        "range_frame_agg": q_range_frame_agg,
+        "fk_integrity": q_fk_integrity,
+        "mode_by_group": q_mode_by_group,
     }
 
 
@@ -3878,6 +4066,131 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
                    CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
             FROM orders
+        """,
+        # order-keyed pair enumeration; total ordering makes the LIMIT
+        # boundary deterministic.
+        "copurchase_pairs": """
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            ORDER BY n_orders DESC, part_a, part_b
+            LIMIT 20
+        """,
+        # oriented (a<b) support->=2 edges; wedges closed against the
+        # same edge set — each triangle counted exactly once.
+        "triangle_count": """
+            WITH edges AS (
+              SELECT a.l_partkey AS pa, b.l_partkey AS pb
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+              HAVING count(*) >= 2
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM edges e1
+            JOIN edges e2 ON e1.pb = e2.pa
+            JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        """,
+        # both engines interpolate lower + frac*(upper-lower) at rank
+        # (n-1)*p over the sorted group.
+        "exact_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS median,
+                   round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        # identical integer moments -> identical double corr; n*s
+        # products cast to double BEFORE multiplying (long would
+        # overflow at n*sqp scale).
+        "price_qty_corr": """
+            WITH m AS (
+              SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                     SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sq,
+                     SUM(CAST(round(l_extendedprice * 10) AS BIGINT)) AS sp,
+                     SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                         * CAST(round(l_quantity * 100) AS BIGINT)) AS sqq,
+                     SUM(CAST(round(l_extendedprice * 10) AS BIGINT)
+                         * CAST(round(l_extendedprice * 10) AS BIGINT)) AS spp,
+                     SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                         * CAST(round(l_extendedprice * 10) AS BIGINT)) AS sqp
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n,
+                   round(
+                     (CAST(n AS DOUBLE) * sqp - CAST(sq AS DOUBLE) * sp)
+                     / (sqrt(CAST(n AS DOUBLE) * sqq
+                             - CAST(sq AS DOUBLE) * sq)
+                        * sqrt(CAST(n AS DOUBLE) * spp
+                               - CAST(sp AS DOUBLE) * sp)), 6)
+                     AS qty_price_corr
+            FROM m
+        """,
+        # integer-microsecond RANGE frame: equal bound arithmetic and
+        # identical peer handling on both engines.
+        "range_frame_agg": """
+            SELECT event_id, event_type, ts,
+                   CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w
+                        AS DOUBLE) / 100.0 AS sum_value_1h
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05'
+              AND ts < TIMESTAMP '2024-01-06'
+            WINDOW w AS (
+              PARTITION BY event_type ORDER BY epoch_us(ts)
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        # per-edge left join against distinct parent keys; orphan =
+        # unmatched parent key.
+        "fk_integrity": """
+            WITH e1 AS (
+              SELECT 'lineitem->orders' AS relation,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_orphans
+              FROM lineitem l LEFT JOIN (
+                SELECT DISTINCT o_orderkey FROM orders) o
+                ON l.l_orderkey = o.o_orderkey
+            ),
+            e2 AS (
+              SELECT 'orders->customer',
+                     CAST(count(*) AS BIGINT),
+                     CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0
+                          END) AS BIGINT)
+              FROM orders o LEFT JOIN (
+                SELECT DISTINCT c_custkey FROM customer) c
+                ON o.o_custkey = c.c_custkey
+            ),
+            e3 AS (
+              SELECT 'customer->nation',
+                     CAST(count(*) AS BIGINT),
+                     CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0
+                          END) AS BIGINT)
+              FROM customer c LEFT JOIN (
+                SELECT DISTINCT n_nationkey FROM nation) n
+                ON c.c_nationkey = n.n_nationkey
+            )
+            SELECT * FROM e1 UNION ALL SELECT * FROM e2
+            UNION ALL SELECT * FROM e3
+        """,
+        # unique mode via (count desc, value asc) row_number tie-break.
+        "mode_by_group": """
+            WITH counts AS (
+              SELECT o_orderstatus, o_orderpriority,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_orderstatus
+                ORDER BY n DESC, o_orderpriority ASC) AS rk
+              FROM counts
+            )
+            SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+            FROM ranked WHERE rk = 1
         """,
         # exact integer moments -> identical mean/sd doubles -> identical
         # rounded z-scores and exceedance counts.

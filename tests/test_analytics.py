@@ -90,6 +90,39 @@ def test_funnel_window_greedy_first_touch(spark):
     assert out == {0: 1, 1: 0}
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st_
+
+_hsettings = settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+_events = st_.lists(
+    st_.tuples(st_.integers(1, 5),
+               st_.sampled_from(["view", "click", "purchase"]),
+               st_.integers(0, 5000)),  # minutes offset
+    min_size=1, max_size=40)
+
+
+@_hsettings
+@given(evs=_events)
+def test_funnel_window_never_exceeds_unwindowed(spark, evs):
+    rows = [(u, t, _t(m)) for (u, t, m) in evs]
+    df = _ev(spark, rows)
+    steps = ["view", "click", "purchase"]
+    free = {r["step"]: r["users"]
+            for r in analytics.funnel(df, steps).collect()}
+    capped = {r["step"]: r["users"]
+              for r in analytics.funnel(
+                  df, steps, max_gap_seconds=1800).collect()}
+    wide = {r["step"]: r["users"]
+            for r in analytics.funnel(
+                df, steps, max_gap_seconds=10**9).collect()}
+    for k in free:
+        assert capped[k] <= free[k]
+    assert wide == free  # a window longer than the data changes nothing
+
+
 def test_cohort_retention_counts(spark):
     # two cohorts: week of Jan 1 (Mon) and week of Jan 8
     rows = [

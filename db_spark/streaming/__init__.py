@@ -209,3 +209,83 @@ def stream_into_collection(
     )
     q.awaitTermination()
     return q
+
+
+# ---------------------------------------------------------------------------
+# Streaming sketch maintenance (foreachBatch + mergeable sketch state)
+# ---------------------------------------------------------------------------
+
+def stream_sketch_kmv(
+    stream_df: DataFrame, column: str, state_dir: str, checkpoint: str,
+    k: int = 64, group_cols: list[str] | None = None,
+):
+    """Maintain a KMV distinct-count sketch over a stream: each
+    micro-batch is sketched (bounded <= k rows per group) and
+    ``kmv_merge``d into the persisted state. The merge law
+    (merge(sketch(A), sketch(B)) == sketch(A ∪ B), property-tested in
+    tests/test_sketch_properties.py) makes the maintained state exactly
+    the sketch of everything ever seen — and because KMV state is a
+    distinct min-k hash set, re-merging a replayed batch is a no-op, so
+    the sink is idempotent under checkpoint recovery without any
+    dedup bookkeeping.
+
+    State is epoch-versioned parquet (same pattern as matview): write
+    ``epoch-{n+1}``, swap the meta pointer, keep one prior epoch for
+    readers holding a lazy DataFrame. Per-batch state I/O is <= k rows
+    per group — the stream's cardinality never touches the state path.
+    """
+    import json
+    import os
+    import shutil
+
+    from db_spark.sketch import kmv_merge, kmv_sketch
+
+    groups = group_cols or []
+    meta_path = os.path.join(state_dir, "meta.json")
+
+    def _epoch() -> int:
+        if not os.path.exists(meta_path):
+            return -1
+        with open(meta_path) as f:
+            return json.load(f)["epoch"]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_sketch = kmv_sketch(
+            batch_df, F.col(column), k=k, group_cols=groups)
+        cur = _epoch()
+        if cur >= 0:
+            state = spark.read.parquet(os.path.join(state_dir, f"epoch-{cur}"))
+            merged = kmv_merge(state, batch_sketch, k=k, group_cols=groups)
+        else:
+            merged = batch_sketch
+        os.makedirs(state_dir, exist_ok=True)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"epoch-{cur + 1}"))
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": cur + 1}, f)
+        os.replace(tmp, meta_path)
+        stale = os.path.join(state_dir, f"epoch-{cur - 1}")
+        shutil.rmtree(stale, ignore_errors=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_sketch_state(spark, state_dir: str) -> DataFrame:
+    """Current sketch state (raise if no epoch has committed yet)."""
+    import json
+    import os
+
+    with open(os.path.join(state_dir, "meta.json")) as f:
+        epoch = json.load(f)["epoch"]
+    return spark.read.parquet(os.path.join(state_dir, f"epoch-{epoch}"))

@@ -214,6 +214,46 @@ def test_stream_feeds_incremental_matview(spark, tmp_path):
     assert_view_matches_snapshot()
 
 
+def test_stream_sketch_kmv_equals_batch_sketch(spark, tmp_path):
+    """Streamed micro-batch maintenance must land on EXACTLY the sketch
+    (hash set and estimate) a one-shot batch build produces over the
+    same rows — the merge law, exercised through the foreachBatch
+    state path with three file batches."""
+    from db_spark.sketch import kmv_estimate, kmv_sketch
+
+    d = str(tmp_path / "in")
+    schema = T.StructType([T.StructField("uid", T.StringType())])
+    batches = [
+        [(f"u{i}",) for i in range(0, 300)],
+        [(f"u{i}",) for i in range(150, 450)],   # overlap: replays merge
+        [(f"u{i}",) for i in range(400, 600)],
+    ]
+    all_rows = sorted({r for b in batches for r in b})
+    spark.createDataFrame(batches[0], schema).coalesce(1).write.mode(
+        "overwrite").parquet(d)
+    state = str(tmp_path / "state")
+
+    def drain():
+        stream = st.stream_from_files(spark, d, schema)
+        st.stream_sketch_kmv(stream, "uid", state, str(tmp_path / "ckpt"),
+                             k=64)
+
+    drain()
+    for b in batches[1:]:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append").parquet(d)
+        drain()
+
+    maintained = st.read_sketch_state(spark, state)
+    oneshot = kmv_sketch(
+        spark.createDataFrame(all_rows, schema), F.col("uid"), k=64)
+    assert sorted(r["_h"] for r in maintained.collect()) == \
+        sorted(r["_h"] for r in oneshot.collect())
+    est_m = kmv_estimate(maintained, k=64).collect()[0]
+    est_o = kmv_estimate(oneshot, k=64).collect()[0]
+    assert est_m == est_o
+
+
 def test_hypertable_rollup_matches_full_scan(spark, tmp_path):
     import datetime as dt
 

@@ -957,6 +957,98 @@ def q_mode_by_group(spark, sf_dir):
     )
 
 
+def q_rank_funcs(spark, sf_dir):
+    """Distribution window functions (the breadth q_window_funcs leaves
+    out): ntile, percent_rank, cume_dist over a total per-customer
+    order — all integer-ratio doubles, engine-identical; rounded to 6
+    as belt-and-braces."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q_datetime_funcs(spark, sf_dir):
+    """Datetime function surface: quarter, ISO week/weekday, month-end,
+    month arithmetic, day diffs. Spark's weekday() is Monday=0 and
+    DuckDB's isodow is Monday=1, so weekday+1 == isodow — the one
+    cross-engine remap; everything else shares definitions."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("isodow"),
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
+        F.add_months("o_orderdate", 3).cast("timestamp_ntz")
+        .alias("plus_quarter"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long").alias("days_since_epoch0"),
+    )
+
+
+def q_string_funcs(spark, sf_dir):
+    """String function surface: pad, translate, split_part, position,
+    repeat/reverse — all byte-identical across engines on ASCII
+    input."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("translated"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("cust_num"),
+        F.instr(F.col("c_name"), "#").cast("long").alias("hash_pos"),
+        F.reverse(F.col("c_mktsegment")).alias("rev_seg"),
+        F.repeat(F.substring("c_mktsegment", 1, 1), 3).alias("seg3"),
+        F.concat_ws("-", "c_mktsegment",
+                    F.col("c_nationkey").cast("string")).alias("seg_nation"),
+    )
+
+
+def q_json_agg(spark, sf_dir):
+    """Structured JSON parse + relational aggregate: events.props parsed
+    with an explicit schema (from_json — vectorized JVM path, not a
+    UDF), bucketed and aggregated. Parse errors become NULLs on both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        ev.select((k % 10).alias("k_bucket"), k.alias("_k"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("_k").alias("sum_k"))
+    )
+
+
+def q_salted_join_agg(spark, sf_dir):
+    """Catastrophic-skew join via operators.salted_join: the 3-value
+    l_returnflag key would melt three reducers in a plain shuffle join;
+    salting shards each hot key over 16 sub-keys and replicates the
+    3-row dim 16-fold. The oracle is the PLAIN join — salting must be
+    invisible in the result."""
+    from db_spark.operators import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        _t(spark, sf_dir, "lineitem").select("l_returnflag").distinct()
+        .select(F.col("l_returnflag").alias("flag"),
+                F.concat(F.lit("FLAG_"), F.col("l_returnflag"))
+                .alias("flag_label"))
+    )
+    joined = salted_join(li, dim, "l_returnflag", "flag", salt=16)
+    return (
+        joined.groupBy("flag_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             money_sum(F.col("l_extendedprice"), "total_price"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set ops / outer & theta joins / merge-intervals / function library
 # ---------------------------------------------------------------------------
@@ -2654,6 +2746,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame_agg": q_range_frame_agg,
         "fk_integrity": q_fk_integrity,
         "mode_by_group": q_mode_by_group,
+        "rank_funcs": q_rank_funcs,
+        "datetime_funcs": q_datetime_funcs,
+        "string_funcs": q_string_funcs,
+        "json_agg": q_json_agg,
+        "salted_join_agg": q_salted_join_agg,
     }
 
 
@@ -4175,6 +4272,67 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM e1 UNION ALL SELECT * FROM e2
             UNION ALL SELECT * FROM e3
+        """,
+        # same distribution window functions over the same total order.
+        "rank_funcs": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        """,
+        # weekday()+1 on the Spark side == isodow here; week() is ISO
+        # week in both engines.
+        "datetime_funcs": """
+            SELECT o_orderkey,
+                   CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+                   CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+                   CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+                   CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+                   CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH
+                        AS TIMESTAMP) AS plus_quarter,
+                   CAST(date_diff('day', DATE '1995-01-01', o_orderdate)
+                        AS BIGINT) AS days_since_epoch0
+            FROM orders
+        """,
+        # ASCII-only inputs: every function shares byte semantics.
+        "string_funcs": """
+            SELECT c_custkey,
+                   lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+                   translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+                   split_part(c_name, '#', 2) AS cust_num,
+                   CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+                   reverse(c_mktsegment) AS rev_seg,
+                   repeat(substring(c_mktsegment, 1, 1), 3) AS seg3,
+                   concat_ws('-', c_mktsegment,
+                             CAST(c_nationkey AS VARCHAR)) AS seg_nation
+            FROM customer
+        """,
+        # schema'd JSON parse then the same bucketed aggregate.
+        "json_agg": """
+            WITH parsed AS (
+              SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events
+            )
+            SELECT k % 10 AS k_bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   SUM(k) AS sum_k
+            FROM parsed GROUP BY 1
+        """,
+        # the oracle is the PLAIN join: salting must be invisible.
+        "salted_join_agg": """
+            WITH dim AS (
+              SELECT DISTINCT l_returnflag AS flag,
+                     'FLAG_' || l_returnflag AS flag_label
+              FROM lineitem
+            )
+            SELECT flag_label, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS total_price
+            FROM lineitem JOIN dim ON l_returnflag = dim.flag
+            GROUP BY flag_label
         """,
         # unique mode via (count desc, value asc) row_number tie-break.
         "mode_by_group": """

@@ -181,6 +181,84 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+SESSION_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+_SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Streaming sessionizer with event-time-timeout state: per user,
+    events closer than ``gap_seconds`` merge into one session; a
+    session is EMITTED only when it closes — either an in-batch event
+    arrives past the gap, or the state times out once the watermark
+    passes last_event + gap (the built-in session_window can't emit
+    per-session custom payloads or apply custom close rules; this is
+    the applyInPandasWithState escape hatch for exactly that).
+
+    State per key is three integers — O(1) however long the session —
+    and timeout eviction means idle users cost nothing after
+    watermark + gap. Requires a watermark on the input for
+    EventTimeTimeout to fire."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def _emit(user_id, start_us, last_us, n):
+        return pd.DataFrame({
+            "user_id": [user_id],
+            "session_start": [pd.Timestamp(start_us, unit="us")],
+            "session_end": [pd.Timestamp(last_us, unit="us")],
+            "n_events": [n],
+        })
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield _emit(user_id, start_us, last_us, n)
+            return
+        ts_us = []
+        for pdf in pdfs:
+            ts_us.extend(
+                pdf["ts"].astype("datetime64[us]").astype("int64").tolist())
+        ts_us.sort()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = ts_us[0], ts_us[0] - gap_us - 1, 0
+        for t in ts_us:
+            if t - last_us > gap_us and n > 0:
+                yield _emit(user_id, start_us, last_us, n)
+                start_us, n = t, 0
+            elif n == 0:
+                start_us = t
+            last_us = t
+            n += 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming ingestion into an MVCC collection (foreachBatch sink)
 # ---------------------------------------------------------------------------

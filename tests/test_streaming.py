@@ -127,6 +127,56 @@ def test_watermark_late_data_dropped(spark, tmp_path):
     assert base - dt.timedelta(hours=10) not in starts
 
 
+def test_sessionize_stateful_emits_closed_sessions(spark, tmp_path):
+    """Custom stateful sessionizer: sessions close in-batch when a
+    same-user event arrives past the gap, and by event-time timeout
+    once the watermark passes last_event + gap. Only closed sessions
+    are emitted (append mode)."""
+    import datetime as dt
+
+    d = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def run_once():
+        stream = st.stream_from_files(spark, d, EVENTS_SCHEMA)
+        sessions = st.sessionize_stateful(
+            stream.withWatermark("ts", "10 seconds"), gap_seconds=1800)
+        q = (sessions.writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    b1 = [(1, base, 1, "click", 1.0),
+          (2, base + dt.timedelta(minutes=5), 1, "click", 1.0),
+          (3, base, 2, "click", 1.0)]
+    spark.createDataFrame(b1, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite").parquet(d)
+    run_once()
+    # u1's 12:00 event closes the 10:00-10:05 session in-batch; u99
+    # pushes the watermark far ahead so u1/u2 states time out next run
+    b2 = [(4, base + dt.timedelta(hours=2), 1, "click", 1.0),
+          (5, base + dt.timedelta(hours=13), 99, "click", 1.0)]
+    spark.createDataFrame(b2, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(d)
+    run_once()
+    b3 = [(6, base + dt.timedelta(hours=13, minutes=30), 98, "click", 1.0)]
+    spark.createDataFrame(b3, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(d)
+    run_once()
+
+    rows = [r for r in spark.read.parquet(out_dir).collect()
+            if r["user_id"] in (1, 2)]
+    got = sorted((r["user_id"], r["session_start"], r["session_end"],
+                  r["n_events"]) for r in rows)
+    assert got == [
+        (1, base, base + dt.timedelta(minutes=5), 2),
+        (1, base + dt.timedelta(hours=2), base + dt.timedelta(hours=2), 1),
+        (2, base, base, 1),
+    ]
+
+
 def test_stream_into_collection_upserts(spark, tmp_path):
     from db_spark.engine import Storage
 

@@ -116,6 +116,16 @@ PICKS = {
     "event_funnel_windowed": (E.q_event_funnel_windowed,
         "Min-cascade with the 24 h conversion bound as a join residual "
         "— per-stage shuffle volume is still only that step's events."),
+    "copurchase_pairs": (E.q_copurchase_pairs,
+        "Pair self-join keyed on l_orderkey (quadratic in order size "
+        "only); top-20 is TakeOrderedAndProject, never a global sort."),
+    "salted_join_agg": (E.q_salted_join_agg,
+        "Catastrophic 3-key skew: the salt-replicated dim broadcasts, "
+        "hot keys shard over 16 sub-keys — no sort-merge shuffle of "
+        "the fact, and the oracle proves salting is result-invisible."),
+    "range_frame_agg": (E.q_range_frame_agg,
+        "One shuffle on event_type; the trailing-hour RANGE frame is "
+        "integer-microsecond arithmetic inside the window sort."),
 }
 
 

@@ -116,6 +116,20 @@ def test_zscore_outliers_broadcasts_moments(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_copurchase_topk_avoids_global_sort(spark):
+    # orderBy + limit over the pair counts must plan as
+    # TakeOrderedAndProject (per-partition heads + k-row merge)
+    assert "TakeOrderedAndProject" in _plan(E.q_copurchase_pairs(spark, SF))
+
+
+def test_salted_join_broadcasts_replicated_dim(spark):
+    # the salt-replicated 3-row dim must broadcast — salting spreads the
+    # hot keys WITHOUT forcing a sort-merge shuffle of the fact
+    plan = _plan(E.q_salted_join_agg(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_no_cartesian_products_anywhere_in_window(spark):
     """The whole driver-checked window must be cartesian-free (broadcast
     nested-loop with a tiny side is acceptable; a real CartesianProduct

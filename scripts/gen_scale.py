@@ -34,9 +34,15 @@ _KEYED = {
     "orders": "o_orderkey",
     "part": "p_partkey",
     "supplier": "s_suppkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
 }
 
 # table -> {column: key-space it references}
+# documents/embeddings replicate with fresh ids but IDENTICAL payloads:
+# every text/vector appears `replicas` times under distinct ids — the
+# duplicated-corpus stress case the dedup/near-dup tier exists for
+# (pair cardinality is bounded by the tier's hot-bucket/max-df guards).
 _FKS = {
     "customer": {"c_custkey": "customer"},
     "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
@@ -47,6 +53,8 @@ _FKS = {
     },
     "part": {"p_partkey": "part"},
     "supplier": {"s_suppkey": "supplier"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
 }
 
 _COPY = ["nation", "region"]
@@ -56,7 +64,8 @@ def ensure_scaled(spark, src_dir: str, dst_dir: str, replicas: int) -> bool:
     """Materialize the scaled dataset under dst_dir; returns True when
     (re)generated, False when the marker said it was already there."""
     marker = os.path.join(dst_dir, "_SCALE_OK")
-    recipe = json.dumps({"src": src_dir, "replicas": replicas})
+    recipe = json.dumps({"src": src_dir, "replicas": replicas,
+                         "tables": sorted([*_FKS, *_COPY])})
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read() == recipe:

@@ -1050,6 +1050,118 @@ def q_salted_join_agg(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q2 / Q11 / Q20 shapes (completing all 22 TPC-H query shapes;
+# the testdata has no partsupp table, so the supply relation is derived
+# from lineitem — same join/subquery topology, same operator classes)
+# ---------------------------------------------------------------------------
+
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier(s)
+    charging the regional-minimum supply cost — multi-dim join plus a
+    per-part correlated MIN, top 100 by account balance. Supply cost is
+    derived from lineitem as the minimum unit price ever charged by that
+    supplier for that part, kept in integer cents so both engines agree
+    bit-for-bit. The correlated MIN is a window (one shuffle keyed by
+    part over the already-filtered EUROPE supply rows — never a second
+    scan); dims broadcast; final TopK is TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    supply = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(
+            F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100)
+            .cast("long")).alias("_cost_c"))
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 40) & F.col("p_type").like("%STANDARD%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_sup = (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("l_partkey")
+    return (
+        supply
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("_mn", F.min("_cost_c").over(w))
+        .filter(F.col("_cost_c") == F.col("_mn"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            (F.col("_cost_c").cast("double") / 100.0).alias("supplycost"))
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-part supply value for one nation's
+    suppliers, keeping parts whose value exceeds a fixed fraction of
+    the nation-wide total — a grouped exact sum HAVING a scalar
+    subquery over the same aggregate. Catalyst reuses the per-part agg
+    for the total (single lineitem scan feeding both); the threshold
+    compare stays in integer cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat_sup = (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey"))
+    value = (
+        li.join(F.broadcast(nat_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+             .alias("_v_c"))
+    )
+    total = value.agg(F.sum("_v_c").alias("_tot_c"))
+    return (
+        value.join(F.broadcast(total))
+        .filter(F.col("_v_c").cast("double")
+                > F.col("_tot_c").cast("double") * 0.001)
+        .select("l_partkey",
+                (F.col("_v_c").cast("double") / 100.0).alias("value"))
+    )
+
+
+def q_excess_supply(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers in one nation who shipped more than
+    half their all-time quantity of 'gear'-named parts during 1997 —
+    the correlated-aggregate-threshold + semi-join chain. Both sums
+    come out of ONE grouped pass (conditional sum, no self-join); the
+    half comparison is integer (2*q_1997 > q_all in centi-units);
+    part and nation dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    in_97 = (F.col("l_shipdate") >= F.lit("1997-01-01")) & \
+        (F.col("l_shipdate") < F.lit("1998-01-01"))
+    qty = (
+        li.join(F.broadcast(p.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_97, F.round(F.col("l_quantity") * 100)
+                         .cast("long")).otherwise(F.lit(0)))
+            .alias("_q97_c"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+            .alias("_qall_c"))
+    )
+    excess = (
+        qty.filter(F.lit(2) * F.col("_q97_c") > F.col("_qall_c"))
+        .select("l_suppkey").distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Set ops / outer & theta joins / merge-intervals / function library
 # ---------------------------------------------------------------------------
 
@@ -2751,6 +2863,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": q_string_funcs,
         "json_agg": q_json_agg,
         "salted_join_agg": q_salted_join_agg,
+        "min_cost_supplier": q_min_cost_supplier,
+        "important_stock": q_important_stock,
+        "excess_supply": q_excess_supply,
     }
 
 
@@ -4375,6 +4490,77 @@ def oracle_sql() -> dict[str, str]:
                      AS n_outliers
             FROM events e JOIN mm ON e.event_type = mm.event_type
             GROUP BY e.event_type
+        """,
+        # TPC-H Q2 shape: supply relation derived from lineitem (integer
+        # cents), per-part correlated MIN over EUROPE suppliers.
+        "min_cost_supplier": """
+            WITH supply AS (
+              SELECT l_partkey, l_suppkey,
+                     MIN(CAST(round(l_extendedprice / l_quantity * 100)
+                              AS BIGINT)) AS cost_c
+              FROM lineitem GROUP BY l_partkey, l_suppkey
+            ),
+            eu AS (
+              SELECT supply.l_partkey, supply.l_suppkey, cost_c,
+                     s_name, s_acctbal, n_name
+              FROM supply
+              JOIN part ON l_partkey = p_partkey
+                       AND p_size >= 40 AND p_type LIKE '%STANDARD%'
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+                         AND r_name = 'EUROPE'
+            ),
+            mn AS (
+              SELECT *, MIN(cost_c) OVER (PARTITION BY l_partkey) AS mn_c
+              FROM eu
+            )
+            SELECT s_acctbal, s_name, n_name,
+                   mn.l_partkey AS p_partkey, p_brand,
+                   CAST(cost_c AS DOUBLE) / 100.0 AS supplycost
+            FROM mn JOIN part ON mn.l_partkey = p_partkey
+            WHERE cost_c = mn_c
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        # TPC-H Q11 shape: HAVING against a scalar subquery over the
+        # same per-part exact sums.
+        "important_stock": """
+            WITH v AS (
+              SELECT l_partkey,
+                     SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS v_c
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+                         AND n_name = 'NATION_7'
+              GROUP BY l_partkey
+            )
+            SELECT l_partkey, CAST(v_c AS DOUBLE) / 100.0 AS value
+            FROM v
+            WHERE CAST(v_c AS DOUBLE)
+                  > (SELECT CAST(SUM(v_c) AS DOUBLE) FROM v) * 0.001
+        """,
+        # TPC-H Q20 shape: correlated-aggregate threshold via one
+        # conditional-sum pass; half comparison kept integer.
+        "excess_supply": """
+            WITH qty AS (
+              SELECT l_suppkey, l_partkey,
+                     SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                               AND l_shipdate < TIMESTAMP '1998-01-01'
+                          THEN CAST(round(l_quantity * 100) AS BIGINT)
+                          ELSE 0 END) AS q97_c,
+                     SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qall_c
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+              GROUP BY l_suppkey, l_partkey
+            )
+            SELECT s_suppkey, s_name, s_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+                       AND n_name = 'NATION_3'
+            WHERE s_suppkey IN (SELECT l_suppkey FROM qty
+                                WHERE 2 * q97_c > qall_c)
         """,
     }
     # The persisted-index probe computes the same math as the in-flight

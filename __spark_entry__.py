@@ -2153,6 +2153,48 @@ def q_kmv_merge(spark, sf_dir):
     return lsk.kmv_estimate(merged, k=64, group_cols=["source"])
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count per source (db_spark/sketch.py):
+    estimated vs exact distinct token counts. The register layout is
+    engine-reproducible (md5 hash family + bin/instr leading-zero
+    rank), so the oracle computes the IDENTICAL sketch and estimate —
+    the thing builtin approx_count_distinct can never offer a parity
+    check for."""
+    from db_spark import sketch as lsk
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(ltext.tokens(F.lower(F.col("text")))).alias("_tk"))
+    sk = lsk.hll_sketch(tok, F.col("_tk"), p=8, group_cols=["source"])
+    est = lsk.hll_estimate(sk, p=8, group_cols=["source"])
+    exact = tok.groupBy("source").agg(
+        F.count_distinct("_tk").cast("long").alias("exact_distinct"))
+    return est.join(exact, "source").select(
+        "source", "n_registers", "est_distinct", "exact_distinct")
+
+
+def q_hll_merge(spark, sf_dir):
+    """HLL mergeability under the oracle: sketch two disjoint halves,
+    register-wise-MAX merge, estimate. The oracle sketches the whole
+    corpus directly — a value-hash match proves merge(sketch(A),
+    sketch(B)) == sketch(A ∪ B) exactly, per group."""
+    from db_spark import sketch as lsk
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", "doc_id",
+        F.explode(ltext.tokens(F.lower(F.col("text")))).alias("_tk"))
+    sa = lsk.hll_sketch(tok.filter(F.col("doc_id") % 2 == 0),
+                        F.col("_tk"), p=8, group_cols=["source"])
+    sb = lsk.hll_sketch(tok.filter(F.col("doc_id") % 2 == 1),
+                        F.col("_tk"), p=8, group_cols=["source"])
+    merged = lsk.hll_merge(sa, sb, group_cols=["source"])
+    return lsk.hll_estimate(merged, p=8, group_cols=["source"])
+
+
 def q_mvcc_multi_tx(spark, sf_dir):
     """Multi-collection transaction mechanics under the oracle
     (db_spark/engine.py:100-123): one txid spans writes to two
@@ -2321,6 +2363,41 @@ _SHINGLES = (
     "i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))"
 ).format(toks="toks")
 _H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+
+def _hll_oracle(select: str, with_exact: bool = False) -> str:
+    """HLL register table + estimate in ANSI SQL, mirroring
+    ``db_spark.sketch.hll_sketch/hll_estimate`` (p=8) op for op: same
+    md5 hash family, same bin/lpad/strpos leading-zero rank, same
+    harmonic-mean + linear-counting estimator, rounded to an integer."""
+    m = 256
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    exact = (
+        ",\n        ex AS (SELECT source, CAST(count(DISTINCT t) AS BIGINT)"
+        " AS exact_distinct FROM tok GROUP BY source)"
+        if with_exact else "")
+    return f"""
+        WITH tok AS (SELECT source, unnest({_TOKS}) AS t FROM documents),
+        reg AS (SELECT source,
+                       CAST(h % {m} AS INT) AS r,
+                       CAST(h // {m} AS BIGINT) AS x
+                FROM (SELECT source, {_H32.format(x='t')} AS h FROM tok)),
+        sk AS (SELECT source, r,
+                      MAX(CASE WHEN x = 0 THEN 25
+                          ELSE strpos(lpad(bin(x), 24, '0'), '1') END) AS z
+               FROM reg GROUP BY source, r),
+        agg0 AS (SELECT source, count(*) AS nr,
+                        SUM(power(2.0, -z)) + ({m} - count(*)) AS s
+                 FROM sk GROUP BY source),
+        agg AS (SELECT source, nr,
+                       CAST(round(CASE WHEN {alpha_m2!r} / s <= {2.5 * m}
+                                    AND nr < {m}
+                            THEN 256.0 * ln(256.0 / ({m} - nr))
+                            ELSE {alpha_m2!r} / s END) AS BIGINT)
+                           AS est_distinct
+                FROM agg0){exact}
+        {select}
+    """
 
 
 def _guarded_shingles(max_df: int) -> str:
@@ -2866,6 +2943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "important_stock": q_important_stock,
         "excess_supply": q_excess_supply,
+        "hll_distinct": q_hll_distinct,
+        "hll_merge": q_hll_merge,
     }
 
 
@@ -4491,6 +4570,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN mm ON e.event_type = mm.event_type
             GROUP BY e.event_type
         """,
+        # HLL with the repo's md5 hash family: the oracle computes the
+        # IDENTICAL register table (bin/instr leading-zero rank) and
+        # estimate; round-to-integer absorbs any last-ulp ln() delta.
+        "hll_distinct": _hll_oracle(
+            "SELECT source, CAST(nr AS BIGINT) AS n_registers, est_distinct,"
+            " exact_distinct FROM agg JOIN ex USING (source)",
+            with_exact=True),
+        "hll_merge": _hll_oracle(
+            "SELECT source, CAST(nr AS BIGINT) AS n_registers, est_distinct"
+            " FROM agg"),
         # TPC-H Q2 shape: supply relation derived from lineitem (integer
         # cents), per-part correlated MIN over EUROPE suppliers.
         "min_cost_supplier": """

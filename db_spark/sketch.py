@@ -6,7 +6,7 @@ A KMV (k-minimum-values) sketch keeps the ``k`` smallest 32-bit hash
 values of a column's distinct values; the distinct-count estimate is
 ``(k-1) * 2^32 / h_k`` where ``h_k`` is the k-th smallest kept hash
 (Bar-Yossef et al. 2002, "Counting distinct elements in a data
-stream"). Unlike HLL (whose register layouts differ per engine), KMV is
+stream"). Like every sketch here, KMV is
 built from the repo's md5-derived ``h32`` hash family, so a SQL oracle
 computes the *identical* sketch and estimate — and it is mergeable:
 the sketch of a union is the k smallest of the concatenated sketches,
@@ -101,6 +101,100 @@ def kmv_estimate(
         *groups,
         F.col("_nk").cast("long").alias("n_hashes"),
         est.cast("long").alias("est_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007, "HyperLogLog: the analysis of a
+# near-optimal cardinality estimation algorithm")
+# ---------------------------------------------------------------------------
+#
+# Engine-reproducible HLL: the register index is the top ``p`` bits of
+# the md5-derived 32-bit hash and the rank is the leading-zero count of
+# the remaining ``32-p`` bits, computed as ``instr(lpad(bin(x), 32-p,
+# '0'), '1')`` — a pure integer/string chain that renders identically in
+# Spark and ANSI SQL (no engine-private register layout, unlike builtin
+# approx_count_distinct). The register table is ``group_cols + [_r,
+# _z]`` with <= 2^p rows per group; merge is register-wise MAX — the
+# sketch of the union, exactly. The estimator's register sum
+# ``SUM(2^-z)`` adds dyadic rationals spanning < 53 bits, so every
+# partial sum is exact in a double and the result is order-independent
+# — the one float subtlety that makes the estimate hash-stable.
+
+def _hll_m(p: int) -> int:
+    return 1 << p
+
+
+def _hll_alpha(m: int) -> float:
+    # Flajolet's bias-correction constant for m >= 128.
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_sketch(
+    df: DataFrame, value: Column, p: int = 8,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """HLL register table: one row per non-empty register, columns
+    ``group_cols + [_r, _z]`` (register index, max leading-zero rank).
+    One hash-aggregate exchange keyed by (group, register); state is
+    bounded at 2^p rows per group no matter the stream size. NULLs are
+    skipped (md5(NULL) is NULL)."""
+    groups = group_cols or []
+    m = _hll_m(p)
+    tail_bits = 32 - p
+    h = h32(value.cast("string"))
+    r = (h % m).cast("int")
+    x = F.floor(h / m).cast("long")  # top 32-p bits
+    rho = F.when(x == 0, F.lit(tail_bits + 1)).otherwise(
+        F.instr(F.lpad(F.bin(x), tail_bits, "0"), "1")).cast("int")
+    return (
+        df.filter(h.isNotNull())
+        .select(*groups, r.alias("_r"), rho.alias("_z"))
+        .groupBy(*groups, "_r")
+        .agg(F.max("_z").cast("int").alias("_z"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame,
+              group_cols: list[str] | None = None) -> DataFrame:
+    """Register-wise MAX of two sketches (same p/hash family): the
+    sketch of the unioned inputs, exactly. Bounded input, one tiny
+    aggregate."""
+    groups = group_cols or []
+    return (
+        a.unionByName(b)
+        .groupBy(*groups, "_r")
+        .agg(F.max("_z").cast("int").alias("_z"))
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame, p: int = 8,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cardinality estimate per group: raw harmonic-mean estimate
+    ``alpha_m * m^2 / SUM(2^-z)`` (absent registers contribute 2^0 = 1
+    each) with Flajolet's small-range linear-counting correction
+    (``m * ln(m/V)`` when E <= 2.5m and V > 0, V = zero registers).
+    Rounded to an integer so a last-ulp ``ln`` difference between
+    engines cannot surface. Returns ``group_cols + [n_registers,
+    est_distinct]``."""
+    groups = group_cols or []
+    m = _hll_m(p)
+    alpha = _hll_alpha(m)
+    agg = sketch.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("_nr"),
+        F.sum(F.pow(F.lit(2.0), -F.col("_z"))).alias("_s"),
+    )
+    s_full = F.col("_s") + (F.lit(m) - F.col("_nr")).cast("double")
+    raw = F.lit(alpha * m * m) / s_full
+    v = (F.lit(m) - F.col("_nr")).cast("double")
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v)).otherwise(raw)
+    return agg.select(
+        *groups,
+        F.col("_nr").cast("long").alias("n_registers"),
+        F.round(est).cast("long").alias("est_distinct"),
     )
 
 

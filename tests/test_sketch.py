@@ -363,3 +363,33 @@ def test_bloom_grouped_probe_and_conflation_guard(spark):
     # cross-group probes are (overwhelmingly likely) rejected — the whole
     # point of not conflating groups
     assert not got[("g1", 510)] and not got[("g2", 5)]
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def test_hll_state_bounded_and_estimate_close(spark):
+    n = 5000
+    df = spark.range(n).select(F.col("id").cast("int").alias("v"))
+    sketch = sk.hll_sketch(df, F.col("v"), p=8)
+    assert sketch.count() <= 256
+    est = sk.hll_estimate(sketch, p=8).collect()[0]["est_distinct"]
+    # standard error ~ 1.04/sqrt(256) ~ 6.5%; allow 3 sigma
+    assert abs(est - n) / n < 0.20
+
+
+def test_hll_small_range_exactish(spark):
+    # linear-counting regime: tiny cardinalities come back near-exact
+    df = spark.createDataFrame([(i,) for i in range(10)], "v int")
+    est = sk.hll_estimate(sk.hll_sketch(df, F.col("v"), p=8),
+                          p=8).collect()[0]["est_distinct"]
+    assert abs(est - 10) <= 1
+
+
+def test_hll_null_safe_and_duplicate_invariant(spark):
+    a = spark.createDataFrame([(1,), (2,), (None,)], "v int")
+    b = spark.createDataFrame([(1,), (1,), (2,), (2,), (2,)], "v int")
+    sa = sorted(map(tuple, sk.hll_sketch(a, F.col("v"), p=6).collect()))
+    sb = sorted(map(tuple, sk.hll_sketch(b, F.col("v"), p=6).collect()))
+    assert sa == sb  # NULL skipped; duplicates do not move registers

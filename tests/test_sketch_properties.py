@@ -68,3 +68,13 @@ def test_bloom_membership_total(spark, a):
         got = {r["v"]: r["maybe_present"] for r in sk.bloom_contains(
             bf, da.distinct(), "v", bits=1 << 10, k=3).collect()}
         assert all(got.values())  # no false negatives, for any input
+
+
+@given(a=VALS, b=VALS)
+@_settings
+def test_hll_merge_law(spark, a, b):
+    da, db_ = _df(spark, a), _df(spark, b)
+    m = sk.hll_merge(sk.hll_sketch(da, F.col("v"), p=4),
+                     sk.hll_sketch(db_, F.col("v"), p=4))
+    d = sk.hll_sketch(da.unionByName(db_), F.col("v"), p=4)
+    assert sorted(map(tuple, m.collect())) == sorted(map(tuple, d.collect()))

@@ -2304,6 +2304,44 @@ def q_event_funnel_windowed(spark, sf_dir):
         ev, ["view", "click", "purchase"], max_gap_seconds=86400)
 
 
+def q_sessionize(spark, sf_dir):
+    """Batch sessionization (db_spark/analytics.py): 30-min-gap sessions
+    per user — lag/flag/running-sum on ONE user-keyed exchange, the
+    batch dual of the streaming tier's session_window. Microsecond-
+    integer gap arithmetic keeps boundaries engine-exact."""
+    from db_spark import analytics
+
+    ev = _t(spark, sf_dir, "events")
+    return analytics.sessionize(ev, gap_seconds=1800)
+
+
+def q_scd2(spark, sf_dir):
+    """SCD Type-2 dimension build (db_spark/analytics.py): per-user
+    event_type change log -> half-open validity intervals with an
+    is_current flag. One user-keyed sort feeds tie-dedup, no-op-change
+    collapse, and the valid_to lead — no self-joins."""
+    from db_spark import analytics
+
+    ev = _t(spark, sf_dir, "events")
+    return analytics.scd2(ev, "user_id", "event_type")
+
+
+def q_ewma(spark, sf_dir):
+    """Finite-horizon EWMA of event values per user (db_spark/
+    analytics.py): an 8-term lag composition with literal weights —
+    the identical left-to-right IEEE chain renders in the oracle, so
+    the smoothed doubles are bit-stable across engines."""
+    from db_spark import analytics
+
+    ev = _t(spark, sf_dir, "events")
+    # alpha=0.5 -> every weight is a short dyadic decimal (0.5, 0.25,
+    # ..., 0.00390625) that ANY decimal->double literal path converts
+    # exactly, removing the one engine-drift risk in the weight chain
+    out = analytics.ewma(ev, "value", alpha=0.5, horizon=8,
+                         order_tiebreak="event_id")
+    return out.select("event_id", "user_id", "value", "ewma")
+
+
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention (db_spark/analytics.py): first-touch week
     per user x distinct active weeks — two user-keyed aggregates, one
@@ -2363,6 +2401,27 @@ _SHINGLES = (
     "i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))"
 ).format(toks="toks")
 _H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+
+def _ewma_oracle(alpha: float = 0.5, horizon: int = 8) -> str:
+    """EWMA weight chain in SQL, generated from the SAME loop shape as
+    ``db_spark.analytics.ewma`` — left-associative addition of literal-
+    weight products, so both engines evaluate the identical IEEE op
+    sequence. With alpha=0.5 every weight literal is a short dyadic
+    decimal, exact under any decimal->double conversion."""
+    num, den = [], []
+    for j in range(horizon):
+        wt = repr(alpha * (1.0 - alpha) ** j)
+        v = "value" if j == 0 else f"lag(value, {j}) OVER w"
+        num.append(f"(CASE WHEN {v} IS NOT NULL THEN {v} * {wt}"
+                   " ELSE 0.0 END)")
+        den.append(f"(CASE WHEN {v} IS NOT NULL THEN {wt} ELSE 0.0 END)")
+    return f"""
+        SELECT event_id, user_id, value,
+               round(({' + '.join(num)}) / ({' + '.join(den)}), 6) AS ewma
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
 
 
 def _hll_oracle(select: str, with_exact: bool = False) -> str:
@@ -2945,6 +3004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_supply": q_excess_supply,
         "hll_distinct": q_hll_distinct,
         "hll_merge": q_hll_merge,
+        "sessionize": q_sessionize,
+        "scd2": q_scd2,
+        "ewma": q_ewma,
     }
 
 
@@ -4570,6 +4632,60 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN mm ON e.event_type = mm.event_type
             GROUP BY e.event_type
         """,
+        # lag/flag/running-sum sessionization; microsecond-integer gap
+        # arithmetic so boundary events land identically on any engine.
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts > lag(ts) OVER w + INTERVAL 1800 SECOND
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS seq
+              FROM o
+            )
+            SELECT user_id, CAST(seq AS BIGINT) AS session_seq,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   (epoch_us(max(ts)) // 1000000)
+                     - (epoch_us(min(ts)) // 1000000) AS duration_s
+            FROM s GROUP BY user_id, seq
+        """,
+        # SCD2: (key, ts) tie-dedup -> no-op-change collapse -> lead.
+        "scd2": """
+            WITH dd AS (
+              SELECT user_id, event_type, ts FROM (
+                SELECT user_id, event_type, ts,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_type DESC) AS rn
+                FROM events) t
+              WHERE rn = 1
+            ),
+            ch AS (
+              SELECT user_id, event_type, ts FROM (
+                SELECT user_id, event_type, ts,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_type)
+                           AS prev
+                FROM dd) t
+              WHERE prev IS NULL OR event_type <> prev
+            ),
+            iv AS (
+              SELECT user_id, event_type, ts AS valid_from,
+                     lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         AS valid_to
+              FROM ch
+            )
+            SELECT user_id, event_type, valid_from, valid_to,
+                   valid_to IS NULL AS is_current
+            FROM iv
+        """,
+        "ewma": _ewma_oracle(),
         # HLL with the repo's md5 hash family: the oracle computes the
         # IDENTICAL register table (bin/instr leading-zero rank) and
         # estimate; round-to-integer absorbs any last-ulp ln() delta.

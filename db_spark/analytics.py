@@ -1,7 +1,8 @@
-"""Event-sequence analytics over event streams: funnels and cohort
-retention — the classic product-analytics asks layered on the same
-events table the windowing/streaming tier serves (reference has no
-event analytics; north-star surface alongside the hypertable rollups).
+"""Event-sequence analytics over event streams: funnels, cohort
+retention, batch sessionization, SCD Type-2 interval building, and
+EWMA smoothing — the classic product-analytics asks layered on the
+same events table the windowing/streaming tier serves (reference has
+no event analytics; north-star surface alongside hypertable rollups).
 
 Both operators are cascades of filtered aggregates — no per-user event
 arrays are ever materialized, so per-user state is O(1) and every
@@ -12,7 +13,7 @@ stage is only that stage's event type.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -105,3 +106,139 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).cast("long").alias("users"))
     )
+
+
+def sessionize(
+    events: DataFrame, gap_seconds: int = 1800,
+    user_col: str = "user_id", ts_col: str = "ts",
+) -> DataFrame:
+    """Batch sessionization: split each user's event stream into
+    sessions wherever the gap to the previous event exceeds
+    ``gap_seconds`` (strict >; an exactly-gap-sized pause continues the
+    session, matching the streaming tier's session_window semantics).
+    Returns one row per session: (user, session_seq, session_start,
+    session_end, n_events, duration_s).
+
+    Shape: ONE shuffle keyed by user feeds both window passes and the
+    final aggregate (same partitioning, Catalyst reuses the exchange):
+    lag -> boundary flag -> running sum = session sequence number, then
+    groupBy (user, seq). Per-user state is the sort of that user's
+    events inside its partition — no per-user arrays, no driver work.
+    A pathological single user with billions of events would skew the
+    sort; sessionizing such a key calls for pre-bucketing by day first
+    (the composition stays correct because sessions never span a gap
+    larger than a day boundary if the day is > gap)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag(ts_col).over(w)
+    # microsecond-exact and timezone-free gap test: interval arithmetic
+    # works on TIMESTAMP and TIMESTAMP_NTZ alike (epoch conversions like
+    # unix_micros are LTZ-only and would drag the session timezone in)
+    is_new = (
+        prev.isNull()
+        | (F.col(ts_col) > prev + F.expr(f"INTERVAL {int(gap_seconds)} SECOND"))
+    ).cast("long")
+
+    def epoch_s(c):
+        # whole seconds since epoch, timezone-free (floor per timestamp)
+        return (
+            F.datediff(F.to_date(c), F.to_date(F.lit("1970-01-01")))
+            .cast("long") * 86400
+            + F.hour(c).cast("long") * 3600
+            + F.minute(c).cast("long") * 60
+            + F.second(c).cast("long")
+        )
+
+    return (
+        events
+        .withColumn("_new", is_new)
+        .withColumn("_seq", F.sum("_new").over(run))
+        .groupBy(user_col, F.col("_seq").alias("session_seq"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (epoch_s(F.max(ts_col)) - epoch_s(F.min(ts_col)))
+            .cast("long").alias("duration_s"),
+        )
+    )
+
+
+def scd2(
+    changes: DataFrame, key_col: str, attr_col: str, ts_col: str = "ts",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2: turn a change log (key,
+    attribute, timestamp) into validity intervals — (key, attr,
+    valid_from, valid_to, is_current), half-open [from, to), NULL to =
+    current. Consecutive records with an unchanged attribute collapse
+    into one interval (no-op changes don't version). Ties on (key, ts)
+    are broken by keeping the row that sorts last on the attribute —
+    deterministic on any engine.
+
+    The warehouse-standard dimension-building op, and the batch dual of
+    the MVCC tier: ``Collection.history()`` gives per-id versions of
+    stored objects, scd2() derives the same interval form from ANY
+    event stream. One shuffle keyed by ``key_col`` feeds the dedup
+    window, the change-collapse lag, and the valid_to lead — a single
+    sort per key partition, no self-joins."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, attr_col)
+    # last write wins per (key, ts): rows whose (ts) repeats keep the
+    # attr-sort-last row, mirroring log-position recency in the MVCC tier
+    latest = Window.partitionBy(key_col, ts_col).orderBy(
+        F.col(attr_col).desc())
+    deduped = (
+        changes.select(key_col, attr_col, ts_col)
+        .withColumn("_rn", F.row_number().over(latest))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    changed = (
+        deduped
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(F.col("_prev").isNull()
+                | (F.col(attr_col) != F.col("_prev")))
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col)
+    return (
+        changed
+        .select(
+            F.col(key_col),
+            F.col(attr_col),
+            F.col(ts_col).alias("valid_from"),
+            F.lead(ts_col).over(w2).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def ewma(
+    events: DataFrame, value_col: str, alpha: float = 0.3, horizon: int = 8,
+    key_col: str = "user_id", ts_col: str = "ts", order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Finite-horizon exponentially-weighted moving average per key:
+    ewma_t = sum_{j<horizon} a(1-a)^j * v_{t-j}, normalized over the
+    terms that exist (partition-leading rows average fewer). The
+    truncated form is chosen deliberately: the recursive EWMA is a
+    sequential scan (unexpressible without per-key iteration), while
+    the K-term form is a fixed lag composition — one window sort per
+    key, engine-portable, and within (1-a)^K (< 6% at K=8, a=0.3) of
+    the infinite-tail value. The weighted sum is written as one
+    explicit left-to-right chain of literal-weight products, so every
+    engine evaluates the identical IEEE op sequence — bit-stable
+    results, asserted by the oracle's value-hash.
+
+    Adds an ``ewma`` column (rounded to 6 places) to the input rows."""
+    order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    v = F.col(value_col).cast("double")
+    num = None
+    den = None
+    for j in range(horizon):
+        wt = alpha * (1.0 - alpha) ** j
+        term = F.lag(v, j).over(w) if j else v
+        contrib = F.when(term.isNotNull(), term * F.lit(wt)).otherwise(F.lit(0.0))
+        present = F.when(term.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = contrib if num is None else num + contrib
+        den = present if den is None else den + present
+    return events.withColumn("ewma", F.round(num / den, 6))

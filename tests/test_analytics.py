@@ -147,3 +147,67 @@ def test_cohort_offset0_is_cohort_size(spark):
     got = analytics.cohort_retention(_ev(spark, rows)).collect()
     assert len(got) == 1
     assert got[0]["week_offset"] == 0 and got[0]["users"] == 7
+
+
+# ---------------------------------------------------------------------------
+# sessionize / scd2 / ewma
+# ---------------------------------------------------------------------------
+
+def test_sessionize_splits_on_gap(spark):
+    rows = [
+        (1, "view", _t(0)), (1, "click", _t(10)),   # session 1
+        (1, "view", _t(100)),                        # > 30 min gap
+        (2, "view", _t(0)),
+    ]
+    out = {(r["user_id"], r["session_seq"]): r
+           for r in analytics.sessionize(_ev(spark, rows),
+                                         gap_seconds=1800).collect()}
+    assert len(out) == 3
+    assert out[(1, 1)]["n_events"] == 2
+    assert out[(1, 1)]["duration_s"] == 600
+    assert out[(1, 2)]["n_events"] == 1
+    assert out[(2, 1)]["duration_s"] == 0
+
+
+def test_sessionize_boundary_gap_continues(spark):
+    # exactly gap-sized pause continues the session (strict >)
+    rows = [(1, "a", _t(0)), (1, "b", _t(30))]
+    out = analytics.sessionize(_ev(spark, rows), gap_seconds=1800).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 2
+
+
+def test_scd2_intervals_and_collapse(spark):
+    rows = [
+        (1, "A", _t(0)), (1, "A", _t(5)),   # no-op change collapses
+        (1, "B", _t(10)), (1, "A", _t(20)),  # back to A = new interval
+        (2, "X", _t(0)),
+    ]
+    out = analytics.scd2(_ev(spark, rows), "user_id", "event_type")
+    got = sorted(
+        ((r["user_id"], r["event_type"], r["valid_from"], r["valid_to"],
+          r["is_current"]) for r in out.collect()))
+    assert got == [
+        (1, "A", _t(0), _t(10), False),
+        (1, "A", _t(20), None, True),
+        (1, "B", _t(10), _t(20), False),
+        (2, "X", _t(0), None, True),
+    ]
+
+
+def test_scd2_tie_on_ts_keeps_attr_sort_last(spark):
+    rows = [(1, "A", _t(0)), (1, "B", _t(0))]  # same key+ts: B wins
+    out = analytics.scd2(_ev(spark, rows), "user_id", "event_type").collect()
+    assert len(out) == 1 and out[0]["event_type"] == "B"
+
+
+def test_ewma_smooths_and_normalizes_leading_rows(spark):
+    df = spark.createDataFrame(
+        [(1, _t(i), float(v)) for i, v in enumerate([10, 10, 10, 40])],
+        "user_id long, ts timestamp, value double")
+    out = analytics.ewma(df, "value", alpha=0.5, horizon=4,
+                         key_col="user_id", ts_col="ts")
+    got = [r["ewma"] for r in out.orderBy("ts").collect()]
+    assert got[0] == 10.0           # single term, fully normalized
+    assert got[1] == 10.0 and got[2] == 10.0
+    # last: (40*.5 + 10*.25 + 10*.125 + 10*.0625) / .9375 = 26.0
+    assert got[3] == 26.0

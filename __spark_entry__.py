@@ -2304,6 +2304,28 @@ def q_event_funnel_windowed(spark, sf_dir):
         ev, ["view", "click", "purchase"], max_gap_seconds=86400)
 
 
+def q_pagerank(spark, sf_dir):
+    """Integer PageRank (db_spark/graph.py) over the nation trade graph
+    (customer nation -> supplier nation per lineitem, deduped): 5
+    iterations, ranks in BIGINT micro-units so the result is
+    bit-identical in any engine/partitioning — the oracle runs the
+    SAME 5 iterations as unrolled CTEs."""
+    from db_spark import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("c_nationkey").cast("long").alias("src"),
+                F.col("s_nationkey").cast("long").alias("dst"))
+    )
+    return graph.pagerank(edges, iterations=5)
+
+
 def q_sessionize(spark, sf_dir):
     """Batch sessionization (db_spark/analytics.py): 30-min-gap sessions
     per user — lag/flag/running-sum on ONE user-keyed exchange, the
@@ -2401,6 +2423,43 @@ _SHINGLES = (
     "i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))"
 ).format(toks="toks")
 _H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled integer-PageRank CTE chain mirroring
+    ``db_spark.graph.pagerank`` op for op: BIGINT micro-unit ranks,
+    floor divisions, dangling mass dropped — every iteration is pure
+    integer arithmetic, so 5 rounds stay hash-identical."""
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f"""
+        r{i} AS (
+          SELECT n.node,
+                 CAST(150000 + (85 * COALESCE(SUM(c.contrib), 0)) // 100
+                      AS BIGINT) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.d AS node, r.r // g.deg AS contrib
+            FROM e JOIN r{i - 1} r ON e.s = r.node
+                   JOIN deg g ON e.s = g.s) c
+          ON n.node = c.node
+          GROUP BY n.node)""")
+    return f"""
+        WITH e AS (
+          SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS s,
+                          CAST(s_nationkey AS BIGINT) AS d
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+        ),
+        nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+        deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY s),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        {','.join(its)}
+        SELECT node, r AS rank_scaled,
+               round(CAST(r AS DOUBLE) / 1000000, 6) AS rank
+        FROM r{iterations}
+    """
 
 
 def _ewma_oracle(alpha: float = 0.5, horizon: int = 8) -> str:
@@ -3007,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "scd2": q_scd2,
         "ewma": q_ewma,
+        "pagerank": q_pagerank,
     }
 
 
@@ -4686,6 +4746,7 @@ def oracle_sql() -> dict[str, str]:
             FROM iv
         """,
         "ewma": _ewma_oracle(),
+        "pagerank": _pagerank_oracle(5),
         # HLL with the repo's md5 hash family: the oracle computes the
         # IDENTICAL register table (bin/instr leading-zero rank) and
         # estimate; round-to-integer absorbs any last-ulp ln() delta.

@@ -1,0 +1,86 @@
+"""Graph algorithms as iterated DataFrame joins: PageRank (this
+module), connected components (``db_spark.llm.dedup.cluster_pairs``
+— min-label propagation), triangle counting and co-occurrence edges
+(`__spark_entry__` query shapes). The reference has no graph tier;
+this is north-star surface for entity-graph work over relational data.
+
+PageRank here is INTEGER PageRank: ranks are scaled BIGINTs
+(micro-units) and every update is integer arithmetic — ``contrib =
+rank DIV out_degree``, ``rank' = base + (85 * sum(contrib)) DIV 100``
+— so the fixed-iteration result is bit-identical on any engine and in
+any partitioning / addition order (the float formulation's sum order
+would drift), which makes a 5-iteration run SQL-oracle-checkable as
+unrolled CTEs. The floor divisions lose < 1 micro-unit per edge per
+round; at the default scale (1e6) that is < 1e-4 relative error
+against float PageRank — noise next to the damping truncation itself.
+
+Scale shape per iteration: one join of the edge list against the
+(node, rank) table keyed by src (the rank side is |V|, broadcastable
+for mid-sized graphs and AQE decides), one shuffle keyed by dst for
+the contribution sum, and a left join back onto the node list so
+sink-only nodes keep their base rank. Lineage is truncated with
+``localCheckpoint`` every round — iterative loops otherwise nest the
+plan one join deeper per iteration until plan explain recurses out of
+stack. Dangling-node mass (out-degree 0) is dropped, not
+redistributed — the classic simplification; totals shrink but the
+ranking order is preserved (documented contract, mirrored in the
+oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: rank scale: 1.0 of probability mass == SCALE micro-units
+SCALE = 1_000_000
+#: damping factor 0.85 expressed as integer percents
+DAMP_PCT = 85
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 5,
+    src_col: str = "src", dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over a directed edge list
+    (duplicate edges collapse). Returns (node, rank_scaled BIGINT,
+    rank DOUBLE) where rank = rank_scaled / 1e6; every node that
+    appears as src or dst gets a row. Deterministic: integer ops only,
+    identical under any execution order."""
+    e = edges.select(F.col(src_col).alias("_s"),
+                     F.col(dst_col).alias("_d")).distinct()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+    base = SCALE - DAMP_PCT * SCALE // 100  # 150_000: the (1-d) share
+    rank = nodes.select("node", F.lit(SCALE).cast("long").alias("_r"))
+    rank = rank.localCheckpoint(eager=True)
+    for _ in range(iterations):
+        # `div` (not float division + cast): double rounding could land
+        # exactly on an integer the true quotient sits just below
+        contrib = (
+            e.join(rank, e["_s"] == rank["node"])
+            .join(deg, "_s")
+            .select(F.col("_d").alias("node"),
+                    F.expr("_r div _deg").cast("long").alias("_c"))
+        )
+        summed = contrib.groupBy("node").agg(
+            F.sum("_c").cast("long").alias("_sc"))
+        rank = (
+            nodes.join(summed, "node", "left")
+            .withColumn("_sc", F.coalesce(F.col("_sc"), F.lit(0)))
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.expr(f"({DAMP_PCT} * _sc) div 100"))
+                .cast("long").alias("_r"))
+        )
+        rank = rank.localCheckpoint(eager=True)
+    return rank.select(
+        "node",
+        F.col("_r").alias("rank_scaled"),
+        F.round(F.col("_r").cast("double") / SCALE, 6).alias("rank"),
+    )

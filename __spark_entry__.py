@@ -681,6 +681,112 @@ def q_gapfill_locf(spark, sf_dir):
     )
 
 
+def q_gapfill_interp(spark, sf_dir):
+    """Linear-interpolation gap fill on the same hourly grid as
+    q_gapfill_locf: missing hours get prev + (next - prev) * elapsed /
+    span, where prev/next are the nearest observed values (IGNORE NULLS
+    window scans in both directions) and the positions are integer hour
+    indexes — the identical arithmetic renders in the oracle.
+    Leading/trailing gaps (no bracket on one side) stay NULL. Same
+    scale shape as LOCF: only the first hourly aggregate is data-sized;
+    both window passes run on the |types x 24| grid."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-03 00:00:00"))
+        & (F.col("ts") < F.lit("2024-01-04 00:00:00")))
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+                   "event_type")
+        .agg(decimal_sum(F.col("value"), "sum_value", 2))
+    )
+    hours = spark.range(24).select(
+        (F.to_timestamp(F.lit("2024-01-03 00:00:00"))
+         + F.col("id").cast("int") * F.expr("INTERVAL 1 HOUR"))
+        .alias("hour_ts"))
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    from pyspark.sql import Window
+
+    back = (Window.partitionBy("event_type").orderBy("hour_ts")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    fwd = (Window.partitionBy("event_type").orderBy("hour_ts")
+           .rowsBetween(0, Window.unboundedFollowing))
+    g = (
+        grid.join(hourly, ["hour_ts", "event_type"], "left")
+        .withColumn("_h", F.hour("hour_ts").cast("long"))
+        .withColumn("_obs_h", F.when(F.col("sum_value").isNotNull(),
+                                     F.col("_h")))
+        .withColumn("_pv", F.last("sum_value", ignorenulls=True).over(back))
+        .withColumn("_ph", F.last("_obs_h", ignorenulls=True).over(back))
+        .withColumn("_nv", F.first("sum_value", ignorenulls=True).over(fwd))
+        .withColumn("_nh", F.first("_obs_h", ignorenulls=True).over(fwd))
+    )
+    interp = (
+        F.col("_pv")
+        + (F.col("_nv") - F.col("_pv"))
+        * ((F.col("_h") - F.col("_ph")).cast("double")
+           / (F.col("_nh") - F.col("_ph")).cast("double"))
+    )
+    return g.select(
+        "hour_ts", "event_type",
+        F.col("sum_value").isNull().alias("is_gap"),
+        F.round(F.when(F.col("sum_value").isNotNull(), F.col("sum_value"))
+                .otherwise(interp), 6).alias("interp_value"),
+    )
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier counts per event_type: median / MAD computed by
+    EXPLICIT rank positions (middle-two average) over integer cents, so
+    both engines produce bit-identical medians — no reliance on an
+    engine's percentile interpolation flavor. Outlier rule: |x - med| >
+    3 * 1.4826 * MAD (the normal-consistent MAD scale). Two group-keyed
+    sorts; the exceedance count is a residual on the same exchange."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = ev.select("event_type",
+                  F.round(F.col("value") * 100).cast("long").alias("_c"))
+    # row_number among equal cents is tie-arbitrary, but the VALUE at
+    # any rank position is the sorted multiset's — deterministic
+    ranked = c.withColumn("_rn", F.row_number().over(
+        Window.partitionBy("event_type").orderBy("_c")))
+    nn = ranked.groupBy("event_type").agg(F.max("_rn").alias("_n"))
+    mid = (
+        ranked.join(F.broadcast(nn), "event_type")
+        .filter((F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+                | (F.col("_rn") == F.floor(F.col("_n") / 2) + 1))
+        .groupBy("event_type")
+        .agg(((F.min("_c") + F.max("_c")) / 2.0).alias("_med"))
+    )
+    dev = (
+        c.join(F.broadcast(mid), "event_type")
+        .select("event_type", "_c", "_med",
+                F.abs(F.col("_c").cast("double") - F.col("_med"))
+                .alias("_dev"))
+    )
+    dranked = dev.withColumn("_rn", F.row_number().over(
+        Window.partitionBy("event_type").orderBy("_dev")))
+    dmid = (
+        dranked.join(F.broadcast(nn), "event_type")
+        .filter((F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+                | (F.col("_rn") == F.floor(F.col("_n") / 2) + 1))
+        .groupBy("event_type")
+        .agg(((F.min("_dev") + F.max("_dev")) / 2.0).alias("_mad"))
+    )
+    return (
+        dev.join(F.broadcast(dmid), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.max("_med") / 100.0, 6).alias("median_value"),
+            F.round(F.max("_mad") / 100.0, 6).alias("mad_value"),
+            F.sum(F.when(
+                F.col("_dev") > F.lit(3.0) * F.lit(1.4826) * F.col("_mad"),
+                1).otherwise(0)).cast("long").alias("n_outliers"),
+        )
+    )
+
+
 def q_fuzzy_join(spark, sf_dir):
     """Dictionary-blocked fuzzy self-join: part-name pairs within
     Levenshtein distance 4. The 100 TB design point: similarity runs on
@@ -3067,6 +3173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": q_scd2,
         "ewma": q_ewma,
         "pagerank": q_pagerank,
+        "gapfill_interp": q_gapfill_interp,
+        "mad_outliers": q_mad_outliers,
     }
 
 
@@ -4691,6 +4799,111 @@ def oracle_sql() -> dict[str, str]:
                      AS n_outliers
             FROM events e JOIN mm ON e.event_type = mm.event_type
             GROUP BY e.event_type
+        """,
+        # linear interpolation on the LOCF grid: bidirectional IGNORE
+        # NULLS scans + the identical bracket arithmetic.
+        "gapfill_interp": """
+            WITH ev AS (
+              SELECT * FROM events
+              WHERE ts >= TIMESTAMP '2024-01-03'
+                AND ts < TIMESTAMP '2024-01-04'
+            ),
+            hourly AS (
+              SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0 AS sum_value
+              FROM ev GROUP BY 1, 2
+            ),
+            hours AS (
+              SELECT TIMESTAMP '2024-01-03 00:00:00'
+                     + h * INTERVAL 1 HOUR AS hour_ts
+              FROM range(24) t(h)
+            ),
+            grid AS (
+              SELECT hour_ts, event_type
+              FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM ev)
+            ),
+            g AS (
+              SELECT g.hour_ts, g.event_type, h.sum_value,
+                     CAST(hour(g.hour_ts) AS BIGINT) AS hh,
+                     CASE WHEN h.sum_value IS NOT NULL
+                          THEN CAST(hour(g.hour_ts) AS BIGINT) END AS obs_h
+              FROM grid g LEFT JOIN hourly h
+                ON g.hour_ts = h.hour_ts AND g.event_type = h.event_type
+            ),
+            b AS (
+              SELECT *,
+                     LAST_VALUE(sum_value IGNORE NULLS) OVER wb AS pv,
+                     LAST_VALUE(obs_h IGNORE NULLS) OVER wb AS ph,
+                     FIRST_VALUE(sum_value IGNORE NULLS) OVER wf AS nv,
+                     FIRST_VALUE(obs_h IGNORE NULLS) OVER wf AS nh
+              FROM g
+              WINDOW wb AS (PARTITION BY event_type ORDER BY hour_ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW),
+                     wf AS (PARTITION BY event_type ORDER BY hour_ts
+                            ROWS BETWEEN CURRENT ROW
+                                     AND UNBOUNDED FOLLOWING)
+            )
+            SELECT hour_ts, event_type,
+                   sum_value IS NULL AS is_gap,
+                   round(CASE WHEN sum_value IS NOT NULL THEN sum_value
+                         ELSE pv + (nv - pv)
+                              * (CAST(hh - ph AS DOUBLE)
+                                 / CAST(nh - ph AS DOUBLE)) END, 6)
+                       AS interp_value
+            FROM b
+        """,
+        # explicit rank-position median/MAD in integer cents -> engine-
+        # identical robust statistics; same constant order (3.0 * 1.4826
+        # * mad) so the folded literal product matches bit for bit.
+        "mad_outliers": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cts
+              FROM events WHERE value IS NOT NULL
+            ),
+            ranked AS (
+              SELECT event_type, cts,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY cts) AS rn
+              FROM c
+            ),
+            nn AS (SELECT event_type, max(rn) AS n FROM ranked
+                   GROUP BY event_type),
+            mid AS (
+              SELECT r.event_type,
+                     (min(cts) + max(cts)) / 2.0 AS med
+              FROM ranked r JOIN nn ON r.event_type = nn.event_type
+              WHERE rn = floor((n + 1) / 2) OR rn = floor(n / 2) + 1
+              GROUP BY r.event_type
+            ),
+            dev AS (
+              SELECT c.event_type, cts, med,
+                     abs(CAST(cts AS DOUBLE) - med) AS d
+              FROM c JOIN mid ON c.event_type = mid.event_type
+            ),
+            dranked AS (
+              SELECT event_type, d,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY d) AS rn
+              FROM dev
+            ),
+            dmid AS (
+              SELECT r.event_type,
+                     (min(d) + max(d)) / 2.0 AS mad
+              FROM dranked r JOIN nn ON r.event_type = nn.event_type
+              WHERE rn = floor((n + 1) / 2) OR rn = floor(n / 2) + 1
+              GROUP BY r.event_type
+            )
+            SELECT dev.event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(max(med) / 100.0, 6) AS median_value,
+                   round(max(mad) / 100.0, 6) AS mad_value,
+                   CAST(SUM(CASE WHEN d > 3.0 * 1.4826 * mad
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM dev JOIN dmid ON dev.event_type = dmid.event_type
+            GROUP BY dev.event_type
         """,
         # lag/flag/running-sum sessionization; microsecond-integer gap
         # arithmetic so boundary events land identically on any engine.

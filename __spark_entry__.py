@@ -1261,7 +1261,10 @@ def q_excess_supply(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     return (
-        s.join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        # the excess list is bounded by |suppliers| — broadcast it so the
+        # semi join never sort-merges
+        s.join(F.broadcast(excess),
+               F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "s_acctbal")
     )
@@ -4934,10 +4937,10 @@ def oracle_sql() -> dict[str, str]:
             WITH dd AS (
               SELECT user_id, event_type, ts FROM (
                 SELECT user_id, event_type, ts,
-                       row_number() OVER (PARTITION BY user_id, ts
-                                          ORDER BY event_type DESC) AS rn
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_type) AS nts
                 FROM events) t
-              WHERE rn = 1
+              WHERE nts IS NULL OR nts <> ts
             ),
             ch AS (
               SELECT user_id, event_type, ts FROM (

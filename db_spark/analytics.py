@@ -182,15 +182,16 @@ def scd2(
     window, the change-collapse lag, and the valid_to lead — a single
     sort per key partition, no self-joins."""
     w = Window.partitionBy(key_col).orderBy(ts_col, attr_col)
-    # last write wins per (key, ts): rows whose (ts) repeats keep the
-    # attr-sort-last row, mirroring log-position recency in the MVCC tier
-    latest = Window.partitionBy(key_col, ts_col).orderBy(
-        F.col(attr_col).desc())
+    # last write wins per (key, ts): keep the final row of each ts-tie
+    # run in (ts, attr) order — same attr-sort-last winner a per-(key,
+    # ts) rank would pick, but expressed on the SAME key-only window
+    # partitioning as the collapse/lead passes, so all three share one
+    # exchange (a (key, ts)-partitioned rank would force a second)
     deduped = (
         changes.select(key_col, attr_col, ts_col)
-        .withColumn("_rn", F.row_number().over(latest))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .withColumn("_nts", F.lead(ts_col).over(w))
+        .filter(F.col("_nts").isNull() | (F.col("_nts") != F.col(ts_col)))
+        .drop("_nts")
     )
     changed = (
         deduped

@@ -126,6 +126,41 @@ PICKS = {
     "range_frame_agg": (E.q_range_frame_agg,
         "One shuffle on event_type; the trailing-hour RANGE frame is "
         "integer-microsecond arithmetic inside the window sort."),
+    "min_cost_supplier": (E.q_min_cost_supplier,
+        "TPC-H Q2: the lineitem-derived supply aggregate is the only "
+        "data-sized exchange; part and EUROPE-supplier dims broadcast; "
+        "the per-part correlated MIN is a window on the filtered rows, "
+        "never a second scan; top-100 is TakeOrderedAndProject."),
+    "excess_supply": (E.q_excess_supply,
+        "TPC-H Q20: both the 1997 and all-time quantity sums come out "
+        "of ONE grouped pass (conditional sum) — no self-join of "
+        "lineitem; the supplier filter is a left-semi join."),
+    "hll_merge": (E.q_hll_merge,
+        "HLL: per-half register tables are bounded (<= 256 rows per "
+        "group); merge and estimate aggregate those, so the only "
+        "corpus-cardinality work is the two hash passes."),
+    "sessionize": (E.q_sessionize,
+        "ONE exchange keyed by user feeds the lag window, the running "
+        "sum, and the final session aggregate — Catalyst reuses the "
+        "partitioning across all three."),
+    "scd2": (E.q_scd2,
+        "Tie-dedup, change-collapse, and valid_to lead all ride one "
+        "user-keyed sort — no self-joins, no second exchange."),
+    "ewma": (E.q_ewma,
+        "Eight lag terms share one window sort per user; the weight "
+        "chain is a single Project — no extra exchanges per term."),
+    "pagerank": (E.q_pagerank,
+        "Per iteration: src-keyed join, dst-keyed sum, left join onto "
+        "the node list; localCheckpoint truncates lineage so the plan "
+        "stays iteration-sized."),
+    "gapfill_interp": (E.q_gapfill_interp,
+        "Same shape as LOCF: the hourly aggregate is the only "
+        "data-sized stage; both IGNORE NULLS bracket scans run on the "
+        "|types| x 24 grid."),
+    "mad_outliers": (E.q_mad_outliers,
+        "Two group-keyed sorts (cents, then deviations); medians come "
+        "from explicit rank positions and broadcast back — no "
+        "percentile UDAF, no global sort."),
 }
 
 

@@ -142,3 +142,50 @@ def test_no_cartesian_products_anywhere_in_window(spark):
         except Exception:  # noqa: BLE001 - runtime-only queries (mvcc builds)
             continue
     assert not bad, f"cartesian products in: {bad}"
+
+
+def test_min_cost_supplier_broadcasts_dims_and_topk(spark):
+    # TPC-H Q2: dims broadcast, top-100 is TakeOrderedAndProject,
+    # supply agg is the only data-sized exchange (window repartition
+    # of the already-aggregated supply rows is the second, bounded one)
+    plan = _plan(E.q_min_cost_supplier(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_excess_supply_single_lineitem_pass(spark):
+    # Q20 shape: ONE scan of lineitem feeds both conditional sums —
+    # a self-join would show two lineitem scans
+    plan = _plan(E.q_excess_supply(spark, SF))
+    assert plan.count("lineitem") <= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_sessionize_single_exchange(spark):
+    # lag window, running sum, and session aggregate must share ONE
+    # user-keyed exchange
+    plan = _plan(E.q_sessionize(spark, SF))
+    assert plan.count("Exchange") <= 1
+    assert plan.count("Sort") <= 1
+
+
+def test_scd2_single_sort(spark):
+    # tie-dedup + change-collapse + lead: one exchange, bounded sorts,
+    # no self-joins
+    plan = _plan(E.q_scd2(spark, SF))
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
+
+
+def test_ewma_one_window_sort(spark):
+    # 8 lag terms must share a single window sort per key
+    plan = _plan(E.q_ewma(spark, SF))
+    assert plan.count("Exchange") <= 1
+    assert plan.count("Window") == 1
+
+
+def test_mad_outliers_broadcasts_medians(spark):
+    plan = _plan(E.q_mad_outliers(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -3016,29 +3016,60 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate checks the
-    first 50 entries. Window policy: every query without a current-round
-    CORRECTNESS row sits inside the window; queries green in the
-    previous round rotate below position 50. Round-4 window = the 6
-    round-3 additions that were never driver-checked (oracle-validated
-    locally in round 3 AND re-run by the round-3 judge, 6/6 pass) + 44
-    of the 50 queries whose last green row is CORRECTNESS_r02 —
-    prioritizing every query whose underlying module changes this round
-    (mvcc/table.py, similarity.py IVF, multimodal/codecs). The 50
-    queries green in CORRECTNESS_r03 rotate below. 106 entries > 2×50,
-    so 6 r02-green queries overflow the window: condition_dsl,
-    pricing_summary, count_when, priority_shipments, explode_tokens,
-    window_funcs — chosen because their code paths (ops.py relational
-    tier, conditions.py, windows) are untouched this round and each has
-    two historical green rows (r01+r02). They are marked below to enter
-    the r05 window FIRST."""
+    first 50 entries. Window policy (priority order): (1) queries that
+    have NEVER had a driver row — every round-4 addition and the six
+    round-3 additions the r03 window missed; (2) stale-green queries
+    whose underlying modules changed this round (mvcc/table.py,
+    similarity.py IVF, multimodal/codecs); (3) the six r02-green
+    queries the round-3 rotation marked "enter the r05 window FIRST".
+    That fills the 50 exactly: 38 never-checked + 6 touched + 6 marked.
+    Every new query below the boundary and every never-checked one
+    inside it is locally validated by scripts/check_oracle.py (the
+    same DuckDB value-hash harness the driver runs). With 138 registry
+    keys and a 50-row window the full re-verification period is three
+    rounds; the r05 window should take the 38 r02-green queries
+    rotated below today (marked), then the r03-greens."""
     return {
-        # -- new in round 3, never driver-checked: r04 positions 1-6 --------
+        # -- new in round 3, never driver-checked ---------------------------
         "cm_heavy_hitters": q_cm_heavy_hitters,
         "matview_incremental": q_matview_incremental,
         "hist_quantiles": q_hist_quantiles,
         "bloom_prefilter": q_bloom_prefilter,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
+        # -- new in round 4, never driver-checked ---------------------------
+        "ivf_index_topk": q_ivf_index_topk,
+        "event_funnel_windowed": q_event_funnel_windowed,
+        "forecast_revenue": q_forecast_revenue,
+        "market_share": q_market_share,
+        "top_supplier": q_top_supplier,
+        "gapfill_locf": q_gapfill_locf,
+        "fuzzy_join": q_fuzzy_join,
+        "profile_table": q_profile_table,
+        "zscore_outliers": q_zscore_outliers,
+        "copurchase_pairs": q_copurchase_pairs,
+        "triangle_count": q_triangle_count,
+        "exact_percentiles": q_exact_percentiles,
+        "price_qty_corr": q_price_qty_corr,
+        "range_frame_agg": q_range_frame_agg,
+        "fk_integrity": q_fk_integrity,
+        "mode_by_group": q_mode_by_group,
+        "rank_funcs": q_rank_funcs,
+        "datetime_funcs": q_datetime_funcs,
+        "string_funcs": q_string_funcs,
+        "json_agg": q_json_agg,
+        "salted_join_agg": q_salted_join_agg,
+        "min_cost_supplier": q_min_cost_supplier,
+        "important_stock": q_important_stock,
+        "excess_supply": q_excess_supply,
+        "hll_distinct": q_hll_distinct,
+        "hll_merge": q_hll_merge,
+        "sessionize": q_sessionize,
+        "scd2": q_scd2,
+        "ewma": q_ewma,
+        "pagerank": q_pagerank,
+        "gapfill_interp": q_gapfill_interp,
+        "mad_outliers": q_mad_outliers,
         # -- last green in r02; modules touched in round 4 — re-verify ------
         "mvcc_snapshot": q_mvcc_snapshot,
         "mvcc_cdc": q_mvcc_cdc,
@@ -3046,7 +3077,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "media_features": q_media_features,
-        # -- last green in r02; rotate up for a fresh row -------------------
+        # -- r02-green, marked in round 3 to enter this window FIRST --------
+        "condition_dsl": q_condition_dsl,
+        "pricing_summary": q_pricing_summary,
+        "count_when": q_count_when,
+        "priority_shipments": q_priority_shipments,
+        "explode_tokens": q_explode_tokens,
+        "window_funcs": q_window_funcs,
+        # ---- window boundary (position 50) --------------------------------
+        # -- r02-green, rotated below this round: enter the r05 window FIRST
         "window_frames": q_window_frames,
         "topn_per_group": q_topn_per_group,
         "asof_join": q_asof_join,
@@ -3085,14 +3124,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "domain_cap": q_domain_cap,
         "redact_pii": q_redact_pii,
-        # ---- window boundary (position 50) --------------------------------
-        # -- r02-green overflow (untouched code): enter the r05 window FIRST
-        "condition_dsl": q_condition_dsl,
-        "pricing_summary": q_pricing_summary,
-        "count_when": q_count_when,
-        "priority_shipments": q_priority_shipments,
-        "explode_tokens": q_explode_tokens,
-        "window_funcs": q_window_funcs,
         # -- green in CORRECTNESS_r03 (rows+schema+hash), rotated below -----
         "quality_rules": q_quality_rules,
         "kmv_distinct": q_kmv_distinct,
@@ -3144,40 +3175,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct": q_count_distinct,
         "array_funcs": q_array_funcs,
         "map_struct_funcs": q_map_struct_funcs,
-        # -- new in round 4, below the window: r05 window candidates --------
-        # (locally oracle-validated via scripts/check_oracle.py)
-        "ivf_index_topk": q_ivf_index_topk,
-        "event_funnel_windowed": q_event_funnel_windowed,
-        "forecast_revenue": q_forecast_revenue,
-        "market_share": q_market_share,
-        "top_supplier": q_top_supplier,
-        "gapfill_locf": q_gapfill_locf,
-        "fuzzy_join": q_fuzzy_join,
-        "profile_table": q_profile_table,
-        "zscore_outliers": q_zscore_outliers,
-        "copurchase_pairs": q_copurchase_pairs,
-        "triangle_count": q_triangle_count,
-        "exact_percentiles": q_exact_percentiles,
-        "price_qty_corr": q_price_qty_corr,
-        "range_frame_agg": q_range_frame_agg,
-        "fk_integrity": q_fk_integrity,
-        "mode_by_group": q_mode_by_group,
-        "rank_funcs": q_rank_funcs,
-        "datetime_funcs": q_datetime_funcs,
-        "string_funcs": q_string_funcs,
-        "json_agg": q_json_agg,
-        "salted_join_agg": q_salted_join_agg,
-        "min_cost_supplier": q_min_cost_supplier,
-        "important_stock": q_important_stock,
-        "excess_supply": q_excess_supply,
-        "hll_distinct": q_hll_distinct,
-        "hll_merge": q_hll_merge,
-        "sessionize": q_sessionize,
-        "scd2": q_scd2,
-        "ewma": q_ewma,
-        "pagerank": q_pagerank,
-        "gapfill_interp": q_gapfill_interp,
-        "mad_outliers": q_mad_outliers,
     }
 
 

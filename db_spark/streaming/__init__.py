@@ -293,32 +293,20 @@ def stream_into_collection(
 # Streaming sketch maintenance (foreachBatch + mergeable sketch state)
 # ---------------------------------------------------------------------------
 
-def stream_sketch_kmv(
-    stream_df: DataFrame, column: str, state_dir: str, checkpoint: str,
-    k: int = 64, group_cols: list[str] | None = None,
+def _stream_merge_sink(
+    stream_df: DataFrame, state_dir: str, checkpoint: str,
+    batch_sketch_fn, merge_fn,
 ):
-    """Maintain a KMV distinct-count sketch over a stream: each
-    micro-batch is sketched (bounded <= k rows per group) and
-    ``kmv_merge``d into the persisted state. The merge law
-    (merge(sketch(A), sketch(B)) == sketch(A ∪ B), property-tested in
-    tests/test_sketch_properties.py) makes the maintained state exactly
-    the sketch of everything ever seen — and because KMV state is a
-    distinct min-k hash set, re-merging a replayed batch is a no-op, so
-    the sink is idempotent under checkpoint recovery without any
-    dedup bookkeeping.
-
-    State is epoch-versioned parquet (same pattern as matview): write
-    ``epoch-{n+1}``, swap the meta pointer, keep one prior epoch for
-    readers holding a lazy DataFrame. Per-batch state I/O is <= k rows
-    per group — the stream's cardinality never touches the state path.
-    """
+    """Generic epoch-versioned mergeable-state sink: sketch each
+    micro-batch (bounded rows), merge into the persisted state, swap
+    the meta pointer, keep one prior epoch for readers holding a lazy
+    DataFrame (same pattern as matview). Correct for any sketch whose
+    merge is idempotent over replayed input — checkpoint recovery may
+    re-deliver a batch, and an idempotent merge makes that a no-op."""
     import json
     import os
     import shutil
 
-    from db_spark.sketch import kmv_merge, kmv_sketch
-
-    groups = group_cols or []
     meta_path = os.path.join(state_dir, "meta.json")
 
     def _epoch() -> int:
@@ -331,12 +319,11 @@ def stream_sketch_kmv(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        batch_sketch = kmv_sketch(
-            batch_df, F.col(column), k=k, group_cols=groups)
+        batch_sketch = batch_sketch_fn(batch_df)
         cur = _epoch()
         if cur >= 0:
             state = spark.read.parquet(os.path.join(state_dir, f"epoch-{cur}"))
-            merged = kmv_merge(state, batch_sketch, k=k, group_cols=groups)
+            merged = merge_fn(state, batch_sketch)
         else:
             merged = batch_sketch
         os.makedirs(state_dir, exist_ok=True)
@@ -357,6 +344,57 @@ def stream_sketch_kmv(
     )
     q.awaitTermination()
     return q
+
+
+def stream_sketch_kmv(
+    stream_df: DataFrame, column: str, state_dir: str, checkpoint: str,
+    k: int = 64, group_cols: list[str] | None = None,
+):
+    """Maintain a KMV distinct-count sketch over a stream: each
+    micro-batch is sketched (bounded <= k rows per group) and
+    ``kmv_merge``d into the persisted state. The merge law
+    (merge(sketch(A), sketch(B)) == sketch(A ∪ B), property-tested in
+    tests/test_sketch_properties.py) makes the maintained state exactly
+    the sketch of everything ever seen — and because KMV state is a
+    distinct min-k hash set, re-merging a replayed batch is a no-op, so
+    the sink is idempotent under checkpoint recovery without any
+    dedup bookkeeping.
+
+    State is epoch-versioned parquet (same pattern as matview): write
+    ``epoch-{n+1}``, swap the meta pointer, keep one prior epoch for
+    readers holding a lazy DataFrame. Per-batch state I/O is <= k rows
+    per group — the stream's cardinality never touches the state path.
+    """
+    from db_spark.sketch import kmv_merge, kmv_sketch
+
+    groups = group_cols or []
+    return _stream_merge_sink(
+        stream_df, state_dir, checkpoint,
+        lambda b: kmv_sketch(b, F.col(column), k=k, group_cols=groups),
+        lambda s, b: kmv_merge(s, b, k=k, group_cols=groups),
+    )
+
+
+def stream_sketch_hll(
+    stream_df: DataFrame, column: str, state_dir: str, checkpoint: str,
+    p: int = 8, group_cols: list[str] | None = None,
+):
+    """Maintain a HyperLogLog sketch over a stream: per-batch register
+    tables (<= 2^p rows per group) merge into the persisted state by
+    register-wise MAX — idempotent under batch replay (MAX of a
+    re-delivered batch changes nothing), so checkpoint recovery needs
+    no dedup bookkeeping. Same epoch-versioned state layout and merge
+    law (tests/test_sketch_properties.py::test_hll_merge_law) as the
+    KMV sink; choose HLL when per-group state must stay a few hundred
+    bytes at any cardinality."""
+    from db_spark.sketch import hll_merge, hll_sketch
+
+    groups = group_cols or []
+    return _stream_merge_sink(
+        stream_df, state_dir, checkpoint,
+        lambda b: hll_sketch(b, F.col(column), p=p, group_cols=groups),
+        lambda s, b: hll_merge(s, b, group_cols=groups),
+    )
 
 
 def read_sketch_state(spark, state_dir: str) -> DataFrame:

@@ -454,3 +454,41 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = spark.sql("SELECT event_id FROM dedup_stream").collect()
     ids = [r["event_id"] for r in got]
     assert sorted(ids) == sorted(set(ids)) == list(range(30))
+
+
+def test_stream_sketch_hll_equals_batch_sketch(spark, tmp_path):
+    """Streamed HLL maintenance must land on EXACTLY the register table
+    and estimate a one-shot batch build produces — register-wise MAX
+    through the foreachBatch state path, overlapping batches included."""
+    from db_spark.sketch import hll_estimate, hll_sketch
+
+    d = str(tmp_path / "in")
+    schema = T.StructType([T.StructField("uid", T.StringType())])
+    batches = [
+        [(f"u{i}",) for i in range(0, 300)],
+        [(f"u{i}",) for i in range(150, 450)],   # overlap: MAX is a no-op
+        [(f"u{i}",) for i in range(400, 600)],
+    ]
+    all_rows = sorted({r for b in batches for r in b})
+    spark.createDataFrame(batches[0], schema).coalesce(1).write.mode(
+        "overwrite").parquet(d)
+    state = str(tmp_path / "state")
+
+    def drain():
+        stream = st.stream_from_files(spark, d, schema)
+        st.stream_sketch_hll(stream, "uid", state, str(tmp_path / "ckpt"),
+                             p=8)
+
+    drain()
+    for b in batches[1:]:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append").parquet(d)
+        drain()
+
+    maintained = st.read_sketch_state(spark, state)
+    oneshot = hll_sketch(
+        spark.createDataFrame(all_rows, schema), F.col("uid"), p=8)
+    assert sorted(map(tuple, maintained.collect())) == \
+        sorted(map(tuple, oneshot.collect()))
+    assert hll_estimate(maintained, p=8).collect() == \
+        hll_estimate(oneshot, p=8).collect()

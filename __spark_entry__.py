@@ -846,6 +846,73 @@ def q_profile_table(spark, sf_dir):
     )
 
 
+def q_chi2_independence(spark, sf_dir):
+    """Chi-square independence test between two categorical columns
+    (order status x priority) — the data-quality check for "did this
+    column drift against that one". Counts are exact integers; expected
+    frequencies and per-cell terms are one fixed IEEE chain; each term
+    is rounded to nano-units and summed as BIGINT, so the statistic is
+    order-independent (a plain double sum over cells would depend on
+    reduction order). Contingency table is |status x priority| —
+    dashboard-sized however many rows feed it."""
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"))
+    rows = cells.groupBy("o_orderstatus").agg(
+        F.sum("_n").cast("long").alias("_rn"))
+    colsum = cells.groupBy("o_orderpriority").agg(
+        F.sum("_n").cast("long").alias("_cn"))
+    tot = cells.agg(F.sum("_n").cast("long").alias("_t"))
+    exp = (F.col("_rn").cast("double") * F.col("_cn").cast("double")
+           / F.col("_t").cast("double"))
+    d = F.col("_n").cast("double") - exp
+    term = (d * d) / exp  # d*d, not pow(d,2): pow is libm-dependent
+    return (
+        cells.join(F.broadcast(rows), "o_orderstatus")
+        .join(F.broadcast(colsum), "o_orderpriority")
+        .join(F.broadcast(tot))
+        .select(F.round(term * 1e9).cast("long").alias("_tn"),
+                "_t")
+        .agg(
+            F.max("_t").alias("n_rows"),
+            (F.sum("_tn").cast("double") / 1e9).alias("chi2_times_1"),
+        )
+        .select("n_rows", F.round(F.col("chi2_times_1"), 6).alias("chi2"))
+    )
+
+
+def q_entropy_profile(spark, sf_dir):
+    """Shannon entropy (bits) per categorical column — the
+    concentration/diversity profile of a mixture. p = n/N is exact
+    rational-to-double; -p*log2(p) terms round to nano-units and sum as
+    BIGINT (same order-independence discipline as chi2). One count
+    aggregate per column; the entropy sum runs over |values| rows."""
+    o = _t(spark, sf_dir, "orders")
+
+    def ent(name, expr):
+        counts = o.select(expr.alias("_v")).groupBy("_v").agg(
+            F.count(F.lit(1)).cast("long").alias("_n"))
+        tot = counts.agg(F.sum("_n").cast("long").alias("_t"))
+        p = F.col("_n").cast("double") / F.col("_t").cast("double")
+        term = -p * F.log2(p)
+        return (
+            counts.join(F.broadcast(tot))
+            .select(F.round(term * 1e9).cast("long").alias("_tn"), "_t")
+            .agg(F.max("_t").alias("n_rows"),
+                 F.count(F.lit(1)).cast("long").alias("n_values"),
+                 F.round(F.sum("_tn").cast("double") / 1e9, 6)
+                 .alias("entropy_bits"))
+            .select(F.lit(name).alias("col_name"), "n_rows",
+                    "n_values", "entropy_bits")
+        )
+
+    return (
+        ent("o_orderstatus", F.col("o_orderstatus"))
+        .unionByName(ent("o_orderpriority", F.col("o_orderpriority")))
+        .unionByName(ent("order_year", F.year("o_orderdate").cast("string")))
+    )
+
+
 def q_zscore_outliers(spark, sf_dir):
     """Per-group z-score outlier audit over events.value: mean and
     sample variance are derived from exact integer moments (sum of
@@ -3070,6 +3137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "gapfill_interp": q_gapfill_interp,
         "mad_outliers": q_mad_outliers,
+        "chi2_independence": q_chi2_independence,
+        "entropy_profile": q_entropy_profile,
         # -- last green in r02; modules touched in round 4 — re-verify ------
         "mvcc_snapshot": q_mvcc_snapshot,
         "mvcc_cdc": q_mvcc_cdc,
@@ -3082,10 +3151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "count_when": q_count_when,
         "priority_shipments": q_priority_shipments,
-        "explode_tokens": q_explode_tokens,
-        "window_funcs": q_window_funcs,
         # ---- window boundary (position 50) --------------------------------
         # -- r02-green, rotated below this round: enter the r05 window FIRST
+        "explode_tokens": q_explode_tokens,
+        "window_funcs": q_window_funcs,
         "window_frames": q_window_frames,
         "topn_per_group": q_topn_per_group,
         "asof_join": q_asof_join,
@@ -4800,6 +4869,59 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN mm ON e.event_type = mm.event_type
             GROUP BY e.event_type
         """,
+        # chi-square over the contingency table: per-cell terms rounded
+        # to nano-units and summed as BIGINT — order-independent.
+        "chi2_independence": """
+            WITH cells AS (
+              SELECT o_orderstatus, o_orderpriority,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1, 2
+            ),
+            r AS (SELECT o_orderstatus, CAST(SUM(n) AS BIGINT) AS rn
+                  FROM cells GROUP BY 1),
+            c AS (SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS cn
+                  FROM cells GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM cells),
+            terms AS (
+              SELECT tt,
+                     CAST(round(
+                       ((CAST(n AS DOUBLE)
+                         - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)
+                           / CAST(tt AS DOUBLE))
+                        * (CAST(n AS DOUBLE)
+                           - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)
+                             / CAST(tt AS DOUBLE)))
+                       / (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)
+                          / CAST(tt AS DOUBLE)) * 1e9) AS BIGINT) AS tn
+              FROM cells
+              JOIN r USING (o_orderstatus)
+              JOIN c USING (o_orderpriority)
+              CROSS JOIN t
+            )
+            SELECT max(tt) AS n_rows,
+                   round(CAST(SUM(tn) AS DOUBLE) / 1e9, 6) AS chi2
+            FROM terms
+        """,
+        # Shannon entropy: -p*log2(p) terms in nano-units, BIGINT sum.
+        "entropy_profile": " UNION ALL ".join(f"""
+            SELECT '{name}' AS col_name, max(t) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_values,
+                   round(CAST(SUM(tn) AS DOUBLE) / 1e9, 6) AS entropy_bits
+            FROM (
+              SELECT t,
+                     CAST(round(-(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+                           * log2(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+                           * 1e9) AS BIGINT) AS tn
+              FROM (SELECT {expr} AS v, CAST(count(*) AS BIGINT) AS n
+                    FROM orders GROUP BY 1) x
+              CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS t
+                          FROM orders) y
+            ) z
+        """ for name, expr in [
+            ("o_orderstatus", "o_orderstatus"),
+            ("o_orderpriority", "o_orderpriority"),
+            ("order_year", "CAST(year(o_orderdate) AS VARCHAR)"),
+        ]),
         # linear interpolation on the LOCF grid: bidirectional IGNORE
         # NULLS scans + the identical bracket arithmetic.
         "gapfill_interp": """

@@ -1833,6 +1833,19 @@ def q_mvcc_snapshot(spark, sf_dir):
         F.col("_id").cast("long").alias("key"), "c_name", "acctbal")
 
 
+def q_mvcc_history(spark, sf_dir):
+    """Per-id version history (Collection.history): every committed
+    version as a record with a log-position validity interval and an
+    is_current flag — the MVCC-native SCD2 view. The oracle recomputes
+    the full expected version chain (versions, kinds, batch positions,
+    interval links) from the base table and the deterministic
+    _mvcc_build write sequence."""
+    c, _ = _mvcc_build(spark, sf_dir)
+    return c.history().select(
+        F.col("_id").cast("long").alias("key"), "c_name", "acctbal",
+        "_kind", "_version", "_from_pos", "_to_pos", "is_current")
+
+
 def q_mvcc_cdc(spark, sf_dir):
     """Change-data-capture between two snapshots of the log table:
     I/U/D classification with new-image payloads."""
@@ -3139,6 +3152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "chi2_independence": q_chi2_independence,
         "entropy_profile": q_entropy_profile,
+        "mvcc_history": q_mvcc_history,
         # -- last green in r02; modules touched in round 4 — re-verify ------
         "mvcc_snapshot": q_mvcc_snapshot,
         "mvcc_cdc": q_mvcc_cdc,
@@ -3150,9 +3164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condition_dsl": q_condition_dsl,
         "pricing_summary": q_pricing_summary,
         "count_when": q_count_when,
-        "priority_shipments": q_priority_shipments,
         # ---- window boundary (position 50) --------------------------------
         # -- r02-green, rotated below this round: enter the r05 window FIRST
+        "priority_shipments": q_priority_shipments,
         "explode_tokens": q_explode_tokens,
         "window_funcs": q_window_funcs,
         "window_frames": q_window_frames,
@@ -3815,6 +3829,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c_acctbal AS DOUBLE) AS acctbal
             FROM customer
             WHERE c_custkey % 13 = 0
+        """,
+        # expected version chain from the deterministic _mvcc_build
+        # sequence: batches are base=0, update=1 (commit=2), delete=3
+        # (commit=4), shadow insert=5 (commit=6).
+        "mvcc_history": """
+            SELECT c_custkey AS key, c_name,
+                   CAST(c_acctbal AS DOUBLE) AS acctbal,
+                   'U' AS _kind, 1 AS _version,
+                   CAST(0 AS BIGINT) AS _from_pos,
+                   CASE WHEN c_custkey % 10 = 0 THEN CAST(1 AS BIGINT)
+                        WHEN c_custkey % 7 = 0 THEN CAST(3 AS BIGINT)
+                        END AS _to_pos,
+                   (c_custkey % 10 <> 0 AND c_custkey % 7 <> 0)
+                       AS is_current
+            FROM customer
+            UNION ALL
+            SELECT c_custkey AS key, c_name,
+                   CAST(c_acctbal AS DOUBLE) + 100.0 AS acctbal,
+                   'U' AS _kind, 2 AS _version,
+                   CAST(1 AS BIGINT) AS _from_pos,
+                   CASE WHEN c_custkey % 7 = 0 THEN CAST(3 AS BIGINT)
+                        END AS _to_pos,
+                   (c_custkey % 7 <> 0) AS is_current
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey AS key, CAST(NULL AS VARCHAR) AS c_name,
+                   CAST(NULL AS DOUBLE) AS acctbal,
+                   'D' AS _kind,
+                   CASE WHEN c_custkey % 10 = 0 THEN 3 ELSE 2 END
+                       AS _version,
+                   CAST(3 AS BIGINT) AS _from_pos,
+                   CAST(NULL AS BIGINT) AS _to_pos,
+                   FALSE AS is_current
+            FROM customer WHERE c_custkey % 7 = 0
+            UNION ALL
+            SELECT c_custkey + 1000000 AS key, c_name,
+                   CAST(c_acctbal AS DOUBLE) AS acctbal,
+                   'U' AS _kind, 1 AS _version,
+                   CAST(5 AS BIGINT) AS _from_pos,
+                   CAST(NULL AS BIGINT) AS _to_pos,
+                   TRUE AS is_current
+            FROM customer WHERE c_custkey % 13 = 0
         """,
         "mvcc_cdc": """
             SELECT c_custkey AS key, 'U' AS _change, c_name,

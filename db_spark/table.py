@@ -585,6 +585,59 @@ class Collection:
         snapshot regardless of ``when`` (reference table_scan.rs:50-51)."""
         return self.table_scan(txid_at(when))
 
+    def history(self) -> DataFrame:
+        """Per-id version history: every committed-visible U/D entry as
+        a versioned record with a log-position validity interval —
+        ``_id``, payload columns, ``_kind`` ('U' update / 'D' delete),
+        ``_version`` (1-based per id, append order), ``_from_pos`` (the
+        entry's ``_batch``), ``_to_pos`` (the next version's ``_batch``;
+        NULL while in force), ``is_current`` (last version and not a
+        tombstone). The SCD Type-2 view of the log
+        (``db_spark.analytics.scd2`` derives the same interval form
+        from any event stream; this is its MVCC-native dual), and the
+        before-image source ``changes()`` points at.
+
+        Shape: the same committed-visibility semi-join as
+        ``table_scan`` (reference table_scan.rs:50-101), then ONE
+        ``_id``-keyed sort carrying the version rank, the ``_to_pos``
+        lead, and the is_current flag — no self-joins, O(log entries),
+        shuffle count independent of version counts."""
+        log = self._read_log()
+        if log is None:
+            payload = self._declared_schema or T.StructType([])
+            shape = T.StructType(
+                [_META_FIELDS[-1]]
+                + [T.StructField(f.name, f.dataType, True)
+                   for f in payload.fields]
+                + [T.StructField("_kind", T.StringType(), True),
+                   T.StructField("_version", T.IntegerType(), True),
+                   T.StructField("_from_pos", T.LongType(), True),
+                   T.StructField("_to_pos", T.LongType(), True),
+                   T.StructField("is_current", T.BooleanType(), True)]
+            )
+            return self.spark.createDataFrame([], shape)
+        committed = (
+            log.filter(F.col("_kind") == "C").select("_txid").distinct()
+        )
+        entries = log.filter(F.col("_kind").isin("U", "D"))
+        visible = entries.join(
+            F.broadcast(committed), on="_txid", how="left_semi",
+        ).unionByName(entries.filter(F.col("_txid") == NIL_TXID))
+        w = Window.partitionBy("_id").orderBy("_batch", "_seq")
+        payload_cols = [c for c in visible.columns
+                        if c not in ("_txid", "_batch", "_seq", "_kind", "_id")]
+        return (
+            visible
+            .withColumn("_version", F.row_number().over(w))
+            .withColumn("_to_pos", F.lead("_batch").over(w))
+            .withColumn(
+                "is_current",
+                F.col("_to_pos").isNull() & (F.col("_kind") == "U"))
+            .select("_id", *payload_cols, "_kind", "_version",
+                    F.col("_batch").alias("_from_pos"), "_to_pos",
+                    "is_current")
+        )
+
     def changes(self, since_txid: str, until_txid: str | None = None) -> DataFrame:
         """Change-data-capture between two snapshots: one row per ``_id``
         whose visible version differs, tagged ``_change`` in

@@ -662,3 +662,46 @@ def test_writer_lease_handoff_reseeds_batch_counter(spark, tmp_path):
             t = pq.read_table(_os.path.join(a.log_path, fn), columns=["_batch"])
             batches.update(t.column("_batch").to_pylist())
     assert batches == {0, 1, 2}  # strictly increasing, no collision
+
+
+# ---------------------------------------------------------------------------
+# history(): per-id version intervals
+# ---------------------------------------------------------------------------
+
+def test_history_versions_and_intervals(storage, spark):
+    c = storage.get_collection("h")
+    c.set_objects(None, _df(spark, [("a", "v1", 1)]))
+    c.set_objects(None, _df(spark, [("a", "v2", 2), ("b", "w1", 9)]))
+    c.delete_objects(None, ["a"])
+    h = {(r["_id"], r["_version"]): r for r in c.history().collect()}
+    assert len(h) == 4
+    a1, a2, a3 = h[("a", 1)], h[("a", 2)], h[("a", 3)]
+    assert (a1["name"], a1["_kind"], a1["is_current"]) == ("v1", "U", False)
+    assert a1["_to_pos"] == a2["_from_pos"]  # half-open chain
+    assert (a2["name"], a2["_to_pos"] == a3["_from_pos"]) == ("v2", True)
+    assert (a3["_kind"], a3["_to_pos"], a3["is_current"]) == ("D", None, False)
+    b1 = h[("b", 1)]
+    assert (b1["name"], b1["is_current"]) == ("w1", True)
+
+
+def test_history_hides_uncommitted_and_matches_scan(storage, spark):
+    c = storage.get_collection("h2")
+    c.set_objects(None, _df(spark, [("a", "base", 1)]))
+    tx = uuid7()
+    c.set_objects(tx, _df(spark, [("a", "pending", 2)]))  # never committed
+    h = c.history().collect()
+    assert len(h) == 1 and h[0]["name"] == "base"
+    # current versions == table_scan snapshot
+    cur = {r["_id"]: r["name"] for r in c.history().collect()
+           if r["is_current"]}
+    snap = {r["_id"]: r["name"] for r in c.table_scan().collect()}
+    assert cur == snap
+
+
+def test_history_empty_collection_has_schema(storage, spark):
+    c = storage.get_collection(
+        "h3", schema=T.StructType([T.StructField("name", T.StringType())]))
+    h = c.history()
+    assert h.count() == 0
+    assert set(h.columns) == {"_id", "name", "_kind", "_version",
+                              "_from_pos", "_to_pos", "is_current"}

@@ -220,6 +220,21 @@ def decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     raise ValueError("unsupported image format (PNG/PPM/PGM/BMP supported)")
 
 
+def resize_image(payload: bytes, meta: dict, width: int, height: int) -> bytes:
+    """REAL image resize: decode (any supported format), nearest-neighbor
+    sample with pure integer index arithmetic (``row = y*H // height``),
+    re-encode as PNG. Deliberately NOT PIL's filtered resize even when
+    PIL is importable — filter kernels differ per library version, while
+    integer nearest-neighbor picks the identical source pixel on every
+    worker, keeping the 'same features everywhere' contract the decode
+    path makes. Registered as the ``image_resize`` transform for
+    ``multimodal.resize_media``."""
+    w, h, _c, pix = decode_image(payload)
+    rows = (np.arange(height, dtype=np.int64) * h) // height
+    cols = (np.arange(width, dtype=np.int64) * w) // width
+    return encode_png(np.ascontiguousarray(pix[rows][:, cols]))
+
+
 def image_features(payload: bytes, modality: str = "image") -> list[float]:
     """DECODERS-compatible image featurizer over *decoded pixels*:
     [width, height, channels, mean_ch0, mean_ch1, mean_ch2, stddev,
@@ -278,6 +293,7 @@ def install_default_decoders() -> dict[str, str]:
 
     multimodal.register_decoder("image", image_features)
     multimodal.register_decoder("audio", audio_features)
+    multimodal.register_transform("image_resize", resize_image)
     return {
         "image": "PIL" if _PILImage is not None else "stdlib-png/ppm/bmp",
         "audio": "stdlib-wave",

@@ -184,3 +184,37 @@ def test_bmp_decode_32bit_rgba_channel_order():
     w, h, c, got = codecs.decode_bmp(header + bytes(data))
     assert (w, h, c) == (4, 2, 4)
     assert np.array_equal(got, pix)  # RGBA, not ARGB
+
+
+def test_resize_image_nearest_neighbor_exact():
+    pix = _checker(8, 8, 3)
+    out = codecs.resize_image(codecs.encode_png(pix), {}, 4, 4)
+    w, h, c, got = codecs.decode_image(out)
+    assert (w, h, c) == (4, 4, 3)
+    # integer nearest-neighbor: out[y, x] == src[y*8//4, x*8//4]
+    rows = (np.arange(4) * 8) // 4
+    expect = pix[rows][:, rows]
+    assert np.array_equal(got, expect)
+
+
+def test_resize_image_upscale_and_mono():
+    pix = _checker(3, 2, 1)
+    out = codecs.resize_image(codecs.encode_png(pix), {}, 6, 4)
+    w, h, c, got = codecs.decode_image(out)
+    assert (w, h, c) == (6, 4, 1)
+    rows = (np.arange(4) * 2) // 4
+    cols = (np.arange(6) * 3) // 6
+    assert np.array_equal(got, pix[rows][:, cols])
+
+
+def test_resize_media_real_transform_in_pipeline(spark):
+    from db_spark.llm import multimodal as mm
+
+    png = codecs.encode_png(_checker(8, 8, 3))
+    df = spark.createDataFrame(
+        [(1, "image", png, ("image/png", 8, 8, None, None))],
+        mm.MEDIA_SCHEMA)
+    out = mm.resize_media(df, 4, 4, transform="image_resize").collect()[0]
+    w, h, c, got = codecs.decode_image(bytes(out["payload"]))
+    assert (w, h) == (4, 4)
+    assert out["meta"]["width"] == 4 and out["meta"]["height"] == 4

@@ -174,7 +174,9 @@ def ivf_kmeans_centroids(
                 F.transform(F.col("_jm"), lambda s: s.getField("_m")).alias("_new"))
         )
         cent = (
-            cent.join(new_cent, "cell_id", "left")
+            # new_cent is <= n_cells rows but sits above an aggregate, so
+            # Catalyst has no size estimate and would sort-merge; broadcast
+            cent.join(F.broadcast(new_cent), "cell_id", "left")
             .select("cell_id", F.coalesce(F.col("_new"), F.col("_cvec")).alias("_cvec"))
         )
     return cent

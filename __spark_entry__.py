@@ -1833,6 +1833,33 @@ def q_mvcc_snapshot(spark, sf_dir):
         F.col("_id").cast("long").alias("key"), "c_name", "acctbal")
 
 
+def q_hll_rolling(spark, sf_dir):
+    """Rolling 3-day distinct users per day from DAILY HLL sketches
+    (db_spark/sketch.py hll_rolling_merge): the data is scanned once
+    into bounded per-day register tables; every rolling window is then
+    |days x registers| work — the per-period-rollup pattern that makes
+    '7-day actives over 100 TB' an aggregation, not a rescan. Estimated
+    vs exact side by side; the oracle replays the identical registers."""
+    from db_spark import sketch as lsk
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts")).alias("day"), "user_id")
+    daily = lsk.hll_sketch(ev, F.col("user_id"), p=8, group_cols=["day"])
+    rolled = lsk.hll_rolling_merge(daily, "day", window=3)
+    est = lsk.hll_estimate(rolled, p=8, group_cols=["day"])
+    days = ev.select("day").distinct().select(F.col("day").alias("_d"))
+    exact = (
+        ev.join(F.broadcast(days),
+                (F.col("day") <= F.col("_d"))
+                & (F.col("day") > F.col("_d") - F.expr("INTERVAL 3 DAY")))
+        .groupBy("_d")
+        .agg(F.count_distinct("user_id").cast("long").alias("exact_distinct"))
+        .select(F.col("_d").alias("day"), "exact_distinct")
+    )
+    return est.join(exact, "day").select(
+        "day", "n_registers", "est_distinct", "exact_distinct")
+
+
 def q_mvcc_history(spark, sf_dir):
     """Per-id version history (Collection.history): every committed
     version as a record with a log-position validity interval and an
@@ -2672,6 +2699,49 @@ def _ewma_oracle(alpha: float = 0.5, horizon: int = 8) -> str:
     """
 
 
+def _hll_rolling_oracle(window: int = 3, m: int = 256) -> str:
+    """Per-day HLL registers -> rolling-window register MAX -> the same
+    estimator as ``_hll_oracle``, plus the exact rolling distinct."""
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    h = _H32.format(x="CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        reg AS (SELECT day,
+                       CAST(h % {m} AS INT) AS r,
+                       CAST(h // {m} AS BIGINT) AS x
+                FROM (SELECT day, {h} AS h FROM ev)),
+        sk AS (SELECT day, r,
+                      MAX(CASE WHEN x = 0 THEN 25
+                          ELSE strpos(lpad(bin(x), 24, '0'), '1') END) AS z
+               FROM reg GROUP BY day, r),
+        days AS (SELECT DISTINCT day FROM ev),
+        rolled AS (
+          SELECT d.day AS day, r, MAX(z) AS z
+          FROM sk JOIN days d
+            ON sk.day <= d.day AND sk.day > d.day - INTERVAL {window} DAY
+          GROUP BY d.day, r),
+        agg0 AS (SELECT day, count(*) AS nr,
+                        SUM(power(2.0, -z)) + ({m} - count(*)) AS s
+                 FROM rolled GROUP BY day),
+        agg AS (SELECT day, nr,
+                       CAST(round(CASE WHEN {alpha_m2!r} / s <= {2.5 * m}
+                                    AND nr < {m}
+                            THEN {float(m)!r} * ln({float(m)!r} / ({m} - nr))
+                            ELSE {alpha_m2!r} / s END) AS BIGINT)
+                           AS est_distinct
+                FROM agg0),
+        ex AS (
+          SELECT d.day AS day,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+          FROM ev JOIN days d
+            ON ev.day <= d.day AND ev.day > d.day - INTERVAL {window} DAY
+          GROUP BY d.day)
+        SELECT day, CAST(nr AS BIGINT) AS n_registers, est_distinct,
+               exact_distinct
+        FROM agg JOIN ex USING (day)
+    """
+
+
 def _hll_oracle(select: str, with_exact: bool = False) -> str:
     """HLL register table + estimate in ANSI SQL, mirroring
     ``db_spark.sketch.hll_sketch/hll_estimate`` (p=8) op for op: same
@@ -3153,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_independence": q_chi2_independence,
         "entropy_profile": q_entropy_profile,
         "mvcc_history": q_mvcc_history,
+        "hll_rolling": q_hll_rolling,
         # -- last green in r02; modules touched in round 4 — re-verify ------
         "mvcc_snapshot": q_mvcc_snapshot,
         "mvcc_cdc": q_mvcc_cdc,
@@ -3163,9 +3234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r02-green, marked in round 3 to enter this window FIRST --------
         "condition_dsl": q_condition_dsl,
         "pricing_summary": q_pricing_summary,
-        "count_when": q_count_when,
         # ---- window boundary (position 50) --------------------------------
         # -- r02-green, rotated below this round: enter the r05 window FIRST
+        "count_when": q_count_when,
         "priority_shipments": q_priority_shipments,
         "explode_tokens": q_explode_tokens,
         "window_funcs": q_window_funcs,
@@ -5148,6 +5219,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_merge": _hll_oracle(
             "SELECT source, CAST(nr AS BIGINT) AS n_registers, est_distinct"
             " FROM agg"),
+        "hll_rolling": _hll_rolling_oracle(3),
         # TPC-H Q2 shape: supply relation derived from lineitem (integer
         # cents), per-part correlated MIN over EUROPE suppliers.
         "min_cost_supplier": """

@@ -198,6 +198,42 @@ def hll_estimate(
     )
 
 
+def hll_rolling_merge(
+    sketches: DataFrame, period_col: str, window: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rolling-window union of per-period HLL sketches: for every
+    period p, the register-wise MAX over the sketches of the last
+    ``window`` periods (p-window, p] — i.e. the sketch of the union of
+    those periods' values. Pass the output to ``hll_estimate`` for
+    rolling distinct counts (e.g. 7-day active users per day).
+
+    THE per-period-rollup payoff of mergeable sketches at 100 TB: the
+    data is scanned once to build daily sketches (bounded <= 2^p rows
+    per day); every rolling window after that is an aggregation over
+    |periods x registers| rows — re-scanning a week of raw events per
+    day would be window x corpus work. ``period_col`` must be
+    join-comparable with interval arithmetic (DATE or TIMESTAMP)."""
+    groups = group_cols or []
+    periods = sketches.select(*groups, period_col).distinct().select(
+        *[F.col(g).alias(f"_g_{g}") for g in groups],
+        F.col(period_col).alias("_p"))
+    cond = (
+        (F.col(period_col) <= F.col("_p"))
+        & (F.col(period_col) > F.col("_p") - F.expr(f"INTERVAL {int(window)} DAY"))
+    )
+    for g in groups:
+        cond = cond & (F.col(g) == F.col(f"_g_{g}"))
+    return (
+        # range join, but the build side is the |periods| dimension —
+        # broadcast it; the sketch side never shuffles for the join
+        sketches.join(F.broadcast(periods), cond)
+        .groupBy(*[F.col(f"_g_{g}").alias(g) for g in groups],
+                 F.col("_p").alias(period_col), F.col("_r"))
+        .agg(F.max("_z").cast("int").alias("_z"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch (Cormode & Muthukrishnan 2005, "An improved data
 # stream summary: the count-min sketch and its applications")

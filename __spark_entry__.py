@@ -2369,6 +2369,27 @@ def q_kmv_merge(spark, sf_dir):
     return lsk.kmv_estimate(merged, k=64, group_cols=["source"])
 
 
+def q_kmv_set_ops(spark, sf_dir):
+    """KMV set-operation estimates (db_spark/sketch.py:kmv_set_estimate,
+    Beyer et al. 2007): per order priority, sketch the customer sets of
+    open ('O') and finished ('F') orders independently, then estimate
+    union size, intersection size, and Jaccard overlap from the two
+    sketches alone — never rescanning either input. This is the overlap
+    question (train/eval contamination, shard overlap) answered from
+    per-shard sketch state at 100 TB."""
+    from db_spark import sketch as lsk
+
+    orders = _t(spark, sf_dir, "orders")
+    sa = lsk.kmv_sketch(
+        orders.filter(F.col("o_orderstatus") == "O"),
+        F.col("o_custkey"), k=64, group_cols=["o_orderpriority"])
+    sb = lsk.kmv_sketch(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        F.col("o_custkey"), k=64, group_cols=["o_orderpriority"])
+    return lsk.kmv_set_estimate(sa, sb, k=64,
+                                group_cols=["o_orderpriority"])
+
+
 def q_hll_distinct(spark, sf_dir):
     """HyperLogLog distinct-count per source (db_spark/sketch.py):
     estimated vs exact distinct token counts. The register layout is
@@ -3282,6 +3303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rules": q_quality_rules,
         "kmv_distinct": q_kmv_distinct,
         "kmv_merge": q_kmv_merge,
+        # new post-window (never driver-checked; locally green): enter
+        # the r05 window FIRST alongside the marked r02-greens.
+        "kmv_set_ops": q_kmv_set_ops,
         "mvcc_multi_tx": q_mvcc_multi_tx,
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -4461,6 +4485,52 @@ def oracle_sql() -> dict[str, str]:
                         ELSE {63 * (1 << 32)} // max(h) END AS BIGINT)
                        AS est_distinct
             FROM rk WHERE r <= 64 GROUP BY source
+        """,
+        # set-operation estimates from two sketches: the oracle rebuilds
+        # both bottom-k sketches, merges, and applies the same integer
+        # estimators — jaccard is the one float (a single IEEE divide).
+        "kmv_set_ops": f"""
+            WITH sa AS (
+              SELECT g, h FROM (
+                SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h)
+                           AS r
+                FROM (SELECT DISTINCT o_orderpriority AS g,
+                             {_H32.format(x='CAST(o_custkey AS VARCHAR)')}
+                                 AS h
+                      FROM orders WHERE o_orderstatus = 'O'))
+              WHERE r <= 64),
+            sb AS (
+              SELECT g, h FROM (
+                SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h)
+                           AS r
+                FROM (SELECT DISTINCT o_orderpriority AS g,
+                             {_H32.format(x='CAST(o_custkey AS VARCHAR)')}
+                                 AS h
+                      FROM orders WHERE o_orderstatus = 'F'))
+              WHERE r <= 64),
+            u AS (
+              SELECT g, h, max(ina) AS ina, max(inb) AS inb
+              FROM (SELECT g, h, 1 AS ina, 0 AS inb FROM sa
+                    UNION ALL
+                    SELECT g, h, 0 AS ina, 1 AS inb FROM sb)
+              GROUP BY g, h),
+            m AS (SELECT g, h, ina, inb,
+                         row_number() OVER (PARTITION BY g ORDER BY h) AS r
+                  FROM u),
+            agg AS (SELECT g, count(*) AS nk, max(h) AS hk,
+                           SUM(ina * inb) AS nboth
+                    FROM m WHERE r <= 64 GROUP BY g)
+            SELECT g AS o_orderpriority,
+                   CAST(nk AS BIGINT) AS n_hashes,
+                   CAST(nboth AS BIGINT) AS n_both,
+                   CAST(CASE WHEN nk < 64 THEN nk
+                        ELSE {63 * (1 << 32)} // hk END AS BIGINT)
+                       AS est_union,
+                   CAST(nboth * (CASE WHEN nk < 64 THEN nk
+                                 ELSE {63 * (1 << 32)} // hk END) // nk
+                        AS BIGINT) AS est_intersection,
+                   CAST(nboth AS DOUBLE) / CAST(nk AS DOUBLE) AS jaccard
+            FROM agg
         """,
         # committed state after tx1 (commit) + tx2 (abort) is exactly
         # the source join — aborted writes must leave no trace.

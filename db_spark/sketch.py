@@ -104,6 +104,62 @@ def kmv_estimate(
     )
 
 
+def kmv_set_estimate(
+    a: DataFrame, b: DataFrame, k: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Set-operation estimates from two KMV sketches built with the same
+    ``k`` and hash family (Beyer et al. 2007, "On synopses for
+    distinct-value estimation under multiset operations"): merge the
+    sketches, count how many of the merged bottom-k hashes appear in
+    BOTH inputs — that fraction is an unbiased Jaccard estimate, and
+    scaling the union estimate by it gives the intersection estimate.
+
+    Returns one row per group: ``n_hashes`` (merged sketch size),
+    ``n_both`` (survivors present in both sketches), ``est_union`` /
+    ``est_intersection`` (integer arithmetic end to end), ``jaccard``
+    (the single division ``n_both / n_hashes`` — the one float,
+    deterministic because one IEEE divide of two small ints is
+    bit-identical in every engine).
+
+    Scale shape: the inputs are already sketches (<= k rows per group
+    each), so everything here — the membership union, the rank window,
+    the final aggregate — runs on <= 2k rows per group. Sketch once per
+    partition/day, answer overlap questions without rescanning."""
+    groups = group_cols or []
+    u = (
+        a.select(*groups, "_h", F.lit(1).alias("_ina"),
+                 F.lit(0).alias("_inb"))
+        .unionByName(
+            b.select(*groups, "_h", F.lit(0).alias("_ina"),
+                     F.lit(1).alias("_inb")))
+        .groupBy(*groups, "_h")
+        .agg(F.max("_ina").alias("_ina"), F.max("_inb").alias("_inb"))
+    )
+    w = Window.partitionBy(*groups).orderBy("_h")
+    m = u.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    agg = m.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("_nk"),
+        F.max("_h").alias("_hk"),
+        F.sum(F.col("_ina") * F.col("_inb")).alias("_nboth"),
+    )
+    est_union = F.when(
+        F.col("_nk") < k, F.col("_nk"),
+    ).otherwise(F.expr(f"CAST({(k - 1) * _TWO32} AS BIGINT) div _hk"))
+    staged = agg.select(
+        *groups, "_nk", "_nboth", est_union.cast("long").alias("_eu"))
+    return staged.select(
+        *groups,
+        F.col("_nk").cast("long").alias("n_hashes"),
+        F.col("_nboth").cast("long").alias("n_both"),
+        F.col("_eu").alias("est_union"),
+        F.expr("CAST(_nboth AS BIGINT) * _eu div CAST(_nk AS BIGINT)")
+        .cast("long").alias("est_intersection"),
+        (F.col("_nboth").cast("double")
+         / F.col("_nk").cast("double")).alias("jaccard"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog (Flajolet et al. 2007, "HyperLogLog: the analysis of a
 # near-optimal cardinality estimation algorithm")

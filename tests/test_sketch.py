@@ -393,3 +393,52 @@ def test_hll_null_safe_and_duplicate_invariant(spark):
     sa = sorted(map(tuple, sk.hll_sketch(a, F.col("v"), p=6).collect()))
     sb = sorted(map(tuple, sk.hll_sketch(b, F.col("v"), p=6).collect()))
     assert sa == sb  # NULL skipped; duplicates do not move registers
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation estimates
+# ---------------------------------------------------------------------------
+
+def test_kmv_set_exact_when_under_k(spark):
+    # |A|=30, |B|=25, |A∩B|=15 — all under k, so the merged sketch holds
+    # every hash and the "estimates" are exact set sizes.
+    a = spark.range(0, 30).select(F.col("id").alias("v"))
+    b = spark.range(15, 40).select(F.col("id").alias("v"))
+    sa = sk.kmv_sketch(a, F.col("v"), k=64)
+    sb = sk.kmv_sketch(b, F.col("v"), k=64)
+    row = sk.kmv_set_estimate(sa, sb, k=64).collect()[0]
+    assert row["est_union"] == 40
+    assert row["est_intersection"] == 15
+    assert row["n_both"] == 15
+    assert abs(row["jaccard"] - 15 / 40) < 1e-12
+
+
+def test_kmv_set_estimate_close_when_full(spark):
+    # 3000 vs 3000 with 1500 shared: k=256 sketches should estimate
+    # union ~4500 and jaccard ~1/3 within sketch error.
+    a = spark.range(0, 3000).select(F.col("id").alias("v"))
+    b = spark.range(1500, 4500).select(F.col("id").alias("v"))
+    sa = sk.kmv_sketch(a, F.col("v"), k=256)
+    sb = sk.kmv_sketch(b, F.col("v"), k=256)
+    row = sk.kmv_set_estimate(sa, sb, k=256).collect()[0]
+    assert 3600 <= row["est_union"] <= 5400  # ±20%
+    assert 0.2 <= row["jaccard"] <= 0.47
+    assert 900 <= row["est_intersection"] <= 2200
+
+
+def test_kmv_set_disjoint_and_grouped(spark):
+    df = spark.createDataFrame(
+        [("g1", i) for i in range(40)] + [("g2", i) for i in range(10)],
+        "g string, v int")
+    sa = sk.kmv_sketch(df.filter(F.col("v") % 2 == 0), F.col("v"),
+                       k=64, group_cols=["g"])
+    sb = sk.kmv_sketch(df.filter(F.col("v") % 2 == 1), F.col("v"),
+                       k=64, group_cols=["g"])
+    out = {r["g"]: r for r in
+           sk.kmv_set_estimate(sa, sb, k=64, group_cols=["g"]).collect()}
+    # evens and odds are disjoint: intersection exactly 0 per group
+    for g, n in [("g1", 40), ("g2", 10)]:
+        assert out[g]["n_both"] == 0
+        assert out[g]["est_intersection"] == 0
+        assert out[g]["jaccard"] == 0.0
+        assert out[g]["est_union"] == n

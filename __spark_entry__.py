@@ -2233,6 +2233,21 @@ def q_domain_cap(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_token_budget(spark, sf_dir):
+    """Token-budget mixture sampling (db_spark/llm/corpus.py:
+    token_budget_sample): fill four domains' token quotas with the
+    hash-ordered greedy document prefix — 100 (crosses on doc one),
+    500 and 800 (partial prefixes), 5000 (the whole domain). The
+    bucketed two-phase plan selects exactly the naive per-group prefix
+    the oracle computes; only one boundary hash-cell per group pays a
+    per-doc cumulative window."""
+    from db_spark.llm import corpus as lcorpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return lcorpus.token_budget_sample(
+        docs, {"src0": 800, "src1": 500, "src2": 5000, "src3": 100})
+
+
 def q_redact_pii(spark, sf_dir):
     """PII audit + scrub over a corpus with deterministically injected
     PII (emails/phones on doc_id%7, ip/ssn on doc_id%11): per-category
@@ -3306,6 +3321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new post-window (never driver-checked; locally green): enter
         # the r05 window FIRST alongside the marked r02-greens.
         "kmv_set_ops": q_kmv_set_ops,
+        "token_budget": q_token_budget,
         "mvcc_multi_tx": q_mvcc_multi_tx,
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -4485,6 +4501,28 @@ def oracle_sql() -> dict[str, str]:
                         ELSE {63 * (1 << 32)} // max(h) END AS BIGINT)
                        AS est_distinct
             FROM rk WHERE r <= 64 GROUP BY source
+        """,
+        # naive per-group hash-ordered prefix under the token budget —
+        # the Spark side's bucketed two-phase plan must select exactly
+        # this set (hash order refines bucket order).
+        "token_budget": f"""
+            WITH d AS (
+              SELECT source, doc_id,
+                     len({_TOKS}) AS nt,
+                     {_H32.format(x='CAST(doc_id AS VARCHAR)')} AS h,
+                     CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 500
+                          WHEN 'src2' THEN 5000 WHEN 'src3' THEN 100
+                          ELSE 0 END AS bud
+              FROM documents),
+            c AS (
+              SELECT source, doc_id, nt, bud,
+                     COALESCE(SUM(nt) OVER (
+                         PARTITION BY source ORDER BY h, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS pre
+              FROM d WHERE bud > 0)
+            SELECT source, doc_id, CAST(nt AS BIGINT) AS n_tokens
+            FROM c WHERE pre < bud
         """,
         # set-operation estimates from two sketches: the oracle rebuilds
         # both bottom-k sketches, merges, and applies the same integer

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from db_spark.llm.dedup import h32, shingle_table
 
+_TWO32 = 1 << 32
+
 
 # ---------------------------------------------------------------------------
 # Eval-set decontamination (n-gram overlap against a held-out set)
@@ -133,6 +135,86 @@ def cap_per_group(
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= n)
         .drop("_rk")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame, budgets: dict[str, int], group_col: str = "source",
+    id_col: str = "doc_id", text_col: str = "text",
+    boundary_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic token-budget mixture sampling: for each group,
+    keep the hash-ordered greedy prefix of documents whose running
+    token count stays under the group's budget (a document is kept iff
+    the tokens *before* it are < budget, so the document that crosses
+    the line is included and every budget > 0 yields at least one doc).
+    This is the "fill each domain's token quota" step of assembling a
+    training mixture — reproducible because the order is the stable id
+    hash, not ingestion order. Groups absent from ``budgets`` drop.
+
+    Scale shape: a naive per-group prefix sum funnels the whole group
+    through one reducer's sort. Instead the hash space is cut into
+    ``boundary_buckets`` range cells: per-cell token subtotals (a tiny
+    |groups| x buckets aggregate) locate each group's boundary cell;
+    cells wholly under budget keep every doc with no per-doc ordering
+    at all, cells past it drop wholesale, and only the ONE boundary
+    cell per group — ~1/buckets of the group — pays an exact per-doc
+    cumulative window. Hash order refines cell order, so the selected
+    set is exactly the naive prefix (the oracle computes the naive
+    form). Returns (group, id, n_tokens) for the kept docs.
+    """
+    cell_width = _TWO32 // boundary_buckets
+    ntok = F.size(F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)).cast("long")
+    bud = None
+    for key, n in sorted(budgets.items()):
+        cond = F.col(group_col) == key
+        t = F.lit(int(n)).cast("long")
+        bud = F.when(cond, t) if bud is None else bud.when(cond, t)
+    bud = bud.otherwise(F.lit(0)) if bud is not None else F.lit(0)
+    base = (
+        df.select(
+            F.col(group_col).alias("_g"), F.col(id_col).alias("_id"),
+            ntok.alias("_nt"), bud.alias("_bud"),
+            h32(F.col(id_col).cast("string")).alias("_h"))
+        .filter(F.col("_bud") > 0)
+        .withColumn("_cell", F.expr(f"_h div {cell_width}"))
+    )
+    cells = (
+        base.groupBy("_g", "_bud", "_cell")
+        .agg(F.sum("_nt").alias("_ct"))
+    )
+    wb = Window.partitionBy("_g").orderBy("_cell")
+    cells = cells.withColumn(
+        "_pre", F.coalesce(
+            F.sum("_ct").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long")))
+    # cells is |groups| x buckets — broadcast it back onto the docs
+    full = cells.filter(F.col("_pre") + F.col("_ct") <= F.col("_bud"))
+    boundary = cells.filter(
+        (F.col("_pre") < F.col("_bud"))
+        & (F.col("_pre") + F.col("_ct") > F.col("_bud")))
+    kept_full = base.join(
+        F.broadcast(full.select("_g", "_cell")), ["_g", "_cell"],
+        "left_semi")
+    bdocs = base.join(
+        F.broadcast(boundary.select("_g", "_cell", "_pre")),
+        ["_g", "_cell"])
+    wd = Window.partitionBy("_g").orderBy("_h", "_id")
+    kept_boundary = (
+        bdocs.withColumn(
+            "_before",
+            F.col("_pre") + F.coalesce(
+                F.sum("_nt").over(
+                    wd.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("long")))
+        .filter(F.col("_before") < F.col("_bud"))
+        .select("_g", "_id", "_nt", "_bud", "_h", "_cell")
+    )
+    return (
+        kept_full.unionByName(kept_boundary)
+        .select(F.col("_g").alias(group_col), F.col("_id").alias(id_col),
+                F.col("_nt").alias("n_tokens"))
     )
 
 

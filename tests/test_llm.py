@@ -775,3 +775,69 @@ def test_ivf_index_persisted_probe_prunes_files(spark, tmp_path):
         if d.name.startswith("cell_id="))
     assert n_cells_on_disk == 8
     assert 0 < n_files <= 6 < n_cells_on_disk  # strictly pruned
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture sampling
+# ---------------------------------------------------------------------------
+
+def _tb_docs(spark, groups):
+    # text with a known token count per doc: "w w w ... w" (n tokens)
+    rows = [(g, i, " ".join(["w"] * n))
+            for g, docs in groups.items() for i, n in docs]
+    return spark.createDataFrame(rows, "source string, doc_id long, text string")
+
+
+def test_token_budget_matches_naive_prefix(spark):
+    """Bucketed two-phase selection == naive hash-ordered prefix, with
+    few buckets so full / boundary / dropped cells all occur."""
+    from pyspark.sql import functions as F
+    from db_spark.llm.corpus import token_budget_sample
+    from db_spark.llm.dedup import h32
+
+    docs = _tb_docs(spark, {"a": [(i, 10 + i % 7) for i in range(60)],
+                            "b": [(i + 100, 5) for i in range(40)]})
+    budgets = {"a": 300, "b": 73}
+    got = {(r["source"], r["doc_id"]) for r in token_budget_sample(
+        docs, budgets, boundary_buckets=4).collect()}
+
+    # naive oracle in python: order by (h32(id), id), greedy prefix
+    hashed = docs.select(
+        "source", "doc_id",
+        F.size(F.split("text", " ")).alias("nt"),
+        h32(F.col("doc_id").cast("string")).alias("h")).collect()
+    want = set()
+    for g, bud in budgets.items():
+        run = 0
+        for r in sorted([x for x in hashed if x["source"] == g],
+                        key=lambda x: (x["h"], x["doc_id"])):
+            if run < bud:
+                want.add((g, r["doc_id"]))
+            run += r["nt"]
+    assert got == want and len(got) > 0
+
+
+def test_token_budget_crossing_doc_kept(spark):
+    from db_spark.llm.corpus import token_budget_sample
+
+    docs = _tb_docs(spark, {"a": [(1, 50)]})
+    # budget 1 token, first doc has 50: the crossing doc is kept
+    out = token_budget_sample(docs, {"a": 1}).collect()
+    assert [(r["source"], r["doc_id"], r["n_tokens"]) for r in out] \
+        == [("a", 1, 50)]
+
+
+def test_token_budget_unbudgeted_group_drops(spark):
+    from db_spark.llm.corpus import token_budget_sample
+
+    docs = _tb_docs(spark, {"a": [(1, 5)], "z": [(2, 5)]})
+    out = token_budget_sample(docs, {"a": 10}).collect()
+    assert {r["source"] for r in out} == {"a"}
+
+
+def test_token_budget_full_group_survives(spark):
+    from db_spark.llm.corpus import token_budget_sample
+
+    docs = _tb_docs(spark, {"a": [(i, 10) for i in range(20)]})
+    out = token_budget_sample(docs, {"a": 10_000}).collect()
+    assert len(out) == 20 and sum(r["n_tokens"] for r in out) == 200

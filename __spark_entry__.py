@@ -2531,6 +2531,57 @@ def q_matview_incremental(spark, sf_dir):
     return view.read().select("grp", "n_rows", "sum_value", "avg_value")
 
 
+def q_matview_join(spark, sf_dir):
+    """Incrementally-maintained JOIN-aggregate view (db_spark/matview.py:
+    IncrementalJoinAggView): revenue per market segment over
+    customer ⋈ orders, full-built once, then churn on BOTH sides —
+    fact upserts (+50 on orderkey%10) and deletes (orderkey%13), dim
+    regrouping (custkey%11 → 'MOVED') and deletes (custkey%9) — is
+    absorbed by the bilinear delta rule ΔA⋈B_new + A_old⋈ΔB: two
+    delta-sized joins, never a full recompute. The oracle aggregates
+    the equivalent final join directly; the incremental scaled-BIGINT
+    state must match bit-for-bit."""
+    from db_spark.engine import Storage
+    from db_spark.matview import IncrementalJoinAggView
+    from db_spark.table import uuid7
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    dimbase = cust.select(
+        F.col("c_custkey").cast("string").alias("_id"),
+        F.col("c_custkey").cast("long").alias("k"),
+        F.col("c_mktsegment").alias("grp"))
+    factbase = orders.select(
+        F.col("o_orderkey").cast("string").alias("_id"),
+        F.col("o_custkey").cast("long").alias("fk"),
+        F.col("o_totalprice").cast("double").alias("val"))
+    root = _scratch_dir("db_spark_jview_")
+    st = Storage(spark, root)
+    a = st.get_collection("dim")
+    b = st.get_collection("fact")
+    a.set_objects(None, dimbase)
+    b.set_objects(None, factbase)
+    view = IncrementalJoinAggView(
+        a, b, "k", "fk", "grp", "val", os.path.join(root, "view"))
+    view.refresh()  # full build
+    tx = uuid7()
+    b.set_objects(tx, factbase.filter(F.col("_id").cast("long") % 10 == 0)
+                  .withColumn("val", F.col("val") + 50.0))
+    b.commit(tx)
+    txd = uuid7()
+    b.delete_where(txd, F.col("_id").cast("long") % 13 == 0)
+    b.commit(txd)
+    tx2 = uuid7()
+    a.set_objects(tx2, dimbase.filter(F.col("k") % 11 == 0)
+                  .withColumn("grp", F.lit("MOVED")))
+    a.commit(tx2)
+    txd2 = uuid7()
+    a.delete_where(txd2, F.col("k") % 9 == 0)
+    a.commit(txd2)
+    view.refresh()  # incremental: both sides changed
+    return view.read().select("grp", "n_rows", "sum_value", "avg_value")
+
+
 def q_event_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase (db_spark/analytics.py):
     min-cascade of step-filtered aggregates — stage k shuffles only
@@ -3322,6 +3373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the r05 window FIRST alongside the marked r02-greens.
         "kmv_set_ops": q_kmv_set_ops,
         "token_budget": q_token_budget,
+        "matview_join": q_matview_join,
         "mvcc_multi_tx": q_mvcc_multi_tx,
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -4742,6 +4794,28 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(CAST(round(val * 100) AS BIGINT)) AS DOUBLE)
                          / 100.0 / count(val), 6) AS avg_value
             FROM final GROUP BY grp
+        """,
+        # final state of the churned customer ⋈ orders join, aggregated
+        # directly — must match the incrementally-maintained state.
+        "matview_join": """
+            WITH dim AS (
+              SELECT c_custkey AS k,
+                     CASE WHEN c_custkey % 11 = 0 THEN 'MOVED'
+                          ELSE c_mktsegment END AS grp
+              FROM customer WHERE c_custkey % 9 <> 0),
+            fact AS (
+              SELECT o_custkey AS fk,
+                     CASE WHEN o_orderkey % 10 = 0
+                          THEN CAST(o_totalprice AS DOUBLE) + 50.0
+                          ELSE CAST(o_totalprice AS DOUBLE) END AS val
+              FROM orders WHERE o_orderkey % 13 <> 0)
+            SELECT grp,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(round(val * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 AS sum_value,
+                   round(CAST(SUM(CAST(round(val * 100) AS BIGINT)) AS DOUBLE)
+                         / 100.0 / count(*), 6) AS avg_value
+            FROM dim JOIN fact ON k = fk GROUP BY grp
         """,
         # Q6 shape: same scaled-long sum of the discount revenue.
         "forecast_revenue": """

@@ -442,3 +442,124 @@ def test_kmv_set_disjoint_and_grouped(spark):
         assert out[g]["est_intersection"] == 0
         assert out[g]["jaccard"] == 0.0
         assert out[g]["est_union"] == n
+
+
+# ---------------------------------------------------------------------------
+# Incremental join-aggregate view
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def jv_setup(spark, tmp_path):
+    from db_spark.engine import Storage, StorageConfig
+    from db_spark.matview import IncrementalJoinAggView
+
+    st = Storage(spark, str(tmp_path / "store"), StorageConfig(max_entries=64))
+    a = st.get_collection("dim")
+    b = st.get_collection("fact")
+    view = IncrementalJoinAggView(
+        a, b, "k", "fk", "grp", "val", str(tmp_path / "jview"))
+    return a, b, view
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(rows, "_id string, k long, grp string")
+
+
+def _fact(spark, rows):
+    return spark.createDataFrame(rows, "_id string, fk long, val double")
+
+
+def _direct_join(a, b):
+    j = (a.table_scan().select("k", "grp")
+         .join(b.table_scan().select("fk", "val"),
+               F.col("k") == F.col("fk")))
+    return {r["grp"]: (r["n"], r["s"]) for r in (
+        j.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum(F.round(F.col("val") * 100).cast("long"))
+              .cast("double") / 100.0).alias("s")).collect())}
+
+
+def test_joinview_initial_build(spark, jv_setup):
+    a, b, view = jv_setup
+    a.set_objects(None, _dim(spark, [("d1", 1, "x"), ("d2", 2, "y")]))
+    b.set_objects(None, _fact(spark, [
+        ("f1", 1, 10.0), ("f2", 1, 2.5), ("f3", 2, 4.0), ("f4", 9, 99.0)]))
+    view.refresh()
+    got = {r["grp"]: (r["n_rows"], r["sum_value"])
+           for r in view.read().collect()}
+    assert got == {"x": (2, 12.5), "y": (1, 4.0)}
+
+
+def test_joinview_incremental_matches_direct(spark, jv_setup):
+    from db_spark.table import uuid7
+
+    a, b, view = jv_setup
+    a.set_objects(None, _dim(
+        spark, [(f"d{i}", i, "g" + str(i % 3)) for i in range(12)]))
+    b.set_objects(None, _fact(
+        spark, [(f"f{i}", i % 12, float(i)) for i in range(60)]))
+    view.refresh()  # full build
+
+    # fact-side churn: upsert (move rows to other keys + new values),
+    # delete, insert
+    tx = uuid7()
+    b.set_objects(tx, _fact(
+        spark, [(f"f{i}", (i + 1) % 12, float(i) + 0.25)
+                for i in range(0, 60, 7)]))
+    b.commit(tx)
+    txd = uuid7()
+    b.delete_where(txd, F.col("val") > 50.0)
+    b.commit(txd)
+    # dim-side churn: regroup key 3, delete key 5, add key 12 with facts
+    tx2 = uuid7()
+    a.set_objects(tx2, _dim(spark, [("d3", 3, "moved"), ("d12", 12, "new")]))
+    a.commit(tx2)
+    txd2 = uuid7()
+    a.delete_where(txd2, F.col("k") == 5)
+    a.commit(txd2)
+    tx3 = uuid7()
+    b.set_objects(tx3, _fact(spark, [("f100", 12, 8.5), ("f101", 12, 1.5)]))
+    b.commit(tx3)
+
+    view.refresh()  # incremental: both sides changed
+    got = {r["grp"]: (r["n_rows"], r["sum_value"])
+           for r in view.read().collect()}
+    assert got == _direct_join(a, b)
+    assert "moved" in got and "new" in got
+    assert not any(g for g in got if got[g][0] == 0)
+
+
+def test_joinview_refresh_noop_and_group_vanish(spark, jv_setup):
+    from db_spark.table import uuid7
+
+    a, b, view = jv_setup
+    a.set_objects(None, _dim(spark, [("d1", 1, "x"), ("d2", 2, "y")]))
+    b.set_objects(None, _fact(spark, [("f1", 1, 3.0), ("f2", 2, 4.0)]))
+    p1 = view.refresh()
+    assert view.refresh() == p1  # no changes: positions unchanged
+    # delete the only fact of group y: the group must vanish
+    txd = uuid7()
+    b.delete_where(txd, F.col("fk") == 2)
+    b.commit(txd)
+    view.refresh()
+    got = {r["grp"] for r in view.read().collect()}
+    assert got == {"x"}
+
+
+def test_joinview_rebuilds_after_compaction(spark, jv_setup):
+    from db_spark.table import uuid7
+
+    a, b, view = jv_setup
+    a.set_objects(None, _dim(spark, [("d1", 1, "x"), ("d2", 2, "y")]))
+    b.set_objects(None, _fact(
+        spark, [(f"f{i}", 1 + i % 2, float(i)) for i in range(10)]))
+    view.refresh()
+    tx = uuid7()
+    b.set_objects(tx, _fact(spark, [("f0", 1, 77.0)]))
+    b.commit(tx)
+    b.compact()  # destroys the fact log prefix the view was based on
+    view.refresh()  # must detect the watermark and rebuild, not delta
+    got = {r["grp"]: (r["n_rows"], r["sum_value"])
+           for r in view.read().collect()}
+    assert got == _direct_join(a, b)

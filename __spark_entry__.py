@@ -2629,6 +2629,35 @@ def q_pagerank(spark, sf_dir):
     return graph.pagerank(edges, iterations=5)
 
 
+def q_bfs_hops(spark, sf_dir):
+    """BFS hop distances (db_spark/graph.py:bfs_distances) over the
+    undirected co-purchase graph (part pairs co-ordered in >= 2
+    orders), from the smallest part key in the edge set, 3 hops.
+    Frontier expansion with a visited anti-join — O(|E|) total work on
+    a cyclic graph where walk enumeration blows up exponentially; the
+    oracle's recursive CTE stays bounded only via its UNION dedup and
+    MIN(d) post-aggregate, which is exactly the property the frontier
+    algorithm exploits natively."""
+    from db_spark import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("_ok"),
+                  F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, (F.col("l_orderkey") == F.col("_ok"))
+               & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select(F.col("pa").cast("long").alias("src"),
+                F.col("pb").cast("long").alias("dst"))
+    )
+    source = edges.agg(F.min("src")).collect()[0][0]  # scalar fetch
+    return graph.bfs_distances(edges, source, max_hops=3,
+                               directed=False)
+
+
 def q_sessionize(spark, sf_dir):
     """Batch sessionization (db_spark/analytics.py): 30-min-gap sessions
     per user — lag/flag/running-sum on ONE user-keyed exchange, the
@@ -3374,6 +3403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_ops": q_kmv_set_ops,
         "token_budget": q_token_budget,
         "matview_join": q_matview_join,
+        "bfs_hops": q_bfs_hops,
         "mvcc_multi_tx": q_mvcc_multi_tx,
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -4553,6 +4583,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE {63 * (1 << 32)} // max(h) END AS BIGINT)
                        AS est_distinct
             FROM rk WHERE r <= 64 GROUP BY source
+        """,
+        # BFS as a bounded recursive CTE: UNION dedups (node, dist)
+        # pairs per level and MIN(dist) collapses to first reach —
+        # equivalent to the engine's frontier expansion.
+        "bfs_hops": """
+            WITH RECURSIVE base AS (
+              SELECT a.l_partkey AS pa, b.l_partkey AS pb
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            edges AS (
+              SELECT CAST(pa AS BIGINT) AS s, CAST(pb AS BIGINT) AS d
+              FROM base
+              UNION
+              SELECT CAST(pb AS BIGINT), CAST(pa AS BIGINT) FROM base),
+            walk AS (
+              SELECT (SELECT MIN(s) FROM edges) AS node,
+                     CAST(0 AS BIGINT) AS dist
+              UNION
+              SELECT e.d, w.dist + 1
+              FROM walk w JOIN edges e ON e.s = w.node
+              WHERE w.dist < 3)
+            SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+            FROM walk GROUP BY node
         """,
         # naive per-group hash-ordered prefix under the token budget —
         # the Spark side's bucketed two-phase plan must select exactly

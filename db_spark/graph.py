@@ -84,3 +84,51 @@ def pagerank(
         F.col("_r").alias("rank_scaled"),
         F.round(F.col("_r").cast("double") / SCALE, 6).alias("rank"),
     )
+
+
+def bfs_distances(
+    edges: DataFrame, source, max_hops: int = 3,
+    src_col: str = "src", dst_col: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """Breadth-first hop distances from ``source``: (node, dist) for
+    every node reachable in <= ``max_hops`` hops, dist = minimum hop
+    count (the source itself is dist 0). Deterministic — BFS level
+    sets have no tie-breaking to drift.
+
+    Frontier expansion, not path enumeration: each round joins the
+    CURRENT FRONTIER (nodes first reached last round) against the edge
+    list and anti-joins the visited set, so a node is expanded exactly
+    once and the per-round shuffle is O(frontier-adjacent edges) — on
+    a cyclic graph a path-walking formulation (the naive recursive-CTE
+    shape) enumerates exponentially many walks, while this stays
+    linear in |E| total across all rounds. Lineage is truncated with
+    ``localCheckpoint`` per round (iterative-loop rule, see
+    ``pagerank``); the loop exits early on an empty frontier — the
+    one count() per round is a scalar driver fetch, not a collect.
+    """
+    e = edges.select(F.col(src_col).alias("_s"),
+                     F.col(dst_col).alias("_d")).distinct()
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+        ).distinct()
+    nodes = e.select(F.col("_s").alias("node")).unionByName(
+        e.select(F.col("_d").alias("node"))).distinct()
+    dist = nodes.filter(F.col("node") == source).withColumn(
+        "dist", F.lit(0).cast("long"))
+    dist = dist.localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_d").alias("node")).distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(h).cast("long"))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist

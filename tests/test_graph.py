@@ -41,3 +41,44 @@ def test_pagerank_deterministic_across_partitionings(spark):
     a = graph.pagerank(_edges(spark, pairs).repartition(1), 5)
     b = graph.pagerank(_edges(spark, pairs).repartition(13), 5)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distances
+# ---------------------------------------------------------------------------
+
+def test_bfs_directed_chain_with_cycle(spark):
+    from db_spark.graph import bfs_distances
+
+    # 1->2->3->1 cycle plus 3->4, 5 isolated-from-source
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (5, 1)])
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(e, 1, max_hops=5).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 unreachable from 1
+
+
+def test_bfs_undirected_reaches_backwards(spark):
+    from db_spark.graph import bfs_distances
+
+    e = _edges(spark, [(2, 1), (3, 2)])
+    got = {r["node"]: r["dist"] for r in bfs_distances(
+        e, 1, max_hops=3, directed=False).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_max_hops_cutoff_and_min_dist(spark):
+    from db_spark.graph import bfs_distances
+
+    # two routes to 4: 1->2->4 and 1->3->5->4 — min dist wins
+    e = _edges(spark, [(1, 2), (2, 4), (1, 3), (3, 5), (5, 4), (4, 6)])
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(e, 1, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 2}  # 6 beyond cutoff
+
+
+def test_bfs_source_without_edges(spark):
+    from db_spark.graph import bfs_distances
+
+    e = _edges(spark, [(1, 2)])
+    # source 99 has no edges at all: BFS returns nothing (not a crash)
+    assert bfs_distances(e, 99, max_hops=3).count() == 0

@@ -2582,6 +2582,23 @@ def q_matview_join(spark, sf_dir):
     return view.read().select("grp", "n_rows", "sum_value", "avg_value")
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index (db_spark/analytics.py:psi_drift):
+    did the price distribution move between early (< 1996) and late
+    (>= 1996) shipments? Both sides histogram into the same 16
+    declared buckets, shares are Laplace-smoothed exact rationals, and
+    the Σ(q−p)·ln(q/p) terms nano-round into a BIGINT sum — after the
+    two histogram scans everything runs on 16 rows."""
+    from db_spark import analytics
+
+    li = _t(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_shipdate") < "1996-01-01")
+    cur = li.filter(F.col("l_shipdate") >= "1996-01-01")
+    return analytics.psi_drift(
+        ref, cur, F.col("l_extendedprice"), lo=0.0, hi=110000.0,
+        buckets=16)
+
+
 def q_event_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase (db_spark/analytics.py):
     min-cascade of step-filtered aggregates — stage k shuffles only
@@ -3404,6 +3421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "matview_join": q_matview_join,
         "bfs_hops": q_bfs_hops,
+        "psi_drift": q_psi_drift,
         "mvcc_multi_tx": q_mvcc_multi_tx,
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -4583,6 +4601,45 @@ def oracle_sql() -> dict[str, str]:
                         ELSE {63 * (1 << 32)} // max(h) END AS BIGINT)
                        AS est_distinct
             FROM rk WHERE r <= 64 GROUP BY source
+        """,
+        # same 16-bucket IEEE histogram on both sides, Laplace-smoothed
+        # shares, nano-rounded (q-p)*ln(q/p) terms summed as BIGINT.
+        "psi_drift": """
+            WITH refc AS (
+              SELECT CAST(LEAST(15, GREATEST(0, CAST(FLOOR(
+                         (CAST(l_extendedprice AS DOUBLE) - 0.0) * 16
+                         / 110000.0) AS BIGINT))) AS INT) AS b,
+                     count(*) AS c
+              FROM lineitem
+              WHERE l_shipdate < TIMESTAMP '1996-01-01' GROUP BY 1),
+            curc AS (
+              SELECT CAST(LEAST(15, GREATEST(0, CAST(FLOOR(
+                         (CAST(l_extendedprice AS DOUBLE) - 0.0) * 16
+                         / 110000.0) AS BIGINT))) AS INT) AS b,
+                     count(*) AS c
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01' GROUP BY 1),
+            spine AS (SELECT CAST(r.range AS INT) AS b FROM range(16) r),
+            j AS (
+              SELECT spine.b, COALESCE(refc.c, 0) AS nr,
+                     COALESCE(curc.c, 0) AS nc
+              FROM spine LEFT JOIN refc ON spine.b = refc.b
+                         LEFT JOIN curc ON spine.b = curc.b),
+            t AS (SELECT SUM(nr) AS tr, SUM(nc) AS tc FROM j),
+            terms AS (
+              SELECT tr, tc,
+                     CAST(round(
+                         ((CAST(nc + 1 AS DOUBLE) / CAST(tc + 16 AS DOUBLE))
+                          - (CAST(nr + 1 AS DOUBLE) / CAST(tr + 16 AS DOUBLE)))
+                         * ln((CAST(nc + 1 AS DOUBLE) / CAST(tc + 16 AS DOUBLE))
+                              / (CAST(nr + 1 AS DOUBLE) / CAST(tr + 16 AS DOUBLE)))
+                         * 1e9) AS BIGINT) AS tn
+              FROM j, t)
+            SELECT CAST(MAX(tr) AS BIGINT) AS n_ref,
+                   CAST(MAX(tc) AS BIGINT) AS n_cur,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   round(CAST(SUM(tn) AS DOUBLE) / 1e9, 6) AS psi
+            FROM terms
         """,
         # BFS as a bounded recursive CTE: UNION dedups (node, dist)
         # pairs per level and MIN(dist) collapses to first reach —

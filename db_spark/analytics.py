@@ -1,6 +1,7 @@
 """Event-sequence analytics over event streams: funnels, cohort
-retention, batch sessionization, SCD Type-2 interval building, and
-EWMA smoothing — the classic product-analytics asks layered on the
+retention, batch sessionization, SCD Type-2 interval building, EWMA
+smoothing, and PSI distribution-drift monitoring — the classic
+product-analytics asks layered on the
 same events table the windowing/streaming tier serves (reference has
 no event analytics; north-star surface alongside hypertable rollups).
 
@@ -243,3 +244,58 @@ def ewma(
         num = contrib if num is None else num + contrib
         den = present if den is None else den + present
     return events.withColumn("ewma", F.round(num / den, 6))
+
+
+def psi_drift(
+    ref: DataFrame, cur: DataFrame, value,
+    lo: float, hi: float, buckets: int = 16,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    sample of one numeric column — the standard "did the distribution
+    move?" monitor for features/labels between pipeline runs
+    (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
+
+    Both sides histogram into the same declared equi-width [lo, hi)
+    buckets (``db_spark.sketch.hist_sketch`` — bounded, mergeable,
+    IEEE-deterministic bucket arithmetic), shares are Laplace-smoothed
+    ``(n_i + 1) / (N + buckets)`` so empty buckets stay finite without
+    an arbitrary epsilon, and ``PSI = Σ (q_i − p_i) · ln(q_i / p_i)``
+    accumulates nano-rounded terms in BIGINT (the chi2/entropy
+    order-independence discipline). Returns a single row
+    (n_ref, n_cur, n_buckets, psi).
+
+    Scale shape: two histogram scans (each reducible to sketch state
+    that may already exist from monitoring), then everything runs on
+    ``buckets`` rows. Comparing yesterday's 100 TB against today's is
+    two sketch reads if the histograms are maintained incrementally.
+    """
+    from db_spark.sketch import hist_sketch
+
+    href = hist_sketch(ref, value, lo, hi, buckets) \
+        .withColumnRenamed("_cnt", "_nr")
+    hcur = hist_sketch(cur, value, lo, hi, buckets) \
+        .withColumnRenamed("_cnt", "_nc")
+    spine = ref.sparkSession.range(buckets).select(
+        F.col("id").cast("int").alias("_b"))
+    j = (
+        spine.join(F.broadcast(href), "_b", "left")
+        .join(F.broadcast(hcur), "_b", "left")
+        .select("_b",
+                F.coalesce(F.col("_nr"), F.lit(0)).alias("_nr"),
+                F.coalesce(F.col("_nc"), F.lit(0)).alias("_nc"))
+    )
+    tot = j.agg(F.sum("_nr").cast("long").alias("_tr"),
+                F.sum("_nc").cast("long").alias("_tc"))
+    p = (F.col("_nr") + 1).cast("double") \
+        / (F.col("_tr") + buckets).cast("double")
+    q = (F.col("_nc") + 1).cast("double") \
+        / (F.col("_tc") + buckets).cast("double")
+    term = (q - p) * F.log(q / p)
+    return (
+        j.join(F.broadcast(tot))
+        .select("_tr", "_tc",
+                F.round(term * 1e9).cast("long").alias("_tn"))
+        .agg(F.max("_tr").alias("n_ref"), F.max("_tc").alias("n_cur"),
+             F.count(F.lit(1)).cast("long").alias("n_buckets"),
+             F.round(F.sum("_tn").cast("double") / 1e9, 6).alias("psi"))
+    )

@@ -211,3 +211,48 @@ def test_ewma_smooths_and_normalizes_leading_rows(spark):
     assert got[1] == 10.0 and got[2] == 10.0
     # last: (40*.5 + 10*.25 + 10*.125 + 10*.0625) / .9375 = 26.0
     assert got[3] == 26.0
+
+
+# ---------------------------------------------------------------------------
+# PSI distribution drift
+# ---------------------------------------------------------------------------
+
+def test_psi_identical_distributions_near_zero(spark):
+    from db_spark.analytics import psi_drift
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select((F.col("id") % 100).cast("double")
+                                     .alias("v"))
+    row = psi_drift(df, df, F.col("v"), lo=0.0, hi=100.0,
+                    buckets=10).collect()[0]
+    assert row["psi"] == 0.0
+    assert row["n_ref"] == row["n_cur"] == 1000
+    assert row["n_buckets"] == 10
+
+
+def test_psi_detects_shift(spark):
+    from db_spark.analytics import psi_drift
+    from pyspark.sql import functions as F
+
+    ref = spark.range(0, 1000).select((F.col("id") % 50).cast("double")
+                                      .alias("v"))
+    cur = spark.range(0, 1000).select((50 + F.col("id") % 50)
+                                      .cast("double").alias("v"))
+    row = psi_drift(ref, cur, F.col("v"), lo=0.0, hi=100.0,
+                    buckets=10).collect()[0]
+    assert row["psi"] > 0.25  # fully disjoint halves: strong shift
+
+
+def test_psi_empty_buckets_and_clamp_are_finite(spark):
+    from db_spark.analytics import psi_drift
+    from pyspark.sql import functions as F
+
+    # values far outside the declared range clamp into edge buckets;
+    # most buckets empty on both sides — Laplace smoothing keeps every
+    # term finite
+    ref = spark.createDataFrame([(v,) for v in [-5.0, 0.5, 999.0]], "v double")
+    cur = spark.createDataFrame([(v,) for v in [0.5, 1.5]], "v double")
+    row = psi_drift(ref, cur, F.col("v"), lo=0.0, hi=10.0,
+                    buckets=10).collect()[0]
+    assert row["psi"] is not None and abs(row["psi"]) < 100
+    assert row["n_ref"] == 3 and row["n_cur"] == 2

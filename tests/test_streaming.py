@@ -492,3 +492,68 @@ def test_stream_sketch_hll_equals_batch_sketch(spark, tmp_path):
         sorted(map(tuple, oneshot.collect()))
     assert hll_estimate(maintained, p=8).collect() == \
         hll_estimate(oneshot, p=8).collect()
+
+
+def test_stream_feeds_incremental_join_view(spark, tmp_path):
+    """Streaming fact ingestion under a JOIN view: facts stream into an
+    MVCC collection via foreachBatch upserts while the dim side takes
+    batch updates; after each drained micro-batch the bilinear-delta
+    refresh must equal a from-scratch aggregate over the joined
+    snapshots."""
+    from db_spark.engine import Storage, StorageConfig
+    from db_spark.matview import IncrementalJoinAggView
+
+    d = str(tmp_path / "in")
+    schema = T.StructType([
+        T.StructField("_id", T.StringType()),
+        T.StructField("fk", T.LongType()),
+        T.StructField("val", T.DoubleType()),
+    ])
+    storage = Storage(spark, str(tmp_path / "db"),
+                      StorageConfig(max_entries=64))
+    dim = storage.get_collection("dim")
+    fact = storage.get_collection("fact")
+    dim.set_objects(None, spark.createDataFrame(
+        [("d1", 1, "x"), ("d2", 2, "y")],
+        "_id string, k long, grp string"))
+    view = IncrementalJoinAggView(
+        dim, fact, "k", "fk", "grp", "val", str(tmp_path / "jview"))
+
+    def drain():
+        stream = st.stream_from_files(spark, d, schema)
+        st.stream_into_collection(stream, fact, str(tmp_path / "ckpt"))
+
+    def assert_view_matches_snapshot():
+        view.refresh()
+        direct = {
+            r["grp"]: (r["n"], r["s"])
+            for r in dim.table_scan().select("k", "grp")
+            .join(fact.table_scan().select("fk", "val"),
+                  F.col("k") == F.col("fk"))
+            .groupBy("grp").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                (F.sum(F.round(F.col("val") * 100).cast("long")) / 100.0)
+                .alias("s")).collect()
+        }
+        got = {r["grp"]: (r["n_rows"], r["sum_value"])
+               for r in view.read().collect()}
+        assert got == direct
+
+    spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 1, 2.5), ("c", 2, 4.0), ("d", 9, 99.0)],
+        schema).coalesce(1).write.mode("overwrite").parquet(d)
+    drain()
+    assert_view_matches_snapshot()
+
+    # batch 2 streams in: value update, key move, new id; dim-side batch
+    # update regroups key 2 — both deltas in one refresh
+    spark.createDataFrame(
+        [("a", 2, 11.0), ("e", 1, 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    from db_spark.table import uuid7
+    tx = uuid7()
+    dim.set_objects(tx, spark.createDataFrame(
+        [("d2", 2, "moved")], "_id string, k long, grp string"))
+    dim.commit(tx)
+    drain()
+    assert_view_matches_snapshot()

@@ -2277,6 +2277,18 @@ def q_redact_pii(spark, sf_dir):
     )
 
 
+def q_keywords_tfidf(spark, sf_dir):
+    """Per-document TF-IDF keywords (db_spark/llm/text.py:
+    keywords_tfidf): top-3 characteristic terms per document, ranked
+    by micro-rounded tf·ln(N/df) with a term-asc tiebreak. One
+    (doc, term) aggregate + a broadcast vocabulary join + a per-doc
+    rank window — shuffled volume is the distinct (doc, term) set."""
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    return ltext.keywords_tfidf(docs, k=3)
+
+
 def q_collocations(spark, sf_dir):
     """Top-50 corpus collocations by exponentiated PMI (>= 5
     occurrences): one token explode, two hash aggs, vocabulary-keyed
@@ -3422,6 +3434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matview_join": q_matview_join,
         "bfs_hops": q_bfs_hops,
         "psi_drift": q_psi_drift,
+        "keywords_tfidf": q_keywords_tfidf,
         "mvcc_multi_tx": q_mvcc_multi_tx,
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -4601,6 +4614,26 @@ def oracle_sql() -> dict[str, str]:
                         ELSE {63 * (1 << 32)} // max(h) END AS BIGINT)
                        AS est_distinct
             FROM rk WHERE r <= 64 GROUP BY source
+        """,
+        # identical tf·ln(N/df) micro-rounding and rank tiebreaks.
+        "keywords_tfidf": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+            tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+            nd AS (SELECT count(*) AS n FROM documents),
+            s AS (
+              SELECT doc_id, t,
+                     CAST(round(CAST(tf AS DOUBLE)
+                          * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+                          * 1e6) AS BIGINT) AS s6
+              FROM tf JOIN dfq USING (t), nd),
+            r AS (SELECT doc_id, t, s6,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY s6 DESC, t) AS rk
+                  FROM s)
+            SELECT doc_id, t AS term, CAST(rk AS BIGINT) AS rank,
+                   CAST(s6 AS DOUBLE) / 1e6 AS score
+            FROM r WHERE rk <= 3
         """,
         # same 16-bucket IEEE histogram on both sides, Laplace-smoothed
         # shares, nano-rounded (q-p)*ln(q/p) terms summed as BIGINT.

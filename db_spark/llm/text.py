@@ -548,3 +548,46 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.col("fingerprint"),
         lang_pred.alias("lang_pred"),
     )
+
+
+def keywords_tfidf(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF — the
+    per-document counterpart of :func:`collocations` (corpus-level) and
+    the retrieval dual of BM25 (query-level): keyword tagging /
+    faceting for every document in one pass.
+
+    score = tf · ln(N / df), ranked per document with a term-asc
+    tiebreak; scores are ranked and emitted as micro-rounded integers
+    (`round(score·1e6)` BIGINT) so ordering and output are
+    engine-exact. Shape: one (doc, term) tf aggregate, one |vocab|-row
+    df aggregate joined back (broadcast — vocab ≪ corpus), then a
+    per-document rank window; the shuffled volume is the distinct
+    (doc, term) set, and no per-doc state exceeds its own vocabulary.
+    Returns (id, term, rank, score).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_did"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_tk"))
+    tf = toks.groupBy("_did", "_tk").agg(
+        F.count(F.lit(1)).cast("long").alias("_tf"))
+    dfreq = tf.groupBy("_tk").agg(
+        F.count(F.lit(1)).cast("long").alias("_df"))
+    ndocs = df.agg(F.count(F.lit(1)).cast("long").alias("_N"))
+    s6 = F.round(
+        F.col("_tf").cast("double")
+        * F.log(F.col("_N").cast("double") / F.col("_df").cast("double"))
+        * 1e6).cast("long")
+    w = Window.partitionBy("_did").orderBy(F.desc("_s6"), F.asc("_tk"))
+    return (
+        tf.join(F.broadcast(dfreq), "_tk")
+        .crossJoin(F.broadcast(ndocs))
+        .select("_did", "_tk", s6.alias("_s6"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_did").alias(id_col), F.col("_tk").alias("term"),
+                F.col("rank").cast("long").alias("rank"),
+                (F.col("_s6").cast("double") / 1e6).alias("score"))
+    )

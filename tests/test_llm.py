@@ -841,3 +841,30 @@ def test_token_budget_full_group_survives(spark):
     docs = _tb_docs(spark, {"a": [(i, 10) for i in range(20)]})
     out = token_budget_sample(docs, {"a": 10_000}).collect()
     assert len(out) == 20 and sum(r["n_tokens"] for r in out) == 200
+
+
+def test_keywords_tfidf_ranks_distinctive_terms(spark):
+    from db_spark.llm.text import keywords_tfidf
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple apple common common"),
+         (2, "banana banana common common"),
+         (3, "cherry common common")],
+        "doc_id long, text string")
+    out = keywords_tfidf(docs, k=2).collect()
+    top = {r["doc_id"]: r["term"] for r in out if r["rank"] == 1}
+    # the unique-per-doc term outranks the shared one everywhere
+    assert top == {1: "apple", 2: "banana", 3: "cherry"}
+    # 'common' appears in all docs: idf = ln(1) = 0
+    assert all(r["score"] == 0.0 for r in out if r["term"] == "common")
+
+
+def test_keywords_tfidf_k_bound_and_tiebreak(spark):
+    from db_spark.llm.text import keywords_tfidf
+
+    docs = spark.createDataFrame(
+        [(1, "zed alpha"), (2, "other words")], "doc_id long, text string")
+    out = [(r["term"], r["rank"]) for r in
+           keywords_tfidf(docs, k=5).collect() if r["doc_id"] == 1]
+    # equal scores: term-asc tiebreak makes ranking deterministic
+    assert sorted(out, key=lambda x: x[1]) == [("alpha", 1), ("zed", 2)]

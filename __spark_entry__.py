@@ -2002,6 +2002,20 @@ def q_simhash_near_dup(spark, sf_dir):
     return ldedup.simhash_pairs(docs, max_hamming=3)
 
 
+def q_centroid_outliers(spark, sf_dir):
+    """Per-label embedding outliers (db_spark/llm/similarity.py:
+    centroid_outliers): top-5 vectors farthest from their label's mean
+    embedding — the mislabel audit per class. Centroid components
+    accumulate in scaled BIGINT (partition-order-proof), distances
+    micro-round before the per-label rank window; one (label,
+    component) aggregate + a broadcast-centroid distance scan, O(n·dim)
+    with no pairwise step."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsim.centroid_outliers(emb, k=5)
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 for 5 query vectors over the embedding
     corpus; broadcast queries, one corpus scan."""
@@ -3435,6 +3449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": q_bfs_hops,
         "psi_drift": q_psi_drift,
         "keywords_tfidf": q_keywords_tfidf,
+        "centroid_outliers": q_centroid_outliers,
         "mvcc_multi_tx": q_mvcc_multi_tx,
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -4614,6 +4629,35 @@ def oracle_sql() -> dict[str, str]:
                         ELSE {63 * (1 << 32)} // max(h) END AS BIGINT)
                        AS est_distinct
             FROM rk WHERE r <= 64 GROUP BY source
+        """,
+        # scaled-BIGINT centroid means (ivf_kmeans discipline) + the
+        # established round-6 cosine parity with Spark's ordered fold.
+        "centroid_outliers": """
+            WITH base AS (
+              SELECT vec_id, label,
+                     list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings),
+            m AS (
+              SELECT label, j,
+                     sum(CAST(round(v[j+1] * 1000000) AS BIGINT)) AS s,
+                     count(*) AS n
+              FROM base, range(0, 64) t(j) GROUP BY 1, 2),
+            cent AS (
+              SELECT label, list(s::DOUBLE / (1000000.0 * n) ORDER BY j)
+                         AS cvec
+              FROM m GROUP BY label),
+            d AS (
+              SELECT b.label, b.vec_id,
+                     CAST(round((1.0 - list_cosine_similarity(b.v, c.cvec))
+                          * 1e6) AS BIGINT) AS d6
+              FROM base b JOIN cent c USING (label)),
+            r AS (SELECT label, vec_id, d6,
+                         row_number() OVER (PARTITION BY label
+                                            ORDER BY d6 DESC, vec_id) AS rk
+                  FROM d)
+            SELECT label, vec_id, CAST(rk AS BIGINT) AS rank,
+                   CAST(d6 AS DOUBLE) / 1e6 AS dist
+            FROM r WHERE rk <= 5
         """,
         # identical tf·ln(N/df) micro-rounding and rank tiebreaks.
         "keywords_tfidf": f"""

@@ -450,3 +450,60 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+def centroid_outliers(
+    df: DataFrame, k: int = 5, id_col: str = "vec_id",
+    vec_col: str = "embedding", group_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-``k`` embedding outliers per group: the vectors farthest
+    (cosine distance) from their group's mean embedding — the
+    label-noise / mislabel audit a curated training set runs per class,
+    and the cluster-quality check after any assignment.
+
+    The centroid is an element-wise mean accumulated in scaled BIGINT
+    (each component rounded to 1/``scale`` — the ``ivf_kmeans``
+    discipline), so it is identical under any partition order and the
+    oracle recomputes it exactly. Distances round to micro-units
+    before the per-group rank window (id tiebreak) so the top-k
+    boundary is engine-exact.
+
+    Shape: one (group, component) hash aggregate (|groups| · dim rows),
+    centroids broadcast back, one distance scan, one per-group rank
+    window over distance-ranked rows. No pairwise anything — O(n · dim)
+    end to end. Returns (group, id, rank, dist) with dist rounded 6.
+    """
+    comp = df.select(
+        F.col(group_col).alias("_g"),
+        F.posexplode(_dbl(F.col(vec_col))).alias("_j", "_x"))
+    means = (
+        comp.groupBy("_g", "_j")
+        .agg(F.sum(F.round(F.col("_x") * scale).cast("long")).alias("_s"),
+             F.count(F.lit(1)).alias("_n"))
+        .withColumn("_m", F.col("_s").cast("double")
+                    / (F.lit(float(scale)) * F.col("_n")))
+    )
+    cent = (
+        means.groupBy("_g")
+        .agg(F.array_sort(F.collect_list(F.struct("_j", "_m"))).alias("_jm"))
+        .select("_g",
+                F.transform(F.col("_jm"),
+                            lambda s: s.getField("_m")).alias("_cvec"))
+    )
+    v = _dbl(F.col(vec_col))
+    dist = F.lit(1.0) - _dot_d(v, F.col("_cvec")) / (
+        _norm_d(v) * _norm_d(F.col("_cvec")))
+    scored = (
+        df.join(F.broadcast(cent), df[group_col] == cent["_g"])
+        .select(F.col("_g"), F.col(id_col).alias("_id"),
+                F.round(dist * 1e6).cast("long").alias("_d6"))
+    )
+    w = Window.partitionBy("_g").orderBy(F.desc("_d6"), F.asc("_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_g").alias(group_col), F.col("_id").alias(id_col),
+                F.col("rank").cast("long").alias("rank"),
+                (F.col("_d6").cast("double") / 1e6).alias("dist"))
+    )

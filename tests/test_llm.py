@@ -868,3 +868,35 @@ def test_keywords_tfidf_k_bound_and_tiebreak(spark):
            keywords_tfidf(docs, k=5).collect() if r["doc_id"] == 1]
     # equal scores: term-asc tiebreak makes ranking deterministic
     assert sorted(out, key=lambda x: x[1]) == [("alpha", 1), ("zed", 2)]
+
+
+def test_centroid_outliers_flags_planted_outlier(spark):
+    from db_spark.llm.similarity import centroid_outliers
+    from pyspark.sql import functions as F
+
+    # group 0: 20 vectors near [1, 0, 0, 0] + one pointing at [0, 1, 0, 0]
+    rows = [(i, [1.0, 0.01 * i, 0.0, 0.0], 0) for i in range(20)]
+    rows.append((99, [0.0, 1.0, 0.0, 0.0], 0))
+    rows += [(100 + i, [0.0, 0.0, 1.0, 0.0], 1) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = centroid_outliers(df, k=3)
+    top = {r["label"]: r["vec_id"] for r in out.collect() if r["rank"] == 1}
+    assert top[0] == 99  # the planted orthogonal vector is rank 1
+    # identical vectors in group 1: all distances equal, id tiebreak
+    g1 = sorted((r["rank"], r["vec_id"]) for r in out.collect()
+                if r["label"] == 1)
+    assert g1 == [(1, 100), (2, 101), (3, 102)]
+    assert all(r["dist"] >= 0.0 for r in out.collect())
+
+
+def test_centroid_outliers_partition_invariant(spark):
+    from db_spark.llm.similarity import centroid_outliers
+
+    rows = [(i, [float((i * 7) % 5), float((i * 3) % 4), 1.0],
+             i % 2) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    a = centroid_outliers(df.repartition(1), k=4).collect()
+    b = centroid_outliers(df.repartition(16), k=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -2608,6 +2608,21 @@ def q_matview_join(spark, sf_dir):
     return view.read().select("grp", "n_rows", "sum_value", "avg_value")
 
 
+def q_skyline(spark, sf_dir):
+    """Per-brand 2D skyline (db_spark/operators/__init__.py:skyline_2d):
+    parts on the price/size Pareto frontier — no other part of the
+    brand is cheaper-and-no-bigger or same-price-and-smaller. Not the
+    O(n²) dominance anti-join: one min-per-distinct-price aggregate, a
+    running-min lag over the distinct-price table, and a join back —
+    two bounded exchanges."""
+    from db_spark.operators import skyline_2d
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_size", "p_retailprice")
+    return skyline_2d(part, F.col("p_retailprice"), F.col("p_size"),
+                      group_cols=["p_brand"])
+
+
 def q_psi_drift(spark, sf_dir):
     """Population Stability Index (db_spark/analytics.py:psi_drift):
     did the price distribution move between early (< 1996) and late
@@ -3450,6 +3465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "keywords_tfidf": q_keywords_tfidf,
         "centroid_outliers": q_centroid_outliers,
+        "skyline": q_skyline,
         "mvcc_multi_tx": q_mvcc_multi_tx,
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -4629,6 +4645,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE {63 * (1 << 32)} // max(h) END AS BIGINT)
                        AS est_distinct
             FROM rk WHERE r <= 64 GROUP BY source
+        """,
+        # same collapse-to-distinct-x + strict-prefix running-min
+        # dominance test; frontier ties kept on both engines.
+        "skyline": """
+            WITH base AS (
+              SELECT p_brand, p_partkey, p_size, p_retailprice,
+                     CAST(p_retailprice AS DOUBLE) AS sx,
+                     CAST(p_size AS DOUBLE) AS sy
+              FROM part),
+            perx AS (SELECT p_brand, sx, MIN(sy) AS myx
+                     FROM base GROUP BY 1, 2),
+            pre AS (
+              SELECT p_brand, sx, myx,
+                     MIN(myx) OVER (PARTITION BY p_brand ORDER BY sx
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS m
+              FROM perx)
+            SELECT b.p_brand, b.p_partkey, b.p_size, b.p_retailprice
+            FROM base b JOIN pre
+              ON b.p_brand = pre.p_brand AND b.sx = pre.sx
+            WHERE (pre.m IS NULL OR pre.m > b.sy) AND pre.myx >= b.sy
         """,
         # scaled-BIGINT centroid means (ivf_kmeans discipline) + the
         # established round-6 cosine parity with Spark's ordered fold.

@@ -259,3 +259,43 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>")))
     on = (F.col(left_key) == F.col(right_key)) & (l2["_salt"] == r2["_salt"])
     return l2.join(r2, on, how).drop("_salt")
+
+
+# ---------------------------------------------------------------------------
+# 2D skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+
+def skyline_2d(df: DataFrame, x: Column, y: Column,
+               group_cols: Sequence[str] | None = None) -> DataFrame:
+    """Rows not dominated in two minimized dimensions: keep a row
+    unless some other row is <= in BOTH coordinates and strictly < in
+    at least one ("cheaper and no bigger, or no costlier and smaller").
+    Ties on the frontier are all kept — equal pairs do not dominate
+    each other. Optional ``group_cols`` computes an independent
+    frontier per group.
+
+    Not the naive O(n²) dominance anti-join: collapse rows to one
+    ``min(y)`` per distinct x (one hash aggregate), lag a running min
+    over the x-ordered distinct-x table to get ``m(x) = min{y' : x' <
+    x}``, and join the (distinct-x, m, min_y_at_x) table back. A row
+    is dominated iff ``m(x) <= y`` (strictly cheaper, no bigger) or
+    ``min_y_at_x < y`` (same price, strictly smaller). Two bounded
+    exchanges; the only ordered pass runs over distinct x values. The
+    distinct-x window is per-group — for an ungrouped frontier over
+    extreme x-cardinality, pre-bucket x and stitch boundary buckets.
+    """
+    groups = list(group_cols or [])
+    base = df.withColumn("_sx", x.cast("double")) \
+             .withColumn("_sy", y.cast("double")) \
+             .filter(F.col("_sx").isNotNull() & F.col("_sy").isNotNull())
+    per_x = base.groupBy(*groups, "_sx").agg(F.min("_sy").alias("_myx"))
+    w = (Window.partitionBy(*groups).orderBy("_sx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = per_x.withColumn("_m", F.min("_myx").over(w))
+    joined = base.join(prefix, groups + ["_sx"])
+    return (
+        joined.filter(
+            (F.col("_m").isNull() | (F.col("_m") > F.col("_sy")))
+            & (F.col("_myx") >= F.col("_sy")))
+        .drop("_sx", "_sy", "_m", "_myx")
+    )

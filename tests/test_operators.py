@@ -134,3 +134,40 @@ def test_orc_round_trip(spark, tmp_path):
     back = read_orc(spark, p)
     assert back.schema == df.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+# ---------------------------------------------------------------------------
+# 2D skyline
+# ---------------------------------------------------------------------------
+
+def test_skyline_matches_naive_dominance(spark):
+    from db_spark.operators import skyline_2d
+    from pyspark.sql import functions as F
+
+    rows = [(i, float((i * 13) % 29), float((i * 7) % 23))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {r["id"] for r in skyline_2d(df, F.col("x"), F.col("y")).collect()}
+    pts = {i: (x, y) for i, x, y in rows}
+    naive = {
+        i for i, (x, y) in pts.items()
+        if not any(
+            (x2 <= x and y2 <= y and (x2 < x or y2 < y))
+            for j, (x2, y2) in pts.items() if j != i)
+    }
+    assert got == naive and got
+
+
+def test_skyline_keeps_frontier_ties_and_groups(spark):
+    from db_spark.operators import skyline_2d
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0, 5.0), ("a", 2, 1.0, 5.0),   # duplicate frontier pt
+         ("a", 3, 1.0, 6.0),                       # same x, bigger y: out
+         ("a", 4, 2.0, 4.0), ("a", 5, 3.0, 5.0),   # 5 dominated by 4
+         ("b", 6, 9.0, 9.0)],                      # own group: kept
+        "g string, id long, x double, y double")
+    got = sorted(r["id"] for r in skyline_2d(
+        df, F.col("x"), F.col("y"), group_cols=["g"]).collect())
+    assert got == [1, 2, 4, 6]

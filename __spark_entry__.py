@@ -2247,6 +2247,21 @@ def q_domain_cap(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_importance_sample(spark, sf_dir):
+    """Per-row importance sampling (db_spark/llm/corpus.py:
+    importance_sample): keep each document with probability equal to
+    its quality score, decided by the stable id hash against an
+    integer-ppm threshold — reproducible quality-weighted mixing,
+    map-only, no shuffle."""
+    from db_spark.llm import corpus as lcorpus
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    return lcorpus.importance_sample(
+        docs, ltext.quality_score(F.col("text"))).select(
+        "doc_id", "source")
+
+
 def q_token_budget(spark, sf_dir):
     """Token-budget mixture sampling (db_spark/llm/corpus.py:
     token_budget_sample): fill four domains' token quotas with the
@@ -3281,6 +3296,40 @@ def _text_stats_oracle() -> str:
     """
 
 
+def _importance_sample_oracle() -> str:
+    """importance_sample oracle: the text_stats quality composite as
+    the per-row acceptance rate, integer-ppm threshold against the id
+    hash — identical keep set by construction."""
+    from db_spark.llm.text import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+        WITH q AS (
+          SELECT doc_id, source,
+                 len(regexp_extract_all(text, '[a-zA-Z'']+')) AS nt,
+                 len(list_filter(list_transform(
+                     regexp_extract_all(text, '[a-zA-Z'']+'),
+                     t -> lower(t)), t -> t IN ({sw}))) AS s_en,
+                 length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                     AS np,
+                 length(text) AS nc
+          FROM documents),
+        r AS (
+          SELECT doc_id, source,
+                 least(nt::DOUBLE / 20.0, 1.0) * 0.4
+                 + least((CASE WHEN nt > 0
+                          THEN s_en::DOUBLE / nt::DOUBLE ELSE 0.0 END) * 4.0,
+                         1.0) * 0.3
+                 + greatest(0.0, 1.0 - (np::DOUBLE / nc::DOUBLE) * 4.0) * 0.3
+                     AS rate
+          FROM q)
+        SELECT doc_id, source FROM r
+        WHERE {_H32.format(x='CAST(doc_id AS VARCHAR)')} % 1000000
+              < CAST(round(least(1.0, greatest(0.0, rate)) * 1000000)
+                     AS BIGINT)
+    """
+
+
 def _quality_rules_oracle() -> str:
     """quality_rules oracle: same integer-compared thresholds as
     ``db_spark.llm.text.quality_rules`` defaults (10..100000 words,
@@ -3466,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keywords_tfidf": q_keywords_tfidf,
         "centroid_outliers": q_centroid_outliers,
         "skyline": q_skyline,
+        "importance_sample": q_importance_sample,
         "mvcc_multi_tx": q_mvcc_multi_tx,
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -4646,6 +4696,7 @@ def oracle_sql() -> dict[str, str]:
                        AS est_distinct
             FROM rk WHERE r <= 64 GROUP BY source
         """,
+        "importance_sample": _importance_sample_oracle(),
         # same collapse-to-distinct-x + strict-prefix running-min
         # dominance test; frontier ties kept on both engines.
         "skyline": """

@@ -138,6 +138,28 @@ def cap_per_group(
     )
 
 
+def importance_sample(
+    df: DataFrame, rate: Column, id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-ROW deterministic downsampling: keep each row with its own
+    probability ``rate`` (a Column — e.g. a quality score), decided by
+    the stable id hash. The importance-weighting step of corpus mixing
+    ("keep high-quality docs with p≈score"), reproducible across runs,
+    partitionings, and engines — unlike ``df.sample`` — and exact:
+    the rate becomes an integer parts-per-million threshold, so there
+    is no float comparison at the acceptance boundary.
+
+    Rates clamp into [0, 1]; NULL rates drop the row. Map-only — no
+    shuffle, composes with the stratified (per-stratum constant) and
+    temperature (per-group count-derived) samplers which special-case
+    the rate column."""
+    ppm = F.round(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), rate.cast("double")))
+        * 1_000_000).cast("long")
+    bucket = h32(F.col(id_col).cast("string")) % 1_000_000
+    return df.filter(bucket < ppm)
+
+
 def token_budget_sample(
     df: DataFrame, budgets: dict[str, int], group_col: str = "source",
     id_col: str = "doc_id", text_col: str = "text",

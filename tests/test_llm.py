@@ -900,3 +900,29 @@ def test_centroid_outliers_partition_invariant(spark):
     a = centroid_outliers(df.repartition(1), k=4).collect()
     b = centroid_outliers(df.repartition(16), k=4).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_importance_sample_rate_extremes_and_determinism(spark):
+    from db_spark.llm.corpus import importance_sample
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(300)], "doc_id long, w double")
+    # rate 0 drops everything, rate >= 1 clamps to keep-all
+    assert importance_sample(df, F.lit(0.0)).count() == 0
+    assert importance_sample(df, F.lit(5.0)).count() == 300
+    # NULL rate drops the row
+    assert importance_sample(df, F.lit(None).cast("double")).count() == 0
+    # per-row rates: kept set is partition-invariant
+    a = {r["doc_id"] for r in importance_sample(
+        df.repartition(1), F.col("w") / 2.0).collect()}
+    b = {r["doc_id"] for r in importance_sample(
+        df.repartition(16), F.col("w") / 2.0).collect()}
+    assert a == b
+    # w=0 rows can never be kept
+    zero_ids = {i for i in range(300) if i % 3 == 0}
+    assert not (a & zero_ids)
+    # rough proportionality: w=2 rows kept ~2x as often as w=1 rows
+    n1 = len([i for i in a if i % 3 == 1])
+    n2 = len([i for i in a if i % 3 == 2])
+    assert n2 > n1 > 0

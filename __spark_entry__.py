@@ -3398,10 +3398,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     That fills the 50 exactly: 38 never-checked + 6 touched + 6 marked.
     Every new query below the boundary and every never-checked one
     inside it is locally validated by scripts/check_oracle.py (the
-    same DuckDB value-hash harness the driver runs). With 138 registry
+    same DuckDB value-hash harness the driver runs). With 150 registry
     keys and a 50-row window the full re-verification period is three
-    rounds; the r05 window should take the 38 r02-green queries
-    rotated below today (marked), then the r03-greens."""
+    rounds; the r05 window should take (1) the nine never-checked
+    late-round-4 additions (kmv_set_ops, token_budget, matview_join,
+    bfs_hops, psi_drift, keywords_tfidf, centroid_outliers, skyline,
+    importance_sample — each marked "new post-window"), then (2) the
+    38 r02-green queries rotated below today (marked), then
+    r03-greens."""
     return {
         # -- new in round 3, never driver-checked ---------------------------
         "cm_heavy_hitters": q_cm_heavy_hitters,

@@ -397,6 +397,111 @@ def stream_sketch_hll(
     )
 
 
+def _stream_counter_sink(
+    stream_df: DataFrame, state_dir: str, checkpoint: str,
+    batch_sketch_fn, merge_fn,
+):
+    """Epoch-versioned sink for COUNTER sketches (histogram, count-min)
+    whose merge is additive, not idempotent — re-merging a replayed
+    batch would double-count. Exactly-once instead comes from the
+    batch-id watermark: the meta pointer records the last merged
+    ``batch_id``, and a re-delivered batch (checkpoint recovery replays
+    at most the last uncommitted one, with the same id) is skipped.
+    The state write + meta swap ordering makes the failure window safe:
+    if the crash lands after the state write but before the swap, the
+    replay simply rewrites the same epoch directory and then swaps."""
+    import json
+    import os
+    import shutil
+
+    meta_path = os.path.join(state_dir, "meta.json")
+
+    def _meta():
+        if not os.path.exists(meta_path):
+            return {"epoch": -1, "last_batch": -1}
+        with open(meta_path) as f:
+            return json.load(f)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        meta = _meta()
+        if batch_id <= meta["last_batch"]:
+            return  # replayed batch: already in the state, skip
+        spark = batch_df.sparkSession
+        batch_sketch = batch_sketch_fn(batch_df)
+        cur = meta["epoch"]
+        if cur >= 0:
+            state = spark.read.parquet(os.path.join(state_dir, f"epoch-{cur}"))
+            merged = merge_fn(state, batch_sketch)
+        else:
+            merged = batch_sketch
+        os.makedirs(state_dir, exist_ok=True)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"epoch-{cur + 1}"))
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": cur + 1, "last_batch": batch_id}, f)
+        os.replace(tmp, meta_path)
+        shutil.rmtree(os.path.join(state_dir, f"epoch-{cur - 1}"),
+                      ignore_errors=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_sketch_hist(
+    stream_df: DataFrame, column: str, state_dir: str, checkpoint: str,
+    lo: float, hi: float, buckets: int = 256,
+    group_cols: list[str] | None = None,
+):
+    """Maintain an equi-width histogram over a stream: each micro-batch
+    reduces to <= ``buckets`` counter rows per group and adds into the
+    persisted state (``hist_merge``). Counters are additive, so replay
+    safety comes from the batch-id watermark (``_stream_counter_sink``)
+    rather than merge idempotency — the distinction between the KMV/HLL
+    sinks (min/max state, replay is algebraically a no-op) and counter
+    sketches (replay would double-count). Downstream: `hist_quantile`
+    for streaming quantiles, `analytics.psi_drift`-style comparisons
+    against a reference histogram with no rescan."""
+    from db_spark.sketch import hist_merge, hist_sketch
+
+    groups = group_cols or []
+    return _stream_counter_sink(
+        stream_df, state_dir, checkpoint,
+        lambda b: hist_sketch(b, F.col(column), lo, hi, buckets,
+                              group_cols=groups),
+        lambda s, b: hist_merge(s, b, group_cols=groups),
+    )
+
+
+def stream_sketch_cm(
+    stream_df: DataFrame, column: str, state_dir: str, checkpoint: str,
+    depth: int = 4, width: int = 1024,
+    group_cols: list[str] | None = None,
+):
+    """Maintain a count-min frequency sketch over a stream: per-batch
+    <= depth×width counter cells merge cell-wise into the persisted
+    state. Same batch-id-watermark exactly-once as
+    ``stream_sketch_hist`` (additive counters). Downstream:
+    `cm_estimate` / `cm_heavy_hitters` over the maintained state."""
+    from db_spark.sketch import cm_merge, cm_sketch
+
+    groups = group_cols or []
+    return _stream_counter_sink(
+        stream_df, state_dir, checkpoint,
+        lambda b: cm_sketch(b, F.col(column), depth=depth, width=width,
+                            group_cols=groups),
+        lambda s, b: cm_merge(s, b, group_cols=groups),
+    )
+
+
 def read_sketch_state(spark, state_dir: str) -> DataFrame:
     """Current sketch state (raise if no epoch has committed yet)."""
     import json

@@ -161,6 +161,31 @@ PICKS = {
         "Two group-keyed sorts (cents, then deviations); medians come "
         "from explicit rank positions and broadcast back — no "
         "percentile UDAF, no global sort."),
+    "skyline": (E.q_skyline,
+        "2D Pareto frontier without the quadratic dominance anti-join: "
+        "min-per-distinct-x aggregate, strict-prefix running-min window "
+        "over distinct x only, one join back. No cartesian anywhere."),
+    "token_budget": (E.q_token_budget,
+        "Hash-cell subtotals (|groups| x cells) broadcast back to "
+        "classify cells; only the one boundary cell per group pays the "
+        "per-doc cumulative window."),
+    "keywords_tfidf": (E.q_keywords_tfidf,
+        "tf aggregate on the distinct (doc, term) set, vocab-sized df "
+        "stats broadcast back, per-doc rank window — shuffled volume is "
+        "the pair set, not the token stream."),
+    "centroid_outliers": (E.q_centroid_outliers,
+        "(group, component) scaled-BIGINT aggregate, centroids "
+        "broadcast onto a single distance scan, per-group rank window. "
+        "No pairwise step exists in the plan."),
+    "psi_drift": (E.q_psi_drift,
+        "Two pruned histogram scans; the bucket-spine joins and totals "
+        "broadcast — everything after the scans runs on 16 rows."),
+    "kmv_set_ops": (E.q_kmv_set_ops,
+        "Two sharded bottom-k sketch builds; the merge/membership/rank "
+        "stages all run on <= 2k rows per group."),
+    "importance_sample": (E.q_importance_sample,
+        "Map-only: the quality rate and the ppm threshold fold into a "
+        "single Filter over the scan — no exchange, no join, no window."),
 }
 
 

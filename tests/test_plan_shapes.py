@@ -189,3 +189,50 @@ def test_mad_outliers_broadcasts_medians(spark):
     plan = _plan(E.q_mad_outliers(spark, SF))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_skyline_two_bounded_exchanges_no_cartesian(spark):
+    # collapse-to-distinct-x + running min + join back: never a
+    # cartesian dominance product; the join back may broadcast
+    plan = _plan(E.q_skyline(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # the strict-prefix running min
+
+
+def test_keywords_tfidf_broadcasts_vocab(spark):
+    plan = _plan(E.q_keywords_tfidf(spark, SF))
+    assert "BroadcastHashJoin" in plan  # df stats join the tf table
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_outliers_broadcasts_centroids(spark):
+    plan = _plan(E.q_centroid_outliers(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # centroids must never shuffle vectors
+
+
+def test_token_budget_broadcasts_cells(spark):
+    # the |groups| x cells classification tables broadcast back onto
+    # the docs; the boundary window is the only Window in the plan
+    plan = _plan(E.q_token_budget(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_psi_drift_single_row_comparison(spark):
+    # after two histogram scans everything runs on |buckets| rows:
+    # the bucket spine joins must broadcast
+    plan = _plan(E.q_psi_drift(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_kmv_set_ops_no_cartesian(spark):
+    assert "CartesianProduct" not in _plan(E.q_kmv_set_ops(spark, SF))
+
+
+def test_importance_sample_map_only(spark):
+    # pure filter over the scan: no exchange, no join, no window
+    plan = _plan(E.q_importance_sample(spark, SF))
+    for op in ("Exchange", "Join", "Window", "CartesianProduct"):
+        assert op not in plan, f"unexpected {op} in a map-only sampler"

@@ -557,3 +557,82 @@ def test_stream_feeds_incremental_join_view(spark, tmp_path):
     dim.commit(tx)
     drain()
     assert_view_matches_snapshot()
+
+
+def test_stream_sketch_hist_equals_batch_sketch(spark, tmp_path):
+    """Streamed histogram maintenance (counter sketch: replay safety by
+    batch-id watermark, not merge idempotency) must land on exactly the
+    one-shot batch histogram, and an empty re-drain must not change
+    state."""
+    from db_spark.sketch import hist_sketch
+
+    d = str(tmp_path / "in")
+    schema = T.StructType([T.StructField("v", T.DoubleType())])
+    batches = [
+        [(float(i % 40),) for i in range(300)],
+        [(float(i % 25),) for i in range(200)],
+        [(-5.0,), (999.0,)],  # clamps into edge buckets
+    ]
+    spark.createDataFrame(batches[0], schema).coalesce(1).write.mode(
+        "overwrite").parquet(d)
+    state = str(tmp_path / "state")
+
+    def drain():
+        stream = st.stream_from_files(spark, d, schema)
+        st.stream_sketch_hist(stream, "v", state, str(tmp_path / "ckpt"),
+                              lo=0.0, hi=40.0, buckets=16)
+
+    drain()
+    for b in batches[1:]:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append").parquet(d)
+        drain()
+    drain()  # no new files: empty drain must be a no-op
+
+    maintained = sorted(
+        map(tuple, st.read_sketch_state(spark, state).collect()))
+    all_rows = [r for b in batches for r in b]
+    oneshot = sorted(map(tuple, hist_sketch(
+        spark.createDataFrame(all_rows, schema), F.col("v"),
+        0.0, 40.0, 16).collect()))
+    assert maintained == oneshot
+    total = sum(c for _, c in maintained)
+    assert total == 502  # every streamed row counted exactly once
+
+
+def test_stream_sketch_cm_equals_batch_sketch(spark, tmp_path):
+    from db_spark.sketch import cm_estimate, cm_sketch
+
+    d = str(tmp_path / "in")
+    schema = T.StructType([T.StructField("tok", T.StringType())])
+    batches = [
+        [(f"t{i % 7}",) for i in range(140)],
+        [("t0",)] * 60,
+    ]
+    spark.createDataFrame(batches[0], schema).coalesce(1).write.mode(
+        "overwrite").parquet(d)
+    state = str(tmp_path / "state")
+
+    def drain():
+        stream = st.stream_from_files(spark, d, schema)
+        st.stream_sketch_cm(stream, "tok", state, str(tmp_path / "ckpt"),
+                            depth=3, width=64)
+
+    drain()
+    spark.createDataFrame(batches[1], schema).coalesce(1).write.mode(
+        "append").parquet(d)
+    drain()
+
+    maintained = sorted(
+        map(tuple, st.read_sketch_state(spark, state).collect()))
+    all_rows = [r for b in batches for r in b]
+    oneshot = sorted(map(tuple, cm_sketch(
+        spark.createDataFrame(all_rows, schema), F.col("tok"),
+        depth=3, width=64).collect()))
+    assert maintained == oneshot
+    # frequency estimate over the maintained state: t0 = 20 + 60
+    probe = spark.createDataFrame([("t0",)], schema)
+    est = cm_estimate(st.read_sketch_state(spark, state),
+                      probe.select(F.col("tok").alias("value")),
+                      "value", depth=3, width=64).collect()[0]
+    assert est["est_count"] >= 80  # one-sided error

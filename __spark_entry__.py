@@ -4841,7 +4841,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget": f"""
             WITH d AS (
               SELECT source, doc_id,
-                     len({_TOKS}) AS nt,
+                     COALESCE(len({_TOKS}), 0) AS nt,
                      {_H32.format(x='CAST(doc_id AS VARCHAR)')} AS h,
                      CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 500
                           WHEN 'src2' THEN 5000 WHEN 'src3' THEN 100

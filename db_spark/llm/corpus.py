@@ -186,8 +186,12 @@ def token_budget_sample(
     form). Returns (group, id, n_tokens) for the kept docs.
     """
     cell_width = _TWO32 // boundary_buckets
-    ntok = F.size(F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)).cast("long")
+    # NULL text counts 0 tokens (coalesce): a NULL _nt would poison the
+    # cell subtotals and silently drop the row from both keep and drop
+    ntok = F.coalesce(
+        F.size(F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)).cast("long"),
+        F.lit(0).cast("long"))
     bud = None
     for key, n in sorted(budgets.items()):
         cond = F.col(group_col) == key

@@ -926,3 +926,15 @@ def test_importance_sample_rate_extremes_and_determinism(spark):
     n1 = len([i for i in a if i % 3 == 1])
     n2 = len([i for i in a if i % 3 == 2])
     assert n2 > n1 > 0
+
+
+def test_token_budget_null_text_counts_zero(spark):
+    from db_spark.llm.corpus import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, "w w w")],
+        "source string, doc_id long, text string")
+    out = {(r["doc_id"], r["n_tokens"]) for r in
+           token_budget_sample(docs, {"a": 100}).collect()}
+    # NULL text costs 0 tokens and is kept under an open budget
+    assert out == {(1, 0), (2, 3)}

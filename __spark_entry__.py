@@ -3398,7 +3398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     That fills the 50 exactly: 38 never-checked + 6 touched + 6 marked.
     Every new query below the boundary and every never-checked one
     inside it is locally validated by scripts/check_oracle.py (the
-    same DuckDB value-hash harness the driver runs). With 150 registry
+    same DuckDB value-hash harness the driver runs). With 151 registry
     keys and a 50-row window the full re-verification period is three
     rounds; the r05 window should take (1) the nine never-checked
     late-round-4 additions (kmv_set_ops, token_budget, matview_join,

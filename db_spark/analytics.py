@@ -271,11 +271,25 @@ def psi_drift(
     """
     from db_spark.sketch import hist_sketch
 
-    href = hist_sketch(ref, value, lo, hi, buckets) \
-        .withColumnRenamed("_cnt", "_nr")
-    hcur = hist_sketch(cur, value, lo, hi, buckets) \
-        .withColumnRenamed("_cnt", "_nc")
-    spine = ref.sparkSession.range(buckets).select(
+    return psi_from_hists(
+        hist_sketch(ref, value, lo, hi, buckets),
+        hist_sketch(cur, value, lo, hi, buckets),
+        buckets=buckets)
+
+
+def psi_from_hists(href: DataFrame, hcur: DataFrame,
+                   buckets: int = 16) -> DataFrame:
+    """PSI directly from two already-built histogram sketches
+    (``hist_sketch`` output: ``_b``/``_cnt`` rows, same lo/hi/buckets
+    on both sides) — the form a monitoring pipeline actually runs:
+    the reference histogram is persisted state, the live one is
+    maintained by ``streaming.stream_sketch_hist``, and the comparison
+    never rescans either dataset. Same Laplace smoothing and
+    nano-rounded BIGINT term sum as :func:`psi_drift` (which is now a
+    thin wrapper over this)."""
+    href = href.withColumnRenamed("_cnt", "_nr")
+    hcur = hcur.withColumnRenamed("_cnt", "_nc")
+    spine = href.sparkSession.range(buckets).select(
         F.col("id").cast("int").alias("_b"))
     j = (
         spine.join(F.broadcast(href), "_b", "left")

@@ -636,3 +636,38 @@ def test_stream_sketch_cm_equals_batch_sketch(spark, tmp_path):
                       probe.select(F.col("tok").alias("value")),
                       "value", depth=3, width=64).collect()[0]
     assert est["est_count"] >= 80  # one-sided error
+
+
+def test_streaming_hist_feeds_psi_monitor(spark, tmp_path):
+    """The monitoring loop end-to-end: a live histogram maintained by
+    stream_sketch_hist compares against a persisted reference via
+    psi_from_hists — no rescan of either dataset. Shifted live data
+    must score high PSI; matching data near zero."""
+    from db_spark.analytics import psi_from_hists, psi_drift
+    from db_spark.sketch import hist_sketch
+
+    ref_rows = [(float(i % 20),) for i in range(400)]
+    live_rows = [(20.0 + float(i % 20),) for i in range(300)]  # shifted
+    schema = T.StructType([T.StructField("v", T.DoubleType())])
+    ref_hist = hist_sketch(spark.createDataFrame(ref_rows, schema),
+                           F.col("v"), 0.0, 40.0, 16)
+
+    d = str(tmp_path / "in")
+    spark.createDataFrame(live_rows, schema).coalesce(1).write.mode(
+        "overwrite").parquet(d)
+    state = str(tmp_path / "state")
+    stream = st.stream_from_files(spark, d, schema)
+    st.stream_sketch_hist(stream, "v", state, str(tmp_path / "ckpt"),
+                          lo=0.0, hi=40.0, buckets=16)
+
+    live_hist = st.read_sketch_state(spark, state)
+    row = psi_from_hists(ref_hist, live_hist, buckets=16).collect()[0]
+    assert row["psi"] > 0.25 and row["n_cur"] == 300
+
+    # wrapper equivalence: psi_drift over raw rows == psi over sketches
+    direct = psi_drift(
+        spark.createDataFrame(ref_rows, schema),
+        spark.createDataFrame(live_rows, schema),
+        F.col("v"), lo=0.0, hi=40.0, buckets=16).collect()[0]
+    assert (row["psi"], row["n_ref"], row["n_cur"]) == \
+        (direct["psi"], direct["n_ref"], direct["n_cur"])

@@ -2318,6 +2318,19 @@ def q_keywords_tfidf(spark, sf_dir):
     return ltext.keywords_tfidf(docs, k=3)
 
 
+def q_skipgram_counts(spark, sf_dir):
+    """Skip-gram co-occurrence counts (db_spark/llm/text.py:
+    skipgram_counts): (center, context) pairs within a ±2 token
+    window, count >= 5 — the word2vec/GloVe input matrix. Positions
+    assigned once, centers explode map-only into their 2w targets,
+    ONE (doc, position) equi-join forms exactly the in-window pairs —
+    O(tokens·2w), never quadratic in document length."""
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    return ltext.skipgram_counts(docs, window=2, min_count=5)
+
+
 def q_collocations(spark, sf_dir):
     """Top-50 corpus collocations by exponentiated PMI (>= 5
     occurrences): one token explode, two hash aggs, vocabulary-keyed
@@ -3398,12 +3411,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     That fills the 50 exactly: 38 never-checked + 6 touched + 6 marked.
     Every new query below the boundary and every never-checked one
     inside it is locally validated by scripts/check_oracle.py (the
-    same DuckDB value-hash harness the driver runs). With 151 registry
+    same DuckDB value-hash harness the driver runs). With 152 registry
     keys and a 50-row window the full re-verification period is three
-    rounds; the r05 window should take (1) the nine never-checked
+    rounds; the r05 window should take (1) the ten never-checked
     late-round-4 additions (kmv_set_ops, token_budget, matview_join,
     bfs_hops, psi_drift, keywords_tfidf, centroid_outliers, skyline,
-    importance_sample — each marked "new post-window"), then (2) the
+    importance_sample, skipgram_counts — each marked "new post-window"), then (2) the
     38 r02-green queries rotated below today (marked), then
     r03-greens."""
     return {
@@ -3520,6 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_outliers": q_centroid_outliers,
         "skyline": q_skyline,
         "importance_sample": q_importance_sample,
+        "skipgram_counts": q_skipgram_counts,
         "mvcc_multi_tx": q_mvcc_multi_tx,
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -4701,6 +4715,23 @@ def oracle_sql() -> dict[str, str]:
             FROM rk WHERE r <= 64 GROUP BY source
         """,
         "importance_sample": _importance_sample_oracle(),
+        # windowed self-join on token positions — same ordered-pair set
+        # as the engine's offset-explode + equi-join.
+        "skipgram_counts": f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            tok AS (
+              SELECT doc_id, s.w AS w, s.p AS p
+              FROM (SELECT doc_id,
+                           unnest(list_transform(toks,
+                               (t, i) -> struct_pack(w := t, p := i))) AS s
+                    FROM d))
+            SELECT a.w AS center, b.w AS context,
+                   CAST(count(*) AS BIGINT) AS n_cooc
+            FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id
+             AND b.p >= a.p - 2 AND b.p <= a.p + 2 AND b.p <> a.p
+            GROUP BY 1, 2 HAVING count(*) >= 5
+        """,
         # same collapse-to-distinct-x + strict-prefix running-min
         # dominance test; frontier ties kept on both engines.
         "skyline": """

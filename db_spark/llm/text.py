@@ -591,3 +591,39 @@ def keywords_tfidf(
                 F.col("rank").cast("long").alias("rank"),
                 (F.col("_s6").cast("double") / 1e6).alias("score"))
     )
+
+
+def skipgram_counts(
+    df: DataFrame, window: int = 2, min_count: int = 2,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(center, context) co-occurrence counts within a symmetric token
+    window — the input matrix of embedding training (word2vec SGNS,
+    GloVe) and of PPMI association mining beyond the adjacent-pair
+    :func:`collocations`.
+
+    Shape: tokens get positions once (``posexplode``), the center side
+    explodes into its 2·``window`` target positions (map-only — no
+    per-pair enumeration yet), and ONE equi-join on (doc, position)
+    materializes exactly the in-window pairs: work is O(tokens ·
+    2·window), never quadratic in document length. The count aggregate
+    shuffles the pair set; ``min_count`` trims the long tail before it
+    leaves the aggregate. Pairs are ordered (center, context) — each
+    unordered co-occurrence appears symmetrically, as SGNS consumes it.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_did"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("_p", "_w"))
+    offs = [o for o in range(-window, window + 1) if o != 0]
+    centers = toks.select(
+        "_did", F.col("_w").alias("center"),
+        F.explode(F.array(*[F.col("_p") + F.lit(o) for o in offs]))
+        .alias("_tp"))
+    context = toks.select(
+        "_did", F.col("_p").alias("_tp"), F.col("_w").alias("context"))
+    return (
+        centers.join(context, ["_did", "_tp"])
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cooc"))
+        .filter(F.col("n_cooc") >= min_count)
+    )

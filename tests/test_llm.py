@@ -938,3 +938,27 @@ def test_token_budget_null_text_counts_zero(spark):
            token_budget_sample(docs, {"a": 100}).collect()}
     # NULL text costs 0 tokens and is kept under an open budget
     assert out == {(1, 0), (2, 3)}
+
+
+def test_skipgram_counts_window_semantics(spark):
+    from db_spark.llm.text import skipgram_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b")], "doc_id long, text string")
+    out = {(r["center"], r["context"]): r["n_cooc"]
+           for r in skipgram_counts(docs, window=1, min_count=1).collect()}
+    # window=1: adjacent pairs only, symmetric, counted across docs
+    assert out[("a", "b")] == 2 and out[("b", "a")] == 2
+    assert out[("b", "c")] == 1 and out[("c", "d")] == 1
+    assert ("a", "c") not in out  # distance 2 > window
+    assert ("a", "a") not in out  # no self pair at distance 0
+
+    wide = {(r["center"], r["context"]): r["n_cooc"]
+            for r in skipgram_counts(docs, window=2, min_count=1).collect()}
+    assert wide[("a", "c")] == 1 and wide[("a", "b")] == 2
+    assert ("a", "d") not in wide  # distance 3 > window
+
+    # min_count trims the tail
+    trimmed = {(r["center"], r["context"])
+               for r in skipgram_counts(docs, window=2, min_count=2).collect()}
+    assert trimmed == {("a", "b"), ("b", "a")}

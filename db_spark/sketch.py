@@ -148,6 +148,9 @@ def kmv_set_estimate(
     ).otherwise(F.expr(f"CAST({(k - 1) * _TWO32} AS BIGINT) div _hk"))
     staged = agg.select(
         *groups, "_nk", "_nboth", est_union.cast("long").alias("_eu"))
+    # an ungrouped aggregate over two EMPTY sketches still emits one
+    # global row (nk=0, NULL jaccard) — drop the degenerate row
+    staged = staged.filter(F.col("_nk") > 0)
     return staged.select(
         *groups,
         F.col("_nk").cast("long").alias("n_hashes"),

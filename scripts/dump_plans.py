@@ -183,6 +183,10 @@ PICKS = {
     "kmv_set_ops": (E.q_kmv_set_ops,
         "Two sharded bottom-k sketch builds; the merge/membership/rank "
         "stages all run on <= 2k rows per group."),
+    "skipgram_counts": (E.q_skipgram_counts,
+        "Positions assigned once, center side explodes map-only into 2w "
+        "targets, ONE (doc, position) equi-join — O(tokens*2w), no "
+        "nested-loop pair enumeration."),
     "importance_sample": (E.q_importance_sample,
         "Map-only: the quality rate and the ppm threshold fold into a "
         "single Filter over the scan — no exchange, no join, no window."),

@@ -236,3 +236,11 @@ def test_importance_sample_map_only(spark):
     plan = _plan(E.q_importance_sample(spark, SF))
     for op in ("Exchange", "Join", "Window", "CartesianProduct"):
         assert op not in plan, f"unexpected {op} in a map-only sampler"
+
+
+def test_skipgram_counts_single_pair_join(spark):
+    # offset explode + ONE equi-join on (doc, position): no cartesian,
+    # no nested-loop pair enumeration
+    plan = _plan(E.q_skipgram_counts(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -78,3 +78,26 @@ def test_hll_merge_law(spark, a, b):
                      sk.hll_sketch(db_, F.col("v"), p=4))
     d = sk.hll_sketch(da.unionByName(db_), F.col("v"), p=4)
     assert sorted(map(tuple, m.collect())) == sorted(map(tuple, d.collect()))
+
+
+@given(a=VALS, b=VALS)
+@_settings
+def test_kmv_set_estimate_exact_under_k(spark, a, b):
+    """With k larger than any input cardinality the sketches are
+    complete, so 'estimates' must be EXACT set sizes for any inputs —
+    union, intersection, and Jaccard numerator alike."""
+    da, db_ = _df(spark, a), _df(spark, b)
+    sa = sk.kmv_sketch(da, F.col("v"), k=64)
+    sb = sk.kmv_sketch(db_, F.col("v"), k=64)
+    rows = sk.kmv_set_estimate(sa, sb, k=64).collect()
+    sa_, sb_ = set(a), set(b)
+    if not sa_ and not sb_:
+        assert rows == []
+        return
+    row = rows[0]
+    assert row["est_union"] == len(sa_ | sb_)
+    assert row["n_both"] == len(sa_ & sb_)
+    assert row["est_intersection"] == len(sa_ & sb_)
+    if sa_ | sb_:
+        assert abs(row["jaccard"]
+                   - len(sa_ & sb_) / len(sa_ | sb_)) < 1e-12

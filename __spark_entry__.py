@@ -2438,6 +2438,27 @@ def q_kmv_merge(spark, sf_dir):
     return lsk.kmv_estimate(merged, k=64, group_cols=["source"])
 
 
+def q_cm_join_size(spark, sf_dir):
+    """Join-cardinality estimation from sketches (db_spark/sketch.py:
+    cm_join_size, AMS/count-min inner product): |orders ⋈ lineitem| on
+    orderkey estimated from two depth×width counter tables — the
+    planner question answered without touching either table. MIN over
+    depth rows is tightest and still never undercounts (collision
+    cross terms only add); exact count shown alongside."""
+    from db_spark import sketch as lsk
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sa = lsk.cm_sketch(o, F.col("o_orderkey"), depth=4, width=1024)
+    sb = lsk.cm_sketch(li, F.col("l_orderkey"), depth=4, width=1024)
+    est = lsk.cm_join_size(sa, sb, depth=4)
+    exact = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_rows"))
+    )
+    return est.join(F.broadcast(exact))
+
+
 def q_kmv_set_ops(spark, sf_dir):
     """KMV set-operation estimates (db_spark/sketch.py:kmv_set_estimate,
     Beyer et al. 2007): per order priority, sketch the customer sets of
@@ -3411,12 +3432,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     That fills the 50 exactly: 38 never-checked + 6 touched + 6 marked.
     Every new query below the boundary and every never-checked one
     inside it is locally validated by scripts/check_oracle.py (the
-    same DuckDB value-hash harness the driver runs). With 152 registry
+    same DuckDB value-hash harness the driver runs). With 153 registry
     keys and a 50-row window the full re-verification period is three
-    rounds; the r05 window should take (1) the ten never-checked
+    rounds; the r05 window should take (1) the eleven never-checked
     late-round-4 additions (kmv_set_ops, token_budget, matview_join,
     bfs_hops, psi_drift, keywords_tfidf, centroid_outliers, skyline,
-    importance_sample, skipgram_counts — each marked "new post-window"), then (2) the
+    importance_sample, skipgram_counts, cm_join_size — each marked "new post-window"), then (2) the
     38 r02-green queries rotated below today (marked), then
     r03-greens."""
     return {
@@ -3534,6 +3555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline": q_skyline,
         "importance_sample": q_importance_sample,
         "skipgram_counts": q_skipgram_counts,
+        "cm_join_size": q_cm_join_size,
         "mvcc_multi_tx": q_mvcc_multi_tx,
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -4715,6 +4737,31 @@ def oracle_sql() -> dict[str, str]:
             FROM rk WHERE r <= 64 GROUP BY source
         """,
         "importance_sample": _importance_sample_oracle(),
+        # AMS inner product replicated cell-exactly: same salted md5
+        # cells, same per-depth dot products, same MIN/MAX.
+        "cm_join_size": f"""
+            WITH av AS (SELECT CAST(o_orderkey AS VARCHAR) AS v FROM orders),
+            bv AS (SELECT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem),
+            ac AS (
+              SELECT d, {_H32.format(x="'cm' || CAST(d AS VARCHAR) || ':' || v")}
+                         % 1024 AS w,
+                     count(*) AS c
+              FROM av, (SELECT unnest([0, 1, 2, 3]) AS d) GROUP BY 1, 2),
+            bc AS (
+              SELECT d, {_H32.format(x="'cm' || CAST(d AS VARCHAR) || ':' || v")}
+                         % 1024 AS w,
+                     count(*) AS c
+              FROM bv, (SELECT unnest([0, 1, 2, 3]) AS d) GROUP BY 1, 2),
+            dots AS (
+              SELECT ac.d, SUM(ac.c * bc.c) AS dot
+              FROM ac JOIN bc ON ac.d = bc.d AND ac.w = bc.w GROUP BY 1)
+            SELECT CAST(MIN(dot) AS BIGINT) AS est_join_rows,
+                   CAST(MAX(dot) AS BIGINT) AS est_max,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+                       AS exact_rows
+            FROM dots
+        """,
         # windowed self-join on token positions — same ordered-pair set
         # as the engine's offset-explode + equi-join.
         "skipgram_counts": f"""

@@ -347,6 +347,42 @@ def cm_merge(a: DataFrame, b: DataFrame,
     )
 
 
+def cm_join_size(
+    a: DataFrame, b: DataFrame, depth: int = 4,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches built
+    on the join key with the same depth/width/hash family (the AMS /
+    count-min inner-product estimator: for each depth row, the dot
+    product of the two counter rows over-estimates ``Σ_v f_A(v)·f_B(v)``
+    = |A ⋈ B| by the hash-collision cross terms; the MIN over depth
+    rows is the tightest — still one-sided, never an undercount).
+
+    This is the planner question ("how big is this join?") answered
+    from maintained per-shard sketch state without touching either
+    table: the inputs are <= depth×width rows each, the cell join is
+    keyed on (depth, cell), and the output is one row per group —
+    ``est_join_rows`` (MIN over depths) plus ``est_max`` (the loosest
+    depth row, bounding the collision inflation)."""
+    groups = group_cols or []
+    prods = (
+        a.withColumnRenamed("_cnt", "_ca")
+        .join(b.withColumnRenamed("_cnt", "_cb"), groups + ["_d", "_w"])
+        .groupBy(*groups, "_d")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias("_dot"))
+    )
+    # a depth row with NO overlapping cells proves the join is empty —
+    # its dot is 0 and must drive the MIN to 0, so left-join the dots
+    # onto the full depth set rather than keeping only matched depths
+    depths = a.select(*groups, "_d").distinct()
+    full = depths.join(prods, groups + ["_d"], "left") \
+        .withColumn("_dot", F.coalesce(F.col("_dot"), F.lit(0)))
+    return full.groupBy(*groups).agg(
+        F.min("_dot").cast("long").alias("est_join_rows"),
+        F.max("_dot").cast("long").alias("est_max"),
+    )
+
+
 def cm_estimate(
     sketch: DataFrame, probes: DataFrame, value_col: str,
     depth: int = 4, width: int = 1024,

@@ -244,3 +244,10 @@ def test_skipgram_counts_single_pair_join(spark):
     plan = _plan(E.q_skipgram_counts(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cm_join_size_runs_on_cells_only(spark):
+    # the estimate side joins two bounded cell tables; the only
+    # data-sized stages are the two sketch builds
+    plan = _plan(E.q_cm_join_size(spark, SF))
+    assert "CartesianProduct" not in plan

@@ -563,3 +563,34 @@ def test_joinview_rebuilds_after_compaction(spark, jv_setup):
     got = {r["grp"]: (r["n_rows"], r["sum_value"])
            for r in view.read().collect()}
     assert got == _direct_join(a, b)
+
+
+# ---------------------------------------------------------------------------
+# CM join-size estimation
+# ---------------------------------------------------------------------------
+
+def test_cm_join_size_never_undercounts_and_exact_when_wide(spark):
+    a = spark.range(0, 200).select((F.col("id") % 40).alias("k"))
+    b = spark.range(0, 300).select((F.col("id") % 60).alias("k"))
+    exact = a.join(b, "k").count()
+    # wide sketch: no collisions → estimate exact
+    sa = sk.cm_sketch(a, F.col("k"), depth=3, width=4096)
+    sb = sk.cm_sketch(b, F.col("k"), depth=3, width=4096)
+    row = sk.cm_join_size(sa, sb, depth=3).collect()[0]
+    assert row["est_join_rows"] == exact
+    # narrow sketch: collisions inflate, never deflate
+    na = sk.cm_sketch(a, F.col("k"), depth=3, width=16)
+    nb = sk.cm_sketch(b, F.col("k"), depth=3, width=16)
+    narrow = sk.cm_join_size(na, nb, depth=3).collect()[0]
+    assert narrow["est_join_rows"] >= exact
+    assert narrow["est_max"] >= narrow["est_join_rows"]
+
+
+def test_cm_join_size_disjoint_keys_zero(spark):
+    a = spark.range(0, 50).select(F.col("id").alias("k"))
+    b = spark.range(1000, 1050).select(F.col("id").alias("k"))
+    sa = sk.cm_sketch(a, F.col("k"), depth=3, width=8192)
+    sb = sk.cm_sketch(b, F.col("k"), depth=3, width=8192)
+    row = sk.cm_join_size(sa, sb, depth=3).collect()[0]
+    # wide enough that some depth row has zero overlap: MIN must hit 0
+    assert row["est_join_rows"] == 0

@@ -640,6 +640,29 @@ def q_top_supplier(spark, sf_dir):
     )
 
 
+def q_seasonal_decompose(spark, sf_dir):
+    """STL-lite decomposition (db_spark/analytics.py:
+    seasonal_decompose): hourly event value per type split into trend
+    (centered moving average over scaled-BIGINT window sums — double
+    window sums are summation-order-dependent, integer ones are not),
+    hour-of-day seasonal (nano-rounded detrended means), and residual.
+    The decomposition runs on the |types × hours| series, not the raw
+    events; every value is engine-reproducible."""
+    from db_spark import analytics
+
+    ev = _t(spark, sf_dir, "events")
+    pos = (F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+           .cast("long") * 24 + F.hour("ts").cast("long"))
+    hourly = (
+        ev.groupBy("event_type", pos.alias("pos"))
+        .agg((F.sum(F.round(F.col("value") * 100).cast("long"))
+              .cast("double") / 100.0).alias("hourly_value"))
+    )
+    return analytics.seasonal_decompose(
+        hourly, ["event_type"], "pos", "hourly_value",
+        period=24, trend_window=5)
+
+
 def q_gapfill_locf(spark, sf_dir):
     """Time-series resampling: hourly event-count/value grid per
     event_type over one day, with missing hours generated
@@ -3432,12 +3455,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     That fills the 50 exactly: 38 never-checked + 6 touched + 6 marked.
     Every new query below the boundary and every never-checked one
     inside it is locally validated by scripts/check_oracle.py (the
-    same DuckDB value-hash harness the driver runs). With 153 registry
+    same DuckDB value-hash harness the driver runs). With 154 registry
     keys and a 50-row window the full re-verification period is three
-    rounds; the r05 window should take (1) the eleven never-checked
+    rounds; the r05 window should take (1) the twelve never-checked
     late-round-4 additions (kmv_set_ops, token_budget, matview_join,
     bfs_hops, psi_drift, keywords_tfidf, centroid_outliers, skyline,
-    importance_sample, skipgram_counts, cm_join_size — each marked "new post-window"), then (2) the
+    importance_sample, skipgram_counts, cm_join_size, seasonal_decompose —
+    each marked "new post-window"), then (2) the
     38 r02-green queries rotated below today (marked), then
     r03-greens."""
     return {
@@ -3556,6 +3580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_sample": q_importance_sample,
         "skipgram_counts": q_skipgram_counts,
         "cm_join_size": q_cm_join_size,
+        "seasonal_decompose": q_seasonal_decompose,
         "mvcc_multi_tx": q_mvcc_multi_tx,
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -4737,6 +4762,40 @@ def oracle_sql() -> dict[str, str]:
             FROM rk WHERE r <= 64 GROUP BY source
         """,
         "importance_sample": _importance_sample_oracle(),
+        # same scaled-BIGINT window sums, nano-rounded seasonal means,
+        # single-divide trend - every component engine-reproducible.
+        "seasonal_decompose": """
+            WITH hourly AS (
+              SELECT event_type,
+                     (datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                      * 24 + hour(ts)) AS pos,
+                     SUM(CAST(round(value * 100) AS BIGINT)) AS vc
+              FROM events GROUP BY 1, 2),
+            t AS (
+              SELECT event_type, pos, vc,
+                     CAST(SUM(vc) OVER w AS DOUBLE)
+                         / (100.0 * COUNT(*) OVER w) AS trend
+              FROM hourly
+              WINDOW w AS (PARTITION BY event_type ORDER BY pos
+                           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+            d AS (SELECT event_type, pos, vc, trend,
+                         CAST(vc AS DOUBLE) / 100 - trend AS dd,
+                         pos % 24 AS ph
+                  FROM t),
+            s AS (SELECT event_type, ph,
+                         CAST(SUM(CAST(round(dd * 1e9) AS BIGINT)) AS DOUBLE)
+                             / (1e9 * COUNT(*)) AS seasonal
+                  FROM d GROUP BY 1, 2)
+            SELECT d.event_type,
+                   CAST(d.pos AS BIGINT) AS position,
+                   CAST(d.ph AS BIGINT) AS phase,
+                   CAST(d.vc AS DOUBLE) / 100 AS value,
+                   round(d.trend, 6) AS trend,
+                   round(s.seasonal, 6) AS seasonal,
+                   round(CAST(d.vc AS DOUBLE) / 100 - d.trend - s.seasonal,
+                         6) AS residual
+            FROM d JOIN s ON d.event_type = s.event_type AND d.ph = s.ph
+        """,
         # AMS inner product replicated cell-exactly: same salted md5
         # cells, same per-depth dot products, same MIN/MAX.
         "cm_join_size": f"""

@@ -1,6 +1,7 @@
 """Event-sequence analytics over event streams: funnels, cohort
 retention, batch sessionization, SCD Type-2 interval building, EWMA
-smoothing, and PSI distribution-drift monitoring — the classic
+smoothing, PSI distribution-drift monitoring, and STL-lite seasonal
+decomposition — the classic
 product-analytics asks layered on the
 same events table the windowing/streaming tier serves (reference has
 no event analytics; north-star surface alongside hypertable rollups).
@@ -312,4 +313,62 @@ def psi_from_hists(href: DataFrame, hcur: DataFrame,
         .agg(F.max("_tr").alias("n_ref"), F.max("_tc").alias("n_cur"),
              F.count(F.lit(1)).cast("long").alias("n_buckets"),
              F.round(F.sum("_tn").cast("double") / 1e9, 6).alias("psi"))
+    )
+
+
+def seasonal_decompose(
+    series: DataFrame, key_cols, time_col: str, value_col: str,
+    period: int = 24, trend_window: int = 5, scale: int = 100,
+) -> DataFrame:
+    """Deterministic STL-lite decomposition of a regular series into
+    trend + seasonal + residual — the seasonality-aware baseline behind
+    "is this metric anomalous or just Tuesday?". ``series`` is one row
+    per (key, period position) — pre-aggregate raw events first;
+    ``phase`` is ``position % period`` (e.g. hour-of-day for hourly
+    data, period=24).
+
+    Determinism discipline: the centered moving-average trend sums
+    SCALED BIGINTs inside the ROWS frame (integer addition — double
+    window sums are summation-order-dependent across engines) with ONE
+    IEEE divide at the end; the per-phase seasonal mean nano-rounds the
+    detrended terms into a BIGINT sum (chi2/entropy rule); the residual
+    is two subtractions. Every value is reproducible cross-engine, so
+    the whole decomposition is oracle-checkable.
+
+    Shape: one shuffle on the key for the trend window (partial edge
+    windows use the available rows — standard, deterministic), one
+    (key, phase) aggregate broadcast back. Series length per key is
+    positions, not raw events — dashboard-sized at any raw scale.
+    Returns key_cols + (position, phase, value, trend, seasonal,
+    residual)."""
+    keys = list(key_cols)
+    half = trend_window // 2
+    base = series.select(
+        *keys,
+        F.col(time_col).cast("long").alias("_pos"),
+        F.round(F.col(value_col) * scale).cast("long").alias("_vc"))
+    wt = (Window.partitionBy(*keys).orderBy("_pos")
+          .rowsBetween(-half, half))
+    trended = base.withColumn(
+        "_trend",
+        F.sum("_vc").over(wt).cast("double")
+        / (F.lit(float(scale)) * F.count(F.lit(1)).over(wt)))
+    detr = trended.withColumn(
+        "_d", F.col("_vc").cast("double") / scale - F.col("_trend"))
+    phase = detr.withColumn("_ph", F.col("_pos") % period)
+    seas = (
+        phase.groupBy(*keys, "_ph")
+        .agg((F.sum(F.round(F.col("_d") * 1e9).cast("long")).cast("double")
+              / (F.lit(1e9) * F.count(F.lit(1)))).alias("_seasonal"))
+    )
+    out = phase.join(F.broadcast(seas), keys + ["_ph"])
+    return out.select(
+        *keys,
+        F.col("_pos").alias("position"),
+        F.col("_ph").cast("long").alias("phase"),
+        (F.col("_vc").cast("double") / scale).alias("value"),
+        F.round(F.col("_trend"), 6).alias("trend"),
+        F.round(F.col("_seasonal"), 6).alias("seasonal"),
+        F.round(F.col("_vc").cast("double") / scale - F.col("_trend")
+                - F.col("_seasonal"), 6).alias("residual"),
     )

@@ -256,3 +256,48 @@ def test_psi_empty_buckets_and_clamp_are_finite(spark):
                     buckets=10).collect()[0]
     assert row["psi"] is not None and abs(row["psi"]) < 100
     assert row["n_ref"] == 3 and row["n_cur"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition
+# ---------------------------------------------------------------------------
+
+def test_seasonal_decompose_recovers_planted_seasonality(spark):
+    from db_spark.analytics import seasonal_decompose
+    from pyspark.sql import functions as F
+
+    # flat level 100 + deterministic phase bump (+10 at phase 0) over
+    # 8 full periods of 4
+    rows = [("a", p, 100.0 + (10.0 if p % 4 == 0 else 0.0))
+            for p in range(32)]
+    df = spark.createDataFrame(rows, "k string, pos long, v double")
+    out = seasonal_decompose(df, ["k"], "pos", "v", period=4,
+                             trend_window=1).collect()
+    # trend_window=1: trend == value, detrended == 0, seasonal == 0
+    assert all(r["trend"] == r["value"] and r["seasonal"] == 0.0
+               and r["residual"] == 0.0 for r in out)
+
+    out5 = {(r["position"]): r for r in seasonal_decompose(
+        df, ["k"], "pos", "v", period=4, trend_window=5).collect()}
+    # interior phase-0 rows: seasonal component positive, larger than
+    # other phases' (the bump lands in the seasonal term, not residual)
+    s0 = [r["seasonal"] for p, r in out5.items() if r["phase"] == 0]
+    s_other = [r["seasonal"] for p, r in out5.items() if r["phase"] != 0]
+    assert min(s0) > max(s_other)
+    # decomposition identity holds exactly at output precision
+    for r in out5.values():
+        assert abs(r["value"] - (r["trend"] + r["seasonal"]
+                                 + r["residual"])) < 2e-6
+
+
+def test_seasonal_decompose_partition_invariant(spark):
+    from db_spark.analytics import seasonal_decompose
+
+    rows = [("g" + str(i % 2), i // 2, float((i * 17) % 31))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "k string, pos long, v double")
+    a = seasonal_decompose(df.repartition(1), ["k"], "pos", "v",
+                           period=6).collect()
+    b = seasonal_decompose(df.repartition(16), ["k"], "pos", "v",
+                           period=6).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

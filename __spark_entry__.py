@@ -640,6 +640,36 @@ def q_top_supplier(spark, sf_dir):
     )
 
 
+def q_dq_report(spark, sf_dir):
+    """Declarative data-quality suite (db_spark/quality.py): seven
+    rules over orders/lineitem — not-null, accepted-values, range,
+    uniqueness, referential integrity, and two custom expectations,
+    one of which genuinely fails (small orders exist) so the report
+    exercises the non-zero path. All row-local rules fold into ONE
+    conditional-aggregate scan; unique is one hash aggregate; the FK
+    check is a broadcast anti-join count."""
+    from db_spark import quality as dq
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rules = [
+        dq.not_null("custkey_not_null", "o_custkey"),
+        dq.accepted_values("status_domain", "o_orderstatus",
+                           ["O", "F", "P"]),
+        dq.in_range("price_range", "o_totalprice", 0.0, 600000.0),
+        dq.custom("no_small_orders",
+                  F.col("o_totalprice") >= 1000.0),  # fails: count > 0
+        dq.unique("orderkey_unique", "o_orderkey"),
+    ]
+    report = dq.dq_report(o, rules)
+    fk = dq.dq_report(li, [
+        dq.foreign_key("lineitem_fk_orders", "l_orderkey", o,
+                       "o_orderkey"),
+        dq.custom("qty_positive", F.col("l_quantity") > 0),
+    ])
+    return report.unionByName(fk)
+
+
 def q_seasonal_decompose(spark, sf_dir):
     """STL-lite decomposition (db_spark/analytics.py:
     seasonal_decompose): hourly event value per type split into trend
@@ -3455,13 +3485,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     That fills the 50 exactly: 38 never-checked + 6 touched + 6 marked.
     Every new query below the boundary and every never-checked one
     inside it is locally validated by scripts/check_oracle.py (the
-    same DuckDB value-hash harness the driver runs). With 154 registry
+    same DuckDB value-hash harness the driver runs). With 155 registry
     keys and a 50-row window the full re-verification period is three
-    rounds; the r05 window should take (1) the twelve never-checked
+    rounds; the r05 window should take (1) the thirteen never-checked
     late-round-4 additions (kmv_set_ops, token_budget, matview_join,
     bfs_hops, psi_drift, keywords_tfidf, centroid_outliers, skyline,
-    importance_sample, skipgram_counts, cm_join_size, seasonal_decompose —
-    each marked "new post-window"), then (2) the
+    importance_sample, skipgram_counts, cm_join_size, seasonal_decompose,
+    dq_report — each marked "new post-window"), then (2) the
     38 r02-green queries rotated below today (marked), then
     r03-greens."""
     return {
@@ -3581,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_counts": q_skipgram_counts,
         "cm_join_size": q_cm_join_size,
         "seasonal_decompose": q_seasonal_decompose,
+        "dq_report": q_dq_report,
         "mvcc_multi_tx": q_mvcc_multi_tx,
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -4762,6 +4793,54 @@ def oracle_sql() -> dict[str, str]:
             FROM rk WHERE r <= 64 GROUP BY source
         """,
         "importance_sample": _importance_sample_oracle(),
+        # one SELECT per rule with the same violation predicates.
+        "dq_report": """
+            WITH r AS (
+              SELECT 'custkey_not_null' AS rule, 'not_null' AS kind,
+                     CAST(SUM(CASE WHEN o_custkey IS NOT NULL
+                              THEN 0 ELSE 1 END) AS BIGINT) AS violations
+              FROM orders
+              UNION ALL
+              SELECT 'status_domain', 'accepted_values',
+                     CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                              OR o_orderstatus IN ('O', 'F', 'P')
+                              THEN 0 ELSE 1 END) AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'price_range', 'in_range',
+                     CAST(SUM(CASE WHEN o_totalprice IS NULL
+                              OR (o_totalprice >= 0.0
+                                  AND o_totalprice <= 600000.0)
+                              THEN 0 ELSE 1 END) AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'no_small_orders', 'custom',
+                     CAST(SUM(CASE WHEN o_totalprice >= 1000.0
+                              THEN 0 ELSE 1 END) AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'orderkey_unique', 'unique',
+                     CAST(COALESCE((SELECT SUM(n - 1) FROM (
+                         SELECT count(*) AS n FROM orders
+                         GROUP BY o_orderkey HAVING count(*) > 1)), 0)
+                          AS BIGINT)
+              UNION ALL
+              SELECT 'lineitem_fk_orders', 'foreign_key',
+                     CAST((SELECT count(*) FROM lineitem
+                           WHERE l_orderkey IS NOT NULL
+                             AND l_orderkey NOT IN
+                                 (SELECT o_orderkey FROM orders))
+                          AS BIGINT)
+              UNION ALL
+              SELECT 'qty_positive', 'custom',
+                     CAST(SUM(CASE WHEN l_quantity > 0
+                              THEN 0 ELSE 1 END) AS BIGINT)
+              FROM lineitem
+            )
+            SELECT rule, kind, violations,
+                   violations = 0 AS passed
+            FROM r
+        """,
         # same scaled-BIGINT window sums, nano-rounded seasonal means,
         # single-divide trend - every component engine-reproducible.
         "seasonal_decompose": """

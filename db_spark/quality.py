@@ -1,0 +1,156 @@
+"""Declarative data-quality checks — the dbt-tests / Great-Expectations
+analog for this engine: a rule vocabulary (not-null, unique, accepted
+values, range, referential integrity) evaluated in as few passes as the
+rule mix allows, returning one row per rule with a verdict and a
+violation count (never a sample of failing rows by default — at 100 TB
+the *count* is the dashboard fact; failing-row retrieval is a filter
+the caller writes when a rule trips).
+
+Scale accounting: all row-local rules (not_null / accepted_values /
+in_range) fold into ONE conditional-aggregate pass over the table —
+adding a rule adds a column to the aggregate, not a scan. Each `unique`
+rule is one hash aggregate on its key columns; each `foreign_key` is
+one left-anti-style aggregate against the (usually broadcast) parent
+key set. Deterministic by construction (counts and comparisons only),
+so every report is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One declarative expectation. ``kind`` ∈ {not_null, unique,
+    accepted_values, in_range, foreign_key, custom}."""
+    name: str
+    kind: str
+    cols: tuple[str, ...] = ()
+    values: tuple = ()
+    lo: float | None = None
+    hi: float | None = None
+    parent: DataFrame | None = field(default=None, compare=False)
+    parent_col: str | None = None
+    condition: Column | None = field(default=None, compare=False)
+
+
+def not_null(name: str, col: str) -> Rule:
+    return Rule(name, "not_null", (col,))
+
+
+def unique(name: str, *cols: str) -> Rule:
+    return Rule(name, "unique", tuple(cols))
+
+
+def accepted_values(name: str, col: str, values) -> Rule:
+    return Rule(name, "accepted_values", (col,), tuple(values))
+
+
+def in_range(name: str, col: str, lo: float, hi: float) -> Rule:
+    """Violations are non-NULL values outside [lo, hi] — NULLs are
+    not_null's business, not a range violation."""
+    return Rule(name, "in_range", (col,), lo=lo, hi=hi)
+
+
+def foreign_key(name: str, col: str, parent: DataFrame,
+                parent_col: str) -> Rule:
+    """Violations are non-NULL child keys absent from the parent key
+    set."""
+    return Rule(name, "foreign_key", (col,), parent=parent,
+                parent_col=parent_col)
+
+
+def custom(name: str, condition: Column) -> Rule:
+    """Violations are rows where ``condition`` is NOT true (false or
+    NULL) — write the expectation, not the failure."""
+    return Rule(name, "custom", condition=condition)
+
+
+def dq_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Evaluate every rule; returns (rule, kind, violations BIGINT,
+    passed BOOLEAN) — one row per rule, rule-list order not guaranteed
+    (sort on read). Row-local rules share one scan; see module
+    docstring for the per-kind pass accounting."""
+    local_aggs = []
+    local_meta = []
+    parts = []
+
+    def viol(cond: Column) -> Column:
+        # count rows where the expectation does NOT hold; NULL-safe
+        return F.sum(
+            F.when(cond, F.lit(0)).otherwise(F.lit(1))).cast("long")
+
+    for r in rules:
+        if r.kind == "not_null":
+            local_aggs.append(viol(F.col(r.cols[0]).isNotNull()))
+            local_meta.append(r)
+        elif r.kind == "accepted_values":
+            c = F.col(r.cols[0])
+            ok = c.isNull() | c.isin(*r.values)
+            local_aggs.append(viol(ok))
+            local_meta.append(r)
+        elif r.kind == "in_range":
+            c = F.col(r.cols[0])
+            ok = c.isNull() | ((c >= F.lit(r.lo)) & (c <= F.lit(r.hi)))
+            local_aggs.append(viol(ok))
+            local_meta.append(r)
+        elif r.kind == "custom":
+            local_aggs.append(viol(r.condition))
+            local_meta.append(r)
+        elif r.kind == "unique":
+            dup = (
+                df.groupBy(*[F.col(c) for c in r.cols])
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                # violations = rows beyond the first occurrence of each
+                # duplicated key — 0 on a unique table however counted
+                .agg(F.coalesce(F.sum(F.col("_n") - 1), F.lit(0))
+                     .cast("long").alias("violations"))
+                .select(F.lit(r.name).alias("rule"),
+                        F.lit(r.kind).alias("kind"), "violations")
+            )
+            parts.append(dup)
+        elif r.kind == "foreign_key":
+            parents = (
+                r.parent.select(F.col(r.parent_col).alias("_pk"))
+                .distinct()
+            )
+            orphans = (
+                df.select(F.col(r.cols[0]).alias("_ck"))
+                .filter(F.col("_ck").isNotNull())
+                .join(F.broadcast(parents), F.col("_ck") == F.col("_pk"),
+                      "left_anti")
+                .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+                .select(F.lit(r.name).alias("rule"),
+                        F.lit(r.kind).alias("kind"), "violations")
+            )
+            parts.append(orphans)
+        else:
+            raise ValueError(f"unknown rule kind: {r.kind}")
+
+    if local_meta:
+        row = df.agg(*[a.alias(f"_v{i}")
+                       for i, a in enumerate(local_aggs)])
+        # explode the ONE aggregate row into per-rule rows — a union of
+        # per-rule selects would re-execute the aggregate (and re-scan
+        # the table) once per rule
+        combos = F.array(*[
+            F.struct(
+                F.lit(r.name).alias("rule"), F.lit(r.kind).alias("kind"),
+                F.coalesce(F.col(f"_v{i}"), F.lit(0)).cast("long")
+                .alias("violations"))
+            for i, r in enumerate(local_meta)
+        ])
+        stacked = (
+            row.select(F.explode(combos).alias("_r"))
+            .select("_r.rule", "_r.kind", "_r.violations")
+        )
+        parts.insert(0, stacked)
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("passed", F.col("violations") == 0)

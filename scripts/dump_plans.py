@@ -187,6 +187,14 @@ PICKS = {
         "Positions assigned once, center side explodes map-only into 2w "
         "targets, ONE (doc, position) equi-join — O(tokens*2w), no "
         "nested-loop pair enumeration."),
+    "seasonal_decompose": (E.q_seasonal_decompose,
+        "Trend window sums scaled BIGINTs inside the ROWS frame; the "
+        "decomposition runs on the |types x hours| series - the hourly "
+        "aggregate is the only data-sized stage."),
+    "dq_report": (E.q_dq_report,
+        "All row-local rules fold into ONE conditional-aggregate scan "
+        "(exploded back to per-rule rows); unique is one hash "
+        "aggregate; the FK check is a broadcast anti-join count."),
     "importance_sample": (E.q_importance_sample,
         "Map-only: the quality rate and the ppm threshold fold into a "
         "single Filter over the scan — no exchange, no join, no window."),

@@ -251,3 +251,12 @@ def test_cm_join_size_runs_on_cells_only(spark):
     # data-sized stages are the two sketch builds
     plan = _plan(E.q_cm_join_size(spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_dq_report_row_local_rules_share_one_scan(spark):
+    # 4 row-local rules + unique + FK + 1 lineitem-local rule must not
+    # scan per rule: orders appears <= 3x (local agg, unique, FK
+    # parent), lineitem <= 2x (FK child, local agg)
+    plan = _plan(E.q_dq_report(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 6

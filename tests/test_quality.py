@@ -1,0 +1,56 @@
+"""Declarative data-quality rules engine."""
+
+from pyspark.sql import functions as F
+
+from db_spark import quality as dq
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0, 100), (2, "b", -5.0, 100), (2, "a", 50.0, None),
+         (4, "zz", 5.0, 999)],
+        "id long, cat string, v double, fk long")
+
+
+def test_dq_report_counts_every_kind(spark):
+    parent = spark.createDataFrame([(100,), (200,)], "pk long")
+    df = _df(spark)
+    report = {r["rule"]: (r["violations"], r["passed"])
+              for r in dq.dq_report(df, [
+                  dq.not_null("fk_not_null", "fk"),
+                  dq.accepted_values("cat_domain", "cat", ["a", "b"]),
+                  dq.in_range("v_range", "v", 0.0, 100.0),
+                  dq.unique("id_unique", "id"),
+                  dq.foreign_key("fk_parent", "fk", parent, "pk"),
+                  dq.custom("v_positive", F.col("v") > 0),
+              ]).collect()}
+    assert report["fk_not_null"] == (1, False)     # one NULL fk
+    assert report["cat_domain"] == (1, False)      # 'zz'
+    assert report["v_range"] == (1, False)         # -5.0
+    assert report["id_unique"] == (1, False)       # id=2 twice -> 1 extra
+    assert report["fk_parent"] == (1, False)       # 999 orphan; NULL skipped
+    assert report["v_positive"] == (1, False)      # -5.0 fails predicate
+
+
+def test_dq_report_clean_table_all_pass(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, cat string")
+    report = dq.dq_report(df, [
+        dq.not_null("id_nn", "id"),
+        dq.unique("id_uq", "id"),
+        dq.accepted_values("cat_dom", "cat", ["a", "b"]),
+    ]).collect()
+    assert all(r["passed"] and r["violations"] == 0 for r in report)
+    assert len(report) == 3
+
+
+def test_dq_unique_multi_column_and_custom_null(spark):
+    df = spark.createDataFrame(
+        [(1, "x", None), (1, "x", 5.0), (1, "y", 3.0)],
+        "a long, b string, v double")
+    report = {r["rule"]: r["violations"] for r in dq.dq_report(df, [
+        dq.unique("ab_unique", "a", "b"),
+        # NULL condition counts as violation (expectation not met)
+        dq.custom("v_known_positive", F.col("v") > 0),
+    ]).collect()}
+    assert report["ab_unique"] == 1
+    assert report["v_known_positive"] == 1

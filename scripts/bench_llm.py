@@ -30,7 +30,11 @@ PICKS = [
     "text_stats", "dedup_exact", "ngram_jaccard", "minhash_lsh_pairs",
     "dedup_corpus", "simhash_near_dup", "cosine_topk", "ivf_topk",
     "embedding_near_dup", "chunk_docs", "pack_sequences",
-    "repetition_stats", "unigram_surprisal", "decontaminate",
+    "repetition_stats", "unigram_surprisal",
+    "token_budget", "importance_sample", "keywords_tfidf",
+    "skipgram_counts", "centroid_outliers", "kmv_set_ops",
+    "cm_join_size", "psi_drift", "seasonal_decompose", "dq_report",
+    "skyline", "bfs_hops", "decontaminate",
     "stratified_sample", "bm25_topk", "embedding_quantize",
     "span_dup", "span_dedup", "collocations", "temperature_sample", "domain_cap", "redact_pii",
 ]

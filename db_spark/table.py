@@ -585,6 +585,34 @@ class Collection:
         snapshot regardless of ``when`` (reference table_scan.rs:50-51)."""
         return self.table_scan(txid_at(when))
 
+    def restore_to_position(self, pos: int, txid: str | None = None) -> None:
+        """Append-only restore of an earlier snapshot (the Delta Lake
+        RESTORE analog, MVCC-native): after this call the visible
+        snapshot equals ``scan_at_position(pos)`` — the old image of
+        every id visible then is re-upserted, and ids created since are
+        tombstoned. Nothing is deleted from the log: history stays
+        intact, time travel ACROSS the restore still works, and the
+        restore itself is one more auditable entry (give it a ``txid``
+        to make it atomic with other work / abortable).
+
+        Cost is O(snapshot-at-pos) + O(ids-created-since) appended —
+        never a rewrite. Raises if ``pos`` predates the compaction
+        watermark (the prefix needed to reconstruct the old image no
+        longer replays)."""
+        if self.compaction_watermark() > pos:
+            raise ValueError(
+                f"cannot restore to position {pos}: compaction (watermark "
+                f"{self.compaction_watermark()}) destroyed the log prefix "
+                "that position needs")
+        now = self.log_position()
+        old = self.scan_at_position(pos)
+        new_ids = (
+            self.scan_at_position(now).select("_id")
+            .subtract(old.select("_id"))
+        )
+        self.set_objects(txid, old)
+        self.delete_objects(txid, new_ids)
+
     def history(self) -> DataFrame:
         """Per-id version history: every committed-visible U/D entry as
         a versioned record with a log-position validity interval —

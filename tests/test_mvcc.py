@@ -705,3 +705,78 @@ def test_history_empty_collection_has_schema(storage, spark):
     assert h.count() == 0
     assert set(h.columns) == {"_id", "name", "_kind", "_version",
                               "_from_pos", "_to_pos", "is_current"}
+
+
+# ---------------------------------------------------------------------------
+# Append-only restore (Delta RESTORE analog)
+# ---------------------------------------------------------------------------
+
+def test_restore_to_position_recovers_snapshot(spark, tmp_path):
+    from db_spark.engine import Storage, StorageConfig
+    from db_spark.table import uuid7
+
+    st = Storage(spark, str(tmp_path / "db"), StorageConfig(max_entries=64))
+    c = st.get_collection("t")
+    c.set_objects(None, spark.createDataFrame(
+        [("a", 1), ("b", 2)], "_id string, v long"))
+    pos = c.log_position()
+    want = sorted(map(tuple, c.table_scan().select("_id", "v").collect()))
+
+    # churn: update a, delete b, insert c (committed tx)
+    tx = uuid7()
+    c.set_objects(tx, spark.createDataFrame(
+        [("a", 100), ("c", 3)], "_id string, v long"))
+    c.delete_where(tx, "_id = 'b'")
+    c.commit(tx)
+    assert sorted(r["_id"] for r in c.table_scan().collect()) == ["a", "c"]
+
+    c.restore_to_position(pos)
+    got = sorted(map(tuple, c.table_scan().select("_id", "v").collect()))
+    assert got == want  # visible snapshot equals the old image
+    # history intact: time travel to the churned state still works
+    churned = c.scan_at_position(pos + 3)  # after tx batches + commit
+    assert sorted(r["_id"] for r in churned.collect()) == ["a", "c"]
+
+
+def test_restore_in_transaction_rolls_back(spark, tmp_path):
+    from db_spark.engine import Storage, StorageConfig
+    from db_spark.table import uuid7
+
+    st = Storage(spark, str(tmp_path / "db"), StorageConfig(max_entries=64))
+    c = st.get_collection("t")
+    c.set_objects(None, spark.createDataFrame(
+        [("a", 1)], "_id string, v long"))
+    pos = c.log_position()
+    c.set_objects(None, spark.createDataFrame(
+        [("a", 9), ("z", 5)], "_id string, v long"))
+
+    tx = uuid7()
+    c.restore_to_position(pos, txid=tx)
+    # not committed: churned state still visible
+    assert {(r["_id"], r["v"]) for r in c.table_scan().collect()} == \
+        {("a", 9), ("z", 5)}
+    c.rollback(tx)
+    assert {(r["_id"], r["v"]) for r in c.table_scan().collect()} == \
+        {("a", 9), ("z", 5)}
+    tx2 = uuid7()
+    c.restore_to_position(pos, txid=tx2)
+    c.commit(tx2)
+    assert {(r["_id"], r["v"]) for r in c.table_scan().collect()} == \
+        {("a", 1)}
+
+
+def test_restore_refuses_pre_compaction_position(spark, tmp_path):
+    import pytest as _pytest
+
+    from db_spark.engine import Storage, StorageConfig
+
+    st = Storage(spark, str(tmp_path / "db"), StorageConfig(max_entries=64))
+    c = st.get_collection("t")
+    c.set_objects(None, spark.createDataFrame(
+        [("a", 1)], "_id string, v long"))
+    pos = c.log_position()
+    c.set_objects(None, spark.createDataFrame(
+        [("a", 2)], "_id string, v long"))
+    c.compact()
+    with _pytest.raises(ValueError, match="compaction"):
+        c.restore_to_position(pos)

@@ -671,3 +671,43 @@ def test_streaming_hist_feeds_psi_monitor(spark, tmp_path):
         F.col("v"), lo=0.0, hi=40.0, buckets=16).collect()[0]
     assert (row["psi"], row["n_ref"], row["n_cur"]) == \
         (direct["psi"], direct["n_ref"], direct["n_cur"])
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: impressions with no click inside
+    the time bound must STILL be emitted (with NULL click columns) once
+    the watermark passes their join horizon — the state-eviction path
+    an inner join never exercises."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # impressions every 10 min; clicks only for even imp ids, 5 min later
+    imps = [(i, base + dt.timedelta(minutes=10 * i), i) for i in range(20)]
+    clks = [(i, base + dt.timedelta(minutes=10 * i + 5), i)
+            for i in range(0, 20, 2)]
+    # a far-future click pushes both watermarks past every horizon so
+    # unmatched left rows are finalized and emitted
+    clks.append((999, base + dt.timedelta(days=2), 999))
+    d_imp, d_clk = str(tmp_path / "imp"), str(tmp_path / "clk")
+    spark.createDataFrame(imps, IMP_SCHEMA).coalesce(1).write.parquet(d_imp)
+    spark.createDataFrame(clks, CLK_SCHEMA).coalesce(1).write.parquet(d_clk)
+
+    cond = (
+        (F.col("imp_user") == F.col("clk_user"))
+        & (F.col("clk_ts") >= F.col("imp_ts"))
+        & (F.col("clk_ts") <= F.col("imp_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    joined = st.stream_stream_join(
+        st.stream_from_files(spark, d_imp, IMP_SCHEMA),
+        st.stream_from_files(spark, d_clk, CLK_SCHEMA),
+        cond, "imp_ts", "10 minutes", "clk_ts", "10 minutes",
+        how="left_outer",
+    )
+    st.run_stream_to_memory(joined, "ss_left")
+    rows = spark.sql("SELECT imp_id, clk_id FROM ss_left").collect()
+    matched = {r["imp_id"] for r in rows if r["clk_id"] is not None}
+    unmatched = {r["imp_id"] for r in rows if r["clk_id"] is None}
+    assert matched == set(range(0, 20, 2))
+    # every odd impression whose horizon the watermark passed is
+    # emitted with NULLs; at minimum the early ones must be there
+    assert unmatched and unmatched <= set(range(1, 20, 2))

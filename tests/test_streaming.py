@@ -711,3 +711,61 @@ def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
     # every odd impression whose horizon the watermark passed is
     # emitted with NULLs; at minimum the early ones must be there
     assert unmatched and unmatched <= set(range(1, 20, 2))
+
+
+def test_counter_sink_skips_replayed_batch_id(spark, tmp_path):
+    """Checkpoint recovery re-delivers the last uncommitted batch with
+    the SAME batch_id; the counter sink's batch-id watermark must make
+    that a no-op instead of double-counting. Driven by invoking the
+    inner sink directly — a live stream cannot force a replay."""
+    from db_spark.sketch import hist_sketch
+
+    state = str(tmp_path / "state")
+    captured = {}
+
+    class _FakeStream:
+        # capture the foreachBatch callback instead of starting a query
+        def __init__(self, df):
+            self._df = df
+
+        @property
+        def writeStream(self):
+            outer = self
+
+            class _W:
+                def foreachBatch(self, fn):
+                    captured["fn"] = fn
+                    return self
+
+                def option(self, *a):
+                    return self
+
+                def trigger(self, **k):
+                    return self
+
+                def start(self):
+                    class _Q:
+                        def awaitTermination(self):
+                            return None
+                    return _Q()
+            return _W()
+
+    df = spark.createDataFrame([(float(i % 5),) for i in range(50)],
+                               "v double")
+    st._stream_counter_sink(
+        _FakeStream(df), state, str(tmp_path / "ckpt"),
+        lambda b: hist_sketch(b, F.col("v"), 0.0, 5.0, 8),
+        lambda s, b: __import__("db_spark.sketch", fromlist=["hist_merge"])
+        .hist_merge(s, b))
+    sink = captured["fn"]
+
+    sink(df, 0)
+    once = sorted(map(tuple, st.read_sketch_state(spark, state).collect()))
+    sink(df, 0)  # replayed batch id: must be skipped
+    replayed = sorted(map(tuple,
+                          st.read_sketch_state(spark, state).collect()))
+    assert replayed == once
+    sink(df, 1)  # genuinely new batch id: counts double up
+    doubled = {b: c for b, c in map(tuple, st.read_sketch_state(
+        spark, state).collect())}
+    assert doubled == {b: 2 * c for b, c in once}

@@ -79,14 +79,15 @@ def _signed_delta(collection, last: int, now: int) -> DataFrame:
     every changed id with ``_sign`` +1 and the old image with −1 —
     delta cardinality, however big the collection."""
     changed = _changed_ids(collection, last, now)
+    # id filter pushed BELOW the snapshot-resolution window
+    # (scan_at_position(ids=...)): the _id-keyed exchange is O(delta
+    # log entries), not O(table)
     new_rows = (
-        collection.scan_at_position(now)
-        .join(changed, "_id", "left_semi")
+        collection.scan_at_position(now, ids=changed)
         .withColumn("_sign", F.lit(1))
     )
     old_rows = (
-        collection.scan_at_position(last)
-        .join(changed, "_id", "left_semi")
+        collection.scan_at_position(last, ids=changed)
         .withColumn("_sign", F.lit(-1))
     )
     return new_rows.unionByName(old_rows)
@@ -193,14 +194,10 @@ class IncrementalAggView:
             self._write_state(state, now_pos, meta["epoch"] + 1)
             return now_pos
         changed = _changed_ids(self.collection, last, now_pos)
-        old_rows = (
-            self.collection.scan_at_position(last)
-            .join(changed, "_id", "left_semi")
-        )
-        new_rows = (
-            self.collection.scan_at_position(now_pos)
-            .join(changed, "_id", "left_semi")
-        )
+        # id filter pushed BELOW the snapshot-resolution window: the
+        # _id-keyed exchange is O(delta log entries), not O(table)
+        old_rows = self.collection.scan_at_position(last, ids=changed)
+        new_rows = self.collection.scan_at_position(now_pos, ids=changed)
         prev = self.collection.spark.read.parquet(
             self._state_dir(meta["epoch"]))
         state = (

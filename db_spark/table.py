@@ -550,7 +550,8 @@ class Collection:
         row = log.agg(F.max("_batch").alias("m")).collect()[0]
         return -1 if row["m"] is None else int(row["m"])
 
-    def scan_at_position(self, batch: int) -> DataFrame:
+    def scan_at_position(self, batch: int,
+                         ids: DataFrame | None = None) -> DataFrame:
         """Snapshot as of a log *position* (``_batch`` value): resolve
         only entries appended at or before it, honoring commit markers
         within that prefix. Unlike txid time travel, position snapshots
@@ -559,7 +560,14 @@ class Collection:
         ``table_scan(txid)`` would show it (nil <= every txid). This is
         the baseline incremental consumers (matview refresh) need: the
         log prefix is immutable, so the same position always yields the
-        same rows."""
+        same rows.
+
+        ``ids`` (a DataFrame with an ``_id`` column) restricts the
+        snapshot to those ids *below the resolution window*: version
+        resolution partitions by ``_id``, so filtering ids first is
+        semantics-preserving while cutting the ``_id``-keyed exchange
+        from O(table) to O(log entries of those ids) — the difference
+        between a delta-sized and a table-sized matview refresh."""
         log = self._read_log()
         if log is None:
             return self.table_scan()  # empty-shape path
@@ -568,6 +576,9 @@ class Collection:
             prefix.filter(F.col("_kind") == "C").select("_txid").distinct()
         )
         entries = prefix.filter(F.col("_kind").isin("U", "D"))
+        if ids is not None:
+            entries = entries.join(
+                F.broadcast(ids.select("_id")), "_id", "left_semi")
         visible = entries.join(
             F.broadcast(committed), on="_txid", how="left_semi",
         ).unionByName(entries.filter(F.col("_txid") == NIL_TXID))

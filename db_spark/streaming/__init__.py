@@ -510,3 +510,44 @@ def read_sketch_state(spark, state_dir: str) -> DataFrame:
     with open(os.path.join(state_dir, "meta.json")) as f:
         epoch = json.load(f)["epoch"]
     return spark.read.parquet(os.path.join(state_dir, f"epoch-{epoch}"))
+
+
+def stream_changes(collection, include_uncommitted: bool = False):
+    """The MVCC log as a streaming CDC SOURCE: log segments are
+    append-only parquet files, which is exactly Structured Streaming's
+    file-source contract — so `readStream` over the collection's log
+    directory yields every new U/D entry as it lands, with no extra
+    change-capture machinery. The dual of `stream_into_collection`
+    (stream → log); this is log → stream: feed downstream pipelines,
+    audit sinks, or cache invalidation from the same files the table
+    itself is.
+
+    By default only auto-visible (nil-txid) entries stream — committed
+    transactional writes land as files BEFORE their commit marker, so a
+    transactional entry streamed at file-arrival time may still abort;
+    set ``include_uncommitted=True`` to take that feed anyway (with
+    `_txid` exposed so the consumer can reconcile against markers).
+    Schema is pinned from the current log (file sources require one);
+    fix the collection's shape before streaming it.
+
+    Caveat at scale: compaction REWRITES segments (new files with old
+    entries) — pause compaction on collections used as live CDC
+    sources, or key downstream idempotency on (_batch, _seq), which
+    compaction preserves."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    log = collection._read_log()
+    if log is None:
+        raise ValueError(
+            f"collection {collection.name!r} has no log yet — write to "
+            "it before streaming its changes")
+    stream = (
+        collection.spark.readStream.schema(log.schema)
+        .option("mergeSchema", "true")
+        .parquet(collection.log_path)
+        .filter(F.col("_kind").isin("U", "D"))
+    )
+    if not include_uncommitted:
+        from db_spark.table import NIL_TXID
+        stream = stream.filter(F.col("_txid") == NIL_TXID)
+    return stream

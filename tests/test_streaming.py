@@ -769,3 +769,51 @@ def test_counter_sink_skips_replayed_batch_id(spark, tmp_path):
     doubled = {b: c for b, c in map(tuple, st.read_sketch_state(
         spark, state).collect())}
     assert doubled == {b: 2 * c for b, c in once}
+
+
+def test_stream_changes_cdc_source(spark, tmp_path):
+    """The MVCC log as a streaming CDC source: readStream over the
+    append-only segments yields each new U/D entry exactly once across
+    checkpointed drains; nil-txid default excludes uncommitted
+    transactional writes."""
+    from db_spark.engine import Storage, StorageConfig
+    from db_spark.table import uuid7
+
+    st_ = Storage(spark, str(tmp_path / "db"), StorageConfig(max_entries=64))
+    c = st_.get_collection("t")
+    c.set_objects(None, spark.createDataFrame(
+        [("a", 1), ("b", 2)], "_id string, v long"))
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        stream = st.stream_changes(c)
+        q = (stream.writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    got1 = [(r["_id"], r["_kind"], r["v"])
+            for r in spark.read.parquet(out_dir).collect()]
+    assert sorted(got1) == [("a", "U", 1), ("b", "U", 2)]
+
+    # batch 2: an auto-visible delete + an UNCOMMITTED transactional
+    # write - only the delete must stream with the default filter, and
+    # the checkpoint must not re-emit batch 1
+    c.delete_objects(None, ["a"])
+    tx = uuid7()
+    c.set_objects(tx, spark.createDataFrame(
+        [("z", 9)], "_id string, v long"))
+    drain()
+    rows = [(r["_id"], r["_kind"]) for r in
+            spark.read.parquet(out_dir).collect()]
+    assert sorted(rows) == [("a", "D"), ("a", "U"), ("b", "U")]
+
+    # include_uncommitted surfaces the transactional entry with its txid
+    stream = st.stream_changes(c, include_uncommitted=True)
+    q = (stream.writeStream.format("memory").queryName("cdc_all")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    allrows = {(r["_id"], r["_kind"]) for r in
+               spark.sql("SELECT * FROM cdc_all").collect()}
+    assert ("z", "U") in allrows

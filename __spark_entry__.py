@@ -2384,6 +2384,18 @@ def q_skipgram_counts(spark, sf_dir):
     return ltext.skipgram_counts(docs, window=2, min_count=5)
 
 
+def q_hashed_features(spark, sf_dir):
+    """Hashing-trick featurization (db_spark/llm/text.py:
+    hashed_features): every document as sparse (index, count) pairs in
+    a fixed 256-dim space, indices from the md5 hash family - no
+    vocabulary to build or broadcast, OOV impossible. Map-only explode
+    + one (doc, index) aggregate."""
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    return ltext.hashed_features(docs, dim=256)
+
+
 def q_collocations(spark, sf_dir):
     """Top-50 corpus collocations by exponentiated PMI (>= 5
     occurrences): one token explode, two hash aggs, vocabulary-keyed
@@ -3485,13 +3497,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     That fills the 50 exactly: 38 never-checked + 6 touched + 6 marked.
     Every new query below the boundary and every never-checked one
     inside it is locally validated by scripts/check_oracle.py (the
-    same DuckDB value-hash harness the driver runs). With 155 registry
+    same DuckDB value-hash harness the driver runs). With 156 registry
     keys and a 50-row window the full re-verification period is three
-    rounds; the r05 window should take (1) the thirteen never-checked
+    rounds; the r05 window should take (1) the fourteen never-checked
     late-round-4 additions (kmv_set_ops, token_budget, matview_join,
     bfs_hops, psi_drift, keywords_tfidf, centroid_outliers, skyline,
     importance_sample, skipgram_counts, cm_join_size, seasonal_decompose,
-    dq_report — each marked "new post-window"), then (2) the
+    dq_report, hashed_features — each marked "new post-window"), then (2) the
     38 r02-green queries rotated below today (marked), then
     r03-greens."""
     return {
@@ -3612,6 +3624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_join_size": q_cm_join_size,
         "seasonal_decompose": q_seasonal_decompose,
         "dq_report": q_dq_report,
+        "hashed_features": q_hashed_features,
         "mvcc_multi_tx": q_mvcc_multi_tx,
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -4793,6 +4806,13 @@ def oracle_sql() -> dict[str, str]:
             FROM rk WHERE r <= 64 GROUP BY source
         """,
         "importance_sample": _importance_sample_oracle(),
+        "hashed_features": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+            SELECT doc_id,
+                   CAST({_H32.format(x='t')} % 256 AS INT) AS idx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM tok GROUP BY 1, 2
+        """,
         # one SELECT per rule with the same violation predicates.
         "dq_report": """
             WITH r AS (

@@ -627,3 +627,32 @@ def skipgram_counts(
         .agg(F.count(F.lit(1)).cast("long").alias("n_cooc"))
         .filter(F.col("n_cooc") >= min_count)
     )
+
+
+def hashed_features(
+    df: DataFrame, dim: int = 1024, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009, "Feature
+    hashing for large scale multitask learning"): each document becomes
+    sparse (index, count) pairs with ``index = h(token) % dim`` — the
+    fixed-dimension bag-of-words a linear classifier or quality model
+    trains on, with no vocabulary to build, broadcast, or keep in sync
+    across 100 TB (that is the trick's whole point; OOV cannot exist).
+
+    Map-only explode + one (doc, index) aggregate — the shuffled volume
+    is the distinct (doc, index) set, bounded by min(doc length, dim)
+    per doc. md5-family hash, so feature indices are stable across
+    runs, engines, and shards. Returns (id, idx, n) sparse triples;
+    densify downstream only if the consumer needs it."""
+    from db_spark.llm.dedup import h32
+
+    toks = df.select(
+        F.col(id_col).alias("_did"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_tk"))
+    return (
+        toks.groupBy(
+            "_did", (h32(F.col("_tk")) % dim).cast("int").alias("idx"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("_did").alias(id_col), "idx", "n")
+    )

@@ -962,3 +962,27 @@ def test_skipgram_counts_window_semantics(spark):
     trimmed = {(r["center"], r["context"])
                for r in skipgram_counts(docs, window=2, min_count=2).collect()}
     assert trimmed == {("a", "b"), ("b", "a")}
+
+
+def test_hashed_features_stable_and_bounded(spark):
+    from db_spark.llm.text import hashed_features
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog bird")], "doc_id long, text string")
+    out = hashed_features(docs, dim=64).collect()
+    by_doc = {}
+    for r in out:
+        assert 0 <= r["idx"] < 64
+        by_doc.setdefault(r["doc_id"], {})[r["idx"]] = r["n"]
+    # counts sum to token counts
+    assert sum(by_doc[1].values()) == 3 and sum(by_doc[2].values()) == 2
+    # same token -> same index across documents (stable hashing)
+    dog_idx = [i for i, n in by_doc[2].items()
+               if i in by_doc[1]]
+    assert dog_idx  # 'dog' hashes identically in both docs
+    # deterministic across partitionings
+    a = sorted(map(tuple, hashed_features(
+        docs.repartition(1), dim=64).collect()))
+    b = sorted(map(tuple, hashed_features(
+        docs.repartition(8), dim=64).collect()))
+    assert a == b

@@ -42,6 +42,11 @@ def not_null(name: str, col: str) -> Rule:
 
 
 def unique(name: str, *cols: str) -> Rule:
+    """Violations are rows beyond the first occurrence of each
+    duplicated key. NULL keys group together (DataFrame groupBy
+    NULL-equality), so two all-NULL keys count as a duplicate — unlike
+    a SQL UNIQUE constraint, which ignores NULLs; pair with
+    ``not_null`` when NULL keys are themselves invalid."""
     return Rule(name, "unique", tuple(cols))
 
 

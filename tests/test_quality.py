@@ -54,3 +54,10 @@ def test_dq_unique_multi_column_and_custom_null(spark):
     ]).collect()}
     assert report["ab_unique"] == 1
     assert report["v_known_positive"] == 1
+
+
+def test_dq_unique_null_keys_group_together(spark):
+    # documented deviation from SQL UNIQUE: NULL keys compare equal
+    df = spark.createDataFrame([(None,), (None,), (1,)], "k long")
+    report = dq.dq_report(df, [dq.unique("k_unique", "k")]).collect()[0]
+    assert report["violations"] == 1 and not report["passed"]

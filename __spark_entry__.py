@@ -693,6 +693,39 @@ def q_seasonal_decompose(spark, sf_dir):
         period=24, trend_window=5)
 
 
+def q_interval_join(spark, sf_dir):
+    """Interval-overlap join (db_spark/operators/__init__.py:
+    interval_join): pairs of same-customer orders whose 30-day
+    activity windows overlap. Both sides explode into 32-day bins and
+    equi-join on (custkey, bin); a long overlap is counted once via
+    the first-shared-bin predicate - candidate pairs scale with bin
+    occupancy, never orders x orders. The oracle runs the naive theta
+    join; value-hash equality proves the binned plan loses and
+    duplicates nothing."""
+    from db_spark.operators import interval_join
+
+    o = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.to_date("o_orderdate"),
+                      F.to_date(F.lit("1970-01-01"))).cast("long")
+    base = o.select("o_orderkey", "o_custkey", days.alias("_lo"),
+                    (days + 30).alias("_hi"))
+    a = base.select(F.col("o_orderkey").alias("key_a"),
+                    F.col("o_custkey").alias("custkey"),
+                    F.col("_lo").alias("a_lo"), F.col("_hi").alias("a_hi"))
+    b = base.select(F.col("o_orderkey").alias("key_b"),
+                    F.col("o_custkey").alias("custkey"),
+                    F.col("_lo").alias("b_lo"), F.col("_hi").alias("b_hi"))
+    out = interval_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+                        bin_width=32.0, equi_keys=["custkey"])
+    return (
+        out.filter(F.col("key_a") < F.col("key_b"))
+        .select("custkey", "key_a", "key_b",
+                (F.least("a_hi", "b_hi")
+                 - F.greatest("a_lo", "b_lo")).cast("long")
+                .alias("overlap_days"))
+    )
+
+
 def q_gapfill_locf(spark, sf_dir):
     """Time-series resampling: hourly event-count/value grid per
     event_type over one day, with missing hours generated
@@ -3497,13 +3530,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     That fills the 50 exactly: 38 never-checked + 6 touched + 6 marked.
     Every new query below the boundary and every never-checked one
     inside it is locally validated by scripts/check_oracle.py (the
-    same DuckDB value-hash harness the driver runs). With 156 registry
+    same DuckDB value-hash harness the driver runs). With 157 registry
     keys and a 50-row window the full re-verification period is three
-    rounds; the r05 window should take (1) the fourteen never-checked
+    rounds; the r05 window should take (1) the fifteen never-checked
     late-round-4 additions (kmv_set_ops, token_budget, matview_join,
     bfs_hops, psi_drift, keywords_tfidf, centroid_outliers, skyline,
     importance_sample, skipgram_counts, cm_join_size, seasonal_decompose,
-    dq_report, hashed_features — each marked "new post-window"), then (2) the
+    dq_report, hashed_features, interval_join — each marked "new post-window"), then (2) the
     38 r02-green queries rotated below today (marked), then
     r03-greens."""
     return {
@@ -3625,6 +3658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": q_seasonal_decompose,
         "dq_report": q_dq_report,
         "hashed_features": q_hashed_features,
+        "interval_join": q_interval_join,
         "mvcc_multi_tx": q_mvcc_multi_tx,
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -4806,6 +4840,22 @@ def oracle_sql() -> dict[str, str]:
             FROM rk WHERE r <= 64 GROUP BY source
         """,
         "importance_sample": _importance_sample_oracle(),
+        # naive theta join as the oracle: the binned first-shared-bin
+        # plan must lose and duplicate nothing.
+        "interval_join": """
+            WITH i AS (
+              SELECT o_orderkey AS k, o_custkey AS c,
+                     datediff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS lo
+              FROM orders),
+            iv AS (SELECT k, c, lo, lo + 30 AS hi FROM i)
+            SELECT a.c AS custkey, a.k AS key_a, b.k AS key_b,
+                   CAST(LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo) AS BIGINT)
+                       AS overlap_days
+            FROM iv a JOIN iv b
+              ON a.c = b.c AND a.k < b.k
+             AND a.lo <= b.hi AND b.lo <= a.hi
+        """,
         "hashed_features": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
             SELECT doc_id,

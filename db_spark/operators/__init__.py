@@ -299,3 +299,46 @@ def skyline_2d(df: DataFrame, x: Column, y: Column,
             & (F.col("_myx") >= F.col("_sy")))
         .drop("_sx", "_sy", "_m", "_myx")
     )
+
+
+def interval_join(
+    left: DataFrame, right: DataFrame,
+    left_lo: str, left_hi: str, right_lo: str, right_hi: str,
+    bin_width: float, equi_keys: Sequence[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-OVERLAP join: pairs whose [lo, hi] ranges intersect
+    (closed intervals; touching endpoints overlap) — the temporal /
+    genomic companion of :func:`range_join`'s point-in-interval form.
+    Column names must already be distinct across the two sides.
+
+    Both sides explode into covering ``bin_width`` bins and equi-join
+    on (bin [, equi_keys]) — candidate pairs grow with per-bin
+    occupancy, never |L|×|R|. A pair of long intervals shares MANY
+    bins; it is counted exactly once by keeping only the join row in
+    the FIRST shared bin (``bin == max(floor(lo/w), floor(lo'/w))`` —
+    the overlap's left edge), a predicate, not a distinct, so no
+    dedup exchange is added. Pick ``bin_width`` near the typical
+    interval length: too small multiplies the explode, too large
+    piles unrelated intervals into one bucket."""
+    keys = list(equi_keys or [])
+    w = float(bin_width)
+    l2 = left.withColumn(
+        "_bin",
+        F.explode(F.sequence(
+            F.floor(F.col(left_lo) / F.lit(w)),
+            F.floor(F.col(left_hi) / F.lit(w)))))
+    r2 = right.withColumn(
+        "_bin",
+        F.explode(F.sequence(
+            F.floor(F.col(right_lo) / F.lit(w)),
+            F.floor(F.col(right_hi) / F.lit(w)))))
+    overlap = (
+        (F.col(left_lo) <= F.col(right_hi))
+        & (F.col(right_lo) <= F.col(left_hi))
+        & (F.col("_bin") == F.greatest(
+            F.floor(F.col(left_lo) / F.lit(w)),
+            F.floor(F.col(right_lo) / F.lit(w))))
+    )
+    on = ["_bin"] + keys
+    return l2.join(r2, on, how).filter(overlap).drop("_bin")

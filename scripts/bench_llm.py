@@ -34,7 +34,7 @@ PICKS = [
     "token_budget", "importance_sample", "keywords_tfidf",
     "skipgram_counts", "centroid_outliers", "kmv_set_ops",
     "cm_join_size", "psi_drift", "seasonal_decompose", "dq_report",
-    "skyline", "bfs_hops", "decontaminate",
+    "skyline", "bfs_hops", "hashed_features", "interval_join", "decontaminate",
     "stratified_sample", "bm25_topk", "embedding_quantize",
     "span_dup", "span_dedup", "collocations", "temperature_sample", "domain_cap", "redact_pii",
 ]

@@ -195,6 +195,13 @@ PICKS = {
         "All row-local rules fold into ONE conditional-aggregate scan "
         "(exploded back to per-rule rows); unique is one hash "
         "aggregate; the FK check is a broadcast anti-join count."),
+    "interval_join": (E.q_interval_join,
+        "Both interval sides explode into covering bins, equi-join on "
+        "(custkey, bin), first-shared-bin predicate dedups long "
+        "overlaps with no distinct exchange."),
+    "hashed_features": (E.q_hashed_features,
+        "Map-only explode into one (doc, index) aggregate - no "
+        "vocabulary state anywhere in the plan."),
     "importance_sample": (E.q_importance_sample,
         "Map-only: the quality rate and the ppm threshold fold into a "
         "single Filter over the scan — no exchange, no join, no window."),

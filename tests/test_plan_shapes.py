@@ -260,3 +260,13 @@ def test_dq_report_row_local_rules_share_one_scan(spark):
     plan = _plan(E.q_dq_report(spark, SF))
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") <= 6
+
+
+def test_interval_join_binned_not_theta(spark):
+    # the overlap join must plan as an equi hash/merge join on
+    # (custkey, bin) with a residual filter - never a cartesian or a
+    # pure-theta broadcast nested loop
+    plan = _plan(E.q_interval_join(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

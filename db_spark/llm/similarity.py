@@ -507,3 +507,30 @@ def centroid_outliers(
                 F.col("rank").cast("long").alias("rank"),
                 (F.col("_d6").cast("double") / 1e6).alias("dist"))
     )
+
+
+def ivf_index_append(
+    spark, path: str, new_vectors: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> int:
+    """Incremental IVF index maintenance: assign ``new_vectors`` to the
+    index's EXISTING centroids and append them into the matching
+    ``cell_id=`` directories — the daily-ingest path that keeps a 100 TB
+    index current without the rebuild (`ivf_index_build` rewrites the
+    whole corpus; this writes only the delta). Probes see the new
+    vectors immediately, with identical arithmetic to a full rebuild on
+    the same centroids — asserted by test, since assignment depends
+    only on (vector, centroids).
+
+    Centroids deliberately do NOT move: recall decays only as the data
+    distribution drifts away from the frozen centroids, at which point
+    a scheduled ``ivf_index_build(refine_iters=...)`` re-trains —
+    the standard offline-retrain / online-append split. Returns the
+    number of appended vectors (a metadata count of the delta, not a
+    corpus scan)."""
+    centroids = spark.read.parquet(path + "/centroids").withColumnRenamed(
+        "centroid", "_cvec")
+    assigned = _assign_to(new_vectors, centroids, id_col, vec_col)
+    assigned.write.mode("append").partitionBy("cell_id").parquet(
+        path + "/corpus")
+    return new_vectors.count()

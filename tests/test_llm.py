@@ -986,3 +986,38 @@ def test_hashed_features_stable_and_bounded(spark):
     b = sorted(map(tuple, hashed_features(
         docs.repartition(8), dim=64).collect()))
     assert a == b
+
+
+def test_ivf_index_append_equals_rebuild(spark, tmp_path):
+    """Appending new vectors to a persisted IVF index must yield probe
+    results identical to rebuilding the whole index with the SAME
+    centroids — assignment depends only on (vector, centroids), and
+    append writes only the delta."""
+    from db_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    idx = str(tmp_path / "ivf")
+    similarity.ivf_index_build(old, idx, n_cells=8)
+    n = similarity.ivf_index_append(spark, idx, new)
+    assert n == new.count() and n > 0
+    got = similarity.ivf_index_topk(spark, idx, queries, k=5, n_probe=3)
+
+    # true one-shot rebuild over the FULL corpus: lowest-id seeding
+    # picks vec_id 0..7 from `old` and from the full corpus alike, so
+    # centroids are identical and append must match the rebuild exactly
+    idx2 = str(tmp_path / "ivf2")
+    similarity.ivf_index_build(emb, idx2, n_cells=8)
+    expect = similarity.ivf_index_topk(spark, idx2, queries, k=5, n_probe=3)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, expect.collect()))
+    # appended vectors are actually reachable: probe FOR a new vector
+    probe_new = new.limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    hits = similarity.ivf_index_topk(
+        spark, idx, probe_new, k=1, n_probe=8).collect()
+    assert hits and hits[0]["vec_id"] == hits[0]["query_id"]  # finds itself

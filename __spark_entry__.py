@@ -670,6 +670,28 @@ def q_dq_report(spark, sf_dir):
     return report.unionByName(fk)
 
 
+def q_seasonal_anomalies(spark, sf_dir):
+    """Seasonality-aware anomaly flags (db_spark/analytics.py:
+    seasonal_anomalies): hourly event values whose RESIDUAL z-score
+    (after removing trend and hour-of-day seasonality) exceeds 2.5 -
+    the alert a raw z-score fires wrongly every peak hour. Residual
+    moments in milli-scaled BIGINT; one extra |keys|-row aggregate on
+    top of the decomposition."""
+    from db_spark import analytics
+
+    ev = _t(spark, sf_dir, "events")
+    pos = (F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+           .cast("long") * 24 + F.hour("ts").cast("long"))
+    hourly = (
+        ev.groupBy("event_type", pos.alias("pos"))
+        .agg((F.sum(F.round(F.col("value") * 100).cast("long"))
+              .cast("double") / 100.0).alias("hourly_value"))
+    )
+    return analytics.seasonal_anomalies(
+        hourly, ["event_type"], "pos", "hourly_value",
+        period=24, trend_window=5, threshold=2.5)
+
+
 def q_seasonal_decompose(spark, sf_dir):
     """STL-lite decomposition (db_spark/analytics.py:
     seasonal_decompose): hourly event value per type split into trend
@@ -3530,13 +3552,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     That fills the 50 exactly: 38 never-checked + 6 touched + 6 marked.
     Every new query below the boundary and every never-checked one
     inside it is locally validated by scripts/check_oracle.py (the
-    same DuckDB value-hash harness the driver runs). With 157 registry
+    same DuckDB value-hash harness the driver runs). With 158 registry
     keys and a 50-row window the full re-verification period is three
-    rounds; the r05 window should take (1) the fifteen never-checked
+    rounds; the r05 window should take (1) the sixteen never-checked
     late-round-4 additions (kmv_set_ops, token_budget, matview_join,
     bfs_hops, psi_drift, keywords_tfidf, centroid_outliers, skyline,
     importance_sample, skipgram_counts, cm_join_size, seasonal_decompose,
-    dq_report, hashed_features, interval_join — each marked "new post-window"), then (2) the
+    dq_report, hashed_features, interval_join, seasonal_anomalies — each
+    marked "new post-window"), then (2) the
     38 r02-green queries rotated below today (marked), then
     r03-greens."""
     return {
@@ -3659,6 +3682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_report": q_dq_report,
         "hashed_features": q_hashed_features,
         "interval_join": q_interval_join,
+        "seasonal_anomalies": q_seasonal_anomalies,
         "mvcc_multi_tx": q_mvcc_multi_tx,
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -4910,6 +4934,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT rule, kind, violations,
                    violations = 0 AS passed
             FROM r
+        """,
+        # the decomposition chain + milli-scaled residual moments and a
+        # rank-4 rounded threshold - the zscore_outliers rules on the
+        # residual channel.
+        "seasonal_anomalies": """
+            WITH hourly AS (
+              SELECT event_type,
+                     (datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                      * 24 + hour(ts)) AS pos,
+                     SUM(CAST(round(value * 100) AS BIGINT)) AS vc
+              FROM events GROUP BY 1, 2),
+            t AS (
+              SELECT event_type, pos, vc,
+                     CAST(SUM(vc) OVER w AS DOUBLE)
+                         / (100.0 * COUNT(*) OVER w) AS trend
+              FROM hourly
+              WINDOW w AS (PARTITION BY event_type ORDER BY pos
+                           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+            d AS (SELECT event_type, pos, vc, trend,
+                         CAST(vc AS DOUBLE) / 100 - trend AS dd,
+                         pos % 24 AS ph
+                  FROM t),
+            s AS (SELECT event_type, ph,
+                         CAST(SUM(CAST(round(dd * 1e9) AS BIGINT)) AS DOUBLE)
+                             / (1e9 * COUNT(*)) AS seasonal
+                  FROM d GROUP BY 1, 2),
+            dec AS (
+              SELECT d.event_type, d.pos, d.ph,
+                     CAST(d.vc AS DOUBLE) / 100 AS value,
+                     round(CAST(d.vc AS DOUBLE) / 100 - d.trend
+                           - s.seasonal, 6) AS residual
+              FROM d JOIN s ON d.event_type = s.event_type
+                           AND d.ph = s.ph),
+            r AS (SELECT *, CAST(round(residual * 1000) AS BIGINT) AS r3
+                  FROM dec),
+            m AS (
+              SELECT event_type, count(*) AS n,
+                     SUM(r3) AS s1, SUM(r3 * r3) AS s2
+              FROM r GROUP BY 1 HAVING count(*) > 1),
+            z AS (
+              SELECT r.event_type, r.pos, r.ph, r.value, r.residual,
+                     (CAST(r.r3 AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.n)
+                     / sqrt((CAST(m.s2 AS DOUBLE)
+                             - CAST(m.s1 AS DOUBLE) * m.s1 / m.n)
+                            / (m.n - 1)) AS zz,
+                     sqrt((CAST(m.s2 AS DOUBLE)
+                           - CAST(m.s1 AS DOUBLE) * m.s1 / m.n)
+                          / (m.n - 1)) AS sd
+              FROM r JOIN m ON r.event_type = m.event_type)
+            SELECT event_type, CAST(pos AS BIGINT) AS position,
+                   CAST(ph AS BIGINT) AS phase, value, residual,
+                   round(zz, 4) AS z
+            FROM z WHERE sd > 0 AND round(abs(zz), 4) >= 2.5
         """,
         # same scaled-BIGINT window sums, nano-rounded seasonal means,
         # single-divide trend - every component engine-reproducible.

@@ -372,3 +372,51 @@ def seasonal_decompose(
         F.round(F.col("_vc").cast("double") / scale - F.col("_trend")
                 - F.col("_seasonal"), 6).alias("residual"),
     )
+
+
+def seasonal_anomalies(
+    series: DataFrame, key_cols, time_col: str, value_col: str,
+    period: int = 24, trend_window: int = 5, threshold: float = 3.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Seasonality-aware anomaly detection: decompose the series
+    (:func:`seasonal_decompose`), then flag positions whose RESIDUAL
+    z-score exceeds ``threshold`` — "anomalous after accounting for
+    trend and time-of-day", the question a raw z-score gets wrong
+    twice a day at peak hours.
+
+    Residual moments use the integer discipline (residuals milli-
+    scaled to BIGINT; sum and sum-of-squares are order-independent
+    integer adds), sample variance, and a rank-4 rounded comparison —
+    the ``zscore_outliers`` rules, applied to the decomposition's
+    residual channel. Returns only the flagged rows: key_cols +
+    (position, phase, value, residual, z). Cost on top of the
+    decomposition: one |keys|-row moment aggregate broadcast back.
+    """
+    keys = list(key_cols)
+    dec = seasonal_decompose(series, keys, time_col, value_col,
+                             period, trend_window, scale)
+    r1000 = F.round(F.col("residual") * 1000).cast("long")
+    moments = (
+        dec.groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"),
+             F.sum(r1000).alias("_s1"),
+             F.sum(r1000 * r1000).alias("_s2"))
+        .filter(F.col("_n") > 1)
+        .select(
+            *keys, "_n",
+            (F.col("_s1").cast("double") / F.col("_n")).alias("_mean"),
+            F.sqrt((F.col("_s2").cast("double")
+                    - F.col("_s1").cast("double") * F.col("_s1")
+                    / F.col("_n"))
+                   / (F.col("_n") - 1)).alias("_sd"))
+    )
+    return (
+        dec.withColumn("_r", r1000)
+        .join(F.broadcast(moments), keys)
+        .filter(F.col("_sd") > 0)
+        .withColumn("_z", (F.col("_r") - F.col("_mean")) / F.col("_sd"))
+        .filter(F.round(F.abs("_z"), 4) >= threshold)
+        .select(*keys, "position", "phase", "value", "residual",
+                F.round("_z", 4).alias("z"))
+    )

@@ -301,3 +301,30 @@ def test_seasonal_decompose_partition_invariant(spark):
     b = seasonal_decompose(df.repartition(16), ["k"], "pos", "v",
                            period=6).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_seasonal_anomalies_flags_planted_spike(spark):
+    from db_spark.analytics import seasonal_anomalies
+
+    # repeating daily pattern over 10 periods of 6 + one planted spike
+    rows = []
+    for p in range(60):
+        v = 100.0 + 5.0 * (p % 6)
+        if p == 33:
+            v += 400.0  # the anomaly
+        rows.append(("a", p, v))
+    df = spark.createDataFrame(rows, "k string, pos long, v double")
+    out = seasonal_anomalies(df, ["k"], "pos", "v", period=6,
+                             trend_window=1, threshold=3.0).collect()
+    # trend_window=1 makes trend == value, so residuals are all zero
+    # and nothing flags (the spike is absorbed into its own trend)
+    assert out == []
+
+    out5 = seasonal_anomalies(df, ["k"], "pos", "v", period=6,
+                              trend_window=7, threshold=3.0).collect()
+    flagged = {r["position"] for r in out5}
+    assert 33 in flagged
+    assert all(abs(r["z"]) >= 3.0 for r in out5)
+    # the spike's own neighbors may co-flag (it pollutes their trend
+    # window) but the flag set stays local to the spike
+    assert flagged <= set(range(30, 37))

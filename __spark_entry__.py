@@ -670,6 +670,30 @@ def q_dq_report(spark, sf_dir):
     return report.unionByName(fk)
 
 
+def q_winsorize(spark, sf_dir):
+    """Winsorized robust summary (db_spark/analytics.py:winsorize):
+    l_extendedprice clipped into each return flag's exact [p01, p99]
+    band, then a scaled-BIGINT mean over the clipped values plus clip
+    counts. Bounds are a |groups|-row percentile aggregate broadcast
+    onto one clipping scan; the percentile parity is the
+    exact_percentiles precedent."""
+    from db_spark import analytics
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = analytics.winsorize(li, "l_extendedprice", ["l_returnflag"],
+                            lo=0.01, hi=0.99)
+    return (
+        w.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.sum("_clipped_lo").cast("long").alias("n_clipped_lo"),
+             F.sum("_clipped_hi").cast("long").alias("n_clipped_hi"),
+             F.round(
+                 F.sum(F.round(F.col("l_extendedprice_w") * 100)
+                       .cast("long")).cast("double")
+                 / (100.0 * F.count(F.lit(1))), 4).alias("winsorized_mean"))
+    )
+
+
 def q_seasonal_anomalies(spark, sf_dir):
     """Seasonality-aware anomaly flags (db_spark/analytics.py:
     seasonal_anomalies): hourly event values whose RESIDUAL z-score
@@ -3552,14 +3576,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     That fills the 50 exactly: 38 never-checked + 6 touched + 6 marked.
     Every new query below the boundary and every never-checked one
     inside it is locally validated by scripts/check_oracle.py (the
-    same DuckDB value-hash harness the driver runs). With 158 registry
+    same DuckDB value-hash harness the driver runs). With 159 registry
     keys and a 50-row window the full re-verification period is three
-    rounds; the r05 window should take (1) the sixteen never-checked
+    rounds; the r05 window should take (1) the seventeen never-checked
     late-round-4 additions (kmv_set_ops, token_budget, matview_join,
     bfs_hops, psi_drift, keywords_tfidf, centroid_outliers, skyline,
     importance_sample, skipgram_counts, cm_join_size, seasonal_decompose,
-    dq_report, hashed_features, interval_join, seasonal_anomalies — each
-    marked "new post-window"), then (2) the
+    dq_report, hashed_features, interval_join, seasonal_anomalies,
+    winsorize — each marked "new post-window"), then (2) the
     38 r02-green queries rotated below today (marked), then
     r03-greens."""
     return {
@@ -3683,6 +3707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_features": q_hashed_features,
         "interval_join": q_interval_join,
         "seasonal_anomalies": q_seasonal_anomalies,
+        "winsorize": q_winsorize,
         "mvcc_multi_tx": q_mvcc_multi_tx,
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -4934,6 +4959,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT rule, kind, violations,
                    violations = 0 AS passed
             FROM r
+        """,
+        # quantile_cont == percentile bit-for-bit (exact_percentiles
+        # precedent); clip + scaled-BIGINT mean replayed exactly.
+        "winsorize": """
+            WITH b AS (
+              SELECT l_returnflag,
+                     quantile_cont(l_extendedprice, 0.01) AS blo,
+                     quantile_cont(l_extendedprice, 0.99) AS bhi
+              FROM lineitem GROUP BY 1),
+            w AS (
+              SELECT li.l_returnflag,
+                     LEAST(GREATEST(l_extendedprice, blo), bhi) AS vw,
+                     CASE WHEN l_extendedprice < blo THEN 1 ELSE 0 END AS cl,
+                     CASE WHEN l_extendedprice > bhi THEN 1 ELSE 0 END AS ch
+              FROM lineitem li JOIN b ON li.l_returnflag = b.l_returnflag)
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(cl) AS BIGINT) AS n_clipped_lo,
+                   CAST(SUM(ch) AS BIGINT) AS n_clipped_hi,
+                   round(CAST(SUM(CAST(round(vw * 100) AS BIGINT)) AS DOUBLE)
+                         / (100.0 * count(*)), 4) AS winsorized_mean
+            FROM w GROUP BY 1
         """,
         # the decomposition chain + milli-scaled residual moments and a
         # rank-4 rounded threshold - the zscore_outliers rules on the

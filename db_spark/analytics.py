@@ -420,3 +420,36 @@ def seasonal_anomalies(
         .select(*keys, "position", "phase", "value", "residual",
                 F.round("_z", 4).alias("z"))
     )
+
+
+def winsorize(
+    df: DataFrame, value_col: str, group_cols, lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Winsorization: clip each value into its group's exact
+    [p_lo, p_hi] percentile band — the outlier-taming preprocessing
+    step (feature clipping before training, robust means for
+    reporting) that keeps rows instead of dropping them like a z-score
+    filter would.
+
+    Exact interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont` bit-for-bit on the same doubles — the
+    `exact_percentiles` parity); bounds are a |groups|-row aggregate
+    broadcast back onto one clipping scan. Appends
+    ``{value_col}_w`` (clipped), ``_clipped_lo``/``_clipped_hi``
+    (flags). Exact percentiles sort per group — for 100 TB-scale
+    groups swap the bound computation for `hist_quantile` sketch
+    bounds; the clipping scan is unchanged."""
+    keys = list(group_cols)
+    bounds = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, {lo!r})").alias("_blo"),
+        F.expr(f"percentile({value_col}, {hi!r})").alias("_bhi"))
+    v = F.col(value_col)
+    return (
+        df.join(F.broadcast(bounds), keys)
+        .withColumn(f"{value_col}_w",
+                    F.least(F.greatest(v, F.col("_blo")), F.col("_bhi")))
+        .withColumn("_clipped_lo", (v < F.col("_blo")).cast("int"))
+        .withColumn("_clipped_hi", (v > F.col("_bhi")).cast("int"))
+        .drop("_blo", "_bhi")
+    )

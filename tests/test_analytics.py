@@ -328,3 +328,35 @@ def test_seasonal_anomalies_flags_planted_spike(spark):
     # the spike's own neighbors may co-flag (it pollutes their trend
     # window) but the flag set stays local to the spike
     assert flagged <= set(range(30, 37))
+
+
+# ---------------------------------------------------------------------------
+# Winsorization
+# ---------------------------------------------------------------------------
+
+def test_winsorize_clips_into_band_and_flags(spark):
+    from db_spark.analytics import winsorize
+    from pyspark.sql import functions as F
+
+    rows = [("a", float(v)) for v in range(1, 100)] + \
+        [("a", -1000.0), ("a", 1000.0), ("b", 5.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", ["g"], lo=0.05, hi=0.95).collect()
+    a = [r for r in out if r["g"] == "a"]
+    assert len(a) == 101  # rows kept, not dropped
+    assert sum(r["_clipped_lo"] for r in a) >= 1  # -1000 clipped up
+    assert sum(r["_clipped_hi"] for r in a) >= 1  # +1000 clipped down
+    los = [r["v_w"] for r in a if r["v"] == -1000.0]
+    his = [r["v_w"] for r in a if r["v"] == 1000.0]
+    band_lo, band_hi = los[0], his[0]
+    assert band_lo > -1000 and band_hi < 1000
+    assert all(band_lo <= r["v_w"] <= band_hi for r in a)
+    # interior values untouched
+    assert all(r["v_w"] == r["v"] for r in a
+               if band_lo < r["v"] < band_hi)
+    # group b computes its own band: the interpolated [p05, p95] of a
+    # 2-row group sits strictly inside [5, 6], so BOTH rows clip
+    # inward — the honest definition on tiny groups
+    b = {r["v"]: r for r in out if r["g"] == "b"}
+    assert b[5.0]["_clipped_lo"] == 1 and b[6.0]["_clipped_hi"] == 1
+    assert 5.0 < b[5.0]["v_w"] < b[6.0]["v_w"] < 6.0

@@ -670,6 +670,18 @@ def q_dq_report(spark, sf_dir):
     return report.unionByName(fk)
 
 
+def q_twap(spark, sf_dir):
+    """Time-weighted average (db_spark/analytics.py:time_weighted_avg):
+    per event type, each sampled value weighted by the seconds it was
+    in force - the honest mean for gauges, where the arithmetic mean
+    over-weights rapid-sample bursts. Integer cent-second products,
+    one divide; one key-ordered window + a |keys|-row aggregate."""
+    from db_spark import analytics
+
+    ev = _t(spark, sf_dir, "events")
+    return analytics.time_weighted_avg(ev, ["event_type"])
+
+
 def q_winsorize(spark, sf_dir):
     """Winsorized robust summary (db_spark/analytics.py:winsorize):
     l_extendedprice clipped into each return flag's exact [p01, p99]
@@ -3576,14 +3588,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     That fills the 50 exactly: 38 never-checked + 6 touched + 6 marked.
     Every new query below the boundary and every never-checked one
     inside it is locally validated by scripts/check_oracle.py (the
-    same DuckDB value-hash harness the driver runs). With 159 registry
+    same DuckDB value-hash harness the driver runs). With 160 registry
     keys and a 50-row window the full re-verification period is three
-    rounds; the r05 window should take (1) the seventeen never-checked
+    rounds; the r05 window should take (1) the eighteen never-checked
     late-round-4 additions (kmv_set_ops, token_budget, matview_join,
     bfs_hops, psi_drift, keywords_tfidf, centroid_outliers, skyline,
     importance_sample, skipgram_counts, cm_join_size, seasonal_decompose,
     dq_report, hashed_features, interval_join, seasonal_anomalies,
-    winsorize — each marked "new post-window"), then (2) the
+    winsorize, twap — each marked "new post-window"), then (2) the
     38 r02-green queries rotated below today (marked), then
     r03-greens."""
     return {
@@ -3708,6 +3720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "seasonal_anomalies": q_seasonal_anomalies,
         "winsorize": q_winsorize,
+        "twap": q_twap,
         "mvcc_multi_tx": q_mvcc_multi_tx,
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -4959,6 +4972,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT rule, kind, violations,
                    violations = 0 AS passed
             FROM r
+        """,
+        # same integer holding-seconds x cent products, one divide.
+        "twap": """
+            WITH e AS (
+              SELECT event_type,
+                     epoch_us(ts) // 1000000 AS t,
+                     CAST(round(value * 100) AS BIGINT) AS vc
+              FROM events),
+            h AS (
+              SELECT event_type, vc,
+                     lead(t) OVER (PARTITION BY event_type ORDER BY t, vc) - t
+                         AS dur
+              FROM e)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(SUM(dur) AS BIGINT) AS total_seconds,
+                   round(CAST(SUM(vc * dur) AS DOUBLE)
+                         / (100.0 * SUM(dur)), 6) AS twap
+            FROM h WHERE dur IS NOT NULL
+            GROUP BY 1 HAVING SUM(dur) > 0
         """,
         # quantile_cont == percentile bit-for-bit (exact_percentiles
         # precedent); clip + scaled-BIGINT mean replayed exactly.

@@ -453,3 +453,57 @@ def winsorize(
         .withColumn("_clipped_hi", (v > F.col("_bhi")).cast("int"))
         .drop("_blo", "_bhi")
     )
+
+
+def time_weighted_avg(
+    events: DataFrame, key_cols, ts_col: str = "ts",
+    value_col: str = "value", scale: int = 100,
+) -> DataFrame:
+    """Time-weighted average over IRREGULARLY sampled values: each
+    sample holds until the next one, so its weight is the seconds it
+    was in force (the last sample of a key contributes nothing — its
+    holding period is unknown). The honest mean for sampled gauges
+    (price, queue depth, temperature), where the arithmetic mean
+    over-weights bursts of rapid samples.
+
+    Determinism: holding seconds are exact integers (timezone-free
+    datediff/hour/minute/second composition — TIMESTAMP_NTZ-safe),
+    values cent-scale to BIGINT, and the weighted sum accumulates
+    cent·second integer products — order-independent; ONE divide at
+    the end. One shuffle on the key (the lead window), then a
+    |keys|-row aggregate. Returns key_cols + (n_samples,
+    total_seconds, twap)."""
+    keys = list(key_cols)
+
+    def epoch_s(c):
+        return (
+            F.datediff(F.to_date(c), F.to_date(F.lit("1970-01-01")))
+            .cast("long") * 86400
+            + F.hour(c).cast("long") * 3600
+            + F.minute(c).cast("long") * 60
+            + F.second(c).cast("long")
+        )
+
+    held = (
+        events.select(
+            *keys,
+            epoch_s(F.col(ts_col)).alias("_t"),
+            F.round(F.col(value_col) * scale).cast("long").alias("_vc"))
+        # tie-break equal timestamps by value: with two samples in the
+        # same second, which one holds for 0 s is semantically
+        # arbitrary but must be DETERMINISTIC across engines or the
+        # weighted sum drifts on ties
+        .withColumn("_tn", F.lead("_t").over(
+            Window.partitionBy(*keys).orderBy("_t", "_vc")))
+        .filter(F.col("_tn").isNotNull())
+        .withColumn("_dur", F.col("_tn") - F.col("_t"))
+    )
+    return (
+        held.groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_samples"),
+             F.sum("_dur").cast("long").alias("total_seconds"),
+             F.round(
+                 F.sum(F.col("_vc") * F.col("_dur")).cast("double")
+                 / (F.lit(float(scale)) * F.sum("_dur")), 6).alias("twap"))
+        .filter(F.col("total_seconds") > 0)
+    )

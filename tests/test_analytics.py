@@ -360,3 +360,41 @@ def test_winsorize_clips_into_band_and_flags(spark):
     b = {r["v"]: r for r in out if r["g"] == "b"}
     assert b[5.0]["_clipped_lo"] == 1 and b[6.0]["_clipped_hi"] == 1
     assert 5.0 < b[5.0]["v_w"] < b[6.0]["v_w"] < 6.0
+
+
+def test_time_weighted_avg_weights_by_holding_time(spark):
+    import datetime as dt
+
+    from db_spark.analytics import time_weighted_avg
+
+    base = dt.datetime(2024, 1, 1)
+    # value 10 held 90s, value 100 held 10s, final sample contributes 0
+    rows = [("a", base, 10.0),
+            ("a", base + dt.timedelta(seconds=90), 100.0),
+            ("a", base + dt.timedelta(seconds=100), 999.0),
+            ("b", base, 5.0)]  # single sample: no holding period
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r["k"]: r for r in time_weighted_avg(
+        df, ["k"], "ts", "v").collect()}
+    a = out["a"]
+    assert a["total_seconds"] == 100 and a["n_samples"] == 2
+    assert a["twap"] == (10.0 * 90 + 100.0 * 10) / 100  # == 19.0
+    assert "b" not in out  # unknowable holding period -> no row
+
+
+def test_time_weighted_avg_tie_deterministic(spark):
+    import datetime as dt
+
+    from db_spark.analytics import time_weighted_avg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("a", base, 2.0), ("a", base, 8.0),
+            ("a", base + dt.timedelta(seconds=10), 4.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    outs = set()
+    for n in (1, 8):
+        r = time_weighted_avg(df.repartition(n), ["k"], "ts", "v") \
+            .collect()[0]
+        outs.add((r["n_samples"], r["total_seconds"], r["twap"]))
+    # value-ascending tiebreak: 2.0 holds 0 s, 8.0 holds the 10 s
+    assert outs == {(2, 10, 8.0)}

@@ -57,7 +57,11 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, t + ".parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark writes parquet "files" as directories of part files
+            # (the generated sf1 dir); DuckDB needs the glob form
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()

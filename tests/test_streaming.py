@@ -817,3 +817,40 @@ def test_stream_changes_cdc_source(spark, tmp_path):
     allrows = {(r["_id"], r["_kind"]) for r in
                spark.sql("SELECT * FROM cdc_all").collect()}
     assert ("z", "U") in allrows
+
+
+def test_stream_sketch_hist_grouped(spark, tmp_path):
+    """Grouped histogram maintenance: per-group state stays bounded and
+    equals the one-shot grouped sketch."""
+    from db_spark.sketch import hist_sketch
+
+    d = str(tmp_path / "in")
+    schema = T.StructType([T.StructField("g", T.StringType()),
+                           T.StructField("v", T.DoubleType())])
+    batches = [
+        [("a", float(i % 10)) for i in range(100)],
+        [("b", float(i % 4)) for i in range(60)] + [("a", 3.0)] * 5,
+    ]
+    spark.createDataFrame(batches[0], schema).coalesce(1).write.mode(
+        "overwrite").parquet(d)
+    state = str(tmp_path / "state")
+
+    def drain():
+        stream = st.stream_from_files(spark, d, schema)
+        st.stream_sketch_hist(stream, "v", state, str(tmp_path / "ckpt"),
+                              lo=0.0, hi=10.0, buckets=8,
+                              group_cols=["g"])
+
+    drain()
+    spark.createDataFrame(batches[1], schema).coalesce(1).write.mode(
+        "append").parquet(d)
+    drain()
+
+    maintained = sorted(
+        map(tuple, st.read_sketch_state(spark, state).collect()))
+    all_rows = [r for b in batches for r in b]
+    oneshot = sorted(map(tuple, hist_sketch(
+        spark.createDataFrame(all_rows, schema), F.col("v"),
+        0.0, 10.0, 8, group_cols=["g"]).collect()))
+    assert maintained == oneshot
+    assert len(maintained) <= 2 * 8  # bounded per group

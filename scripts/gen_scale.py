@@ -36,6 +36,9 @@ _KEYED = {
     "supplier": "s_suppkey",
     "documents": "doc_id",
     "embeddings": "vec_id",
+    "events": "event_id",
+    # events' user population is its own key space (no users table)
+    "events_user": ("events", "user_id"),
 }
 
 # table -> {column: key-space it references}
@@ -55,6 +58,9 @@ _FKS = {
     "supplier": {"s_suppkey": "supplier"},
     "documents": {"doc_id": "documents"},
     "embeddings": {"vec_id": "embeddings"},
+    # timestamps replicate UNCHANGED: 10x event volume per hour, same
+    # time range - the right scaling for the time-series tier
+    "events": {"event_id": "events", "user_id": "events_user"},
 }
 
 _COPY = ["nation", "region"]
@@ -75,8 +81,9 @@ def ensure_scaled(spark, src_dir: str, dst_dir: str, replicas: int) -> bool:
 
     spans = {}
     for t, k in _KEYED.items():
-        df = sources.read_table(spark, src_dir, t)
-        spans[t] = int(df.agg(F.max(k)).collect()[0][0]) + 1
+        src_t, col = (k if isinstance(k, tuple) else (t, k))
+        df = sources.read_table(spark, src_dir, src_t)
+        spans[t] = int(df.agg(F.max(col)).collect()[0][0]) + 1
 
     for t, fks in _FKS.items():
         df = sources.read_table(spark, src_dir, t)

@@ -178,21 +178,7 @@ def lsh_candidate_pairs(
     still found through their other ``bands - 1`` (guarded) bands or the
     exact-dedup pass, so the cap bounds worst-case cost at
     O(corpus * cap) with negligible recall loss."""
-    rows = k // bands
-    band_cols = [
-        F.concat_ws("_", *[F.col(f"m{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    exploded = banded.select(
-        F.col(id_col).alias("_bid"),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key"))
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select("_bid", "bk.band_id", "bk.band_key")
+    exploded = _banded_rows(sig, id_col, k, bands)
     if max_bucket_size is not None:
         sizes = exploded.groupBy("band_id", "band_key").agg(
             F.count(F.lit(1)).alias("_bn"))
@@ -533,3 +519,87 @@ def connected_components(
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def _banded_rows(sig: DataFrame, id_col: str, k: int,
+                 bands: int) -> DataFrame:
+    """Explode a signature table into (id, band_id, band_key) rows —
+    the bucket-membership form both the pairwise self-join and the
+    persisted index build share."""
+    rows = k // bands
+    band_cols = [
+        F.concat_ws("_", *[F.col(f"m{b * rows + r}") for r in range(rows)])
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col).alias("_bid"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.col(f"band{b}").alias("band_key"))
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("_bid", "bk.band_id", "bk.band_key")
+
+
+def lsh_index_build(
+    corpus: DataFrame, path: str, id_col: str = "doc_id",
+    text_col: str = "text", k: int = 16, bands: int = 4, n: int = 3,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> None:
+    """Persist the corpus's LSH band buckets (hive-partitioned by
+    ``band_id``, bucket sizes precomputed) — the state INCREMENTAL
+    dedup probes against: a daily ingest asks "which existing docs is
+    each new doc near?" without re-signing or re-joining the 100 TB
+    history (`lsh_index_probe`). Parameters are pinned in a meta file;
+    probes must shingle/hash identically or buckets are meaningless."""
+    import json
+    import os
+
+    sig = minhash_signature(corpus, id_col, text_col, k, n, max_shingle_df)
+    rows = _banded_rows(sig, id_col, k, bands)
+    sizes = rows.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("_bn"))
+    rows.join(sizes, ["band_id", "band_key"]).write.mode(
+        "overwrite").partitionBy("band_id").parquet(path + "/bands")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump({"k": k, "bands": bands, "n": n,
+                   "max_shingle_df": max_shingle_df}, fh)
+
+
+def lsh_index_probe(
+    spark, path: str, new_docs: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Candidate (new_id, corpus_id) near-dup pairs for NEW documents
+    against the persisted corpus index: sign only the delta, explode
+    its bands, and bucket-join against the stored membership — cost is
+    O(new docs · bands) join rows against bucket-local state, never a
+    rescan of the corpus. Hot corpus buckets (> ``max_bucket_size``,
+    sizes precomputed at build) are skipped under the standard recall
+    argument. Verify candidates with exact Jaccard
+    (`ngram_jaccard_pairs` semantics) before acting; the index stores
+    no text. Returns distinct (new_id, corpus_id)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    sig = minhash_signature(
+        new_docs, id_col, text_col, meta["k"], meta["n"],
+        meta["max_shingle_df"])
+    probe = _banded_rows(sig, id_col, meta["k"], meta["bands"])
+    index = spark.read.parquet(path + "/bands")
+    if max_bucket_size is not None:
+        index = index.filter(F.col("_bn") <= max_bucket_size)
+    return (
+        probe.join(index.withColumnRenamed("_bid", "_cid"),
+                   ["band_id", "band_key"])
+        .select(F.col("_bid").alias("new_id"),
+                F.col("_cid").alias("corpus_id"))
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .distinct()
+    )

@@ -1021,3 +1021,49 @@ def test_ivf_index_append_equals_rebuild(spark, tmp_path):
     hits = similarity.ivf_index_topk(
         spark, idx, probe_new, k=1, n_probe=8).collect()
     assert hits and hits[0]["vec_id"] == hits[0]["query_id"]  # finds itself
+
+
+def test_lsh_index_probe_finds_near_dups_incrementally(spark, tmp_path):
+    """Daily-ingest dedup: new docs probe the persisted corpus index
+    and surface their near-dup sources without re-signing the corpus."""
+    from db_spark.llm.dedup import lsh_index_build, lsh_index_probe
+
+    corpus = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over the lazy dog number {i} "
+             f"with plenty of shared shingle material in every document")
+         for i in range(20)],
+        "doc_id long, text string")
+    idx = str(tmp_path / "lsh")
+    lsh_index_build(corpus, idx, k=16, bands=4)
+
+    new = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog number 3 "
+               "with plenty of shared shingle material in every document"),
+         (101, "completely unrelated text about astrophysics and "
+               "spectral lines of distant quasars nothing shared here")],
+        "doc_id long, text string")
+    got = lsh_index_probe(spark, idx, new).collect()
+    hits = {(r["new_id"], r["corpus_id"]) for r in got}
+    assert (100, 3) in hits          # exact copy of doc 3 found
+    assert all(n != 101 for n, _ in hits)  # unrelated doc matches nothing
+
+
+def test_lsh_index_probe_matches_inflight_pairs(spark, tmp_path):
+    """Probing the corpus against its own index must reproduce the
+    in-flight lsh_candidate_pairs (as ordered pairs, both directions)."""
+    from db_spark.llm.dedup import (lsh_candidate_pairs, lsh_index_build,
+                                    lsh_index_probe, minhash_signature)
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared text payload variant {i % 5} repeated words "
+             f"for shingles across the corpus body {i % 3}")
+         for i in range(30)],
+        "doc_id long, text string")
+    idx = str(tmp_path / "lsh")
+    lsh_index_build(docs, idx, k=16, bands=4)
+    probed = {(r["new_id"], r["corpus_id"]) for r in
+              lsh_index_probe(spark, idx, docs).collect()}
+    sig = minhash_signature(docs)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             lsh_candidate_pairs(sig).collect()}
+    assert probed == pairs | {(b, a) for a, b in pairs}

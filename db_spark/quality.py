@@ -159,3 +159,39 @@ def dq_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.withColumn("passed", F.col("violations") == 0)
+
+
+def dq_violations(df: DataFrame, rule: Rule, limit: int = 100) -> DataFrame:
+    """The drill-down for ONE tripped rule: the offending rows
+    themselves, capped at ``limit`` (a LIMIT, not a sort — grab *some*
+    evidence cheaply; remove the cap for a full extraction). This is
+    deliberately a separate call from :func:`dq_report`: the report is
+    counts-only so monitoring never shuffles failing rows around the
+    cluster — rows move only when a human asks for them."""
+    if rule.kind == "not_null":
+        bad = df.filter(F.col(rule.cols[0]).isNull())
+    elif rule.kind == "accepted_values":
+        c = F.col(rule.cols[0])
+        bad = df.filter(c.isNotNull() & ~c.isin(*rule.values))
+    elif rule.kind == "in_range":
+        c = F.col(rule.cols[0])
+        bad = df.filter(c.isNotNull()
+                        & ((c < F.lit(rule.lo)) | (c > F.lit(rule.hi))))
+    elif rule.kind == "custom":
+        cond = rule.condition
+        bad = df.filter(~F.coalesce(cond, F.lit(False)))
+    elif rule.kind == "unique":
+        keys = [F.col(c) for c in rule.cols]
+        dups = (df.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1).drop("_n"))
+        bad = df.join(dups, list(rule.cols), "left_semi")
+    elif rule.kind == "foreign_key":
+        parents = rule.parent.select(
+            F.col(rule.parent_col).alias("_pk")).distinct()
+        bad = (df.filter(F.col(rule.cols[0]).isNotNull())
+               .join(F.broadcast(parents),
+                     F.col(rule.cols[0]) == F.col("_pk"), "left_anti"))
+    else:
+        raise ValueError(f"unknown rule kind: {rule.kind}")
+    return bad.limit(limit)

@@ -61,3 +61,31 @@ def test_dq_unique_null_keys_group_together(spark):
     df = spark.createDataFrame([(None,), (None,), (1,)], "k long")
     report = dq.dq_report(df, [dq.unique("k_unique", "k")]).collect()[0]
     assert report["violations"] == 1 and not report["passed"]
+
+
+def test_dq_violations_drilldown_matches_report_counts(spark):
+    parent = spark.createDataFrame([(100,), (200,)], "pk long")
+    df = _df(spark)
+    rules = [
+        dq.not_null("fk_not_null", "fk"),
+        dq.accepted_values("cat_domain", "cat", ["a", "b"]),
+        dq.in_range("v_range", "v", 0.0, 100.0),
+        dq.unique("id_unique", "id"),
+        dq.foreign_key("fk_parent", "fk", parent, "pk"),
+        dq.custom("v_positive", F.col("v") > 0),
+    ]
+    report = {r["rule"]: r["violations"]
+              for r in dq.dq_report(df, rules).collect()}
+    for rule in rules:
+        rows = dq.dq_violations(df, rule, limit=100).collect()
+        if rule.kind == "unique":
+            # drill-down returns ALL rows of duplicated keys (both
+            # copies are evidence); the report counts extras only
+            assert len(rows) == report[rule.name] + 1
+        else:
+            assert len(rows) == report[rule.name], rule.name
+    # the specific offenders
+    assert dq.dq_violations(df, rules[1]).collect()[0]["cat"] == "zz"
+    assert dq.dq_violations(df, rules[4]).collect()[0]["fk"] == 999
+    # limit caps the extraction
+    assert len(dq.dq_violations(df, rules[5], limit=0).collect()) == 0

@@ -551,3 +551,53 @@ def stream_changes(collection, include_uncommitted: bool = False):
         from db_spark.table import NIL_TXID
         stream = stream.filter(F.col("_txid") == NIL_TXID)
     return stream
+
+
+def stream_dq_reports(
+    stream_df: DataFrame, rules, out_dir: str, checkpoint: str,
+):
+    """Continuous data-quality monitoring: run the `db_spark.quality`
+    rule suite on every micro-batch and append the per-batch report
+    (rule, kind, violations, passed, batch_id) to ``out_dir`` — the
+    verdict log a freshness/quality dashboard tails, and the feed an
+    alerter filters on ``NOT passed``. Rows never leave the batch;
+    only the counts do (the dq_report contract) — drill into a bad
+    batch afterwards with `quality.dq_violations` on its source data.
+    Exactly-once per batch via the parquet sink's checkpointed commit
+    log (re-delivered batches overwrite their own batch_id rows is NOT
+    needed: foreachBatch appends are guarded by the batch-id check)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from db_spark.quality import dq_report
+
+    import json
+    import os
+
+    meta_path = os.path.join(out_dir, "_dq_meta.json")
+
+    def _last() -> int:
+        if not os.path.exists(meta_path):
+            return -1
+        with open(meta_path) as fh:
+            return json.load(fh)["last_batch"]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty() or batch_id <= _last():
+            return
+        report = dq_report(batch_df, rules).withColumn(
+            "batch_id", F.lit(batch_id).cast("long"))
+        os.makedirs(out_dir, exist_ok=True)
+        report.write.mode("append").parquet(os.path.join(out_dir, "log"))
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"last_batch": batch_id}, fh)
+        os.replace(tmp, meta_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -854,3 +854,39 @@ def test_stream_sketch_hist_grouped(spark, tmp_path):
         0.0, 10.0, 8, group_cols=["g"]).collect()))
     assert maintained == oneshot
     assert len(maintained) <= 2 * 8  # bounded per group
+
+
+def test_stream_dq_reports_per_batch(spark, tmp_path):
+    """Continuous dq monitoring: each micro-batch gets its own report
+    rows with a batch_id; a clean batch passes, a dirty one records
+    violation counts; drains without new data append nothing."""
+    from db_spark import quality as dq
+
+    d = str(tmp_path / "in")
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.DoubleType())])
+    out = str(tmp_path / "dq")
+    rules = [dq.not_null("k_nn", "k"), dq.in_range("v_rng", "v", 0.0, 10.0)]
+
+    def drain():
+        stream = st.stream_from_files(spark, d, schema)
+        st.stream_dq_reports(stream, rules, out, str(tmp_path / "ckpt"))
+
+    spark.createDataFrame([(1, 5.0), (2, 7.0)], schema).coalesce(1) \
+        .write.mode("overwrite").parquet(d)
+    drain()
+    spark.createDataFrame([(None, 99.0), (3, 2.0)], schema).coalesce(1) \
+        .write.mode("append").parquet(d)
+    drain()
+    drain()  # empty drain: no extra rows
+
+    log = spark.read.parquet(out + "/log")
+    rows = {(r["batch_id"], r["rule"]): (r["violations"], r["passed"])
+            for r in log.collect()}
+    assert len(rows) == 4  # 2 rules x 2 batches
+    batches = sorted({b for b, _ in rows})
+    clean, dirty = batches
+    assert rows[(clean, "k_nn")] == (0, True)
+    assert rows[(clean, "v_rng")] == (0, True)
+    assert rows[(dirty, "k_nn")] == (1, False)   # the NULL key
+    assert rows[(dirty, "v_rng")] == (1, False)  # 99.0 out of range

@@ -2678,6 +2678,27 @@ def q_hll_merge(spark, sf_dir):
     return lsk.hll_estimate(merged, p=8, group_cols=["source"])
 
 
+def q_hll_set_ops(spark, sf_dir):
+    """HLL set-operation estimates (db_spark/sketch.py:
+    hll_set_estimate): per source, sketch even-doc and odd-doc token
+    sets independently, then estimate union (register-MAX merge),
+    intersection (inclusion-exclusion, clamped at 0), and Jaccard —
+    the few-hundred-byte-state counterpart of kmv_set_ops. Everything
+    past the sketches runs on <= 3·256 register rows per group."""
+    from db_spark import sketch as lsk
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", "doc_id",
+        F.explode(ltext.tokens(F.lower(F.col("text")))).alias("_tk"))
+    sa = lsk.hll_sketch(tok.filter(F.col("doc_id") % 2 == 0),
+                        F.col("_tk"), p=8, group_cols=["source"])
+    sb = lsk.hll_sketch(tok.filter(F.col("doc_id") % 2 == 1),
+                        F.col("_tk"), p=8, group_cols=["source"])
+    return lsk.hll_set_estimate(sa, sb, p=8, group_cols=["source"])
+
+
 def q_mvcc_multi_tx(spark, sf_dir):
     """Multi-collection transaction mechanics under the oracle
     (db_spark/engine.py:100-123): one txid spans writes to two
@@ -3588,14 +3609,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     That fills the 50 exactly: 38 never-checked + 6 touched + 6 marked.
     Every new query below the boundary and every never-checked one
     inside it is locally validated by scripts/check_oracle.py (the
-    same DuckDB value-hash harness the driver runs). With 160 registry
+    same DuckDB value-hash harness the driver runs). With 161 registry
     keys and a 50-row window the full re-verification period is three
-    rounds; the r05 window should take (1) the eighteen never-checked
+    rounds; the r05 window should take (1) the nineteen never-checked
     late-round-4 additions (kmv_set_ops, token_budget, matview_join,
     bfs_hops, psi_drift, keywords_tfidf, centroid_outliers, skyline,
     importance_sample, skipgram_counts, cm_join_size, seasonal_decompose,
     dq_report, hashed_features, interval_join, seasonal_anomalies,
-    winsorize, twap — each marked "new post-window"), then (2) the
+    winsorize, twap, hll_set_ops — each marked "new post-window"), then (2) the
     38 r02-green queries rotated below today (marked), then
     r03-greens."""
     return {
@@ -3721,6 +3742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomalies": q_seasonal_anomalies,
         "winsorize": q_winsorize,
         "twap": q_twap,
+        "hll_set_ops": q_hll_set_ops,
         "mvcc_multi_tx": q_mvcc_multi_tx,
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -4972,6 +4994,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT rule, kind, violations,
                    violations = 0 AS passed
             FROM r
+        """,
+
+        "hll_set_ops": f"""
+            WITH tok AS (SELECT source, doc_id, unnest({_TOKS}) AS t
+                         FROM documents),
+            h AS (SELECT source, doc_id,
+                         {_H32.format(x='t')} AS hh FROM tok),
+            areg AS (SELECT source, CAST(hh % 256 AS INT) AS r,
+                            MAX(CASE WHEN hh // 256 = 0 THEN 25
+                                ELSE strpos(lpad(bin(hh // 256), 24, '0'),
+                                            '1') END) AS z
+                     FROM h WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+            breg AS (SELECT source, CAST(hh % 256 AS INT) AS r,
+                            MAX(CASE WHEN hh // 256 = 0 THEN 25
+                                ELSE strpos(lpad(bin(hh // 256), 24, '0'),
+                                            '1') END) AS z
+                     FROM h WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+            ureg AS (SELECT source, r, MAX(z) AS z
+                     FROM (SELECT * FROM areg UNION ALL SELECT * FROM breg)
+                     GROUP BY 1, 2),
+            ea AS (SELECT source,
+                          CAST(round(CASE WHEN 47072.71267120224 /
+                               (SUM(power(2.0, -z)) + (256 - count(*)))
+                                 <= 640.0 AND count(*) < 256
+                               THEN 256.0 * ln(256.0 / (256 - count(*)))
+                               ELSE 47072.71267120224 /
+                               (SUM(power(2.0, -z)) + (256 - count(*)))
+                               END) AS BIGINT) AS est_a
+                   FROM areg GROUP BY source),
+            eb AS (SELECT source,
+                          CAST(round(CASE WHEN 47072.71267120224 /
+                               (SUM(power(2.0, -z)) + (256 - count(*)))
+                                 <= 640.0 AND count(*) < 256
+                               THEN 256.0 * ln(256.0 / (256 - count(*)))
+                               ELSE 47072.71267120224 /
+                               (SUM(power(2.0, -z)) + (256 - count(*)))
+                               END) AS BIGINT) AS est_b
+                   FROM breg GROUP BY source),
+            eu AS (SELECT source,
+                          CAST(round(CASE WHEN 47072.71267120224 /
+                               (SUM(power(2.0, -z)) + (256 - count(*)))
+                                 <= 640.0 AND count(*) < 256
+                               THEN 256.0 * ln(256.0 / (256 - count(*)))
+                               ELSE 47072.71267120224 /
+                               (SUM(power(2.0, -z)) + (256 - count(*)))
+                               END) AS BIGINT) AS est_union
+                   FROM ureg GROUP BY source)
+            SELECT ea.source, est_a, est_b, est_union,
+                   GREATEST(0, est_a + est_b - est_union)
+                       AS est_intersection,
+                   CAST(GREATEST(0, est_a + est_b - est_union) AS DOUBLE)
+                       / CAST(est_union AS DOUBLE) AS jaccard
+            FROM ea JOIN eb ON ea.source = eb.source
+                    JOIN eu ON ea.source = eu.source
         """,
         # same integer holding-seconds x cent products, one divide.
         "twap": """

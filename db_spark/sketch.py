@@ -257,6 +257,47 @@ def hll_estimate(
     )
 
 
+def hll_set_estimate(
+    a: DataFrame, b: DataFrame, p: int = 8,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Set-operation estimates from two HLL sketches (same ``p`` and
+    hash family): union via register-wise MAX merge, intersection via
+    inclusion-exclusion ``est(A) + est(B) − est(A∪B)`` (clamped at 0 —
+    I-E can go negative within sketch error), Jaccard as one division
+    of the rounded integer estimates. The HLL counterpart of
+    :func:`kmv_set_estimate` — choose this when per-side state must
+    stay a few hundred bytes; KMV's bottom-k membership gives tighter
+    intersections when k·8 bytes is affordable.
+
+    Everything runs on <= 3·2^p register rows per group. Returns
+    ``group_cols + [est_a, est_b, est_union, est_intersection,
+    jaccard]``; every estimate is the integer-rounded
+    :func:`hll_estimate` value, so the result is engine-exact."""
+    groups = group_cols or []
+    ea = hll_estimate(a, p, group_cols).withColumnRenamed(
+        "est_distinct", "est_a").drop("n_registers")
+    eb = hll_estimate(b, p, group_cols).withColumnRenamed(
+        "est_distinct", "est_b").drop("n_registers")
+    eu = hll_estimate(hll_merge(a, b, group_cols), p, group_cols) \
+        .withColumnRenamed("est_distinct", "est_union").drop("n_registers")
+    on = groups if groups else None
+    if on:
+        j = ea.join(eb, on).join(eu, on)
+    else:
+        j = ea.crossJoin(eb).crossJoin(eu)
+    inter = F.greatest(
+        F.lit(0).cast("long"),
+        (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+        .cast("long"))
+    return j.select(
+        *groups, "est_a", "est_b", "est_union",
+        inter.alias("est_intersection"),
+        (inter.cast("double") / F.col("est_union").cast("double"))
+        .alias("jaccard"),
+    )
+
+
 def hll_rolling_merge(
     sketches: DataFrame, period_col: str, window: int,
     group_cols: list[str] | None = None,

@@ -594,3 +594,20 @@ def test_cm_join_size_disjoint_keys_zero(spark):
     row = sk.cm_join_size(sa, sb, depth=3).collect()[0]
     # wide enough that some depth row has zero overlap: MIN must hit 0
     assert row["est_join_rows"] == 0
+
+
+def test_hll_set_estimate_overlap_and_disjoint(spark):
+    a = spark.range(0, 3000).select(F.col("id").alias("v"))
+    b = spark.range(1500, 4500).select(F.col("id").alias("v"))
+    sa = sk.hll_sketch(a, F.col("v"), p=8)
+    sb = sk.hll_sketch(b, F.col("v"), p=8)
+    row = sk.hll_set_estimate(sa, sb, p=8).collect()[0]
+    assert 3800 <= row["est_union"] <= 5200        # ~4500 ± HLL error
+    assert 800 <= row["est_intersection"] <= 2300  # ~1500
+    assert 0.15 <= row["jaccard"] <= 0.55
+    # disjoint sets: inclusion-exclusion lands near zero, clamped >= 0
+    c = spark.range(10_000, 13_000).select(F.col("id").alias("v"))
+    sc_ = sk.hll_sketch(c, F.col("v"), p=8)
+    d = sk.hll_set_estimate(sa, sc_, p=8).collect()[0]
+    assert d["est_intersection"] >= 0
+    assert d["est_intersection"] < 0.15 * d["est_union"]

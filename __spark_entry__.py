@@ -216,8 +216,15 @@ def q_semi_join(spark, sf_dir):
 
 
 def q_anti_join(spark, sf_dir):
+    """Customers with no URGENT-priority order. The right side is
+    filtered before the anti-join so the result is non-empty at every
+    test scale (the generator gives every customer at least one order,
+    so an unfiltered customer-vs-orders anti-join is vacuously empty —
+    a 0-row result would make the oracle's value-hash comparison
+    trivial)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
     return (
         Q(c).join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
@@ -1493,9 +1500,16 @@ def q_intersect(spark, sf_dir):
 
 
 def q_except(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
-    return Q(c).except_all(Q(s)).df
+    """Nations customers live in EXCEPT nations of region 0 — exactly
+    the 20 nations outside region 0, at every scale. (The previous
+    customer-nation EXCEPT supplier-nation form was vacuously empty —
+    every nation has both — which made the oracle's value-hash
+    comparison trivial.)"""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")).distinct()
+    n0 = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0).select(
+        F.col("n_nationkey").alias("nationkey")).distinct()
+    return Q(c).except_all(Q(n0)).df
 
 
 def q_full_outer(spark, sf_dir):
@@ -2680,11 +2694,16 @@ def q_hll_merge(spark, sf_dir):
 
 def q_hll_set_ops(spark, sf_dir):
     """HLL set-operation estimates (db_spark/sketch.py:
-    hll_set_estimate): per source, sketch even-doc and odd-doc token
-    sets independently, then estimate union (register-MAX merge),
-    intersection (inclusion-exclusion, clamped at 0), and Jaccard —
-    the few-hundred-byte-state counterpart of kmv_set_ops. Everything
-    past the sketches runs on <= 3·256 register rows per group."""
+    hll_set_estimate): per source, sketch the token sets of the two
+    doc-block halves independently, then estimate union (register-MAX
+    merge), intersection (inclusion-exclusion, clamped at 0), and
+    Jaccard — the few-hundred-byte-state counterpart of kmv_set_ops.
+    Everything past the sketches runs on <= 3·256 register rows per
+    group. The split is ``(doc_id div 20) % 2`` — blocks of 20, NOT
+    doc parity: the generator assigns ``source = doc_id % 20``, so a
+    parity split would put every even source wholly in sketch A and
+    every odd source wholly in B, making the per-source inner join
+    (and the whole result) vacuously empty."""
     from db_spark import sketch as lsk
     from db_spark.llm import text as ltext
 
@@ -2692,9 +2711,10 @@ def q_hll_set_ops(spark, sf_dir):
     tok = docs.select(
         "source", "doc_id",
         F.explode(ltext.tokens(F.lower(F.col("text")))).alias("_tk"))
-    sa = lsk.hll_sketch(tok.filter(F.col("doc_id") % 2 == 0),
+    half = (F.col("doc_id") - F.col("doc_id") % 20) / 20 % 2
+    sa = lsk.hll_sketch(tok.filter(half == 0),
                         F.col("_tk"), p=8, group_cols=["source"])
-    sb = lsk.hll_sketch(tok.filter(F.col("doc_id") % 2 == 1),
+    sb = lsk.hll_sketch(tok.filter(half == 1),
                         F.col("_tk"), p=8, group_cols=["source"])
     return lsk.hll_set_estimate(sa, sb, p=8, group_cols=["source"])
 
@@ -3883,7 +3903,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "anti_join": """
             SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
         """,
         "outer_join": """
             SELECT n_name, COUNT(s_suppkey) AS n_suppliers
@@ -4108,7 +4130,7 @@ def oracle_sql() -> dict[str, str]:
         "except": """
             SELECT DISTINCT c_nationkey AS nationkey FROM customer
             EXCEPT
-            SELECT DISTINCT s_nationkey FROM supplier
+            SELECT DISTINCT n_nationkey FROM nation WHERE n_regionkey = 0
         """,
         "full_outer": """
             SELECT o_orderstatus, n, status, label
@@ -5005,12 +5027,12 @@ def oracle_sql() -> dict[str, str]:
                             MAX(CASE WHEN hh // 256 = 0 THEN 25
                                 ELSE strpos(lpad(bin(hh // 256), 24, '0'),
                                             '1') END) AS z
-                     FROM h WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+                     FROM h WHERE (doc_id // 20) % 2 = 0 GROUP BY 1, 2),
             breg AS (SELECT source, CAST(hh % 256 AS INT) AS r,
                             MAX(CASE WHEN hh // 256 = 0 THEN 25
                                 ELSE strpos(lpad(bin(hh // 256), 24, '0'),
                                             '1') END) AS z
-                     FROM h WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+                     FROM h WHERE (doc_id // 20) % 2 = 1 GROUP BY 1, 2),
             ureg AS (SELECT source, r, MAX(z) AS z
                      FROM (SELECT * FROM areg UNION ALL SELECT * FROM breg)
                      GROUP BY 1, 2),

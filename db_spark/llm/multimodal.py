@@ -210,15 +210,19 @@ def sample_frames(
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "frame_ms": [], "payload": []}
-            for _, row in pdf.iterrows():
-                payload, meta = row["payload"], row["meta"] or {}
+            # zip over raw columns — no per-row pandas Series construction
+            # (iterrows builds one Series per row, ~10x the iteration cost
+            # on small payloads; the slicing below is the real work)
+            for media_id, payload, meta in zip(
+                    pdf["media_id"], pdf["payload"], pdf["meta"]):
                 if payload is None:
                     continue
+                meta = meta or {}
                 duration = meta.get("duration_ms") or every_ms * max_frames
                 n = min(max_frames, max(1, int(duration // every_ms)))
                 step = max(1, len(payload) // n)
                 for i in range(n):
-                    out["media_id"].append(row["media_id"])
+                    out["media_id"].append(media_id)
                     out["frame_idx"].append(i)
                     out["frame_ms"].append(i * every_ms)
                     out["payload"].append(payload[i * step:(i + 1) * step])

@@ -2142,6 +2142,25 @@ def q_dedup_corpus(spark, sf_dir):
     )
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup removal (db_spark/llm/dedup.py:
+    dedup_corpus_keep_best): same MinHash-LSH -> connected-components
+    pipeline as dedup_corpus, but each cluster keeps its
+    highest-quality member (text.quality_score as integer ppm, ties to
+    the smallest id) instead of the min-id canonical — the curation
+    policy an actual training-data pipeline ships. Selection is one
+    membership-sized join + one cluster-keyed struct-max; no window
+    sort."""
+    from db_spark.llm import dedup as ldedup
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = ldedup.dedup_corpus_keep_best(
+        docs, ltext.quality_score(F.col("text")),
+        k=16, bands=4, threshold=0.5)
+    return kept.select("doc_id", "lang", "source")
+
+
 def q_simhash(spark, sf_dir):
     """32-bit SimHash per document (fold over token array, no shuffle)."""
     from db_spark.llm import dedup as ldedup
@@ -3561,6 +3580,64 @@ def _importance_sample_oracle() -> str:
     """
 
 
+def _dedup_keep_best_oracle() -> str:
+    """dedup_keep_best oracle: LSH pairs + transitive closure exactly
+    as dedup_corpus, then per-cluster argmax of the quality composite
+    in integer ppm (ties to smallest doc_id) — the keeper set is exact
+    integer comparison on both engines."""
+    from db_spark.llm.text import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+        WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        members AS (
+          SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+          FROM reach GROUP BY src
+        ),
+        q AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '[a-zA-Z'']+')) AS nt,
+                 len(list_filter(list_transform(
+                     regexp_extract_all(text, '[a-zA-Z'']+'),
+                     t -> lower(t)), t -> t IN ({sw}))) AS s_en,
+                 length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                     AS np,
+                 length(text) AS nc
+          FROM documents),
+        scored AS (
+          SELECT m.doc_id, m.cluster_id,
+                 CAST(round(least(1.0, greatest(0.0,
+                      least(nt::DOUBLE / 20.0, 1.0) * 0.4
+                      + least((CASE WHEN nt > 0
+                               THEN s_en::DOUBLE / nt::DOUBLE
+                               ELSE 0.0 END) * 4.0, 1.0) * 0.3
+                      + greatest(0.0, 1.0 - (np::DOUBLE / nc::DOUBLE) * 4.0)
+                          * 0.3)) * 1000000) AS BIGINT) AS ppm
+          FROM members m JOIN q USING (doc_id)),
+        keepers AS (
+          SELECT cluster_id, doc_id AS keep_id FROM (
+            SELECT cluster_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                      ORDER BY ppm DESC, doc_id) AS rk
+            FROM scored) WHERE rk = 1),
+        losers AS (
+          SELECT s.doc_id FROM scored s JOIN keepers USING (cluster_id)
+          WHERE s.doc_id <> keep_id)
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """
+
+
 def _quality_rules_oracle() -> str:
     """quality_rules oracle: same integer-compared thresholds as
     ``db_spark.llm.text.quality_rules`` defaults (10..100000 words,
@@ -3718,6 +3795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus": q_dedup_corpus,
+        "dedup_keep_best": q_dedup_keep_best,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "cosine_topk": q_cosine_topk,
@@ -4563,6 +4641,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         """,
+        "dedup_keep_best": _dedup_keep_best_oracle(),
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
                        WHERE vec_id < 5),

@@ -603,3 +603,65 @@ def lsh_index_probe(
         .filter(F.col("new_id") != F.col("corpus_id"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware representative selection
+# ---------------------------------------------------------------------------
+
+def select_representatives(
+    clusters: DataFrame, docs: DataFrame, score: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One keeper per near-dup cluster: the member with the highest
+    ``score`` (a Column over ``docs``), ties broken toward the smallest
+    id. Replaces the min-id canonical choice of
+    :func:`connected_components` when a quality signal exists — at
+    training-data scale you want to KEEP the best-written copy of a
+    duplicated page, not the one that happens to carry the lowest id.
+
+    Scores are compared as integer parts-per-million
+    (``round(clamp(score, 0, 1) * 1e6)``) so the argmax is exact
+    integer comparison — an oracle engine computing the same rational
+    score expression reproduces the keeper set bit-for-bit, and a
+    last-ulp double difference can never flip a winner.
+
+    One hash-join of the (small) cluster membership against docs and
+    one cluster-keyed max of a (ppm, -id) struct — no window sort.
+    Returns ``(cluster_id, keep_id)``.
+    """
+    ppm = F.round(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), score)) * 1_000_000
+    ).cast("long")
+    members = clusters.join(docs, id_col).select(
+        "cluster_id", F.col(id_col).alias("_mid"), ppm.alias("_ppm"))
+    best = members.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("_ppm"), (-F.col("_mid")).alias("_nid")))
+        .alias("_b"))
+    return best.select(
+        "cluster_id", (-F.col("_b._nid")).alias("keep_id"))
+
+
+def dedup_corpus_keep_best(
+    docs: DataFrame, score: Column, id_col: str = "doc_id",
+    text_col: str = "text", k: int = 16, bands: int = 4, n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup removal keeping the best-quality member of
+    every cluster: MinHash-LSH pairs -> connected components ->
+    :func:`select_representatives` -> anti-join the non-keepers.
+    Singletons (docs in no pair) survive untouched. Same shuffle
+    profile as the min-id pipeline plus one membership-sized join.
+    """
+    pairs = minhash_dedup_pairs(
+        docs, id_col, text_col, k=k, bands=bands, n=n, threshold=threshold)
+    clusters = connected_components(pairs)  # returns (doc_id, cluster_id)
+    if id_col != "doc_id":
+        clusters = clusters.withColumnRenamed("doc_id", id_col)
+    keepers = select_representatives(clusters, docs, score, id_col)
+    losers = (
+        clusters.join(keepers, "cluster_id")
+        .filter(F.col(id_col) != F.col("keep_id"))
+        .select(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

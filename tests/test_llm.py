@@ -311,6 +311,36 @@ def test_connected_components_clusters(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_select_representatives_quality_argmax(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long")
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.5)],
+        "doc_id long, q double")
+    out = {r["cluster_id"]: r["keep_id"]
+           for r in dedup.select_representatives(
+               clusters, docs, F.col("q")).collect()}
+    # cluster 1: docs 2 and 3 tie at 0.9 -> smallest id wins (2), and
+    # quality beats the min-id canonical (1); cluster 10: tie -> 10
+    assert out == {1: 2, 10: 10}
+
+
+def test_dedup_corpus_keep_best_keeps_singletons_and_best(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog every day"),
+         (2, "the quick brown fox jumps over the lazy dog every day"),
+         (3, "!!! ???")],  # low quality, no near-dup
+        "doc_id long, text string")
+    kept = dedup.dedup_corpus_keep_best(
+        docs, text.quality_score(F.col("text")), k=16, bands=4,
+        threshold=0.5)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # identical docs 1/2 tie on quality -> min id 1 kept; singleton 3
+    # survives regardless of quality
+    assert ids == [1, 3]
+
+
 # ---------------------------------------------------------------------------
 # Corpus curation: repetition / surprisal / packing / decontamination /
 # sampling / BM25

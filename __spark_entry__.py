@@ -2424,6 +2424,22 @@ def q_domain_cap(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (db_spark/llm/corpus.py:
+    weighted_sample): Efraimidis-Spirakis A-ES with the deterministic
+    id-hash uniform — 50 docs drawn with probability proportional to
+    weight 1 + doc_id % 10, without replacement. Ranking key is the
+    monotone-equivalent ln(u)/w rounded to 6 dp (id tie-break), and the
+    top-k is a TakeOrderedAndProject — per-partition heaps, never a
+    global sort."""
+    from db_spark.llm import corpus as lcorpus
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (F.lit(1) + F.col("doc_id") % 10).cast("double")
+    return lcorpus.weighted_sample(docs, w, 50).select(
+        "doc_id", "source", "sample_key")
+
+
 def q_importance_sample(spark, sf_dir):
     """Per-row importance sampling (db_spark/llm/corpus.py:
     importance_sample): keep each document with probability equal to
@@ -3831,6 +3847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_outliers": q_centroid_outliers,
         "skyline": q_skyline,
         "importance_sample": q_importance_sample,
+        "weighted_sample": q_weighted_sample,
         "skipgram_counts": q_skipgram_counts,
         "cm_join_size": q_cm_join_size,
         "seasonal_decompose": q_seasonal_decompose,
@@ -5023,6 +5040,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE {63 * (1 << 32)} // max(h) END AS BIGINT)
                        AS est_distinct
             FROM rk WHERE r <= 64 GROUP BY source
+        """,
+        "weighted_sample": f"""
+            WITH keyed AS (
+              SELECT doc_id, source,
+                     round(ln(({_H32.format(x='CAST(doc_id AS VARCHAR)')}
+                               + 0.5) / 4294967296.0)
+                           / (1 + doc_id % 10), 6) AS sample_key
+              FROM documents)
+            SELECT doc_id, source, sample_key FROM keyed
+            ORDER BY sample_key DESC, doc_id LIMIT 50
         """,
         "importance_sample": _importance_sample_oracle(),
         # naive theta join as the oracle: the binned first-shared-bin

@@ -160,6 +160,39 @@ def importance_sample(
     return df.filter(bucket < ppm)
 
 
+def weighted_sample(
+    df: DataFrame, weight: Column, k: int, id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly ``k`` rows:
+    Efraimidis–Spirakis A-ES. Each row draws a key ``u^(1/w)`` from a
+    uniform ``u``; the k largest keys are a weighted sample without
+    replacement. Here ``u`` is the deterministic id-hash uniform
+    ``(h32(id) + 0.5) / 2^32`` — reproducible across runs,
+    partitionings, and engines, unlike RNG-based reservoirs whose
+    result depends on partition layout.
+
+    Ranking uses the monotone-equivalent ``ln(u)/w`` (one transcendental
+    instead of pow's two), rounded to 6 decimals with id tie-break so a
+    last-ulp libm difference between engines cannot flip the order.
+
+    Scale shape: map-only key computation + global top-k
+    (TakeOrderedAndProject — per-partition heaps, only k rows move to
+    one reducer; never a full sort). NULL/non-positive weights drop.
+
+    Returns the sampled rows plus ``sample_key`` (the rounded ranking
+    key, descending = first sampled).
+    """
+    w = weight.cast("double")
+    u = (h32(F.col(id_col).cast("string")) + F.lit(0.5)) / F.lit(float(_TWO32))
+    key = F.round(F.log(u) / w, 6)
+    return (
+        df.filter(w > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def token_budget_sample(
     df: DataFrame, budgets: dict[str, int], group_col: str = "source",
     id_col: str = "doc_id", text_col: str = "text",

@@ -932,6 +932,35 @@ def test_centroid_outliers_partition_invariant(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_weighted_sample_aes(spark):
+    from db_spark.llm.corpus import weighted_sample
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, 100.0 if i < 10 else 1.0) for i in range(500)],
+        "doc_id long, w double")
+    out = weighted_sample(df, F.col("w"), 50)
+    rows = out.collect()
+    assert len(rows) == 50
+    # keys are sorted descending in sample order, ids unique
+    ids = [r["doc_id"] for r in rows]
+    assert len(set(ids)) == 50
+    # heavily-weighted rows (w=100 vs w=1, 10 of 500) should nearly all
+    # be drawn into a 50-sample
+    assert sum(1 for i in ids if i < 10) >= 8
+    # partition-invariant determinism
+    a = {r["doc_id"] for r in weighted_sample(
+        df.repartition(1), F.col("w"), 50).collect()}
+    b = {r["doc_id"] for r in weighted_sample(
+        df.repartition(16), F.col("w"), 50).collect()}
+    assert a == b == set(ids)
+    # non-positive and NULL weights can never be sampled
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, None), (4, 1.0)], "doc_id long, w double")
+    assert [r["doc_id"] for r in weighted_sample(
+        df2, F.col("w"), 10).collect()] == [4]
+
+
 def test_importance_sample_rate_extremes_and_determinism(spark):
     from db_spark.llm.corpus import importance_sample
     from pyspark.sql import functions as F

@@ -567,7 +567,18 @@ class Collection:
         resolution partitions by ``_id``, so filtering ids first is
         semantics-preserving while cutting the ``_id``-keyed exchange
         from O(table) to O(log entries of those ids) — the difference
-        between a delta-sized and a table-sized matview refresh."""
+        between a delta-sized and a table-sized matview refresh.
+
+        Positions below the compaction watermark no longer replay
+        (compact/optimize/vacuum destroyed that prefix) — they raise
+        ``ValueError`` instead of silently returning a partial
+        snapshot."""
+        wm = self.compaction_watermark()
+        if batch < wm:
+            raise ValueError(
+                f"position {batch} predates the compaction watermark "
+                f"{wm}: that log prefix no longer replays (rebuild "
+                f"incremental consumers from a current snapshot)")
         log = self._read_log()
         if log is None:
             return self.table_scan()  # empty-shape path
@@ -865,15 +876,23 @@ class Collection:
         log positions below the pair's max batch stop replaying (the
         compaction watermark advances; position-based incremental
         consumers rebuild). Returns the merged file path."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         paths = []
         for f in (file_a, file_b):
             p = f if os.path.isabs(f) else os.path.join(self.log_path, f)
             if not os.path.isfile(p):
                 raise FileNotFoundError(p)
             paths.append(p)
+        return self._merge_segment_files(paths)
+
+    def _merge_segment_files(self, paths: list[str]) -> str:
+        """Shared n-ary segment-merge core for ``compact_segments`` (a
+        pair) and ``vacuum`` (the whole sub-retention prefix). Newest
+        decidably-visible entry per id survives at its ORIGINAL
+        ``_batch``/``_seq``; pending-txn entries verbatim; rolled-back
+        entries dropped; markers and tombstone winners kept."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         # Global visibility sets — markers are tiny by construction; the
         # scan is column-pruned to (_txid, _kind).
         log = self._read_log()
@@ -897,7 +916,7 @@ class Collection:
                 continue  # dead forever
             if txid == NIL_TXID or txid in committed:
                 if r["_id"] in seen:
-                    continue  # superseded within the pair
+                    continue  # superseded within the merge set
                 seen.add(r["_id"])
                 r = dict(r, _txid=NIL_TXID)
                 keep.append(r)
@@ -912,6 +931,33 @@ class Collection:
             max(r["_batch"] for r in rows) if rows else -1)
         self._invalidate_snapshots()
         return out
+
+    @_leased
+    def vacuum(self, before_pos: int) -> int:
+        """Bounded time travel: collapse all history strictly below a
+        retention position. Every data segment whose entries are ALL
+        below ``before_pos`` (``max _batch < before_pos``) is merged —
+        in one pass — into a single resolved base segment via the same
+        newest-visible-wins core as :meth:`compact_segments`, keeping
+        original ``_batch``/``_seq`` values. Segments at or above the
+        cutoff (and any segment straddling it) are untouched, so
+        ``table_scan()`` and ``scan_at_position(p)`` for every ``p``
+        at or above the merged range stay bit-identical; positions
+        below it stop replaying (the compaction watermark advances, so
+        ``restore_to_position``/``scan_at_position`` refuse them
+        cleanly and position-based incremental consumers rebuild).
+
+        This is the Delta-VACUUM analog for the MVCC log: retention is
+        expressed as a log position (pair with ``txid_at``/
+        ``log_position`` to derive one from wall-clock age). At 100 TB
+        the whole-prefix merge is one bounded rewrite of cold
+        segments — newer hot segments are never read. Returns the
+        number of segments merged (0 = nothing to do)."""
+        files = [f for f in self._data_files() if f[4] < before_pos]
+        if len(files) < 2:
+            return 0
+        self._merge_segment_files([f[0] for f in files])
+        return len(files)
 
     # -- indexes (reference: src/collection/indexes/ — declared structs with
     # no-op update(); README.md:78-81 Table/Index Seek roadmap). Spark

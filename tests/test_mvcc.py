@@ -780,3 +780,58 @@ def test_restore_refuses_pre_compaction_position(spark, tmp_path):
     c.compact()
     with _pytest.raises(ValueError, match="compaction"):
         c.restore_to_position(pos)
+
+
+def test_vacuum_bounds_time_travel_preserves_later_positions(spark, tmp_path):
+    """vacuum(before_pos) collapses every whole segment below the cutoff
+    into one resolved base: the live snapshot and every position at or
+    above the merged range stay identical; positions below it are
+    refused via the advanced compaction watermark."""
+    st = Storage(spark, str(tmp_path / "vac"), StorageConfig(max_entries=64))
+    c = st.get_collection("t")
+    c.set_objects(None, _df(spark, [("a", "v1", 1), ("b", "v1", 1)]).coalesce(1))
+    p1 = c.log_position()
+    c.set_objects(None, _df(spark, [("a", "v2", 2)]).coalesce(1))
+    p2 = c.log_position()
+    c.set_objects(None, _df(spark, [("c", "v1", 3)]).coalesce(1))
+    p3 = c.log_position()
+    before_live = _snap(c)
+    at_p3 = {(r["_id"], r["name"], r["qty"])
+             for r in c.scan_at_position(p3).collect()}
+    # collapse the two segments below p3 (p1 and p2 batches)
+    n = c.vacuum(p3)
+    assert n == 2
+    assert _snap(c) == before_live
+    assert {(r["_id"], r["name"], r["qty"])
+            for r in c.scan_at_position(p3).collect()} == at_p3
+    # history below the merged range no longer replays: the watermark
+    # covers p1/p2, so position scans there are refused
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        c.scan_at_position(p1).collect()
+    # superseded version is physically gone: exactly one entry for "a"
+    import pyarrow.parquet as pq
+    total_a = 0
+    for f in c._data_files():
+        names = pq.read_table(f[0], columns=["_id"]).column("_id").to_pylist()
+        total_a += sum(1 for x in names if x == "a")
+    assert total_a == 1
+    # nothing below the cutoff anymore: second vacuum is a no-op
+    assert c.vacuum(p3) == 0
+    # and the collection still takes writes afterwards
+    c.set_objects(None, _df(spark, [("d", "v1", 4)]))
+    assert ("d", "v1", 4) in _snap(c)
+
+
+def test_vacuum_ignores_segments_at_or_above_cutoff(spark, tmp_path):
+    st = Storage(spark, str(tmp_path / "vac2"), StorageConfig(max_entries=64))
+    c = st.get_collection("t")
+    c.set_objects(None, _df(spark, [("a", "v1", 1)]).coalesce(1))
+    c.set_objects(None, _df(spark, [("a", "v2", 2)]).coalesce(1))
+    p = c.log_position()
+    c.set_objects(None, _df(spark, [("a", "v3", 3)]).coalesce(1))
+    files_before = len(c._data_files())
+    assert c.vacuum(p + 1) >= 2
+    # the post-cutoff segment was not touched: v3 still wins
+    assert _snap(c) == {("a", "v3", 3)}
+    assert len(c._data_files()) < files_before

@@ -2097,6 +2097,21 @@ def q_ngram_jaccard(spark, sf_dir):
     return ldedup.ngram_jaccard_pairs(docs, threshold=0.5)
 
 
+def q_jaccard_join(spark, sf_dir):
+    """EXACT set-similarity join via prefix filtering
+    (db_spark/llm/dedup.py: jaccard_similarity_join, PPJoin family):
+    every document pair with 3-gram Jaccard >= 0.5, recall 1.0 — only
+    each doc's rarest ``|d| - ceil(t|d|) + 1`` shingles enter the
+    candidate join, then exact intersection verification with an
+    integer-ppm threshold compare. The oracle is the UNFILTERED
+    brute-force all-pairs Jaccard, so a green row proves the prefix
+    filter loses no pairs."""
+    from db_spark.llm import dedup as ldedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return ldedup.jaccard_similarity_join(docs, 0.5)
+
+
 def q_minhash_signature(spark, sf_dir):
     """16-permutation MinHash signatures from a deterministic md5-derived
     hash family — fully oracle-checkable."""
@@ -3807,6 +3822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "jaccard_join": q_jaccard_join,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -4611,6 +4627,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE >= 0.5
+        """,
+        "jaccard_join": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tok),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE i * 1000000 >= 500000 * (sa.n + sb.n - i)
         """,
         "minhash_signature": _minhash_oracle(),
         "minhash_lsh_pairs": _minhash_lsh_oracle(),

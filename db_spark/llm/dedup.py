@@ -665,3 +665,84 @@ def dedup_corpus_keep_best(
         .select(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+def jaccard_similarity_join(
+    df: DataFrame, threshold: float, id_col: str = "doc_id",
+    text_col: str = "text", n: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs shingle-Jaccard join: every pair with
+    ``J(a, b) >= threshold``, no candidates missed — the
+    prefix-filtering family (SSJoin / PPJoin) rather than LSH, for
+    when recall must be 1.0 (contamination audits, legal dedup) and
+    the threshold is high.
+
+    Scale shape: each document's shingle set is ranked by GLOBAL
+    shingle rarity (ascending document frequency, shingle tie-break);
+    only the first ``|d| - ceil(t*|d|) + 1`` shingles — the prefix —
+    enter the candidate join. Prefix theorem: two sets with overlap
+    >= alpha must share a token within their (|d|-alpha+1)-prefixes
+    under any shared global order, and J >= t implies overlap >=
+    ceil(t*|d|) for both docs of any pair passing the length filter
+    ``t * max(|a|,|b|) <= min(|a|,|b|)`` (pairs failing it cannot
+    reach J >= t at all, since J <= min/max). So joining PREFIXES on
+    the rarest shingles is lossless, while the candidate lists are
+    driven by rare-token document frequencies instead of stopword
+    frequencies — the exact-recall counterpart of the LSH band join.
+    Candidates then verify by exact intersection counting (bounded:
+    only candidate pairs are counted), with the threshold compared by
+    integer cross-multiplication (ppm) so no float sits at the
+    accept boundary.
+
+    Shuffles: shingle-keyed df-count, per-doc rank window (partition =
+    one document), shingle-keyed prefix self-join, pair-keyed
+    intersection count. No all-pairs stage anywhere. Returns
+    ``(id_a, id_b, jaccard)``, ``id_a < id_b``, jaccard rounded to 6dp.
+    """
+    t_ppm = int(round(threshold * 1_000_000))
+    sh = shingle_table(df, id_col, text_col, n, max_shingle_df=None)
+    sh = sh.withColumnRenamed("_sid", "_jid").cache()
+    sizes = sh.groupBy("_jid").agg(F.count(F.lit(1)).alias("_sz"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+    from pyspark.sql import Window
+
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("_pos", F.row_number().over(
+            Window.partitionBy("_jid").orderBy("_f", "shingle")))
+        .join(sizes, "_jid")
+    )
+    plen = (F.col("_sz")
+            - F.ceil(F.lit(threshold) * F.col("_sz")).cast("long") + 1)
+    prefix = ranked.filter(F.col("_pos") <= plen)
+    a = prefix.select(F.col("_jid").alias("id_a"), "shingle",
+                      F.col("_sz").alias("_sza"))
+    b = prefix.select(F.col("_jid").alias("id_b"), "shingle",
+                      F.col("_sz").alias("_szb"))
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.greatest("_sza", "_szb") * F.lit(t_ppm)
+                <= F.least("_sza", "_szb") * F.lit(1_000_000))
+        .select("id_a", "id_b").distinct()
+    )
+    sa = sh.select(F.col("_jid").alias("id_a"), "shingle")
+    sb = sh.select(F.col("_jid").alias("id_b"), "shingle")
+    inter = (
+        cand.join(sa, "id_a").join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("_i"))
+    )
+    sza = sizes.select(F.col("_jid").alias("id_a"), F.col("_sz").alias("_sza"))
+    szb = sizes.select(F.col("_jid").alias("id_b"), F.col("_sz").alias("_szb"))
+    union_sz = F.col("_sza") + F.col("_szb") - F.col("_i")
+    return (
+        inter.join(sza, "id_a").join(szb, "id_b")
+        .filter(F.col("_i") * F.lit(1_000_000) >= F.lit(t_ppm) * union_sz)
+        .select("id_a", "id_b",
+                F.round(F.col("_i").cast("double") / union_sz, 6)
+                .alias("jaccard"))
+    )

@@ -311,6 +311,31 @@ def test_connected_components_clusters(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_jaccard_similarity_join_exact_vs_bruteforce(spark):
+    """Prefix filtering must be lossless: the PPJoin-style join equals
+    the unfiltered inverted-index brute force at every threshold."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "a completely different document about spark physical plans"),
+        (4, "a completely different document about spark logical plans"),
+        (5, "short"),  # < n tokens: no shingles, never paired
+        (6, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        got = {(r.id_a, r.id_b, r.jaccard)
+               for r in dedup.jaccard_similarity_join(df, t).collect()}
+        want = {(r.id_a, r.id_b, round(r.jaccard, 6))
+                for r in dedup.ngram_jaccard_pairs(
+                    df, threshold=t, max_shingle_df=None).collect()}
+        assert got == want, t
+    # exact duplicates surface with jaccard 1.0
+    got = dedup.jaccard_similarity_join(df, 0.99).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 6)}
+    assert got[0].jaccard == 1.0
+
+
 def test_select_representatives_quality_argmax(spark):
     clusters = spark.createDataFrame(
         [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],

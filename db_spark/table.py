@@ -226,12 +226,30 @@ class Collection:
             return self._declared_schema
         return T.StructType([f for f in log.schema.fields if f.name not in _META_NAMES])
 
-    def _check_shape(self, incoming: T.StructType) -> None:
-        """Exact positional type-sequence equality (reference:
+    def _check_shape(self, incoming: T.StructType, evolve: bool = False) -> None:
+        """Default: exact positional type-sequence equality (reference:
         src/collection/mod.rs:52-59; shape rules log_entry.rs:126-141).
-        Tombstone-only batches skip the check (tombstones match anything)."""
+        Tombstone-only batches skip the check (tombstones match anything).
+
+        ``evolve=True`` relaxes to NAME-based compatibility — the batch
+        may add brand-new columns (earlier rows read them back as NULL
+        via the mergeSchema log read) and omit existing ones (written
+        as absent, read back as NULL), but a column present in both
+        must keep its type. This is additive-only schema evolution à la
+        Delta/Iceberg: no rewrite of history, old snapshots unchanged,
+        type conflicts still refused loudly."""
         existing = self.payload_schema()
         if existing is None or len(existing.fields) == 0:
+            return
+        if evolve:
+            ex = {f.name: f.dataType for f in existing.fields}
+            for f in incoming.fields:
+                if f.name in ex and f.dataType != ex[f.name]:
+                    raise SchemaError(
+                        f"collection '{self.name}': evolved batch changes "
+                        f"type of column '{f.name}' from {ex[f.name]} to "
+                        f"{f.dataType} (additive evolution only)"
+                    )
             return
         got = [f.dataType for f in incoming.fields]
         want = [f.dataType for f in existing.fields]
@@ -380,10 +398,17 @@ class Collection:
         self._live_count = None
 
     @_leased
-    def set_objects(self, txid: str | None, df: DataFrame, id_col: str = "_id") -> None:
+    def set_objects(self, txid: str | None, df: DataFrame, id_col: str = "_id",
+                    evolve: bool = False) -> None:
         """Batch upsert. ``df`` carries payload columns plus optionally an
         ``id_col`` with row UUIDs (auto-generated when absent — every row
-        has an implicit UUID primary key, reference log_entry.rs:19-22)."""
+        has an implicit UUID primary key, reference log_entry.rs:19-22).
+
+        ``evolve=True`` permits additive schema evolution: the batch may
+        carry new columns (NULL for all earlier rows) or omit existing
+        ones (NULL for this batch's rows) — see ``_check_shape``. The
+        log read merges per-file schemas, so no history rewrite happens
+        and every prior snapshot/position scan is untouched."""
         txid = txid or NIL_TXID
         if id_col in df.columns:
             src = df if id_col == "_id" else df.withColumnRenamed(id_col, "_id")
@@ -391,7 +416,8 @@ class Collection:
         else:
             src = df.withColumn("_id", F.expr("uuid()"))
         payload_cols = [c for c in src.columns if c != "_id"]
-        self._check_shape(T.StructType([src.schema[c] for c in payload_cols]))
+        self._check_shape(
+            T.StructType([src.schema[c] for c in payload_cols]), evolve=evolve)
         batch = self._next_batch()
         entry = (
             src.withColumn("_txid", F.lit(txid))

@@ -835,3 +835,41 @@ def test_vacuum_ignores_segments_at_or_above_cutoff(spark, tmp_path):
     # the post-cutoff segment was not touched: v3 still wins
     assert _snap(c) == {("a", "v3", 3)}
     assert len(c._data_files()) < files_before
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """evolve=True: new columns read back NULL for earlier rows, omitted
+    columns NULL for the new batch, history untouched, type conflicts
+    refused; strict mode still rejects the widened shape."""
+    st = Storage(spark, str(tmp_path / "evo"), StorageConfig(max_entries=64))
+    c = st.get_collection("t")
+    c.set_objects(None, _df(spark, [("a", "v1", 1)]))
+    p1 = c.log_position()
+    # strict mode refuses a widened batch...
+    wide = spark.createDataFrame(
+        [("b", "v1", 2, "en")], "_id string, name string, qty int, lang string")
+    with pytest.raises(SchemaError):
+        c.set_objects(None, wide)
+    # ...evolve accepts it
+    c.set_objects(None, wide, evolve=True)
+    snap = {(r["_id"], r["name"], r["qty"], r["lang"])
+            for r in c.table_scan().collect()}
+    assert snap == {("a", "v1", 1, None), ("b", "v1", 2, "en")}
+    # a batch OMITTING an existing column is also fine under evolve
+    narrow = spark.createDataFrame([("c", "v1")], "_id string, name string")
+    c.set_objects(None, narrow, evolve=True)
+    snap = {(r["_id"], r["name"], r["qty"], r["lang"])
+            for r in c.table_scan().collect()}
+    assert ("c", "v1", None, None) in snap
+    # pre-evolution position scan still yields the original rows
+    old = {(r["_id"], r["name"], r["qty"])
+           for r in c.scan_at_position(p1).select("_id", "name", "qty").collect()}
+    assert old == {("a", "v1", 1)}
+    # same-name different-type conflicts are refused even under evolve
+    bad = spark.createDataFrame([("d", 1.5)], "_id string, name double")
+    with pytest.raises(SchemaError):
+        c.set_objects(None, bad, evolve=True)
+    # compaction normalizes every row to the full evolved shape
+    c.compact()
+    assert {(r["_id"], r["name"], r["qty"], r["lang"])
+            for r in c.table_scan().collect()} == snap

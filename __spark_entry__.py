@@ -2219,6 +2219,22 @@ def q_cosine_topk(spark, sf_dir):
     return lsim.brute_force_topk(emb, queries_df, k=10)
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """Maximal-marginal-relevance diversified re-rank
+    (db_spark/llm/similarity.py: mmr_rerank): brute-force top-10
+    candidates for 3 queries, then 3 greedy MMR rounds at lambda 0.7 —
+    every similarity and score rounded to 6 dp with id tie-breaks, so
+    the greedy selection is engine-exact against a 3-step unrolled SQL
+    oracle."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cand = lsim.brute_force_topk(emb, queries_df, k=10)
+    return lsim.mmr_rerank(cand, emb, k=3, lam=0.7)
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (16 cells, probe 4) — scale path for ANN.
     Centroid seeding is deterministic (n_cells lowest-id vectors), so the
@@ -3831,6 +3847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "cosine_topk": q_cosine_topk,
+        "mmr_rerank": q_mmr_rerank,
         "embedding_near_dup": q_embedding_near_dup,
         "deterministic_split": q_deterministic_split,
         "corpus_stats": q_corpus_stats,
@@ -4708,6 +4725,70 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 10
+        """,
+        "mmr_rerank": """
+            WITH q AS (SELECT vec_id AS query_id, embedding
+                       FROM embeddings WHERE vec_id < 3),
+            cand AS (
+              SELECT query_id, vec_id, sim, embedding FROM (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                    q.embedding::DOUBLE[]), 6)
+                           AS sim,
+                       e.embedding,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                         ORDER BY round(list_cosine_similarity(
+                             e.embedding::DOUBLE[],
+                             q.embedding::DOUBLE[]), 6) DESC, e.vec_id) AS rk
+                FROM embeddings e CROSS JOIN q
+              ) WHERE rk <= 10),
+            s1 AS (
+              SELECT query_id, vec_id, sim,
+                     round(0.7 * sim - 0.3 * 0.0, 6) AS mmr_score,
+                     1 AS mmr_rank, embedding
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY round(0.7 * sim - 0.3 * 0.0, 6) DESC, vec_id)
+                        AS rk FROM cand) WHERE rk = 1),
+            m2 AS (
+              SELECT c.query_id, c.vec_id, c.sim, c.embedding,
+                     MAX(round(list_cosine_similarity(c.embedding::DOUBLE[],
+                         s.embedding::DOUBLE[]), 6)) AS maxdiv
+              FROM cand c JOIN s1 s USING (query_id)
+              WHERE c.vec_id <> s.vec_id
+              GROUP BY 1, 2, 3, 4),
+            s2 AS (
+              SELECT query_id, vec_id, sim,
+                     round(0.7 * sim - 0.3 * maxdiv, 6) AS mmr_score,
+                     2 AS mmr_rank, embedding
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY round(0.7 * sim - 0.3 * maxdiv, 6) DESC,
+                        vec_id) AS rk FROM m2) WHERE rk = 1),
+            sel12 AS (SELECT query_id, vec_id, embedding FROM s1
+                      UNION ALL
+                      SELECT query_id, vec_id, embedding FROM s2),
+            m3 AS (
+              SELECT c.query_id, c.vec_id, c.sim,
+                     MAX(round(list_cosine_similarity(c.embedding::DOUBLE[],
+                         s.embedding::DOUBLE[]), 6)) AS maxdiv
+              FROM cand c JOIN sel12 s USING (query_id)
+              WHERE NOT EXISTS (SELECT 1 FROM sel12 x
+                                WHERE x.query_id = c.query_id
+                                  AND x.vec_id = c.vec_id)
+              GROUP BY 1, 2, 3),
+            s3 AS (
+              SELECT query_id, vec_id, sim,
+                     round(0.7 * sim - 0.3 * maxdiv, 6) AS mmr_score,
+                     3 AS mmr_rank
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY round(0.7 * sim - 0.3 * maxdiv, 6) DESC,
+                        vec_id) AS rk FROM m3) WHERE rk = 1)
+            SELECT query_id, vec_id, sim, mmr_score,
+                   CAST(mmr_rank AS BIGINT) AS mmr_rank
+            FROM (SELECT query_id, vec_id, sim, mmr_score, mmr_rank FROM s1
+                  UNION ALL
+                  SELECT query_id, vec_id, sim, mmr_score, mmr_rank FROM s2
+                  UNION ALL
+                  SELECT query_id, vec_id, sim, mmr_score, mmr_rank FROM s3)
         """,
         "ivf_topk": """
             WITH cent AS (

@@ -534,3 +534,88 @@ def ivf_index_append(
     assigned.write.mode("append").partitionBy("cell_id").parquet(
         path + "/corpus")
     return new_vectors.count()
+
+
+# ---------------------------------------------------------------------------
+# MMR — maximal marginal relevance diversified re-ranking
+# ---------------------------------------------------------------------------
+
+def mmr_rerank(
+    candidates: DataFrame, vectors: DataFrame, k: int = 5,
+    lam: float = 0.7, id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", sim_col: str = "sim",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank of an ANN candidate list:
+    greedily pick, per query, the candidate maximizing
+    ``lam * relevance - (1 - lam) * max_sim_to_already_selected`` —
+    the standard diversified-retrieval objective (Carbonell & Goldstein
+    1998), used in training-data curation to pick exemplars that cover
+    a neighborhood instead of k near-copies.
+
+    ``candidates`` is a (query_id, vec_id, sim) table (e.g.
+    ``brute_force_topk`` / ``ivf_topk`` output — bounded per query);
+    ``vectors`` supplies embeddings for the pairwise diversity term.
+    The greedy loop runs ``k`` driver-orchestrated rounds, each fully
+    distributed: remaining x selected pairwise cosines (bounded by
+    |candidates| * round, never corpus-sized), a per-candidate max, a
+    per-query struct-argmax. Determinism: every similarity and every
+    MMR score is rounded to 6 dp and ties break on ascending id, so
+    the selection is engine-exact and SQL-oracle-checkable; the
+    selected set is ``localCheckpoint``ed per round to keep the plan
+    round-sized.
+
+    Returns ``(query_id, vec_id, sim, mmr_score, mmr_rank)`` with
+    ``mmr_rank`` 1..k in selection order.
+    """
+    cand = (
+        candidates.select(query_id_col, id_col, sim_col)
+        .join(vectors.select(F.col(id_col), _dbl(F.col(vec_col)).alias("_v")),
+              id_col)
+    )
+    cand = cand.select(
+        query_id_col, id_col, sim_col, "_v",
+        _norm_d(F.col("_v")).alias("_n")).localCheckpoint(eager=True)
+    selected = None  # (query_id, vec_id, sim, mmr_score, mmr_rank, _v, _n)
+    for rnd in range(1, k + 1):
+        if selected is None:
+            remaining = cand
+            max_div = F.lit(0.0)
+            scored = remaining.withColumn("_maxdiv", max_div)
+        else:
+            remaining = cand.join(
+                selected.select(query_id_col, id_col), [query_id_col, id_col],
+                "left_anti")
+            sel = selected.select(
+                F.col(query_id_col).alias("_sq"), F.col("_v").alias("_sv"),
+                F.col("_n").alias("_sn"))
+            pair = remaining.join(
+                sel, remaining[query_id_col] == sel["_sq"])
+            div = F.round(
+                _dot_d(F.col("_v"), F.col("_sv"))
+                / (F.col("_n") * F.col("_sn")), 6)
+            scored = (
+                pair.groupBy(query_id_col, id_col)
+                .agg(F.max(div).alias("_maxdiv"),
+                     F.first(sim_col).alias(sim_col),
+                     F.first("_v").alias("_v"), F.first("_n").alias("_n"))
+            )
+        mmr = F.round(
+            F.lit(lam) * F.col(sim_col) - F.lit(1.0 - lam) * F.col("_maxdiv"),
+            6)
+        scored = scored.withColumn("_mmr", mmr)
+        best = scored.groupBy(query_id_col).agg(
+            F.max(F.struct(F.col("_mmr"),
+                           (-F.col(id_col)).alias("_nid"))).alias("_b"))
+        pick = (
+            scored.join(best, query_id_col)
+            .filter((F.col("_mmr") == F.col("_b._mmr"))
+                    & (F.col(id_col) == -F.col("_b._nid")))
+            .select(query_id_col, id_col, sim_col,
+                    F.col("_mmr").alias("mmr_score"),
+                    F.lit(rnd).cast("long").alias("mmr_rank"), "_v", "_n")
+        )
+        selected = (pick if selected is None
+                    else selected.unionByName(pick)).localCheckpoint(
+            eager=True)
+    return selected.select(
+        query_id_col, id_col, sim_col, "mmr_score", "mmr_rank")

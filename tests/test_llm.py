@@ -311,6 +311,30 @@ def test_connected_components_clusters(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_mmr_rerank_prefers_diversity(spark):
+    """With two near-identical top candidates, MMR must pick the
+    diverse third vector at rank 2 even though its relevance is lower."""
+    vecs = spark.createDataFrame(
+        [(1, [0.99, 0.14, 0.0]),     # very relevant
+         (2, [0.99, 0.141, 0.0]),    # near-copy of 1
+         (3, [0.6, -0.8, 0.0])],     # less relevant but diverse
+        "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "query_id long, embedding array<float>")
+    cand = similarity.brute_force_topk(vecs, q, k=3)
+    out = {r["mmr_rank"]: r["vec_id"]
+           for r in similarity.mmr_rerank(cand, vecs, k=3, lam=0.5).collect()}
+    assert out[1] == 1          # rank 1 = pure relevance
+    assert out[2] == 3          # rank 2 = diverse vector beats the near-copy
+    assert out[3] == 2
+    # determinism under repartition
+    out2 = {r["mmr_rank"]: r["vec_id"]
+            for r in similarity.mmr_rerank(
+                cand.repartition(7), vecs.repartition(5), k=3,
+                lam=0.5).collect()}
+    assert out2 == out
+
+
 def test_jaccard_similarity_join_exact_vs_bruteforce(spark):
     """Prefix filtering must be lossless: the PPJoin-style join equals
     the unfiltered inverted-index brute force at every threshold."""

@@ -3744,58 +3744,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate checks the
-    first 50 entries. Window policy (priority order): (1) queries that
-    have NEVER had a driver row — every round-4 addition and the six
-    round-3 additions the r03 window missed; (2) stale-green queries
-    whose underlying modules changed this round (mvcc/table.py,
-    similarity.py IVF, multimodal/codecs); (3) the six r02-green
-    queries the round-3 rotation marked "enter the r05 window FIRST".
-    That fills the 50 exactly: 38 never-checked + 6 touched + 6 marked.
-    Every new query below the boundary and every never-checked one
-    inside it is locally validated by scripts/check_oracle.py (the
-    same DuckDB value-hash harness the driver runs). With 161 registry
-    keys and a 50-row window the full re-verification period is three
-    rounds; the r05 window should take (1) the nineteen never-checked
-    late-round-4 additions (kmv_set_ops, token_budget, matview_join,
-    bfs_hops, psi_drift, keywords_tfidf, centroid_outliers, skyline,
-    importance_sample, skipgram_counts, cm_join_size, seasonal_decompose,
-    dq_report, hashed_features, interval_join, seasonal_anomalies,
-    winsorize, twap, hll_set_ops — each marked "new post-window"), then (2) the
-    38 r02-green queries rotated below today (marked), then
-    r03-greens."""
+    first 50 entries. Round-4's driver check never ran (no
+    CORRECTNESS_r04.json), so at round-5 start 61 registry keys had
+    never had a driver row; round 5 adds four more (dedup_keep_best,
+    weighted_sample, jaccard_join, mmr_rerank) and changes the
+    semantics of anti_join / except / hll_set_ops (previously 0-row —
+    trivially-green hashes). Window policy, priority order: (1) every
+    never-driver-checked query from the novel-module tiers (r3 + r4 +
+    late-r4 + r5 additions), (2) the two semantics-changed queries
+    whose old rows no longer describe them. That fills 50 exactly.
+    Seventeen never-checked breadth/shape queries (function-breadth and
+    TPC-H-composite relatives of driver-checked queries — rank/
+    datetime/string/json breadth, Q2/Q8/Q11/Q15/Q20 shapes, corr/
+    zscore/percentile stats) sit directly below the boundary, marked:
+    they enter the r06 window FIRST, followed by the r02-stale
+    mvcc/ivf/media set. Every registry entry, in and below the window,
+    is validated each round by scripts/check_oracle.py — the same
+    DuckDB value-hash harness the driver runs (see
+    LOCAL_ORACLE_r05.txt)."""
     return {
-        # -- new in round 3, never driver-checked ---------------------------
+        # -- never driver-checked: r3 additions ----------------------------
         "cm_heavy_hitters": q_cm_heavy_hitters,
         "matview_incremental": q_matview_incremental,
         "hist_quantiles": q_hist_quantiles,
         "bloom_prefilter": q_bloom_prefilter,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
-        # -- new in round 4, never driver-checked ---------------------------
+        # -- never driver-checked: r4 additions (novel modules) -------------
         "ivf_index_topk": q_ivf_index_topk,
         "event_funnel_windowed": q_event_funnel_windowed,
-        "forecast_revenue": q_forecast_revenue,
-        "market_share": q_market_share,
-        "top_supplier": q_top_supplier,
         "gapfill_locf": q_gapfill_locf,
         "fuzzy_join": q_fuzzy_join,
         "profile_table": q_profile_table,
-        "zscore_outliers": q_zscore_outliers,
         "copurchase_pairs": q_copurchase_pairs,
         "triangle_count": q_triangle_count,
-        "exact_percentiles": q_exact_percentiles,
-        "price_qty_corr": q_price_qty_corr,
-        "range_frame_agg": q_range_frame_agg,
-        "fk_integrity": q_fk_integrity,
-        "mode_by_group": q_mode_by_group,
-        "rank_funcs": q_rank_funcs,
-        "datetime_funcs": q_datetime_funcs,
-        "string_funcs": q_string_funcs,
-        "json_agg": q_json_agg,
         "salted_join_agg": q_salted_join_agg,
-        "min_cost_supplier": q_min_cost_supplier,
-        "important_stock": q_important_stock,
-        "excess_supply": q_excess_supply,
         "hll_distinct": q_hll_distinct,
         "hll_merge": q_hll_merge,
         "sessionize": q_sessionize,
@@ -3805,21 +3788,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_interp": q_gapfill_interp,
         "mad_outliers": q_mad_outliers,
         "chi2_independence": q_chi2_independence,
-        "entropy_profile": q_entropy_profile,
         "mvcc_history": q_mvcc_history,
         "hll_rolling": q_hll_rolling,
-        # -- last green in r02; modules touched in round 4 — re-verify ------
+        # -- never driver-checked: late-r4 additions ------------------------
+        "kmv_set_ops": q_kmv_set_ops,
+        "token_budget": q_token_budget,
+        "matview_join": q_matview_join,
+        "bfs_hops": q_bfs_hops,
+        "psi_drift": q_psi_drift,
+        "keywords_tfidf": q_keywords_tfidf,
+        "centroid_outliers": q_centroid_outliers,
+        "skyline": q_skyline,
+        "importance_sample": q_importance_sample,
+        "skipgram_counts": q_skipgram_counts,
+        "cm_join_size": q_cm_join_size,
+        "seasonal_decompose": q_seasonal_decompose,
+        "dq_report": q_dq_report,
+        "hashed_features": q_hashed_features,
+        "interval_join": q_interval_join,
+        "seasonal_anomalies": q_seasonal_anomalies,
+        "winsorize": q_winsorize,
+        "twap": q_twap,
+        "hll_set_ops": q_hll_set_ops,
+        # -- never driver-checked: r5 additions -----------------------------
+        "dedup_keep_best": q_dedup_keep_best,
+        "weighted_sample": q_weighted_sample,
+        "jaccard_join": q_jaccard_join,
+        "mmr_rerank": q_mmr_rerank,
+        # -- semantics changed in r5 (old rows describe the old query) ------
+        "anti_join": q_anti_join,
+        "except": q_except,
+        # ---- window boundary (position 50) --------------------------------
+        # -- never driver-checked breadth/shape relatives: enter the r06
+        # -- window FIRST
+        "rank_funcs": q_rank_funcs,
+        "datetime_funcs": q_datetime_funcs,
+        "string_funcs": q_string_funcs,
+        "json_agg": q_json_agg,
+        "mode_by_group": q_mode_by_group,
+        "market_share": q_market_share,
+        "top_supplier": q_top_supplier,
+        "min_cost_supplier": q_min_cost_supplier,
+        "important_stock": q_important_stock,
+        "excess_supply": q_excess_supply,
+        "forecast_revenue": q_forecast_revenue,
+        "price_qty_corr": q_price_qty_corr,
+        "zscore_outliers": q_zscore_outliers,
+        "fk_integrity": q_fk_integrity,
+        "range_frame_agg": q_range_frame_agg,
+        "exact_percentiles": q_exact_percentiles,
+        "entropy_profile": q_entropy_profile,
+        # -- r02-green, modules touched in r4 (re-verify next) --------------
         "mvcc_snapshot": q_mvcc_snapshot,
         "mvcc_cdc": q_mvcc_cdc,
         "mvcc_delete_where": q_mvcc_delete_where,
         "ivf_topk": q_ivf_topk,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "media_features": q_media_features,
-        # -- r02-green, marked in round 3 to enter this window FIRST --------
         "condition_dsl": q_condition_dsl,
         "pricing_summary": q_pricing_summary,
-        # ---- window boundary (position 50) --------------------------------
-        # -- r02-green, rotated below this round: enter the r05 window FIRST
         "count_when": q_count_when,
         "priority_shipments": q_priority_shipments,
         "explode_tokens": q_explode_tokens,
@@ -3838,16 +3865,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
-        "jaccard_join": q_jaccard_join,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus": q_dedup_corpus,
-        "dedup_keep_best": q_dedup_keep_best,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "cosine_topk": q_cosine_topk,
-        "mmr_rerank": q_mmr_rerank,
         "embedding_near_dup": q_embedding_near_dup,
         "deterministic_split": q_deterministic_split,
         "corpus_stats": q_corpus_stats,
@@ -3865,32 +3889,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "domain_cap": q_domain_cap,
         "redact_pii": q_redact_pii,
-        # -- green in CORRECTNESS_r03 (rows+schema+hash), rotated below -----
         "quality_rules": q_quality_rules,
         "kmv_distinct": q_kmv_distinct,
         "kmv_merge": q_kmv_merge,
-        # new post-window (never driver-checked; locally green): enter
-        # the r05 window FIRST alongside the marked r02-greens.
-        "kmv_set_ops": q_kmv_set_ops,
-        "token_budget": q_token_budget,
-        "matview_join": q_matview_join,
-        "bfs_hops": q_bfs_hops,
-        "psi_drift": q_psi_drift,
-        "keywords_tfidf": q_keywords_tfidf,
-        "centroid_outliers": q_centroid_outliers,
-        "skyline": q_skyline,
-        "importance_sample": q_importance_sample,
-        "weighted_sample": q_weighted_sample,
-        "skipgram_counts": q_skipgram_counts,
-        "cm_join_size": q_cm_join_size,
-        "seasonal_decompose": q_seasonal_decompose,
-        "dq_report": q_dq_report,
-        "hashed_features": q_hashed_features,
-        "interval_join": q_interval_join,
-        "seasonal_anomalies": q_seasonal_anomalies,
-        "winsorize": q_winsorize,
-        "twap": q_twap,
-        "hll_set_ops": q_hll_set_ops,
         "mvcc_multi_tx": q_mvcc_multi_tx,
         "table_scan": q_table_scan,
         "filter": q_filter,
@@ -3907,7 +3908,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat": q_concat,
         "constant_scan": q_constant_scan,
         "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
         "outer_join": q_outer_join,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
@@ -3924,7 +3924,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_only_supplier": q_late_only_supplier,
         "idle_rich_customers": q_idle_rich_customers,
         "intersect": q_intersect,
-        "except": q_except,
         "full_outer": q_full_outer,
         "theta_join": q_theta_join,
         "json_funcs": q_json_funcs,

@@ -183,6 +183,23 @@ PICKS = {
     "kmv_set_ops": (E.q_kmv_set_ops,
         "Two sharded bottom-k sketch builds; the merge/membership/rank "
         "stages all run on <= 2k rows per group."),
+    "jaccard_join": (E.q_jaccard_join,
+        "Prefix-filtered exact set-similarity join: shingle-df count, "
+        "per-doc rarity-rank window, prefix-on-shingle self-join, "
+        "pair-keyed intersection count. No all-pairs stage; candidate "
+        "volume follows rare-shingle frequencies."),
+    "mmr_rerank": (E.q_mmr_rerank,
+        "k greedy rounds over the bounded ANN candidate list; each "
+        "round a remaining-x-selected pairwise join capped at "
+        "|cand|*k rows, then per-query struct-argmax. localCheckpoint "
+        "keeps the plan round-sized; the corpus never re-enters."),
+    "weighted_sample": (E.q_weighted_sample,
+        "Map-only A-ES key computation then TakeOrderedAndProject — "
+        "per-partition heaps, k rows to one reducer, no global sort."),
+    "dedup_keep_best": (E.q_dedup_keep_best,
+        "Same LSH/components plan as dedup_corpus plus one "
+        "membership-sized quality join and a cluster-keyed struct-max "
+        "— selection never touches the corpus scan."),
     "skipgram_counts": (E.q_skipgram_counts,
         "Positions assigned once, center side explodes map-only into 2w "
         "targets, ONE (doc, position) equi-join — O(tokens*2w), no "

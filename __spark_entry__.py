@@ -1982,6 +1982,53 @@ def _mvcc_build(spark, sf_dir):
     return c, t_before
 
 
+def q_mvcc_vacuum(spark, sf_dir):
+    """History vacuum under the oracle (db_spark/table.py:
+    Collection.vacuum): build the deterministic _mvcc_build log, then
+    collapse every whole segment below the current position into one
+    resolved base segment. The visible snapshot must be bit-identical
+    to the un-vacuumed mvcc_snapshot expectation — the oracle computes
+    that expected final state independently from the base table, so a
+    merge that lost a version, resurrected a tombstone, or collapsed a
+    pending transaction would hash-mismatch. (File-level mechanics —
+    physical removal of superseded versions, watermark refusal — are
+    asserted in tests/test_mvcc.py::test_vacuum_*.)"""
+    c, _ = _mvcc_build(spark, sf_dir)
+    c.vacuum(c.log_position())
+    return c.table_scan().select(
+        F.col("_id").cast("long").alias("key"), "c_name", "acctbal")
+
+
+def q_mvcc_evolve(spark, sf_dir):
+    """Additive schema evolution under the oracle (db_spark/table.py:
+    set_objects(evolve=True)): load customers, then re-upsert every
+    custkey%5==0 row through an EVOLVED batch carrying a brand-new
+    segment column. The snapshot must show the new column on evolved
+    rows and NULL on untouched ones — mergeSchema NULL-fill, no
+    history rewrite."""
+    from db_spark.engine import Storage
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").cast("string").alias("_id"),
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+    )
+    st = Storage(spark, _scratch_dir("db_spark_mvccevo_"))
+    c = st.get_collection("customer_log")
+    c.set_objects(None, base)
+    evolved = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").cast("string").alias("_id"),
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    c.set_objects(None, evolved, evolve=True)
+    return c.table_scan().select(
+        F.col("_id").cast("long").alias("key"), "c_name", "acctbal",
+        "segment")
+
+
 def q_mvcc_snapshot(spark, sf_dir):
     """MVCC write path + snapshot resolution end-to-end, verified against
     an independent oracle computing the equivalent final state from the
@@ -3815,10 +3862,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "jaccard_join": q_jaccard_join,
         "mmr_rerank": q_mmr_rerank,
-        # -- semantics changed in r5 (old rows describe the old query) ------
+        "mvcc_vacuum": q_mvcc_vacuum,
+        "mvcc_evolve": q_mvcc_evolve,
+        # ---- window boundary (position 50) --------------------------------
+        # -- semantics changed in r5 (old rows are for the old 0-row form,
+        # -- which was vacuously green): enter the r06 window FIRST
         "anti_join": q_anti_join,
         "except": q_except,
-        # ---- window boundary (position 50) --------------------------------
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -4497,6 +4547,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round("value" * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value
             FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS off(i)
             GROUP BY 1, 2
+        """,
+        "mvcc_vacuum": """
+            SELECT c_custkey AS key, c_name,
+                   CASE WHEN c_custkey % 10 = 0
+                        THEN CAST(c_acctbal AS DOUBLE) + 100.0
+                        ELSE CAST(c_acctbal AS DOUBLE) END AS acctbal
+            FROM customer
+            WHERE c_custkey % 7 <> 0
+            UNION ALL
+            SELECT c_custkey + 1000000 AS key, c_name,
+                   CAST(c_acctbal AS DOUBLE) AS acctbal
+            FROM customer
+            WHERE c_custkey % 13 = 0
+        """,
+        "mvcc_evolve": """
+            SELECT c_custkey AS key, c_name,
+                   CAST(c_acctbal AS DOUBLE) AS acctbal,
+                   CASE WHEN c_custkey % 5 = 0 THEN c_mktsegment
+                        END AS segment
+            FROM customer
         """,
         "mvcc_snapshot": """
             SELECT c_custkey AS key, c_name,

@@ -278,7 +278,7 @@ def test_matview_over_streaming_ingestion(spark, tmp_path):
     assert got == {"a": (2, 3.25), "b": (1, 5.5)}
 
 
-@pytest.mark.parametrize("maintenance", ["compact", "optimize", "zorder"])
+@pytest.mark.parametrize("maintenance", ["compact", "optimize", "zorder", "vacuum"])
 def test_matview_refresh_after_compaction_rebuilds(spark, mv_setup, maintenance):
     """ADVICE r3 (high): compaction rewrites every live row at a fresh
     _batch and deletes the old log files, so the view's stored baseline
@@ -300,6 +300,10 @@ def test_matview_refresh_after_compaction_rebuilds(spark, mv_setup, maintenance)
         c.compact()
     elif maintenance == "optimize":
         c.optimize(["grp"])
+    elif maintenance == "vacuum":
+        # collapse all whole segments below the current position —
+        # advances the watermark like compact, so refresh must rebuild
+        assert c.vacuum(c.log_position()) >= 2
     else:
         c.optimize_zorder(["val"], bits=6)
 

@@ -2113,6 +2113,26 @@ def q_mvcc_delete_where(spark, sf_dir):
 # North-star ops (SURVEY §2.4): dedup / similarity / text / multimodal
 # ---------------------------------------------------------------------------
 
+def q_normalize_text(spark, sf_dir):
+    """Corpus text normalization (db_spark/llm/text.py: normalize_text,
+    NORMALIZATION_RULES): the testdata text is clean ASCII, so the
+    query first synthesizes deterministic MESS around it — curly
+    quotes, em-dash, ellipsis, CRLF runs, doubled spaces + tabs, NBSP,
+    zero-width — then normalizes. Every rule fires on every row, and
+    the oracle rebuilds the same mess and the same rewrite chain from
+    the shared NORMALIZATION_RULES constants, so the rewrite is proven
+    byte-identical across engines. Map-only, no shuffle."""
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("\u201cT\u2019itle\u201d \u2014 intro\u2026\r\n\r\n\r\n\r\n"),
+        F.regexp_replace(F.col("text"), " table ", "  table\t"),
+        F.lit(" tail\u00a0end\u200b "))
+    return docs.select(
+        "doc_id", ltext.normalize_text(messy).alias("norm_text"))
+
+
 def q_text_stats(spark, sf_dir):
     """Text analysis suite over documents: token counts, punct/stopword
     ratios, quality score, md5 fingerprint, stopword-vote language ID —
@@ -3323,6 +3343,28 @@ def _guarded_shingles(max_df: int) -> str:
     """
 
 
+def _normalize_oracle() -> str:
+    """normalize_text oracle: the SAME messy-text synthesis and the SAME
+    rewrite chain, generated from db_spark.llm.text.NORMALIZATION_RULES
+    (patterns are Java/RE2-shared; replacements carry real newlines)."""
+    from db_spark.llm.text import NORMALIZATION_RULES
+
+    messy = ("'\u201cT\u2019itle\u201d \u2014 intro\u2026' || chr(13) || chr(10) "
+             "|| chr(13) || chr(10) || chr(13) || chr(10) || chr(13) || chr(10) "
+             "|| regexp_replace(text, ' table ', '  table' || chr(9), 'g') "
+             "|| ' tail\u00a0end\u200b '")
+    expr = messy
+    for pat, repl in NORMALIZATION_RULES:
+        pat_sql = pat.replace("'", "''")
+        # replacements carry REAL newline characters — legal inside a
+        # SQL string literal, and RE2 rewrites pass them through as-is
+        repl_sql = repl.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl_sql}', 'g')"
+    return f"""
+        SELECT doc_id, trim({expr}) AS norm_text FROM documents
+    """
+
+
 def _pii_oracle() -> str:
     """redact_pii oracle built from the SAME pattern strings the Spark
     side uses (db_spark.llm.text.PII_PATTERNS) — the patterns stay in the
@@ -3913,6 +3955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": q_session_window,
         "hypertable_rollup": q_hypertable_rollup,
         "text_stats": q_text_stats,
+        "normalize_text": q_normalize_text,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signature": q_minhash_signature,
@@ -4680,6 +4723,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM sess GROUP BY user_id, sid
         """,
+        "normalize_text": _normalize_oracle(),
         "text_stats": _text_stats_oracle(),
         "corpus_stats": f"""
             WITH ts AS ({_text_stats_oracle()})

@@ -86,6 +86,45 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+#: Text-normalization rewrite rules, applied IN ORDER (later rules see
+#: earlier output: CRLF folds before blank-line collapsing, unicode
+#: spaces become ASCII spaces before space-run collapsing). Patterns
+#: stay in the Java-regex/RE2 shared subset: unicode punctuation as
+#: literal characters, control/whitespace as \x/\t/\r/\n PATTERN
+#: escapes (interpreted identically by Java regex and RE2, and safe to
+#: embed in a SQL literal — a raw NUL byte would not be), so Spark and
+#: a SQL oracle rewrite byte-identically. Replacement strings carry
+#: REAL newline characters (RE2 rewrites interpret only \0-\9). The standard corpus
+#: pre-cleaning pass: curly quotes/dashes/ellipsis to ASCII,
+#: zero-width and control characters out, whitespace canonicalized
+#: with paragraph breaks preserved.
+NORMALIZATION_RULES: list[tuple[str, str]] = [
+    ("[\u2018\u2019\u201a\u201b]", "'"),         # curly single quotes
+    ('[\u201c\u201d\u201e\u201f]', '"'),         # curly double quotes
+    ("[\u2013\u2014\u2015]", "-"),                # en/em/horizontal dashes
+    ("\u2026", "..."),                              # ellipsis
+    ("[\u00a0\u2000-\u200a\u202f\u205f\u3000]", " "),  # unicode spaces
+    ("[\u200b-\u200d\u2060\ufeff]", ""),         # zero-width / joiners
+    (r"\r\n|\r", "\n"),                            # CRLF / CR -> LF
+    (r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""),  # control chars
+    (r"[ \t]+", " "),                               # space/tab runs
+    (r" ?\n ?", "\n"),                             # trim around newlines
+    (r"\n{3,}", "\n\n"),                           # >=3 newlines -> blank line
+]
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonicalize raw scraped text via :data:`NORMALIZATION_RULES` —
+    map-only Column expression, one regexp_replace per rule, no UDF.
+    Paragraph structure (single blank lines) survives; everything else
+    about whitespace and typographic punctuation is canonical ASCII.
+    Leading/trailing whitespace is trimmed last."""
+    out = text
+    for pat, repl in NORMALIZATION_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return F.trim(out)
+
+
 #: PII patterns, applied in this order (earlier rewrites can't create
 #: later matches; SSN before phone so 123-45-6789 is never half-eaten).
 #: Kept to the regex subset shared by Java regex and RE2 (ASCII classes,

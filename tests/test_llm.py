@@ -1175,3 +1175,19 @@ def test_lsh_index_probe_matches_inflight_pairs(spark, tmp_path):
     pairs = {(r["id_a"], r["id_b"]) for r in
              lsh_candidate_pairs(sig).collect()}
     assert probed == pairs | {(b, a) for a, b in pairs}
+
+
+def test_normalize_text_rules(spark):
+    messy = ("“Hi’ there” — a…\r\n\r\n\r\n\r\n"
+             "new  para​!\ttail  end\x07  x")
+    df = spark.createDataFrame([(1, messy), (2, None), (3, "clean text")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["t"] for r in df.select(
+        "doc_id", text.normalize_text(F.col("text")).alias("t")).collect()}
+    assert got[1] == '"Hi\' there" - a...\n\nnew para! tail end x'
+    assert got[2] is None           # NULL passes through
+    assert got[3] == "clean text"   # clean input is a fixpoint
+    # idempotence: normalizing twice equals once
+    df2 = df.select("doc_id", text.normalize_text(
+        text.normalize_text(F.col("text"))).alias("t"))
+    assert {r["doc_id"]: r["t"] for r in df2.collect()} == got

@@ -97,6 +97,32 @@ class Storage:
     def sql(self, query: str) -> Q:
         return Q(self.spark.sql(query))
 
+    def maintain(self, retain_positions: int | None = None) -> dict:
+        """One-call storage maintenance — the scheduled-job entrypoint.
+        Per collection: (1) redundancy-triggered compaction via
+        ``maybe_compact`` (incremental segment-pair merge first,
+        whole-log rewrite only when scattered redundancy demands it,
+        commit-marker coalescing otherwise), then (2) optional history
+        retention — ``vacuum`` everything below
+        ``log_position() - retain_positions``, bounding time travel to
+        the last N log positions. Each step is bounded I/O per
+        collection; nothing here scans payloads beyond what the chosen
+        compaction path rewrites. Returns
+        ``{collection: {"compacted": bool, "vacuumed_segments": int}}``.
+        """
+        report = {}
+        for name in self.list_collections():
+            c = self.get_collection(name)
+            compacted = c.maybe_compact()
+            vacuumed = 0
+            if retain_positions is not None:
+                cutoff = c.log_position() - retain_positions
+                if cutoff > 0:
+                    vacuumed = c.vacuum(cutoff)
+            report[name] = {"compacted": compacted,
+                            "vacuumed_segments": vacuumed}
+        return report
+
     @contextmanager
     def transaction(self):
         """Multi-collection transaction — completes the reference's empty

@@ -873,3 +873,24 @@ def test_schema_evolution_additive(spark, tmp_path):
     c.compact()
     assert {(r["_id"], r["name"], r["qty"], r["lang"])
             for r in c.table_scan().collect()} == snap
+
+
+def test_storage_maintain_orchestrates(spark, tmp_path):
+    """Storage.maintain(): per-collection maybe_compact + optional
+    retention vacuum in one call; snapshots preserved throughout."""
+    st = Storage(spark, str(tmp_path / "maint"), StorageConfig(max_entries=64))
+    a = st.get_collection("a")
+    b = st.get_collection("b")
+    for _ in range(3):  # churn: high redundancy in a, history in b
+        a.set_objects(None, _df(spark, [("x", "v", 1), ("y", "v", 2)]).coalesce(1))
+        b.set_objects(None, _df(spark, [(str(_), "v", _)]).coalesce(1))
+    snap_a, snap_b = _snap(a), _snap(b)
+    report = st.maintain(retain_positions=1)
+    assert set(report) == {"a", "b"}
+    assert _snap(a) == snap_a and _snap(b) == snap_b
+    # a was fully redundant -> some compaction path fired
+    assert report["a"]["compacted"] or report["a"]["vacuumed_segments"] > 0
+    # empty collection: maintain is a clean no-op
+    st.get_collection("c")
+    report2 = st.maintain(retain_positions=1)
+    assert report2["c"] == {"compacted": False, "vacuumed_segments": 0}

@@ -3835,19 +3835,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate checks the
     first 50 entries. Round-4's driver check never ran (no
     CORRECTNESS_r04.json), so at round-5 start 61 registry keys had
-    never had a driver row; round 5 adds four more (dedup_keep_best,
-    weighted_sample, jaccard_join, mmr_rerank) and changes the
-    semantics of anti_join / except / hll_set_ops (previously 0-row —
-    trivially-green hashes). Window policy, priority order: (1) every
+    never had a driver row; round 5 adds seven more (dedup_keep_best,
+    weighted_sample, jaccard_join, mmr_rerank, mvcc_vacuum,
+    mvcc_evolve, normalize_text) and changes the semantics of
+    anti_join / except / hll_set_ops (previously 0-row —
+    trivially-green hashes). Window policy, priority order: every
     never-driver-checked query from the novel-module tiers (r3 + r4 +
-    late-r4 + r5 additions), (2) the two semantics-changed queries
-    whose old rows no longer describe them. That fills 50 exactly.
-    Seventeen never-checked breadth/shape queries (function-breadth and
-    TPC-H-composite relatives of driver-checked queries — rank/
+    late-r4 + r5 additions). That fills 50 exactly; normalize_text
+    (r5) did not fit. Below the boundary, in r06-entry order: the two
+    semantics-changed queries (anti_join, except — their old rows
+    describe the old vacuously-empty forms), normalize_text, then
+    seventeen never-checked breadth/shape queries (function-breadth
+    and TPC-H-composite relatives of driver-checked queries — rank/
     datetime/string/json breadth, Q2/Q8/Q11/Q15/Q20 shapes, corr/
-    zscore/percentile stats) sit directly below the boundary, marked:
-    they enter the r06 window FIRST, followed by the r02-stale
-    mvcc/ivf/media set. Every registry entry, in and below the window,
+    zscore/percentile stats), then the r02-stale mvcc/ivf/media
+    set. Every registry entry, in and below the window,
     is validated each round by scripts/check_oracle.py — the same
     DuckDB value-hash harness the driver runs (see
     LOCAL_ORACLE_r05.txt)."""

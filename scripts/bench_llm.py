@@ -33,6 +33,8 @@ PICKS = [
     "repetition_stats", "unigram_surprisal",
     "token_budget", "importance_sample", "keywords_tfidf",
     "skipgram_counts", "centroid_outliers", "kmv_set_ops",
+    "jaccard_join", "dedup_keep_best", "weighted_sample", "mmr_rerank",
+    "normalize_text",
     "cm_join_size", "psi_drift", "seasonal_decompose", "dq_report",
     "skyline", "bfs_hops", "hashed_features", "interval_join", "decontaminate",
     "stratified_sample", "bm25_topk", "embedding_quantize",

@@ -1,0 +1,65 @@
+"""Property-based tests (hypothesis) for the round-5 curation ops:
+for ANY corpus, the prefix-filtered exact similarity join must equal
+the unfiltered brute force (losslessness is a theorem — test it like
+one), and weighted sampling must be a deterministic, weight-respecting
+k-subset. Small example counts — each example runs Spark jobs."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st_
+from pyspark.sql import functions as F
+
+from db_spark.llm import corpus, dedup
+
+_settings = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+# Documents over a tiny vocabulary: maximizes shared shingles (the
+# adversarial regime for prefix filtering — many ties in the global
+# rarity order, candidates everywhere).
+WORDS = ["a", "b", "c", "d"]
+DOC = st_.lists(st_.sampled_from(WORDS), min_size=0, max_size=8).map(" ".join)
+CORPUS = st_.lists(DOC, min_size=0, max_size=8)
+THRESH = st_.sampled_from([0.2, 0.5, 0.8, 1.0])
+
+
+def _docs(spark, texts):
+    if not texts:
+        return spark.createDataFrame([], "doc_id long, text string")
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+
+
+@given(texts=CORPUS, t=THRESH)
+@_settings
+def test_jaccard_join_lossless(spark, texts, t):
+    df = _docs(spark, texts)
+    got = {(r["id_a"], r["id_b"], r["jaccard"])
+           for r in dedup.jaccard_similarity_join(df, t).collect()}
+    want = {(r["id_a"], r["id_b"], round(r["jaccard"], 6))
+            for r in dedup.ngram_jaccard_pairs(
+                df, threshold=t, max_shingle_df=None).collect()}
+    assert got == want
+
+
+@given(weights=st_.lists(
+    st_.integers(min_value=0, max_value=9), min_size=0, max_size=30),
+    k=st_.sampled_from([1, 3, 10]))
+@_settings
+def test_weighted_sample_contract(spark, weights, k):
+    rows = [(i, float(w)) for i, w in enumerate(weights)]
+    df = (spark.createDataFrame(rows, "doc_id long, w double") if rows
+          else spark.createDataFrame([], "doc_id long, w double"))
+    out = corpus.weighted_sample(df, F.col("w"), k).collect()
+    ids = [r["doc_id"] for r in out]
+    eligible = [i for i, w in enumerate(weights) if w > 0]
+    # exactly min(k, eligible) distinct rows, all with positive weight
+    assert len(ids) == len(set(ids)) == min(k, len(eligible))
+    assert set(ids) <= set(eligible)
+    # sample keys are non-increasing in selection order
+    keys = [r["sample_key"] for r in out]
+    assert keys == sorted(keys, reverse=True)
+    # deterministic under repartition
+    ids2 = {r["doc_id"] for r in corpus.weighted_sample(
+        df.repartition(4), F.col("w"), k).collect()}
+    assert ids2 == set(ids)

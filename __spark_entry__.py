@@ -2459,6 +2459,26 @@ def q_pack_sequences(spark, sf_dir):
     return ltext.pack_sequences(chunks, capacity=256, shards=8)
 
 
+def q_curate_corpus(spark, sf_dir):
+    """The WHOLE curation recipe as one operator (db_spark/llm/
+    pipeline.py: curate): normalize -> quality gate (ppm >= 720000) ->
+    eval-doc removal + 4-gram decontamination (eval = doc_id %% 97 == 0)
+    -> MinHash-LSH near-dup removal keeping each cluster's
+    highest-quality member. The oracle composes the same four stages
+    into a single DuckDB query from the shared constants (normalize
+    chain, quality composite, md5 hash family, LSH band layout), so the
+    survivor set of the END-TO-END pipeline — not just each stage — is
+    hash-verified."""
+    from db_spark.llm import pipeline as lpipe
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    out = lpipe.curate(
+        docs, quality_min=0.72, eval_df=eval_df, decontam_n=4,
+        dedup_threshold=0.5)
+    return out.select("doc_id", "lang", "source", "quality_ppm")
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag training docs (doc_id % 97 != 0)
     sharing any distinct 4-gram with the held-out eval set (% 97 == 0)."""
@@ -3343,25 +3363,109 @@ def _guarded_shingles(max_df: int) -> str:
     """
 
 
-def _normalize_oracle() -> str:
-    """normalize_text oracle: the SAME messy-text synthesis and the SAME
-    rewrite chain, generated from db_spark.llm.text.NORMALIZATION_RULES
-    (patterns are Java/RE2-shared; replacements carry real newlines)."""
+def _curate_oracle() -> str:
+    """curate_corpus oracle: the four pipeline stages composed into one
+    query from the same shared constants the per-stage oracles use."""
+    from db_spark.llm.text import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    norm = _normalize_chain("text")
+    return f"""
+        WITH RECURSIVE
+        src AS (SELECT doc_id, lang, source, {norm} AS text
+                FROM documents),
+        qx AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '[a-zA-Z'']+')) AS nt,
+                 len(list_filter(list_transform(
+                     regexp_extract_all(text, '[a-zA-Z'']+'),
+                     t -> lower(t)), t -> t IN ({sw}))) AS s_en,
+                 length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                     AS np,
+                 length(text) AS nc
+          FROM src),
+        scored AS (
+          SELECT doc_id,
+                 CAST(round(least(1.0, greatest(0.0,
+                      least(nt::DOUBLE / 20.0, 1.0) * 0.4
+                      + least((CASE WHEN nt > 0
+                               THEN s_en::DOUBLE / nt::DOUBLE
+                               ELSE 0.0 END) * 4.0, 1.0) * 0.3
+                      + greatest(0.0, 1.0 - (np::DOUBLE / nc::DOUBLE) * 4.0)
+                          * 0.3)) * 1000000) AS BIGINT) AS quality_ppm
+          FROM qx),
+        gate AS (
+          SELECT s.doc_id, s.lang, s.source, s.text, q.quality_ppm
+          FROM src s JOIN scored q USING (doc_id)
+          WHERE q.quality_ppm >= 720000),
+        train0 AS (SELECT * FROM gate WHERE doc_id % 97 <> 0),
+        egr AS (
+          SELECT DISTINCT unnest(list_distinct(list_transform(
+                     range(1, greatest(len(toks)-2, 1)),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                          toks[i+2] || ' ' || toks[i+3]))) AS gram
+          FROM (SELECT {_TOKS} AS toks FROM src WHERE doc_id % 97 = 0)),
+        tgr AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                     range(1, greatest(len(toks)-2, 1)),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                          toks[i+2] || ' ' || toks[i+3]))) AS gram
+          FROM (SELECT doc_id, {_TOKS} AS toks FROM train0)),
+        contaminated AS (
+          SELECT DISTINCT tgr.doc_id FROM tgr JOIN egr USING (gram)),
+        clean AS (
+          SELECT * FROM train0
+          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        pairs AS ({_minhash_lsh_oracle(rel='clean')}),
+        edges AS (
+          SELECT id_a AS src_n, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        reach(src_n, dst) AS (
+          SELECT src_n, dst FROM edges
+          UNION
+          SELECT r.src_n, e.dst FROM reach r JOIN edges e
+            ON r.dst = e.src_n),
+        members AS (
+          SELECT src_n AS doc_id, least(src_n, MIN(dst)) AS cluster_id
+          FROM reach GROUP BY src_n),
+        keepers AS (
+          SELECT cluster_id, doc_id AS keep_id FROM (
+            SELECT m.cluster_id, m.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                     ORDER BY c.quality_ppm DESC, m.doc_id) AS rk
+            FROM members m JOIN clean c USING (doc_id)) WHERE rk = 1),
+        losers AS (
+          SELECT m.doc_id FROM members m JOIN keepers USING (cluster_id)
+          WHERE m.doc_id <> keep_id)
+        SELECT doc_id, lang, source, quality_ppm FROM clean
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """
+
+
+def _normalize_chain(expr: str) -> str:
+    """The db_spark.llm.text.NORMALIZATION_RULES rewrite chain as a SQL
+    expression over ``expr`` (patterns are Java/RE2-shared; replacements
+    carry real newlines — legal inside a SQL literal, and RE2 rewrites
+    pass them through as-is)."""
     from db_spark.llm.text import NORMALIZATION_RULES
 
+    for pat, repl in NORMALIZATION_RULES:
+        pat_sql = pat.replace("'", "''")
+        repl_sql = repl.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl_sql}', 'g')"
+    return f"trim({expr})"
+
+
+def _normalize_oracle() -> str:
+    """normalize_text oracle: the SAME messy-text synthesis and the SAME
+    rewrite chain, generated from the shared NORMALIZATION_RULES."""
     messy = ("'\u201cT\u2019itle\u201d \u2014 intro\u2026' || chr(13) || chr(10) "
              "|| chr(13) || chr(10) || chr(13) || chr(10) || chr(13) || chr(10) "
              "|| regexp_replace(text, ' table ', '  table' || chr(9), 'g') "
              "|| ' tail\u00a0end\u200b '")
-    expr = messy
-    for pat, repl in NORMALIZATION_RULES:
-        pat_sql = pat.replace("'", "''")
-        # replacements carry REAL newline characters — legal inside a
-        # SQL string literal, and RE2 rewrites pass them through as-is
-        repl_sql = repl.replace("'", "''")
-        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl_sql}', 'g')"
     return f"""
-        SELECT doc_id, trim({expr}) AS norm_text FROM documents
+        SELECT doc_id, {_normalize_chain(messy)} AS norm_text FROM documents
     """
 
 
@@ -3396,7 +3500,7 @@ def _pii_oracle() -> str:
     """
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(rel: str = "documents") -> str:
     from db_spark.llm.dedup import (
         DEFAULT_MAX_SHINGLE_DF, HASH_P, perm_constants)
 
@@ -3405,7 +3509,7 @@ def _minhash_oracle() -> str:
         for i, (a, b) in enumerate(perm_constants(16))
     )
     return f"""
-        WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM {rel}),
         {_guarded_shingles(DEFAULT_MAX_SHINGLE_DF)},
         hv AS (SELECT doc_id, {_H32.format(x='shingle')} % {HASH_P} AS h FROM sh)
         SELECT doc_id,
@@ -3414,7 +3518,8 @@ def _minhash_oracle() -> str:
     """
 
 
-def _minhash_lsh_oracle(k: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_lsh_oracle(k: int = 16, bands: int = 4, threshold: float = 0.5,
+                        rel: str = "documents") -> str:
     from db_spark.llm.dedup import DEFAULT_MAX_BUCKET_SIZE
 
     rows = k // bands
@@ -3425,7 +3530,7 @@ def _minhash_lsh_oracle(k: int = 16, bands: int = 4, threshold: float = 0.5) -> 
     )
     est = " + ".join(f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(k))
     return f"""
-        WITH sig AS ({_minhash_oracle()}),
+        WITH sig AS ({_minhash_oracle(rel)}),
         bands_long AS (
               {bands_long}
         ),
@@ -3976,6 +4081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprisal": q_unigram_surprisal,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
+        "curate_corpus": q_curate_corpus,
         "stratified_sample": q_stratified_sample,
         "bm25_topk": q_bm25_topk,
         "span_dup": q_span_dup,
@@ -5065,6 +5171,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) AS BIGINT) AS n_tokens
             FROM laid GROUP BY shard, (cend - n) // 256
         """,
+        "curate_corpus": _curate_oracle(),
         "decontaminate": f"""
             WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             g AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -1191,3 +1191,39 @@ def test_normalize_text_rules(spark):
     df2 = df.select("doc_id", text.normalize_text(
         text.normalize_text(F.col("text"))).alias("t"))
     assert {r["doc_id"]: r["t"] for r in df2.collect()} == got
+
+
+def test_curate_pipeline_stages(spark):
+    from db_spark.llm import pipeline
+
+    good = ("the quick brown fox jumps over the lazy dog and it runs to "
+            "the old barn for a nap in the hay that is warm")
+    evtext = ("a solver for the benchmark question about prime numbers "
+              "is that seven and eleven are the answers we keep")
+    rows = [
+        (1, good + " first copy"),
+        (2, good + " first copy duplicated"),     # near-dup of 1
+        (3, "x! y? z!!"),                          # fails the quality gate
+        (4, good + " clean and unique text here"),
+        (97, evtext),                              # eval member
+        # shares a 6-gram with the eval text only — contaminated
+        (5, "it is known that seven and eleven are the answers to this "
+            "and the story goes on for a while in the same way as it did"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_df = docs.filter(F.col("doc_id") == 97)
+    out = pipeline.curate(
+        docs, quality_min=0.5, eval_df=eval_df, decontam_n=6,
+        dedup_threshold=0.5)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # 3 fails quality; 97 is eval; 5 shares a 6-gram with eval; 2 is a
+    # near-dup of 1 with equal quality -> min id 1 survives
+    assert 3 not in ids and 97 not in ids and 5 not in ids
+    assert 1 in ids and 4 in ids and 2 not in ids
+    # quality column present and gated
+    assert all(r["quality_ppm"] >= 500000 for r in out.collect())
+    # dedup can be skipped
+    out2 = pipeline.curate(
+        docs, quality_min=0.5, eval_df=eval_df, decontam_n=6,
+        dedup_threshold=None)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 2, 4]

@@ -3940,14 +3940,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate checks the
     first 50 entries. Round-4's driver check never ran (no
     CORRECTNESS_r04.json), so at round-5 start 61 registry keys had
-    never had a driver row; round 5 adds seven more (dedup_keep_best,
-    weighted_sample, jaccard_join, mmr_rerank, mvcc_vacuum,
-    mvcc_evolve, normalize_text) and changes the semantics of
+    never had a driver row; round 5 adds eight more (curate_corpus,
+    dedup_keep_best, weighted_sample, jaccard_join, mmr_rerank,
+    mvcc_vacuum, mvcc_evolve, normalize_text) and changes the
+    semantics of
     anti_join / except / hll_set_ops (previously 0-row —
     trivially-green hashes). Window policy, priority order: every
     never-driver-checked query from the novel-module tiers (r3 + r4 +
-    late-r4 + r5 additions). That fills 50 exactly; normalize_text
-    (r5) did not fit. Below the boundary, in r06-entry order: the two
+    late-r4 + r5 additions). That fills 50 exactly; normalize_text and
+    dedup_keep_best (r5) did not fit — curate_corpus subsumes the
+    keep-best path end-to-end. Below the boundary, in r06-entry order: the two
     semantics-changed queries (anti_join, except — their old rows
     describe the old vacuously-empty forms), normalize_text, then
     seventeen never-checked breadth/shape queries (function-breadth
@@ -4007,7 +4009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap": q_twap,
         "hll_set_ops": q_hll_set_ops,
         # -- never driver-checked: r5 additions -----------------------------
-        "dedup_keep_best": q_dedup_keep_best,
+        "curate_corpus": q_curate_corpus,
         "weighted_sample": q_weighted_sample,
         "jaccard_join": q_jaccard_join,
         "mmr_rerank": q_mmr_rerank,
@@ -4018,6 +4020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- which was vacuously green): enter the r06 window FIRST
         "anti_join": q_anti_join,
         "except": q_except,
+        "dedup_keep_best": q_dedup_keep_best,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -4081,7 +4084,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprisal": q_unigram_surprisal,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
-        "curate_corpus": q_curate_corpus,
         "stratified_sample": q_stratified_sample,
         "bm25_topk": q_bm25_topk,
         "span_dup": q_span_dup,

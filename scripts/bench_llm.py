@@ -34,7 +34,7 @@ PICKS = [
     "token_budget", "importance_sample", "keywords_tfidf",
     "skipgram_counts", "centroid_outliers", "kmv_set_ops",
     "jaccard_join", "dedup_keep_best", "weighted_sample", "mmr_rerank",
-    "normalize_text",
+    "normalize_text", "curate_corpus",
     "cm_join_size", "psi_drift", "seasonal_decompose", "dq_report",
     "skyline", "bfs_hops", "hashed_features", "interval_join", "decontaminate",
     "stratified_sample", "bm25_topk", "embedding_quantize",

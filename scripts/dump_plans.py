@@ -196,6 +196,10 @@ PICKS = {
     "weighted_sample": (E.q_weighted_sample,
         "Map-only A-ES key computation then TakeOrderedAndProject — "
         "per-partition heaps, k rows to one reducer, no global sort."),
+    "curate_corpus": (E.q_curate_corpus,
+        "The end-to-end recipe: two map-only gates and a broadcast "
+        "semi-join shrink the corpus before the LSH band join runs; "
+        "the dedup stages shuffle only survivor-derived keys."),
     "dedup_keep_best": (E.q_dedup_keep_best,
         "Same LSH/components plan as dedup_corpus plus one "
         "membership-sized quality join and a cluster-keyed struct-max "

@@ -890,3 +890,41 @@ def test_stream_dq_reports_per_batch(spark, tmp_path):
     assert rows[(clean, "v_rng")] == (0, True)
     assert rows[(dirty, "k_nn")] == (1, False)   # the NULL key
     assert rows[(dirty, "v_rng")] == (1, False)  # 99.0 out of range
+
+
+def test_streaming_curation_gates_are_stream_safe(spark, tmp_path):
+    """The map-only curation stages (normalize_text + ppm quality gate)
+    run unchanged inside Structured Streaming — same Column
+    expressions, batch/stream unification — and land in an MVCC
+    collection via the exactly-once sink."""
+    from db_spark.engine import Storage
+    from db_spark.llm import text as ltext
+    from pyspark.sql import types as T
+
+    d = str(tmp_path / "in")
+    schema = T.StructType([
+        T.StructField("_id", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    good = ("the quick brown fox jumps over the lazy dog and it is a "
+            "fine day for the races in the town")
+    spark.createDataFrame(
+        [("1", "“" + good + "”"),   # curly quotes: normalized
+         ("2", "x!! y??")],                   # fails the quality gate
+        schema).coalesce(1).write.mode("overwrite").parquet(d)
+    storage = Storage(spark, str(tmp_path / "db"))
+    c = storage.get_collection("curated")
+
+    stream = st.stream_from_files(spark, d, schema)
+    gated = (
+        stream.withColumn("text", ltext.normalize_text(F.col("text")))
+        .withColumn("quality_ppm", F.round(F.least(
+            F.lit(1.0), F.greatest(F.lit(0.0), ltext.quality_score(
+                F.col("text")))) * 1_000_000).cast("long"))
+        .filter(F.col("quality_ppm") >= 500_000)
+    )
+    st.stream_into_collection(gated, c, str(tmp_path / "ckpt"))
+    rows = {r["_id"]: r for r in c.table_scan().collect()}
+    assert set(rows) == {"1"}
+    assert rows["1"]["text"] == '"' + good + '"'   # quotes normalized
+    assert rows["1"]["quality_ppm"] >= 500_000

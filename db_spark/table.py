@@ -911,11 +911,15 @@ class Collection:
         return self._merge_segment_files(paths)
 
     def _merge_segment_files(self, paths: list[str]) -> str:
-        """Shared n-ary segment-merge core for ``compact_segments`` (a
-        pair) and ``vacuum`` (the whole sub-retention prefix). Newest
+        """Driver-side (pyarrow) segment-merge core for
+        ``compact_segments``: exactly TWO bounded files, so the row loop
+        is O(2 * max_entries) driver memory by construction. Newest
         decidably-visible entry per id survives at its ORIGINAL
         ``_batch``/``_seq``; pending-txn entries verbatim; rolled-back
-        entries dropped; markers and tombstone winners kept."""
+        entries dropped; markers and tombstone winners kept. The n-ary
+        counterpart for ``vacuum`` (unbounded prefix) is the
+        DISTRIBUTED ``_merge_prefix_spark`` — same semantics, Spark
+        execution."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -982,8 +986,72 @@ class Collection:
         files = [f for f in self._data_files() if f[4] < before_pos]
         if len(files) < 2:
             return 0
-        self._merge_segment_files([f[0] for f in files])
+        self._merge_prefix_spark([f[0] for f in files])
         return len(files)
+
+    def _merge_prefix_spark(self, paths: list[str]) -> None:
+        """Distributed n-ary segment merge for ``vacuum``: the prefix can
+        be arbitrarily large (it IS the cold bulk of a 100 TB table), so
+        unlike the two-bounded-file pyarrow core this resolves entirely
+        in Spark — one window over ``_id`` partitions of the prefix,
+        never a driver-side row list. Semantics identical to
+        ``_merge_segment_files``:
+
+        - markers (C/R) kept verbatim (they gate other segments);
+        - rolled-back entries dropped;
+        - committed / nil entries: newest per id wins at its ORIGINAL
+          ``_batch``/``_seq``, rewritten to the nil txid;
+        - pending-transaction entries kept verbatim (may yet commit).
+
+        Crash-safe ordering: merged part files land in the log dir
+        under fresh names BEFORE the originals are removed — a crash in
+        between leaves duplicate identical-payload entries, which
+        recency resolution tolerates."""
+        import shutil
+
+        # visibility sets from the WHOLE log's markers (tiny, broadcast)
+        log = self._read_log()
+        markers_all = (log.filter(F.col("_kind").isin("C", "R"))
+                       .select("_txid", "_kind").distinct())
+        committed = markers_all.filter(F.col("_kind") == "C").select("_txid")
+        rolled = (markers_all.filter(F.col("_kind") == "R").select("_txid")
+                  .join(committed, "_txid", "left_anti"))
+
+        prefix = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        markers = prefix.filter(F.col("_kind").isin("C", "R"))
+        data = (prefix.filter(F.col("_kind").isin("U", "D"))
+                .join(F.broadcast(rolled), "_txid", "left_anti"))
+        decided = data.filter(F.col("_txid") == NIL_TXID).unionByName(
+            data.join(F.broadcast(committed), "_txid", "left_semi"))
+        pending = (data.filter(F.col("_txid") != NIL_TXID)
+                   .join(F.broadcast(committed), "_txid", "left_anti"))
+        w = Window.partitionBy("_id").orderBy(
+            F.col("_batch").desc(), F.col("_seq").desc())
+        winners = (
+            decided.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn")
+            .withColumn("_txid", F.lit(NIL_TXID))
+        )
+        out_cols = prefix.columns
+        merged = (markers.select(*out_cols)
+                  .unionByName(winners.select(*out_cols))
+                  .unionByName(pending.select(*out_cols)))
+        max_batch = merged.agg(F.max("_batch")).collect()[0][0]
+        tmp = self.log_path + ".vacuuming"
+        merged.write.mode("overwrite").option(
+            "maxRecordsPerFile", self.max_entries).parquet(tmp)
+        stamp = uuid.uuid4().hex
+        moved = []
+        for i, fn in enumerate(sorted(os.listdir(tmp))):
+            if fn.endswith(".parquet"):
+                dst = os.path.join(self.log_path, f"merged-{stamp}-{i}.parquet")
+                os.rename(os.path.join(tmp, fn), dst)
+                moved.append(dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        for p in paths:
+            os.remove(p)
+        self._record_compaction(-1 if max_batch is None else int(max_batch))
+        self._invalidate_snapshots()
 
     # -- indexes (reference: src/collection/indexes/ — declared structs with
     # no-op update(); README.md:78-81 Table/Index Seek roadmap). Spark

@@ -894,3 +894,43 @@ def test_storage_maintain_orchestrates(spark, tmp_path):
     st.get_collection("c")
     report2 = st.maintain(retain_positions=1)
     assert report2["c"] == {"compacted": False, "vacuumed_segments": 0}
+
+
+def test_vacuum_visibility_cases_distributed(spark, tmp_path):
+    """The Spark-side prefix merge must resolve the same visibility
+    matrix as the pair-merge core: superseded committed versions
+    collapse, rolled-back payloads vanish physically, pending
+    transactions survive verbatim and still commit afterwards, and an
+    evolved (wider) segment merges via mergeSchema."""
+    st = Storage(spark, str(tmp_path / "vacviz"), StorageConfig(max_entries=64))
+    c = st.get_collection("t")
+    c.set_objects(None, _df(spark, [("a", "v1", 1), ("b", "v1", 1)]).coalesce(1))
+    c.set_objects(None, _df(spark, [("a", "v2", 2)]).coalesce(1))
+    t_del = uuid7()
+    c.delete_objects(t_del, ["b"])
+    c.commit(t_del)
+    t_pend = uuid7()
+    c.set_objects(t_pend, _df(spark, [("a", "v3-pending", 3)]).coalesce(1))
+    t_roll = uuid7()
+    c.set_objects(t_roll, _df(spark, [("d", "rolled", 9)]).coalesce(1))
+    c.rollback(t_roll)
+    wide = spark.createDataFrame(
+        [("e", "v1", 5, "extra")], "_id string, name string, qty int, note string")
+    c.set_objects(None, wide.coalesce(1), evolve=True)
+    before = {(r["_id"], r["name"], r["qty"], r["note"])
+              for r in c.table_scan().collect()}
+    assert before == {("a", "v2", 2, None), ("e", "v1", 5, "extra")}
+    assert c.vacuum(c.log_position() + 1) >= 4
+    assert {(r["_id"], r["name"], r["qty"], r["note"])
+            for r in c.table_scan().collect()} == before
+    # rolled payload physically gone; superseded v1 of "a" gone
+    import pyarrow.parquet as pq
+    names = []
+    for f in c._data_files():
+        names += pq.read_table(f[0], columns=["name"]).column("name").to_pylist()
+    assert "rolled" not in names and names.count("v1") == 1  # only e's
+    # pending transaction still commits correctly after the merge
+    c.commit(t_pend)
+    assert {(r["_id"], r["name"], r["qty"])
+            for r in c.table_scan().select("_id", "name", "qty").collect()} \
+        == {("a", "v3-pending", 3), ("e", "v1", 5)}

@@ -986,10 +986,12 @@ class Collection:
         files = [f for f in self._data_files() if f[4] < before_pos]
         if len(files) < 2:
             return 0
-        self._merge_prefix_spark([f[0] for f in files])
+        self._merge_prefix_spark(
+            [f[0] for f in files], max(f[4] for f in files))
         return len(files)
 
-    def _merge_prefix_spark(self, paths: list[str]) -> None:
+    def _merge_prefix_spark(self, paths: list[str],
+                            max_batch: int) -> None:
         """Distributed n-ary segment merge for ``vacuum``: the prefix can
         be arbitrarily large (it IS the cold bulk of a 100 TB table), so
         unlike the two-bounded-file pyarrow core this resolves entirely
@@ -1036,7 +1038,6 @@ class Collection:
         merged = (markers.select(*out_cols)
                   .unionByName(winners.select(*out_cols))
                   .unionByName(pending.select(*out_cols)))
-        max_batch = merged.agg(F.max("_batch")).collect()[0][0]
         tmp = self.log_path + ".vacuuming"
         merged.write.mode("overwrite").option(
             "maxRecordsPerFile", self.max_entries).parquet(tmp)
@@ -1050,7 +1051,10 @@ class Collection:
         shutil.rmtree(tmp, ignore_errors=True)
         for p in paths:
             os.remove(p)
-        self._record_compaction(-1 if max_batch is None else int(max_batch))
+        # max_batch comes from the merged files' parquet-footer stats —
+        # no extra Spark job; rows dropped by the merge were invisible at
+        # every position, so the watermark stays faithful
+        self._record_compaction(int(max_batch))
         self._invalidate_snapshots()
 
     # -- indexes (reference: src/collection/indexes/ — declared structs with

@@ -1121,6 +1121,20 @@ def q_copurchase_pairs(spark, sf_dir):
     )
 
 
+def q_assoc_rules(spark, sf_dir):
+    """Market-basket association rules (db_spark/analytics.py:
+    association_rules): support / confidence / lift per directed item
+    pair over orders-as-baskets, pair candidates only from the
+    basket-keyed self-join, min-support pruning before the metric
+    joins, top-50 by (lift desc, antecedent, consequent) — all three
+    metrics one rounded division from integer counts, engine-exact."""
+    from db_spark import analytics as lan
+
+    li = _t(spark, sf_dir, "lineitem")
+    return lan.association_rules(li, "l_orderkey", "l_partkey",
+                                 min_pair_count=2, top_k=50)
+
+
 def q_triangle_count(spark, sf_dir):
     """Graph analytics: triangle count over the co-purchase graph
     (edges = part pairs co-ordered in >= 2 orders, oriented a < b so
@@ -3975,6 +3989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "profile_table": q_profile_table,
         "copurchase_pairs": q_copurchase_pairs,
+        "assoc_rules": q_assoc_rules,
         "triangle_count": q_triangle_count,
         "salted_join_agg": q_salted_join_agg,
         "hll_distinct": q_hll_distinct,
@@ -6233,6 +6248,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         # order-keyed pair enumeration; total ordering makes the LIMIT
         # boundary deterministic.
+        "assoc_rules": """
+            WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                        FROM lineitem),
+            nb AS (SELECT count(DISTINCT b) AS n FROM bi),
+            ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c
+                   FROM bi GROUP BY i),
+            pr AS (
+              SELECT a.i AS ia, bb.i AS ib, CAST(count(*) AS BIGINT) AS pc
+              FROM bi a JOIN bi bb ON a.b = bb.b AND a.i < bb.i
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            bothdir AS (
+              SELECT ia AS antecedent, ib AS consequent, pc FROM pr
+              UNION ALL
+              SELECT ib, ia, pc FROM pr)
+            SELECT antecedent, consequent, pc AS pair_count,
+                   ca.c AS antecedent_count, cb.c AS consequent_count,
+                   round(pc::DOUBLE / nb.n, 6) AS support,
+                   round(pc::DOUBLE / ca.c, 6) AS confidence,
+                   round((pc::DOUBLE / ca.c) / (cb.c::DOUBLE / nb.n), 6)
+                       AS lift
+            FROM bothdir
+            JOIN ic ca ON ca.i = antecedent
+            JOIN ic cb ON cb.i = consequent
+            CROSS JOIN nb
+            ORDER BY lift DESC, antecedent, consequent LIMIT 50
+        """,
         "copurchase_pairs": """
             SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
                    CAST(count(*) AS BIGINT) AS n_orders

@@ -507,3 +507,67 @@ def time_weighted_avg(
                  / (F.lit(float(scale)) * F.sum("_dur")), 6).alias("twap"))
         .filter(F.col("total_seconds") > 0)
     )
+
+
+def association_rules(
+    baskets: DataFrame, basket_col: str, item_col: str,
+    min_pair_count: int = 2, top_k: int = 50,
+) -> DataFrame:
+    """Market-basket association rules with support / confidence / lift
+    — the classic recommender/affinity mining pass, from a plain
+    (basket, item) table.
+
+    Candidate pairs come only from the basket-keyed self-join (pair
+    enumeration is quadratic in BASKET size, never in the catalog —
+    same shape as the co-occurrence query), aggregated once per
+    unordered pair and then emitted in BOTH directions a->b / b->a so
+    confidence is per-antecedent. All three metrics derive from integer
+    counts with one rounded division each, so any engine reproduces
+    them bit-for-bit. ``min_pair_count`` prunes the long noise tail
+    BEFORE the metric join; the final top-k is a
+    TakeOrderedAndProject on (lift desc, antecedent, consequent) — a
+    total order, deterministic LIMIT boundary.
+
+    Returns (antecedent, consequent, pair_count, antecedent_count,
+    consequent_count, support, confidence, lift) x top_k.
+    """
+    distinct_bi = baskets.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")).distinct()
+    n_baskets = distinct_bi.select("_b").distinct().count()
+    item_cnt = distinct_bi.groupBy("_i").agg(
+        F.count(F.lit(1)).cast("long").alias("_ic"))
+    a = distinct_bi.select("_b", F.col("_i").alias("_ia"))
+    b = distinct_bi.select(F.col("_b").alias("_b2"), F.col("_i").alias("_ib"))
+    pairs = (
+        a.join(b, (F.col("_b") == F.col("_b2")) & (F.col("_ia") < F.col("_ib")))
+        .groupBy("_ia", "_ib")
+        .agg(F.count(F.lit(1)).cast("long").alias("_pc"))
+        .filter(F.col("_pc") >= min_pair_count)
+    )
+    both = pairs.select(
+        F.col("_ia").alias("antecedent"), F.col("_ib").alias("consequent"),
+        F.col("_pc")).unionByName(pairs.select(
+            F.col("_ib").alias("antecedent"), F.col("_ia").alias("consequent"),
+            F.col("_pc")))
+    ca = item_cnt.select(F.col("_i").alias("antecedent"),
+                         F.col("_ic").alias("antecedent_count"))
+    cb = item_cnt.select(F.col("_i").alias("consequent"),
+                         F.col("_ic").alias("consequent_count"))
+    conf = F.round(F.col("_pc").cast("double")
+                   / F.col("antecedent_count"), 6)
+    return (
+        both.join(ca, "antecedent").join(cb, "consequent")
+        .select(
+            "antecedent", "consequent",
+            F.col("_pc").alias("pair_count"),
+            "antecedent_count", "consequent_count",
+            F.round(F.col("_pc").cast("double") / F.lit(float(n_baskets)), 6)
+            .alias("support"),
+            conf.alias("confidence"),
+            F.round((F.col("_pc").cast("double") / F.col("antecedent_count"))
+                    / (F.col("consequent_count").cast("double")
+                       / F.lit(float(n_baskets))), 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(top_k)
+    )

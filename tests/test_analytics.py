@@ -398,3 +398,23 @@ def test_time_weighted_avg_tie_deterministic(spark):
         outs.add((r["n_samples"], r["total_seconds"], r["twap"]))
     # value-ascending tiebreak: 2.0 holds 0 s, 8.0 holds the 10 s
     assert outs == {(2, 10, 8.0)}
+
+
+def test_association_rules_metrics(spark):
+    from db_spark.analytics import association_rules
+
+    # 4 baskets: {a,b} x3, {a,c} — b->a confidence 1.0, a->b 0.75
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "b"),
+            (4, "a"), (4, "c"), (4, "a")]  # dup (4,a) must not double-count
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {(r["antecedent"], r["consequent"]): r
+           for r in association_rules(df, "basket", "item",
+                                      min_pair_count=2, top_k=10).collect()}
+    ab, ba = out[("a", "b")], out[("b", "a")]
+    assert ab["pair_count"] == 3 and ab["antecedent_count"] == 4
+    assert ab["confidence"] == 0.75 and ba["confidence"] == 1.0
+    assert ab["support"] == 0.75                     # 3 of 4 baskets
+    # lift symmetric: p(ab)/(p(a)p(b)) = (3/4)/((4/4)*(3/4)) = 1.0
+    assert ab["lift"] == 1.0 and ba["lift"] == 1.0
+    # min_pair_count prunes the {a,c} singleton pair
+    assert ("a", "c") not in out and ("c", "a") not in out

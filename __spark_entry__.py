@@ -3989,7 +3989,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "profile_table": q_profile_table,
         "copurchase_pairs": q_copurchase_pairs,
-        "assoc_rules": q_assoc_rules,
         "triangle_count": q_triangle_count,
         "salted_join_agg": q_salted_join_agg,
         "hll_distinct": q_hll_distinct,
@@ -4036,6 +4035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "except": q_except,
         "dedup_keep_best": q_dedup_keep_best,
+        "assoc_rules": q_assoc_rules,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,

@@ -270,3 +270,31 @@ def test_interval_join_binned_not_theta(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_weighted_sample_map_only_topk(spark):
+    """A-ES sampling must plan as map-only key computation + a top-k
+    heap (TakeOrderedAndProject) — zero exchanges before it, never a
+    global Sort."""
+    plan = _plan(E.q_weighted_sample(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[1] \
+        if "TakeOrderedAndProject" in plan else True
+
+
+def test_jaccard_join_no_cartesian_prefix_blocked(spark):
+    """The exact similarity join must candidate-generate through the
+    prefix self-join (equi-join on shingle), never a cartesian."""
+    plan = _plan(E.q_jaccard_join(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_curate_corpus_no_cartesian(spark):
+    plan = _plan(E.q_curate_corpus(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_assoc_rules_topk_no_global_sort(spark):
+    plan = _plan(E.q_assoc_rules(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -2504,6 +2504,20 @@ def q_decontaminate(spark, sf_dir):
     return lcorpus.decontaminate(train, eval_df, n=4)
 
 
+def q_stratified_fixed(spark, sf_dir):
+    """Exact-size per-stratum sampling (db_spark/llm/corpus.py:
+    stratified_fixed_sample): exactly 200 English / 80 German / 50
+    French docs by stable-hash order — the eval-split builder where
+    exact counts matter. One stratum-keyed rank window; other strata
+    drop."""
+    from db_spark.llm import corpus as lcorpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return lcorpus.stratified_fixed_sample(
+        docs, {"en": 200, "de": 80, "fr": 50}).select(
+        "doc_id", "lang", "sample_rank")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic data-mixture sampling: keep 60% of English, 30% of
     German/French, 15% of the rest, by stable doc-id hash."""
@@ -4100,6 +4114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
+        "stratified_fixed": q_stratified_fixed,
         "bm25_topk": q_bm25_topk,
         "span_dup": q_span_dup,
         "span_dedup": q_span_dedup,
@@ -5200,6 +5215,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
             FROM g JOIN e USING (shingle) WHERE g.doc_id % 97 != 0
             GROUP BY g.doc_id
+        """,
+        "stratified_fixed": f"""
+            WITH ranked AS (
+              SELECT doc_id, lang,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY {_H32.format(x='CAST(doc_id AS VARCHAR)')},
+                                doc_id) AS BIGINT) AS sample_rank
+              FROM documents)
+            SELECT doc_id, lang, sample_rank FROM ranked
+            WHERE sample_rank <= CASE lang WHEN 'en' THEN 200
+                                           WHEN 'de' THEN 80
+                                           WHEN 'fr' THEN 50
+                                           ELSE 0 END
         """,
         "stratified_sample": f"""
             SELECT doc_id, lang FROM documents

@@ -352,3 +352,38 @@ def bm25_topk(
                 (F.col("_s6") / 1_000_000).alias("score"),
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+def stratified_fixed_sample(
+    df: DataFrame, sizes: dict[str, int], strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-size per-stratum sampling: take precisely ``sizes[g]`` rows
+    from each stratum (fewer only if the stratum is smaller) — the
+    eval-set builder, where "about 10%" is not acceptable but "exactly
+    1000 English docs" is. Selection order is the stable id hash, so
+    the sample is reproducible across runs, partitionings, and engines
+    (unlike ``sampleBy``), and ADDING rows to a stratum never evicts a
+    previously-selected row earlier in hash order.
+
+    One stratum-keyed exchange with a per-group rank window. The sort
+    is per-stratum and rank-limited; for a pathologically hot stratum
+    at 100 TB, pre-filter with ``stratified_sample`` at a rate ~2x the
+    target fraction (hash-prefix consistency makes the two-stage
+    selection identical to the direct one when the first stage keeps a
+    superset) and rank only the survivors. Strata absent from
+    ``sizes`` drop. Returns the sampled rows plus ``sample_rank``
+    (1-based position in hash order).
+    """
+    bucket = h32(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(bucket, F.col(id_col))
+    cap = None
+    for key, n in sorted(sizes.items()):
+        cond = F.col(strata_col) == key
+        t = F.lit(int(n)).cast("long")
+        cap = F.when(cond, t) if cap is None else cap.when(cond, t)
+    cap = cap.otherwise(F.lit(0)) if cap is not None else F.lit(0)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= cap)
+    )

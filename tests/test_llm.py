@@ -1227,3 +1227,23 @@ def test_curate_pipeline_stages(spark):
         docs, quality_min=0.5, eval_df=eval_df, decontam_n=6,
         dedup_threshold=None)
     assert sorted(r["doc_id"] for r in out2.collect()) == [1, 2, 4]
+
+
+def test_stratified_fixed_sample_exact_sizes(spark):
+    from db_spark.llm.corpus import stratified_fixed_sample
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_fixed_sample(df, {"en": 10, "de": 100})
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["lang"], []).append(r["doc_id"])
+    assert len(got["en"]) == 10                 # exact
+    assert len(got["de"]) == 30                 # whole (smaller) stratum
+    # deterministic + stable under growth: adding docs never evicts an
+    # earlier hash-order pick
+    df2 = df.unionByName(spark.createDataFrame(
+        [(1000 + i, "en") for i in range(50)], "doc_id long, lang string"))
+    got2 = {r["doc_id"] for r in stratified_fixed_sample(
+        df2, {"en": 60, "de": 100}).filter(F.col("lang") == "en").collect()}
+    assert set(got["en"]) <= got2

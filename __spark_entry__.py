@@ -2328,6 +2328,23 @@ def q_ivf_topk(spark, sf_dir):
     return lsim.ivf_topk(emb, queries_df, k=10, n_cells=16, n_probe=4)
 
 
+def q_ivf_recall(spark, sf_dir):
+    """ANN quality evaluation (db_spark/llm/similarity.py: recall_at_k):
+    per-query recall@10 of the IVF configuration (16 cells, probe 4)
+    against the exact brute force — both sides deterministic, so the
+    whole evaluation pipeline is oracle-checked, not just eyeballed.
+    The tuning loop a 100 TB ANN deployment runs before trusting
+    n_probe."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = lsim.brute_force_topk(emb, queries_df, k=10)
+    approx = lsim.ivf_topk(emb, queries_df, k=10, n_cells=16, n_probe=4)
+    return lsim.recall_at_k(exact, approx, k=10)
+
+
 def q_ivf_index_topk(spark, sf_dir):
     """Persisted IVF index probe (db_spark/llm/similarity.py:
     ivf_index_build/ivf_index_topk): the assigned corpus is materialized
@@ -4074,6 +4091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mvcc_cdc": q_mvcc_cdc,
         "mvcc_delete_where": q_mvcc_delete_where,
         "ivf_topk": q_ivf_topk,
+        "ivf_recall": q_ivf_recall,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "media_features": q_media_features,
         "condition_dsl": q_condition_dsl,
@@ -6811,4 +6829,14 @@ def oracle_sql() -> dict[str, str]:
     # The persisted-index probe computes the same math as the in-flight
     # ivf_topk (same centroids, k, n_probe) — one oracle serves both.
     d["ivf_index_topk"] = d["ivf_topk"]
+    # recall@10 of IVF vs brute force: compose the two top-k oracles
+    d["ivf_recall"] = f"""
+        WITH exact AS (SELECT * FROM ({d['cosine_topk']})),
+             approx AS (SELECT * FROM ({d['ivf_topk']}))
+        SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit,
+               round(count(*)::DOUBLE / 10.0, 6) AS recall_at_10
+        FROM exact e JOIN approx a
+          ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        GROUP BY e.query_id
+    """
     return d

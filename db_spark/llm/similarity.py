@@ -619,3 +619,26 @@ def mmr_rerank(
             eager=True)
     return selected.select(
         query_id_col, id_col, sim_col, "mmr_score", "mmr_rank")
+
+
+def recall_at_k(
+    exact: DataFrame, approx: DataFrame, k: int,
+    query_id_col: str = "query_id", id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN quality measurement: per-query recall@k of an approximate
+    top-k result against the exact one — the metric that justifies an
+    IVF/LSH configuration (n_cells, n_probe) before pointing it at
+    100 TB. Both inputs are (query_id, vec_id[, ...]) top-k tables;
+    one equi-join on (query, id) + a query-keyed count. Deterministic
+    given deterministic inputs, so the whole evaluation is
+    oracle-checkable. Returns (query_id, n_hit, recall_at_k)."""
+    e = exact.select(query_id_col, id_col)
+    a = approx.select(query_id_col, id_col)
+    return (
+        e.join(a, [query_id_col, id_col])
+        .groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        .select(query_id_col, "n_hit",
+                F.round(F.col("n_hit").cast("double") / F.lit(float(k)), 6)
+                .alias(f"recall_at_{k}"))
+    )

@@ -1135,6 +1135,31 @@ def q_assoc_rules(spark, sf_dir):
                                  min_pair_count=2, top_k=50)
 
 
+def q_communities(spark, sf_dir):
+    """Label-propagation communities (db_spark/graph.py:
+    label_propagation) over the part co-purchase graph (pairs sharing
+    >= 2 orders): 4 synchronous rounds, exact integer votes with
+    min-label tie-breaks, so the result is bit-deterministic and the
+    oracle replays the SAME 4 rounds as unrolled CTEs — the community-
+    detection counterpart of the unrolled-PageRank contract."""
+    from db_spark import graph as lgraph
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("_ok"),
+                  F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, (F.col("l_orderkey") == F.col("_ok"))
+               & (F.col("src") < F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("src", "dst")
+    )
+    return lgraph.label_propagation(edges, iterations=4)
+
+
 def q_triangle_count(spark, sf_dir):
     """Graph analytics: triangle count over the co-purchase graph
     (edges = part pairs co-ordered in >= 2 orders, oriented a < b so
@@ -3259,6 +3284,35 @@ _SHINGLES = (
 _H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
 
 
+def _lpa_oracle(iterations: int = 4) -> str:
+    """Unrolled synchronous label propagation mirroring
+    ``db_spark.graph.label_propagation`` op for op: integer votes,
+    min-label ties, one CTE pair per round."""
+    its = []
+    for i in range(1, iterations + 1):
+        prev = "l0" if i == 1 else f"l{i-1}"
+        its.append(f"""
+        v{i} AS (SELECT ed.s AS node, l.lbl, count(*) AS c
+                 FROM ed JOIN {prev} l ON l.node = ed.d GROUP BY 1, 2),
+        l{i} AS (SELECT node, lbl FROM (
+                   SELECT node, lbl,
+                          ROW_NUMBER() OVER (PARTITION BY node
+                            ORDER BY c DESC, lbl) AS rk
+                   FROM v{i}) WHERE rk = 1)""")
+    return f"""
+        WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+               FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                                AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        ed AS (SELECT pa AS s, pb AS d FROM e0
+               UNION SELECT pb, pa FROM e0),
+        l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM ed),
+        {",".join(its)}
+        SELECT node, lbl AS community FROM l{iterations}
+    """
+
+
 def _pagerank_oracle(iterations: int = 5) -> str:
     """Unrolled integer-PageRank CTE chain mirroring
     ``db_spark.graph.pagerank`` op for op: BIGINT micro-unit ranks,
@@ -3992,9 +4046,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     anti_join / except / hll_set_ops (previously 0-row —
     trivially-green hashes). Window policy, priority order: every
     never-driver-checked query from the novel-module tiers (r3 + r4 +
-    late-r4 + r5 additions). That fills 50 exactly; normalize_text and
-    dedup_keep_best (r5) did not fit — curate_corpus subsumes the
-    keep-best path end-to-end. Below the boundary, in r06-entry order: the two
+    late-r4 + r5 additions). That overfills 50 by three:
+    normalize_text and dedup_keep_best (r5) did not fit —
+    curate_corpus subsumes the keep-best path end-to-end — and
+    mvcc_evolve queues at 51 (communities, which completes the
+    in-window graph tier with pagerank/triangle_count/bfs_hops, took
+    the last slot). Below the boundary, in r06-entry order:
+    mvcc_evolve, then the two
     semantics-changed queries (anti_join, except — their old rows
     describe the old vacuously-empty forms), normalize_text, then
     seventeen never-checked breadth/shape queries (function-breadth
@@ -4021,6 +4079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         "copurchase_pairs": q_copurchase_pairs,
         "triangle_count": q_triangle_count,
+        "communities": q_communities,
         "salted_join_agg": q_salted_join_agg,
         "hll_distinct": q_hll_distinct,
         "hll_merge": q_hll_merge,
@@ -6331,6 +6390,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # oriented (a<b) support->=2 edges; wedges closed against the
         # same edge set — each triangle counted exactly once.
+        "communities": _lpa_oracle(),
         "triangle_count": """
             WITH edges AS (
               SELECT a.l_partkey AS pa, b.l_partkey AS pb

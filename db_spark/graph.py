@@ -132,3 +132,50 @@ def bfs_distances(
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return dist
+
+
+def label_propagation(
+    edges: DataFrame, iterations: int = 4,
+    src_col: str = "src", dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration synchronous label-propagation communities over an
+    undirected graph (edges are symmetrized, duplicates collapse).
+    Every node starts labeled with itself; each round every node takes
+    the most frequent label among its NEIGHBORS, ties toward the
+    smallest label — exact integer votes + total-order tie-break, so a
+    fixed number of rounds is bit-deterministic under any partitioning
+    (synchronous LPA can oscillate on bipartite structures; fixed
+    iterations make that a defined, reproducible answer rather than
+    a convergence loop) and the whole run unrolls into SQL CTEs for
+    the oracle, like ``pagerank``.
+
+    Per round: one edge-keyed join against the |V|-sized label table,
+    one (node, label) count, one node-keyed struct-argmax;
+    ``localCheckpoint`` keeps the plan round-sized. Isolated nodes
+    (none, after symmetrization of a non-empty edge list containing
+    them) would keep their own label. Returns (node, community).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("_s"),
+                         F.col(src_col).alias("_d")))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = e.select(F.col("_s").alias("node")).distinct() \
+        .withColumn("_lbl", F.col("node")).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        votes = (
+            e.join(labels, e["_d"] == labels["node"])
+            .groupBy(F.col("_s").alias("vnode"), "_lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        )
+        best = votes.groupBy("vnode").agg(
+            F.max(F.struct(F.col("_c"), (-F.col("_lbl")).alias("_nl")))
+            .alias("_b"))
+        labels = best.select(
+            F.col("vnode").alias("node"),
+            (-F.col("_b._nl")).alias("_lbl")).localCheckpoint(eager=True)
+    return labels.select("node", F.col("_lbl").alias("community"))

@@ -82,3 +82,48 @@ def test_bfs_source_without_edges(spark):
     e = _edges(spark, [(1, 2)])
     # source 99 has no edges at all: BFS returns nothing (not a crash)
     assert bfs_distances(e, 99, max_hops=3).count() == 0
+
+# ---------------------------------------------------------------------------
+# Label propagation communities
+# ---------------------------------------------------------------------------
+
+def test_lpa_triangle_converges_to_min_label(spark):
+    # triangle: round 1 every node takes min(other two), round 2 the
+    # min label (1) wins by count or tie-break, then stays stable
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    got = {r["node"]: r["community"]
+           for r in graph.label_propagation(e, iterations=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_lpa_two_components_get_distinct_communities(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)])
+    got = {r["node"]: r["community"]
+           for r in graph.label_propagation(e, iterations=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_lpa_bipartite_pair_oscillates_but_is_defined(spark):
+    # K2 oscillates with period 2 under synchronous LPA; a fixed even
+    # iteration count must reproduce the initial self-labels exactly
+    e = _edges(spark, [(1, 2)])
+    got = {r["node"]: r["community"]
+           for r in graph.label_propagation(e, iterations=4).collect()}
+    assert got == {1: 1, 2: 2}
+    odd = {r["node"]: r["community"]
+           for r in graph.label_propagation(e, iterations=3).collect()}
+    assert odd == {1: 2, 2: 1}
+
+
+def test_lpa_duplicate_and_reversed_edges_collapse(spark):
+    a = graph.label_propagation(
+        _edges(spark, [(1, 2), (2, 1), (1, 2), (2, 3)]), 4)
+    b = graph.label_propagation(_edges(spark, [(1, 2), (2, 3)]), 4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_lpa_deterministic_across_partitionings(spark):
+    pairs = [(i % 9, (i * 4) % 9) for i in range(40) if i % 9 != (i * 4) % 9]
+    a = graph.label_propagation(_edges(spark, pairs).repartition(1), 4)
+    b = graph.label_propagation(_edges(spark, pairs).repartition(16), 4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -1160,6 +1160,32 @@ def q_communities(spark, sf_dir):
     return lgraph.label_propagation(edges, iterations=4)
 
 
+def q_kcore(spark, sf_dir):
+    """K-core decomposition (db_spark/graph.py: k_core) of the part
+    co-purchase graph (pairs sharing >= 2 orders): 3 synchronous peel
+    rounds at k=3 — each round drops nodes whose current degree is
+    below 3 and induces the survivor subgraph. Pure set arithmetic
+    (no tie-breaks), so fixed-round peeling is bit-deterministic and
+    the oracle replays the SAME 3 rounds as unrolled CTEs; returns
+    (node, degree-in-final-subgraph)."""
+    from db_spark import graph as lgraph
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("_ok"),
+                  F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, (F.col("l_orderkey") == F.col("_ok"))
+               & (F.col("src") < F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("src", "dst")
+    )
+    return lgraph.k_core(edges, k=3, rounds=3)
+
+
 def q_triangle_count(spark, sf_dir):
     """Graph analytics: triangle count over the co-purchase graph
     (edges = part pairs co-ordered in >= 2 orders, oriented a < b so
@@ -3313,6 +3339,30 @@ def _lpa_oracle(iterations: int = 4) -> str:
     """
 
 
+def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
+    """Unrolled synchronous k-core peeling mirroring
+    ``db_spark.graph.k_core(rounds=N)`` op for op: one
+    degree-filter + induced-subgraph CTE pair per round."""
+    its = []
+    for i in range(1, rounds + 1):
+        prev = "e0" if i == 1 else f"e{i-1}"
+        its.append(f"""
+        n{i} AS (SELECT s FROM {prev} GROUP BY s HAVING count(*) >= {k}),
+        e{i} AS (SELECT e.s, e.d FROM {prev} e
+                 JOIN n{i} a ON e.s = a.s JOIN n{i} b ON e.d = b.s)""")
+    return f"""
+        WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        ep AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+               FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                                AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        e0 AS (SELECT pa AS s, pb AS d FROM ep
+               UNION SELECT pb, pa FROM ep),
+        {",".join(its)}
+        SELECT s AS node, count(*) AS degree FROM e{rounds} GROUP BY s
+    """
+
+
 def _pagerank_oracle(iterations: int = 5) -> str:
     """Unrolled integer-PageRank CTE chain mirroring
     ``db_spark.graph.pagerank`` op for op: BIGINT micro-unit ranks,
@@ -4118,14 +4168,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join": q_jaccard_join,
         "mmr_rerank": q_mmr_rerank,
         "mvcc_vacuum": q_mvcc_vacuum,
-        "mvcc_evolve": q_mvcc_evolve,
         # ---- window boundary (position 50) --------------------------------
+        # -- never driver-checked r5 additions that no longer fit ----------
+        "mvcc_evolve": q_mvcc_evolve,
         # -- semantics changed in r5 (old rows are for the old 0-row form,
         # -- which was vacuously green): enter the r06 window FIRST
         "anti_join": q_anti_join,
         "except": q_except,
         "dedup_keep_best": q_dedup_keep_best,
         "assoc_rules": q_assoc_rules,
+        "kcore": q_kcore,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -6391,6 +6443,7 @@ def oracle_sql() -> dict[str, str]:
         # oriented (a<b) support->=2 edges; wedges closed against the
         # same edge set — each triangle counted exactly once.
         "communities": _lpa_oracle(),
+        "kcore": _kcore_oracle(),
         "triangle_count": """
             WITH edges AS (
               SELECT a.l_partkey AS pa, b.l_partkey AS pb

@@ -179,3 +179,65 @@ def label_propagation(
             F.col("vnode").alias("node"),
             (-F.col("_b._nl")).alias("_lbl")).localCheckpoint(eager=True)
     return labels.select("node", F.col("_lbl").alias("community"))
+
+
+def k_core(
+    edges: DataFrame, k: int, rounds: int | None = None,
+    src_col: str = "src", dst_col: str = "dst",
+) -> DataFrame:
+    """K-core decomposition by synchronous peeling over an undirected
+    graph (edges symmetrized, self-loops and duplicates dropped): each
+    round removes every node whose CURRENT degree is < ``k``, then
+    induces the subgraph on the survivors. Returns (node, degree) for
+    nodes with >= 1 surviving edge, degree measured in the final
+    induced subgraph.
+
+    ``rounds=None`` (the scale path) peels to the fixpoint — the true
+    k-core; termination is guaranteed because the node count strictly
+    shrinks every non-final round, and the only driver-side value per
+    round is one scalar count. ``rounds=N`` runs exactly N synchronous
+    rounds with NO driver scalars (fully lazy), which makes the result
+    SQL-oracle-checkable as unrolled CTEs like ``pagerank`` /
+    ``label_propagation``; at fixpoint the two modes agree. Peeling is
+    set arithmetic only — no tie-breaking anywhere — so the result is
+    bit-deterministic under any partitioning in both modes.
+
+    Per round: one node-keyed degree count and two semi-joins of the
+    edge list against the |V|-sized survivor set; ``localCheckpoint``
+    keeps the plan round-sized. The edge list only ever shrinks.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("_s"),
+                         F.col(src_col).alias("_d")))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def peel(edge_df: DataFrame) -> DataFrame:
+        deg = edge_df.groupBy("_s").agg(
+            F.count(F.lit(1)).cast("long").alias("_deg"))
+        keep = deg.filter(F.col("_deg") >= k) \
+            .select(F.col("_s").alias("_keep"))
+        return (
+            edge_df
+            .join(keep, edge_df["_s"] == keep["_keep"], "left_semi")
+            .join(keep, edge_df["_d"] == keep["_keep"], "left_semi")
+        )
+
+    if rounds is not None:
+        for _ in range(rounds):
+            e = peel(e).localCheckpoint(eager=True)
+    else:
+        # symmetrized: distinct _s IS the node set
+        prev = e.select("_s").distinct().count()
+        while prev:
+            e = peel(e).localCheckpoint(eager=True)
+            n = e.select("_s").distinct().count()
+            if n == prev:
+                break
+            prev = n
+    return e.groupBy(F.col("_s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree"))

@@ -127,3 +127,44 @@ def test_lpa_deterministic_across_partitionings(spark):
     a = graph.label_propagation(_edges(spark, pairs).repartition(1), 4)
     b = graph.label_propagation(_edges(spark, pairs).repartition(16), 4)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+# ---------------------------------------------------------------------------
+# K-core decomposition
+# ---------------------------------------------------------------------------
+
+def test_kcore_pendant_removed_k4_survives(spark):
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                       (1, 5)])
+    got = {r["node"]: r["degree"] for r in graph.k_core(e, 2).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_chain_unravels_to_empty(spark):
+    # endpoint removal cascades: no 2-core in a path graph
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert graph.k_core(e, 2).count() == 0
+
+
+def test_kcore_fixed_rounds_synchronous_semantics(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    # one synchronous round strips only the current deg<2 nodes (1, 5)
+    got = {r["node"]: r["degree"]
+           for r in graph.k_core(e, 2, rounds=1).collect()}
+    assert got == {2: 1, 3: 2, 4: 1}
+    # enough fixed rounds reaches the fixpoint answer
+    assert graph.k_core(e, 2, rounds=3).count() == 0
+
+
+def test_kcore_k3_strips_attached_triangle_keeps_k4(spark):
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                       (4, 6), (4, 7), (6, 7)])
+    got = {r["node"]: r["degree"] for r in graph.k_core(e, 3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_deterministic_across_partitionings(spark):
+    pairs = [(i % 11, (i * 5) % 11) for i in range(50)
+             if i % 11 != (i * 5) % 11]
+    a = graph.k_core(_edges(spark, pairs).repartition(1), 3)
+    b = graph.k_core(_edges(spark, pairs).repartition(16), 3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -2531,6 +2531,17 @@ def q_unigram_surprisal(spark, sf_dir):
     return ltext.unigram_surprisal(docs)
 
 
+def q_bigram_surprisal(spark, sf_dir):
+    """Quantized bigram-LM surprisal per document (db_spark/llm/text.py:
+    bigram_surprisal): floor(-log2 P(cur|prev)) whole-bit conditional
+    information under the corpus's own empirical bigram model — map-only
+    bigram extraction, model-side bit precompute, one scoring join."""
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    return ltext.bigram_surprisal(docs)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-and-split sequence packing: 64-token chunks laid head-to-
     tail into 256-token training sequences within 8 deterministic shards."""
@@ -4178,6 +4189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "assoc_rules": q_assoc_rules,
         "kcore": q_kcore,
+        "bigram_surprisal": q_bigram_surprisal,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -5302,6 +5314,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(b) AS BIGINT) AS sum_bits,
                    round(CAST(sum(b) AS DOUBLE) / count(*), 6) AS avg_bits
             FROM bits GROUP BY doc_id
+        """,
+        # conditional bits via integer division (//, exact) + the
+        # established length(bin(x))-1 integer log2.
+        "bigram_surprisal": f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                       WHERE len({_TOKS}) >= 2),
+            bg AS (
+              SELECT doc_id, s.p AS p, s.c AS c
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(2, len(toks) + 1),
+                               i -> struct_pack(p := toks[i-1],
+                                                c := toks[i]))) AS s
+                    FROM d)),
+            bm AS (SELECT p, c, CAST(count(*) AS BIGINT) AS bc
+                   FROM bg GROUP BY 1, 2),
+            cm AS (SELECT p, CAST(sum(bc) AS BIGINT) AS pc
+                   FROM bm GROUP BY 1),
+            model AS (
+              SELECT bm.p, bm.c,
+                     (length(bin(CAST(pc // bc AS BIGINT))) - 1) AS b
+              FROM bm JOIN cm ON bm.p = cm.p)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(b) AS BIGINT) AS sum_bits,
+                   round(CAST(sum(b) AS DOUBLE) / count(*), 6) AS avg_bits
+            FROM bg JOIN model ON bg.p = model.p AND bg.c = model.c
+            GROUP BY doc_id
         """,
         "pack_sequences": """
             WITH tok AS (

@@ -419,6 +419,19 @@ def test_unigram_surprisal(spark):
     assert got[2]["sum_bits"] == 4 and got[2]["avg_bits"] == 2.0
 
 
+def test_bigram_surprisal(spark):
+    # model: (a,b):2 (b,a):2 (a,c):1; prev totals a:3, b:2
+    # bits(a,b)=floor(log2(3/2))=0, bits(b,a)=0, bits(a,c)=floor(log2 3)=1
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a c"), (3, "solo")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.bigram_surprisal(df).collect()}
+    assert set(got) == {1, 2}  # single-token doc contributes nothing
+    assert got[1]["n_bigrams"] == 4 and got[1]["sum_bits"] == 0
+    assert got[2]["n_bigrams"] == 1 and got[2]["sum_bits"] == 1
+    assert got[2]["avg_bits"] == 1.0
+
+
 def test_pack_sequences(spark):
     # 5 chunks of 10 tokens in one shard, capacity 25:
     # offsets 0,10,20,30,40 -> packs 0,0,0,1,1

@@ -582,6 +582,26 @@ def q_forecast_revenue(spark, sf_dir):
     )
 
 
+def q_holt_forecast(spark, sf_dir):
+    """Holt linear-trend forecast (db_spark/analytics.py: holt_forecast)
+    of monthly order revenue per order priority: exact cent-BIGINT
+    monthly sums, then the inherently-sequential Holt recursion runs as
+    ONE in-row left-to-right fold over each key's collected series —
+    dyadic alpha=beta=0.5 so DuckDB's list_reduce replays the identical
+    IEEE op sequence bit-for-bit."""
+    from db_spark import analytics as lan
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", F.col("o_orderdate")).alias("_m"))
+        .agg((F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+              .cast("double") / 100.0).alias("_v")))
+    return lan.holt_forecast(monthly, "o_orderpriority", "_m", "_v",
+                             alpha=0.5, beta=0.5, horizon=3)
+
+
 def q_market_share(spark, sf_dir):
     """TPC-H Q8 shape: NATION_7's share of STANDARD-part revenue sold to
     region-2 customers, by order year. All four dims broadcast; the
@@ -4190,6 +4210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules": q_assoc_rules,
         "kcore": q_kcore,
         "bigram_surprisal": q_bigram_surprisal,
+        "holt_forecast": q_holt_forecast,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -6483,6 +6504,42 @@ def oracle_sql() -> dict[str, str]:
         # same edge set — each triangle counted exactly once.
         "communities": _lpa_oracle(),
         "kcore": _kcore_oracle(),
+        # the recursion stepped as a recursive CTE (one row per (key,
+        # step)) with the IDENTICAL op sequence as the engine's in-row
+        # fold; dyadic 0.5 literals are exact under DECIMAL->DOUBLE.
+        # NOT list_reduce: DuckDB's list_reduce evaluates later struct
+        # fields of the lambda against a STALE accumulator, silently
+        # corrupting coupled-state folds.
+        "holt_forecast": """
+            WITH RECURSIVE m AS (
+              SELECT o_orderpriority AS k,
+                     date_trunc('month', o_orderdate) AS mth,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0 AS v
+              FROM orders GROUP BY 1, 2),
+            pos AS (SELECT k,
+                           CAST(row_number() OVER (PARTITION BY k
+                                ORDER BY mth) AS BIGINT) AS i, v
+                    FROM m),
+            cnt AS (SELECT k, CAST(count(*) AS BIGINT) AS n
+                    FROM pos GROUP BY k),
+            r AS (
+              SELECT a.k, CAST(2 AS BIGINT) AS i,
+                     b.v AS l, b.v - a.v AS t
+              FROM pos a JOIN pos b ON a.k = b.k AND b.i = 2
+              WHERE a.i = 1
+              UNION ALL
+              SELECT r.k, r.i + 1,
+                     0.5 * p.v + 0.5 * (r.l + r.t),
+                     0.5 * ((0.5 * p.v + 0.5 * (r.l + r.t)) - r.l)
+                     + 0.5 * r.t
+              FROM r JOIN pos p ON p.k = r.k AND p.i = r.i + 1)
+            SELECT r.k AS o_orderpriority, cnt.n AS n_points,
+                   round(r.l, 6) AS level, round(r.t, 6) AS trend,
+                   round(r.l + 3 * r.t, 6) AS forecast
+            FROM r JOIN cnt ON cnt.k = r.k AND r.i = cnt.n
+            WHERE cnt.n >= 2
+        """,
         "triangle_count": """
             WITH edges AS (
               SELECT a.l_partkey AS pa, b.l_partkey AS pb

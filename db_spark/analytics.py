@@ -571,3 +571,65 @@ def association_rules(
         .orderBy(F.desc("lift"), "antecedent", "consequent")
         .limit(top_k)
     )
+
+
+def holt_forecast(
+    df: DataFrame, key_col: str, t_col: str, value_col: str,
+    alpha: float = 0.5, beta: float = 0.5, horizon: int = 3,
+) -> DataFrame:
+    """Holt linear-trend (double-exponential smoothing) forecast per
+    key over an already-aggregated ordered series:
+    ``level' = a*y + (1-a)*(level + trend)``,
+    ``trend' = b*(level' - level) + (1-b)*trend``, initialized
+    ``level = y[1], trend = y[1] - y[0]`` and folded over ``y[2:]``;
+    ``forecast = level + horizon * trend``. On an exactly linear
+    series the fold tracks it exactly (level = last point, trend =
+    slope) for any a, b.
+
+    Holt's recursion is inherently sequential — unexpressible as a
+    fixed lag composition (unlike :func:`ewma`'s truncated form) — so
+    it runs as ONE in-row ``F.aggregate`` fold over the per-key series
+    collected into an array. That array is bounded by the number of
+    TIME BUCKETS (the seasonal_decompose discipline: recursion runs on
+    the aggregated series, never the raw events), and the fold's
+    left-to-right IEEE op order is fixed, so a DuckDB ``list_reduce``
+    replaying the same expressions is bit-identical. Keep ``alpha`` /
+    ``beta`` dyadic (0.5, 0.25 ...) so the literals are exact under
+    any decimal->double conversion. Keys with < 2 points are dropped
+    (no trend is defined).
+
+    Scale shape: one shuffle keyed by ``key_col`` for the
+    collect_list, then everything is per-row array work on |keys|
+    rows. Returns (key, n_points, level, trend, forecast), rounded 6.
+    """
+    a, b = float(alpha), float(beta)
+    series = F.transform(
+        F.array_sort(F.collect_list(F.struct(
+            F.col(t_col).alias("t"),
+            F.col(value_col).cast("double").alias("v")))),
+        lambda s: s.v)
+    g = (
+        df.groupBy(key_col)
+        .agg(series.alias("_vals"),
+             F.count(F.lit(1)).cast("long").alias("n_points"))
+        .filter(F.size("_vals") >= 2)
+    )
+    vals = F.col("_vals")
+    init = F.struct(vals[1].alias("l"), (vals[1] - vals[0]).alias("t"))
+
+    def new_level(acc, y):
+        return F.lit(a) * y + F.lit(1.0 - a) * (acc.l + acc.t)
+
+    state = F.aggregate(
+        F.slice(vals, 3, F.size(vals) - 2), init,
+        lambda acc, y: F.struct(
+            new_level(acc, y).alias("l"),
+            (F.lit(b) * (new_level(acc, y) - acc.l)
+             + F.lit(1.0 - b) * acc.t).alias("t")))
+    return g.select(
+        key_col, "n_points",
+        F.round(state.getField("l"), 6).alias("level"),
+        F.round(state.getField("t"), 6).alias("trend"),
+        F.round(state.getField("l")
+                + F.lit(horizon) * state.getField("t"), 6).alias("forecast"),
+    )

@@ -418,3 +418,54 @@ def test_association_rules_metrics(spark):
     assert ab["lift"] == 1.0 and ba["lift"] == 1.0
     # min_pair_count prunes the {a,c} singleton pair
     assert ("a", "c") not in out and ("c", "a") not in out
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend forecast
+# ---------------------------------------------------------------------------
+
+def test_holt_tracks_linear_series_exactly(spark):
+    from db_spark.analytics import holt_forecast
+
+    rows = [("k", t, float(t + 1)) for t in range(4)]  # y = 1,2,3,4
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    r = holt_forecast(df, "k", "t", "v", horizon=3).collect()[0]
+    assert (r["n_points"], r["level"], r["trend"]) == (4, 4.0, 1.0)
+    assert r["forecast"] == 7.0
+
+
+def test_holt_two_point_series_extrapolates_slope(spark):
+    from db_spark.analytics import holt_forecast
+
+    df = spark.createDataFrame(
+        [("k", 0, 5.0), ("k", 1, 7.0), ("solo", 0, 1.0)],
+        "k string, t long, v double")
+    got = {r["k"]: r for r in
+           holt_forecast(df, "k", "t", "v", horizon=1).collect()}
+    assert set(got) == {"k"}  # 1-point key dropped: no trend defined
+    assert got["k"]["level"] == 7.0 and got["k"]["trend"] == 2.0
+    assert got["k"]["forecast"] == 9.0
+
+
+def test_holt_step_series_dyadic_exact(spark):
+    from db_spark.analytics import holt_forecast
+
+    # y = 0,0,4: init l=0,t=0; fold y=4 -> l=2, t=1 (all dyadic)
+    df = spark.createDataFrame(
+        [("k", 0, 0.0), ("k", 1, 0.0), ("k", 2, 4.0)],
+        "k string, t long, v double")
+    r = holt_forecast(df, "k", "t", "v", horizon=2).collect()[0]
+    assert (r["level"], r["trend"], r["forecast"]) == (2.0, 1.0, 4.0)
+
+
+def test_holt_order_insensitive_to_input_partitioning(spark):
+    from db_spark.analytics import holt_forecast
+
+    rows = [("k", t, float((t * 7) % 13)) for t in range(20)]
+    a = holt_forecast(
+        spark.createDataFrame(rows, "k string, t long, v double")
+        .repartition(1), "k", "t", "v")
+    b = holt_forecast(
+        spark.createDataFrame(rows[::-1], "k string, t long, v double")
+        .repartition(16), "k", "t", "v")
+    assert a.collect() == b.collect()

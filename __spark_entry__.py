@@ -582,6 +582,19 @@ def q_forecast_revenue(spark, sf_dir):
     )
 
 
+def q_linreg(spark, sf_dir):
+    """Grouped OLS (db_spark/analytics.py: linreg): extendedprice ~
+    quantity per return flag. The five sufficient statistics accumulate
+    as exact 128-bit integers (order-independent at any parallelism);
+    only the |groups|-row finale runs in DOUBLE, as one fixed op
+    sequence both engines share."""
+    from db_spark import analytics as lan
+
+    li = _t(spark, sf_dir, "lineitem")
+    return lan.linreg(li, ["l_returnflag"], "l_quantity",
+                      "l_extendedprice")
+
+
 def q_holt_forecast(spark, sf_dir):
     """Holt linear-trend forecast (db_spark/analytics.py: holt_forecast)
     of monthly order revenue per order priority: exact cent-BIGINT
@@ -1183,8 +1196,10 @@ def q_communities(spark, sf_dir):
 def q_kcore(spark, sf_dir):
     """K-core decomposition (db_spark/graph.py: k_core) of the part
     co-purchase graph (pairs sharing >= 2 orders): 3 synchronous peel
-    rounds at k=3 — each round drops nodes whose current degree is
-    below 3 and induces the survivor subgraph. Pure set arithmetic
+    rounds at k=2 — each round drops nodes whose current degree is
+    below 2 and induces the survivor subgraph (k=2 keeps the query
+    non-vacuous at sf0.1, where the support-thresholded graph has no
+    3-core). Pure set arithmetic
     (no tie-breaks), so fixed-round peeling is bit-deterministic and
     the oracle replays the SAME 3 rounds as unrolled CTEs; returns
     (node, degree-in-final-subgraph)."""
@@ -1203,7 +1218,7 @@ def q_kcore(spark, sf_dir):
         .filter(F.col("_n") >= 2)
         .select("src", "dst")
     )
-    return lgraph.k_core(edges, k=3, rounds=3)
+    return lgraph.k_core(edges, k=2, rounds=3)
 
 
 def q_triangle_count(spark, sf_dir):
@@ -3370,6 +3385,43 @@ def _lpa_oracle(iterations: int = 4) -> str:
     """
 
 
+def _linreg_oracle() -> str:
+    """Exact-HUGEINT moment sums, then the IDENTICAL double expression
+    sequence as ``analytics.linreg`` — num/den/deny built from the five
+    sufficient statistics, unrounded slope feeding the intercept."""
+    nd, sxd, syd = "CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)"
+    sxxd, syyd, sxyd = ("CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)",
+                        "CAST(sxy AS DOUBLE)")
+    num = f"({nd} * {sxyd} - {sxd} * {syd})"
+    den = f"({nd} * {sxxd} - {sxd} * {sxd})"
+    deny = f"({nd} * {syyd} - {syd} * {syd})"
+    slope = f"({num} / {den})"
+    return f"""
+        WITH s AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(round(l_quantity * 100) AS HUGEINT)) AS sx,
+                 sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy,
+                 sum(CAST(round(l_quantity * 100) AS HUGEINT)
+                     * CAST(round(l_quantity * 100) AS HUGEINT)) AS sxx,
+                 sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                     * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS syy,
+                 sum(CAST(round(l_quantity * 100) AS HUGEINT)
+                     * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, n,
+               CASE WHEN {den} <> 0
+                    THEN round({slope}, 6) END AS slope,
+               CASE WHEN {den} <> 0
+                    THEN round(({syd} - {slope} * {sxd})
+                               / ({nd} * 100.0), 6) END AS intercept,
+               CASE WHEN {den} <> 0 AND {deny} <> 0
+                    THEN round(({num} * {num}) / ({den} * {deny}), 6)
+                    END AS r2
+        FROM s
+    """
+
+
 def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
     """Unrolled synchronous k-core peeling mirroring
     ``db_spark.graph.k_core(rounds=N)`` op for op: one
@@ -4211,6 +4263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "bigram_surprisal": q_bigram_surprisal,
         "holt_forecast": q_holt_forecast,
+        "linreg": q_linreg,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -6503,7 +6556,8 @@ def oracle_sql() -> dict[str, str]:
         # oriented (a<b) support->=2 edges; wedges closed against the
         # same edge set — each triangle counted exactly once.
         "communities": _lpa_oracle(),
-        "kcore": _kcore_oracle(),
+        "kcore": _kcore_oracle(k=2),
+        "linreg": _linreg_oracle(),
         # the recursion stepped as a recursive CTE (one row per (key,
         # step)) with the IDENTICAL op sequence as the engine's in-row
         # fold; dyadic 0.5 literals are exact under DECIMAL->DOUBLE.

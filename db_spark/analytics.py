@@ -633,3 +633,50 @@ def holt_forecast(
         F.round(state.getField("l")
                 + F.lit(horizon) * state.getField("t"), 6).alias("forecast"),
     )
+
+
+def linreg(
+    df: DataFrame, group_cols: list[str], x_col: str, y_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group simple OLS regression (y = slope*x + intercept) with
+    R² — from EXACT integer moments: x and y are rounded to ``scale``
+    decimals and the five sufficient statistics (Σx, Σy, Σx², Σy²,
+    Σxy) accumulate as 128-bit exact integers (Spark DECIMAL(38,0) /
+    DuckDB HUGEINT), so the aggregation is order-independent at any
+    parallelism; only the final per-group scalar arithmetic happens in
+    DOUBLE, as one fixed expression both engines evaluate in the same
+    IEEE op order. Groups with zero x-variance get NULL
+    slope/intercept/r2 (division guard, not NaN).
+
+    Scale shape: one hash aggregate (partial+final, 5 sums + a count);
+    everything after runs on |groups| rows. The classic "regression at
+    100 TB is one groupBy" — no second pass, no centering pass, no
+    driver math. Returns (*group_cols, n, slope, intercept, r2)
+    rounded to 6."""
+    m = 10 ** scale
+    # decimal(18,0) operands -> decimal(37,0) products: exact, and the
+    # sum widens to decimal(38,0) (128-bit) without precision clamping
+    xs = F.round(F.col(x_col) * m).cast("decimal(18,0)")
+    ys = F.round(F.col(y_col) * m).cast("decimal(18,0)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xs).alias("_sx"), F.sum(ys).alias("_sy"),
+        F.sum(xs * xs).alias("_sxx"), F.sum(ys * ys).alias("_syy"),
+        F.sum(xs * ys).alias("_sxy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    slope = num / den
+    return agg.select(
+        *group_cols, "n",
+        F.when(den != 0, F.round(slope, 6)).alias("slope"),
+        F.when(den != 0, F.round((sy - slope * sx) / (n * F.lit(float(m))), 6))
+        .alias("intercept"),
+        F.when((den != 0) & (deny != 0),
+               F.round((num * num) / (den * deny), 6)).alias("r2"),
+    )

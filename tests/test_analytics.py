@@ -469,3 +469,47 @@ def test_holt_order_insensitive_to_input_partitioning(spark):
         spark.createDataFrame(rows[::-1], "k string, t long, v double")
         .repartition(16), "k", "t", "v")
     assert a.collect() == b.collect()
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS linear regression
+# ---------------------------------------------------------------------------
+
+def test_linreg_exact_line(spark):
+    from db_spark.analytics import linreg
+
+    rows = [("g", float(x), 2.0 * x + 3.0) for x in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = linreg(df, ["g"], "x", "y").collect()[0]
+    assert (r["n"], r["slope"], r["intercept"], r["r2"]) == (4, 2.0, 3.0, 1.0)
+
+
+def test_linreg_zero_slope_and_r2(spark):
+    from db_spark.analytics import linreg
+
+    df = spark.createDataFrame(
+        [("g", 0.0, 0.0), ("g", 1.0, 1.0), ("g", 2.0, 0.0)],
+        "g string, x double, y double")
+    r = linreg(df, ["g"], "x", "y").collect()[0]
+    assert r["slope"] == 0.0 and r["r2"] == 0.0
+    assert r["intercept"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_linreg_constant_x_yields_nulls(spark):
+    from db_spark.analytics import linreg
+
+    df = spark.createDataFrame(
+        [("g", 5.0, 1.0), ("g", 5.0, 2.0)], "g string, x double, y double")
+    r = linreg(df, ["g"], "x", "y").collect()[0]
+    assert r["slope"] is None and r["intercept"] is None and r["r2"] is None
+
+
+def test_linreg_partitioning_invariant(spark):
+    from db_spark.analytics import linreg
+
+    rows = [("g%d" % (i % 3), float(i), float((i * i) % 17)) for i in range(60)]
+    a = linreg(spark.createDataFrame(rows, "g string, x double, y double")
+               .repartition(1), ["g"], "x", "y")
+    b = linreg(spark.createDataFrame(rows[::-1], "g string, x double, y double")
+               .repartition(16), ["g"], "x", "y")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -582,6 +582,25 @@ def q_forecast_revenue(spark, sf_dir):
     )
 
 
+def q_cusum(spark, sf_dir):
+    """CUSUM change detection (db_spark/analytics.py:
+    cusum_changepoints) on per-type hourly event value: the
+    reset-at-zero recursion expressed as cumsum minus running min over
+    exact integer cents — window-only, no fold — with the per-key
+    integer-floored mean as the in-control target. Returns breach rows
+    (threshold 3000, drift 0)."""
+    from db_spark import analytics as lan
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type",
+                   F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .agg((F.sum(F.round(F.col("value") * 100).cast("long"))
+              .cast("double") / 100.0).alias("_v")))
+    return lan.cusum_changepoints(hourly, "event_type", "hour_ts", "_v",
+                                  threshold=3000.0)
+
+
 def q_linreg(spark, sf_dir):
     """Grouped OLS (db_spark/analytics.py: linreg): extendedprice ~
     quantity per return flag. The five sufficient statistics accumulate
@@ -4264,6 +4283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal": q_bigram_surprisal,
         "holt_forecast": q_holt_forecast,
         "linreg": q_linreg,
+        "cusum": q_cusum,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -6558,6 +6578,36 @@ def oracle_sql() -> dict[str, str]:
         "communities": _lpa_oracle(),
         "kcore": _kcore_oracle(k=2),
         "linreg": _linreg_oracle(),
+        # integer-cent cumsum minus running min == the reset-at-zero
+        # CUSUM recursion; all-window, bit-exact on both engines.
+        "cusum": """
+            WITH hv AS (
+              SELECT event_type AS k, date_trunc('hour', ts) AS h,
+                     sum(CAST(round(value * 100) AS BIGINT)) AS cents
+              FROM events GROUP BY 1, 2),
+            tgt AS (SELECT k, sum(cents) // count(*) AS t0
+                    FROM hv GROUP BY k),
+            d AS (SELECT hv.k, hv.h, hv.cents,
+                         sum(hv.cents - t0) OVER (PARTITION BY hv.k
+                             ORDER BY hv.h ROWS UNBOUNDED PRECEDING) AS csp,
+                         sum(t0 - hv.cents) OVER (PARTITION BY hv.k
+                             ORDER BY hv.h ROWS UNBOUNDED PRECEDING) AS csn
+                  FROM hv JOIN tgt ON hv.k = tgt.k),
+            s AS (SELECT k, h, cents,
+                         csp - least(min(csp) OVER (PARTITION BY k
+                             ORDER BY h ROWS UNBOUNDED PRECEDING), 0) AS sp,
+                         csn - least(min(csn) OVER (PARTITION BY k
+                             ORDER BY h ROWS UNBOUNDED PRECEDING), 0) AS sn
+                  FROM d)
+            SELECT k AS event_type, h AS hour_ts,
+                   round(CAST(cents AS DOUBLE) / 100.0, 6) AS value,
+                   round(CAST(sp AS DOUBLE) / 100, 6) AS s_pos,
+                   round(CAST(sn AS DOUBLE) / 100, 6) AS s_neg,
+                   sp > 300000 AS alarm_pos,
+                   sn > 300000 AS alarm_neg
+            FROM s
+            WHERE sp > 300000 OR sn > 300000
+        """,
         # the recursion stepped as a recursive CTE (one row per (key,
         # step)) with the IDENTICAL op sequence as the engine's in-row
         # fold; dyadic 0.5 literals are exact under DECIMAL->DOUBLE.

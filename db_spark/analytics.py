@@ -680,3 +680,64 @@ def linreg(
         F.when((den != 0) & (deny != 0),
                F.round((num * num) / (den * deny), 6)).alias("r2"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame, key_col: str, t_col: str, value_col: str,
+    threshold: float, drift: float = 0.0, scale: int = 2,
+    alarms_only: bool = True,
+) -> DataFrame:
+    """Two-sided CUSUM change detection per key over an ordered series:
+    ``s+_t = max(0, s+_{t-1} + (x_t - target - drift))`` (and the
+    mirrored s-), alarm when either statistic exceeds ``threshold``.
+    The in-control target is the per-key integer-floored mean of the
+    whole series (cents), the textbook known-mean CUSUM with the mean
+    estimated from the series itself.
+
+    The recursion is NOT run as a recursion: with cumulative sums
+    ``cs_t = Σ(x_i - target - drift)``, the reset-at-zero CUSUM is
+    identically ``s_t = cs_t - min(0, min_{j<=t} cs_j)`` — one window
+    cumsum plus one running min, both over exact integer cents, so the
+    whole statistic is window-only (no fold, no localCheckpoint) and
+    bit-deterministic on any engine. ``t_col`` must be unique per key
+    (an aggregated series — the seasonal_decompose discipline).
+
+    Scale shape: one |keys|-row target aggregate broadcast back, then
+    two window passes over the series. Returns (key, t, value, s_pos,
+    s_neg, alarm_pos, alarm_neg); ``alarms_only`` keeps breach rows.
+    """
+    m = 10 ** scale
+    h_c = int(round(threshold * m))
+    d_c = int(round(drift * m))
+    c = df.select(
+        F.col(key_col), F.col(t_col),
+        F.col(value_col).cast("double").alias("_val"),
+        F.round(F.col(value_col) * m).cast("long").alias("_c"))
+    tgt = c.groupBy(key_col).agg(
+        F.expr("sum(_c) div count(*)").cast("long").alias("_t0"))
+    w = (Window.partitionBy(key_col).orderBy(t_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    csp = F.sum(F.col("_c") - F.col("_t0") - F.lit(d_c)).over(w)
+    csn = F.sum(F.col("_t0") - F.col("_c") - F.lit(d_c)).over(w)
+    out = (
+        c.join(F.broadcast(tgt), key_col)
+        # windows don't nest: materialize the cumsums, then running-min
+        .select(key_col, t_col, F.col("_val"),
+                csp.alias("_csp"), csn.alias("_csn"))
+        .select(
+            key_col, t_col, F.col("_val"),
+            (F.col("_csp")
+             - F.least(F.min("_csp").over(w), F.lit(0))).alias("_sp"),
+            (F.col("_csn")
+             - F.least(F.min("_csn").over(w), F.lit(0))).alias("_sn"))
+        .select(
+            key_col, t_col,
+            F.round(F.col("_val"), 6).alias("value"),
+            F.round(F.col("_sp").cast("double") / m, 6).alias("s_pos"),
+            F.round(F.col("_sn").cast("double") / m, 6).alias("s_neg"),
+            (F.col("_sp") > h_c).alias("alarm_pos"),
+            (F.col("_sn") > h_c).alias("alarm_neg"))
+    )
+    if alarms_only:
+        out = out.filter(F.col("alarm_pos") | F.col("alarm_neg"))
+    return out

@@ -513,3 +513,41 @@ def test_linreg_partitioning_invariant(spark):
     b = linreg(spark.createDataFrame(rows[::-1], "g string, x double, y double")
                .repartition(16), ["g"], "x", "y")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoints
+# ---------------------------------------------------------------------------
+
+def test_cusum_level_shift_alarms(spark):
+    from db_spark.analytics import cusum_changepoints
+
+    rows = ([("k", t, 10.0) for t in range(3)]
+            + [("k", t, 20.0) for t in range(3, 6)])
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {r["t"]: r for r in cusum_changepoints(
+        df, "k", "t", "v", threshold=12.0).collect()}
+    # target = mean 15; s+ climbs after the shift, s- before it
+    assert set(got) == {2, 5}
+    assert got[5]["s_pos"] == 15.0 and got[5]["alarm_pos"]
+    assert got[2]["s_neg"] == 15.0 and got[2]["alarm_neg"]
+
+
+def test_cusum_flat_series_never_alarms(spark):
+    from db_spark.analytics import cusum_changepoints
+
+    df = spark.createDataFrame([("k", t, 7.0) for t in range(10)],
+                               "k string, t long, v double")
+    assert cusum_changepoints(df, "k", "t", "v", threshold=0.5).count() == 0
+
+
+def test_cusum_statistic_path_and_zero_reset(spark):
+    from db_spark.analytics import cusum_changepoints
+
+    rows = ([("k", t, 10.0) for t in range(3)]
+            + [("k", t, 20.0) for t in range(3, 6)])
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = cusum_changepoints(df, "k", "t", "v", threshold=12.0,
+                             alarms_only=False).orderBy("t").collect()
+    assert [r["s_pos"] for r in out] == [0.0, 0.0, 0.0, 5.0, 10.0, 15.0]
+    assert [r["s_neg"] for r in out] == [5.0, 10.0, 15.0, 10.0, 5.0, 0.0]

@@ -2470,6 +2470,26 @@ def q_ivf_index_topk(spark, sf_dir):
     return lsim.ivf_index_topk(spark, idx, queries_df, k=10, n_probe=4)
 
 
+def q_lsh_probe(spark, sf_dir):
+    """Incremental near-dup ingest (db_spark/llm/dedup.py:
+    lsh_index_build / lsh_index_probe): the persisted band-bucket index
+    is built over the 90% "history" slice (doc_id % 10 != 0, bucket
+    sizes precomputed at build); the 10% "daily batch" signs only
+    itself and bucket-joins the stored membership — no corpus rescan.
+    The oracle replays the identical md5 minhash family, band layout,
+    per-slice shingle-DF guard, and the corpus-side hot-bucket cap."""
+    import tempfile
+
+    from db_spark.llm import dedup as ldedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    idx = tempfile.mkdtemp(prefix="lsh_index_") + "/lsh"
+    ldedup.lsh_index_build(corpus, idx, k=16, bands=4)
+    return ldedup.lsh_index_probe(spark, idx, new)
+
+
 def q_ivf_kmeans_topk(spark, sf_dir):
     """IVF top-k with 2 deterministic Lloyd refinement iterations:
     centroid means accumulate in scaled BIGINT so the refinement — and
@@ -3805,6 +3825,42 @@ def _minhash_lsh_oracle(k: int = 16, bands: int = 4, threshold: float = 0.5,
     """
 
 
+def _lsh_probe_oracle(k: int = 16, bands: int = 4) -> str:
+    """Cross-set replay of lsh_index_build + lsh_index_probe: per-slice
+    signatures (shingle-DF caps computed within each slice, exactly as
+    the engine signs corpus and batch separately), corpus-side bucket
+    cap, then the batch x corpus band-bucket join."""
+    from db_spark.llm.dedup import DEFAULT_MAX_BUCKET_SIZE
+
+    rows = k // bands
+
+    def bands_sql(rel: str) -> str:
+        return "\n              UNION ALL ".join(
+            "SELECT doc_id, " + str(b) + " AS band_id, concat_ws('_', "
+            + ", ".join(f"m{b * rows + r}" for r in range(rows))
+            + f") AS band_key FROM {rel}"
+            for b in range(bands))
+
+    return f"""
+        WITH corpus_docs AS (
+              SELECT * FROM documents WHERE doc_id % 10 <> 0),
+        new_docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+        sig_c AS ({_minhash_oracle(rel='corpus_docs')}),
+        sig_n AS ({_minhash_oracle(rel='new_docs')}),
+        bc AS (
+              {bands_sql('sig_c')}
+        ),
+        bn AS (
+              {bands_sql('sig_n')}
+        ),
+        ok AS (SELECT band_id, band_key FROM bc GROUP BY 1, 2
+               HAVING count(*) <= {DEFAULT_MAX_BUCKET_SIZE}),
+        flt AS (SELECT bc.* FROM bc JOIN ok USING (band_id, band_key))
+        SELECT DISTINCT n.doc_id AS new_id, f.doc_id AS corpus_id
+        FROM bn n JOIN flt f USING (band_id, band_key)
+    """
+
+
 def _simhash_oracle() -> str:
     bit_sums = ",\n               ".join(
         f"SUM(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
@@ -4284,6 +4340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_forecast": q_holt_forecast,
         "linreg": q_linreg,
         "cusum": q_cusum,
+        "lsh_probe": q_lsh_probe,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -6578,6 +6635,7 @@ def oracle_sql() -> dict[str, str]:
         "communities": _lpa_oracle(),
         "kcore": _kcore_oracle(k=2),
         "linreg": _linreg_oracle(),
+        "lsh_probe": _lsh_probe_oracle(),
         # integer-cent cumsum minus running min == the reset-at-zero
         # CUSUM recursion; all-window, bit-exact on both engines.
         "cusum": """

@@ -582,6 +582,26 @@ def q_forecast_revenue(spark, sf_dir):
     )
 
 
+def q_attribution(spark, sf_dir):
+    """Last-touch attribution (db_spark/analytics.py: attribution):
+    every purchase credits the most recent view/click strictly before
+    it — one per-user window pass carrying the touch struct with
+    ignorenulls (never a conversions x touches self-join), id-tiebroken
+    timestamps, NULL bucket for unattributed conversions kept. Output
+    aggregates credited conversions and exact-cent value per touch
+    type."""
+    from db_spark import analytics as lan
+
+    ev = _t(spark, sf_dir, "events")
+    att = lan.attribution(ev, ["view", "click"], "purchase")
+    return (
+        att.groupBy("touch_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"),
+             (F.sum(F.round(F.col("value") * 100).cast("long"))
+              .cast("double") / 100.0).alias("attributed_value"))
+    )
+
+
 def q_cusum(spark, sf_dir):
     """CUSUM change detection (db_spark/analytics.py:
     cusum_changepoints) on per-type hourly event value: the
@@ -4341,6 +4361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linreg": q_linreg,
         "cusum": q_cusum,
         "lsh_probe": q_lsh_probe,
+        "attribution": q_attribution,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -6636,6 +6657,23 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_oracle(k=2),
         "linreg": _linreg_oracle(),
         "lsh_probe": _lsh_probe_oracle(),
+        # the same strictly-before IGNORE NULLS window, id-tiebroken.
+        "attribution": """
+            WITH t AS (
+              SELECT event_type, value,
+                     last_value(CASE WHEN event_type IN ('view', 'click')
+                                     THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS touch_type
+              FROM events)
+            SELECT touch_type,
+                   CAST(count(*) AS BIGINT) AS n_conversions,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS attributed_value
+            FROM t WHERE event_type = 'purchase'
+            GROUP BY 1
+        """,
         # integer-cent cumsum minus running min == the reset-at-zero
         # CUSUM recursion; all-window, bit-exact on both engines.
         "cusum": """

@@ -741,3 +741,43 @@ def cusum_changepoints(
     if alarms_only:
         out = out.filter(F.col("alarm_pos") | F.col("alarm_neg"))
     return out
+
+
+def attribution(
+    events: DataFrame, touch_types: list[str], conversion_type: str,
+    key_col: str = "user_id", ts_col: str = "ts",
+    id_col: str = "event_id", type_col: str = "event_type",
+    value_col: str = "value", model: str = "last",
+) -> DataFrame:
+    """Single-touch marketing attribution: for every conversion event,
+    the touch event that gets credit — ``model='last'`` credits the
+    most recent touch STRICTLY BEFORE the conversion, ``'first'`` the
+    user's earliest touch before it. Conversions with no prior touch
+    keep a NULL attribution (honest unattributed bucket, not a dropped
+    row). Ties on the timestamp break by ``id_col`` so the credited
+    touch is deterministic on any engine.
+
+    One window pass: the candidate touch struct (ts, id, type) is
+    carried by ``last``/``first`` with ignorenulls over the per-user
+    ROWS frame ending at 1 PRECEDING — no self-join of conversions
+    against touches (the join formulation shuffles the event table
+    twice and skews on heavy users; the window form is one
+    user-keyed sort). Returns one row per conversion: (key, id, ts,
+    value, touch_type, touch_ts, touch_id)."""
+    w = (Window.partitionBy(key_col).orderBy(ts_col, id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.when(
+        F.col(type_col).isin(*touch_types),
+        F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i"),
+                 F.col(type_col).alias("y")))
+    pick = F.last(touch, ignorenulls=True) if model == "last" \
+        else F.first(touch, ignorenulls=True)
+    return (
+        events.withColumn("_a", pick.over(w))
+        .filter(F.col(type_col) == conversion_type)
+        .select(F.col(key_col), F.col(id_col), F.col(ts_col),
+                F.col(value_col).alias("value"),
+                F.col("_a.y").alias("touch_type"),
+                F.col("_a.t").alias("touch_ts"),
+                F.col("_a.i").alias("touch_id"))
+    )

@@ -551,3 +551,54 @@ def test_cusum_statistic_path_and_zero_reset(spark):
                              alarms_only=False).orderBy("t").collect()
     assert [r["s_pos"] for r in out] == [0.0, 0.0, 0.0, 5.0, 10.0, 15.0]
     assert [r["s_neg"] for r in out] == [5.0, 10.0, 15.0, 10.0, 5.0, 0.0]
+
+
+# ---------------------------------------------------------------------------
+# Single-touch attribution
+# ---------------------------------------------------------------------------
+
+def _attr_events(spark):
+    rows = [
+        (1, 10, 1, "view", 0.0), (1, 20, 2, "click", 0.0),
+        (1, 30, 3, "purchase", 9.0), (1, 40, 4, "purchase", 5.0),
+        (2, 10, 5, "purchase", 3.0),              # no prior touch
+        (3, 10, 6, "purchase", 2.0), (3, 20, 7, "click", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, tsec long, event_id long, "
+              "event_type string, value double")
+    return df.withColumn("ts", F.timestamp_seconds(F.col("tsec")))
+
+
+def test_attribution_last_touch(spark):
+    from db_spark.analytics import attribution
+
+    got = {r["event_id"]: r for r in attribution(
+        _attr_events(spark), ["view", "click"], "purchase").collect()}
+    assert got[3]["touch_type"] == "click" and got[3]["touch_id"] == 2
+    assert got[4]["touch_type"] == "click"  # still the last touch
+    assert got[5]["touch_type"] is None     # unattributed, kept
+    assert got[6]["touch_type"] is None     # later touch gets no credit
+
+
+def test_attribution_first_touch(spark):
+    from db_spark.analytics import attribution
+
+    got = {r["event_id"]: r for r in attribution(
+        _attr_events(spark), ["view", "click"], "purchase",
+        model="first").collect()}
+    assert got[3]["touch_type"] == "view" and got[3]["touch_id"] == 1
+    assert got[4]["touch_type"] == "view"
+
+
+def test_attribution_timestamp_tie_breaks_by_id(spark):
+    from db_spark.analytics import attribution
+
+    rows = [(1, 10, 2, "click", 0.0), (1, 10, 1, "view", 0.0),
+            (1, 20, 3, "purchase", 1.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, tsec long, event_id long, "
+              "event_type string, value double"
+    ).withColumn("ts", F.timestamp_seconds(F.col("tsec")))
+    r = attribution(df, ["view", "click"], "purchase").collect()[0]
+    assert r["touch_type"] == "click" and r["touch_id"] == 2

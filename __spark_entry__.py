@@ -582,6 +582,16 @@ def q_forecast_revenue(spark, sf_dir):
     )
 
 
+def q_transitions(spark, sf_dir):
+    """First-order Markov event-transition matrix (db_spark/
+    analytics.py: transition_matrix): adjacent pairs from one per-user
+    lag window (id-tiebroken), |types²|-row counts, row-normalized
+    probabilities on the tiny matrix."""
+    from db_spark import analytics as lan
+
+    return lan.transition_matrix(_t(spark, sf_dir, "events"))
+
+
 def q_attribution(spark, sf_dir):
     """Last-touch attribution (db_spark/analytics.py: attribution):
     every purchase credits the most recent view/click strictly before
@@ -4362,6 +4372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum": q_cusum,
         "lsh_probe": q_lsh_probe,
         "attribution": q_attribution,
+        "transitions": q_transitions,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -6657,6 +6668,22 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_oracle(k=2),
         "linreg": _linreg_oracle(),
         "lsh_probe": _lsh_probe_oracle(),
+        "transitions": """
+            WITH pairs AS (
+              SELECT lag(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS from_type,
+                     event_type AS to_type
+              FROM events),
+            c AS (SELECT from_type, to_type,
+                         CAST(count(*) AS BIGINT) AS n_transitions
+                  FROM pairs WHERE from_type IS NOT NULL
+                  GROUP BY 1, 2)
+            SELECT from_type, to_type, n_transitions,
+                   round(CAST(n_transitions AS DOUBLE)
+                         / sum(n_transitions) OVER (PARTITION BY from_type),
+                         6) AS p
+            FROM c
+        """,
         # the same strictly-before IGNORE NULLS window, id-tiebroken.
         "attribution": """
             WITH t AS (

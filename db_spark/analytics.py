@@ -781,3 +781,35 @@ def attribution(
                 F.col("_a.t").alias("touch_ts"),
                 F.col("_a.i").alias("touch_id"))
     )
+
+
+def transition_matrix(
+    events: DataFrame, key_col: str = "user_id", ts_col: str = "ts",
+    id_col: str = "event_id", type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for every adjacent pair in a user's (ts, id)-ordered
+    stream, count (from_type, to_type) and normalize per source row —
+    the "what do users do next" journey matrix. Ties on the timestamp
+    order by ``id_col`` so adjacency is deterministic.
+
+    Shape: one per-user window (lag) produces the pair stream in the
+    same pass as the sort; counts are a |types²|-row aggregate and the
+    row normalizer is a window over that tiny matrix — nothing after
+    the lag touches event-cardinality data with a second shuffle.
+    Returns (from_type, to_type, n_transitions, p) with p rounded 6.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.withColumn("_from", F.lag(type_col).over(w))
+        .filter(F.col("_from").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("_from").alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    row_w = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", "n_transitions",
+        F.round(F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(row_w), 6).alias("p"))

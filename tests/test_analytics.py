@@ -602,3 +602,39 @@ def test_attribution_timestamp_tie_breaks_by_id(spark):
     ).withColumn("ts", F.timestamp_seconds(F.col("tsec")))
     r = attribution(df, ["view", "click"], "purchase").collect()[0]
     assert r["touch_type"] == "click" and r["touch_id"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix
+# ---------------------------------------------------------------------------
+
+def test_transition_matrix_counts_and_rows_normalize(spark):
+    from db_spark.analytics import transition_matrix
+
+    rows = [(1, 10, 1, "a"), (1, 20, 2, "b"), (1, 30, 3, "a"),
+            (1, 40, 4, "c"), (2, 10, 5, "b"), (2, 20, 6, "a")]
+    df = spark.createDataFrame(
+        rows, "user_id long, tsec long, event_id long, event_type string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("tsec")))
+    got = {(r["from_type"], r["to_type"]): r
+           for r in transition_matrix(df).collect()}
+    # a->b, b->a (x2 across users), a->c
+    assert got[("a", "b")]["n_transitions"] == 1
+    assert got[("b", "a")]["n_transitions"] == 2
+    assert got[("a", "c")]["n_transitions"] == 1
+    assert got[("a", "b")]["p"] == 0.5 and got[("a", "c")]["p"] == 0.5
+    assert got[("b", "a")]["p"] == 1.0
+    # no cross-user pair (1's last event never precedes 2's first)
+    assert ("c", "b") not in got
+
+
+def test_transition_matrix_tie_breaks_by_id(spark):
+    from db_spark.analytics import transition_matrix
+
+    rows = [(1, 10, 2, "b"), (1, 10, 1, "a"), (1, 20, 3, "c")]
+    df = spark.createDataFrame(
+        rows, "user_id long, tsec long, event_id long, event_type string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("tsec")))
+    got = {(r["from_type"], r["to_type"])
+           for r in transition_matrix(df).collect()}
+    assert got == {("a", "b"), ("b", "c")}

@@ -2500,6 +2500,18 @@ def q_ivf_index_topk(spark, sf_dir):
     return lsim.ivf_index_topk(spark, idx, queries_df, k=10, n_probe=4)
 
 
+def q_kcenter(spark, sf_dir):
+    """Greedy k-center coreset selection (db_spark/llm/similarity.py:
+    k_center_greedy): 5 farthest-point picks over the embedding corpus
+    — per round one map-only distance pass against the newest pick,
+    round-6 cosine parity, id tie-breaks; the oracle unrolls the same
+    5 select/update rounds."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsim.k_center_greedy(emb, k=5)
+
+
 def q_lsh_probe(spark, sf_dir):
     """Incremental near-dup ingest (db_spark/llm/dedup.py:
     lsh_index_build / lsh_index_probe): the persisted band-bucket index
@@ -3855,6 +3867,42 @@ def _minhash_lsh_oracle(k: int = 16, bands: int = 4, threshold: float = 0.5,
     """
 
 
+def _kcenter_oracle(k: int = 5) -> str:
+    """Unrolled farthest-point traversal mirroring
+    ``similarity.k_center_greedy`` op for op: per round one argmax
+    (d DESC, id ASC) and one running-min update against the newest
+    pick, round-6 cosine parity."""
+    parts = ["""base AS (SELECT vec_id,
+                      list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+        s1 AS (SELECT min(vec_id) AS id FROM base),
+        m1 AS (SELECT b.vec_id,
+                      1 - round(list_cosine_similarity(b.v, c.v), 6) AS d
+               FROM base b JOIN base c ON c.vec_id = (SELECT id FROM s1)
+               WHERE b.vec_id <> (SELECT id FROM s1))"""]
+    for r in range(2, k + 1):
+        parts.append(f"""
+        s{r} AS (SELECT vec_id AS id, d FROM m{r-1}
+                 ORDER BY d DESC, vec_id LIMIT 1)""")
+        if r < k:
+            parts.append(f"""
+        m{r} AS (SELECT p.vec_id,
+                        least(p.d,
+                              1 - round(list_cosine_similarity(b.v, c.v),
+                                        6)) AS d
+                 FROM m{r-1} p
+                 JOIN base b ON b.vec_id = p.vec_id
+                 JOIN base c ON c.vec_id = (SELECT id FROM s{r})
+                 WHERE p.vec_id <> (SELECT id FROM s{r}))""")
+    sels = ["SELECT 1 AS sel_rank, id AS vec_id, "
+            "CAST(NULL AS DOUBLE) AS min_dist FROM s1"]
+    for r in range(2, k + 1):
+        sels.append(f"SELECT {r} AS sel_rank, id AS vec_id, "
+                    f"d AS min_dist FROM s{r}")
+    return ("WITH " + ",".join(parts) + "\n        "
+            + " UNION ALL ".join(sels))
+
+
 def _lsh_probe_oracle(k: int = 16, bands: int = 4) -> str:
     """Cross-set replay of lsh_index_build + lsh_index_probe: per-slice
     signatures (shingle-DF caps computed within each slice, exactly as
@@ -4371,6 +4419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linreg": q_linreg,
         "cusum": q_cusum,
         "lsh_probe": q_lsh_probe,
+        "kcenter": q_kcenter,
         "attribution": q_attribution,
         "transitions": q_transitions,
         # -- never driver-checked breadth/shape relatives: enter the r06
@@ -6668,6 +6717,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_oracle(k=2),
         "linreg": _linreg_oracle(),
         "lsh_probe": _lsh_probe_oracle(),
+        "kcenter": _kcenter_oracle(),
         "transitions": """
             WITH pairs AS (
               SELECT lag(event_type) OVER (PARTITION BY user_id

@@ -642,3 +642,50 @@ def recall_at_k(
                 F.round(F.col("n_hit").cast("double") / F.lit(float(k)), 6)
                 .alias(f"recall_at_{k}"))
     )
+
+
+def k_center_greedy(
+    emb: DataFrame, k: int = 4, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal) —
+    the classic diversity-sampling pick for training data: seed with
+    the smallest id, then each round add the point with the LARGEST
+    current min cosine distance to the selected set. Distances use the
+    established round-6 cosine parity and ties break toward the
+    smaller id, so the traversal is a total order — bit-deterministic
+    and replayable by the oracle as k unrolled select/update rounds.
+
+    Scale shape: per round ONE map-only distance pass of the remaining
+    corpus against the single newest pick (a literal vector — nothing
+    broadcast but 64 doubles), folded into the running min column;
+    O(k·|corpus|) distance evaluations total, the textbook bound. Per
+    round the driver fetches one id and one vector (scalar class, like
+    the k-core fixpoint counts); ``localCheckpoint`` keeps the plan
+    round-sized. Returns the k picks in selection order:
+    (sel_rank, id, min_dist-at-selection), NULL for the seed."""
+    spark = emb.sparkSession
+    st = emb.select(F.col(id_col).alias("_id"),
+                    _dbl(F.col(vec_col)).alias("_v"))
+    st = st.localCheckpoint(eager=True)
+    cur = st.agg(F.min("_id")).collect()[0][0]
+    picks = [(1, int(cur), None)]
+    for r in range(2, k + 1):
+        cvec = st.filter(F.col("_id") == cur).select("_v").collect()[0][0]
+        lit_c = F.array(*[F.lit(float(x)) for x in cvec])
+        d_new = 1 - F.round(
+            _dot_d(F.col("_v"), lit_c)
+            / (_norm_d(F.col("_v")) * _norm_d(lit_c)), 6)
+        st = (
+            st.filter(F.col("_id") != cur)
+            .withColumn("_mind",
+                        d_new if r == 2
+                        else F.least(F.col("_mind"), d_new))
+            .localCheckpoint(eager=True)
+        )
+        top = st.orderBy(F.col("_mind").desc(), F.col("_id")) \
+            .limit(1).collect()[0]
+        cur = top["_id"]
+        picks.append((r, int(cur), float(top["_mind"])))
+    return spark.createDataFrame(
+        picks, "sel_rank int, " + id_col + " long, min_dist double")

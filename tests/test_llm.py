@@ -1260,3 +1260,32 @@ def test_stratified_fixed_sample_exact_sizes(spark):
     got2 = {r["doc_id"] for r in stratified_fixed_sample(
         df2, {"en": 60, "de": 100}).filter(F.col("lang") == "en").collect()}
     assert set(got["en"]) <= got2
+
+
+def test_k_center_greedy_farthest_point_traversal(spark):
+    from db_spark.llm import similarity
+
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.01]),
+            (3, [0.0, 1.0]), (4, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.k_center_greedy(df, k=4).collect()
+    # seed min-id 1; then the antipode, the orthogonal, the near-dup
+    assert [(r["sel_rank"], r["vec_id"]) for r in out] == [
+        (1, 1), (2, 4), (3, 3), (4, 2)]
+    assert out[0]["min_dist"] is None
+    assert out[1]["min_dist"] == 2.0 and out[2]["min_dist"] == 1.0
+    assert out[3]["min_dist"] < 0.001  # the near-dup is picked last
+
+
+def test_k_center_greedy_deterministic_across_partitionings(spark):
+    from db_spark.llm import similarity
+
+    rows = [(i, [float((i * 3) % 7), float((i * 5) % 11), 1.0])
+            for i in range(20)]
+    a = similarity.k_center_greedy(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        .repartition(1), k=5)
+    b = similarity.k_center_greedy(
+        spark.createDataFrame(rows[::-1], "vec_id long, embedding array<double>")
+        .repartition(16), k=5)
+    assert a.collect() == b.collect()

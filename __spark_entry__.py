@@ -2500,6 +2500,27 @@ def q_ivf_index_topk(spark, sf_dir):
     return lsim.ivf_index_topk(spark, idx, queries_df, k=10, n_probe=4)
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (db_spark/llm/
+    corpus.py: rrf_fuse): BM25 top-20 for {spark, merge, window} fused
+    with the exact-cosine top-20 around doc 0's embedding. Per-term
+    reciprocal ranks round to nano-BIGINTs before summing (exact,
+    order-independent), score ties break on id; the oracle composes
+    the two existing ranker oracles and replays the fusion sum."""
+    from db_spark.llm import corpus as lcorpus
+    from db_spark.llm import similarity as lsim
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = lcorpus.bm25_topk(docs, ["spark", "merge", "window"], k=20) \
+        .select("doc_id", "rank")
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    vec = lsim.brute_force_topk(emb, q0, k=20).select(
+        F.col("vec_id").alias("doc_id"), "rank")
+    return lcorpus.rrf_fuse([lex, vec], k=60)
+
+
 def q_kcenter(spark, sf_dir):
     """Greedy k-center coreset selection (db_spark/llm/similarity.py:
     k_center_greedy): 5 farthest-point picks over the embedding corpus
@@ -4420,6 +4441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum": q_cusum,
         "lsh_probe": q_lsh_probe,
         "kcenter": q_kcenter,
+        "hybrid_rrf": q_hybrid_rrf,
         "attribution": q_attribution,
         "transitions": q_transitions,
         # -- never driver-checked breadth/shape relatives: enter the r06
@@ -6718,6 +6740,67 @@ def oracle_sql() -> dict[str, str]:
         "linreg": _linreg_oracle(),
         "lsh_probe": _lsh_probe_oracle(),
         "kcenter": _kcenter_oracle(),
+        # both ranker oracles composed, then the identical nano-BIGINT
+        # fusion sum; every reciprocal computed in DOUBLE (DuckDB
+        # decimal literals would otherwise pull the division into
+        # DECIMAL arithmetic and off the shared IEEE path).
+        "hybrid_rrf": f"""
+            WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS N,
+                             CAST(sum(len(toks)) AS BIGINT) AS len_total
+                      FROM base),
+            dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+            post AS (SELECT doc_id, tk, count(*) AS tf
+                     FROM (SELECT doc_id, unnest(toks) AS tk FROM base)
+                     WHERE tk IN ('spark', 'merge', 'window')
+                     GROUP BY doc_id, tk),
+            dfreq AS (SELECT tk, count(DISTINCT doc_id) AS df
+                      FROM post GROUP BY tk),
+            lscored AS (
+              SELECT post.doc_id AS doc_id,
+                     SUM(CAST(round(
+                         (ln(1.0 + (N - df + 0.5) / (df + 0.5))
+                          * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75
+                              * (CAST(dl AS DOUBLE)
+                                 / (CAST(len_total AS DOUBLE) / N))))))
+                         * 1000000) AS BIGINT)) AS s6
+              FROM post JOIN dfreq USING (tk) JOIN dl USING (doc_id)
+              CROSS JOIN stats
+              GROUP BY post.doc_id),
+            lex AS (SELECT doc_id,
+                           CAST(row_number() OVER (ORDER BY s6 DESC, doc_id)
+                                AS BIGINT) AS rank
+                    FROM lscored QUALIFY rank <= 20),
+            q0 AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+            vs AS (SELECT e.vec_id AS doc_id,
+                          round(list_cosine_similarity(
+                              e.embedding::DOUBLE[],
+                              q0.embedding::DOUBLE[]), 6) AS sim
+                   FROM embeddings e CROSS JOIN q0),
+            vec AS (SELECT doc_id,
+                           CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+                                AS BIGINT) AS rank
+                    FROM vs QUALIFY rank <= 20),
+            u AS (SELECT doc_id,
+                         CAST(round(CAST(1000000000.0 AS DOUBLE)
+                              / (CAST(60.0 AS DOUBLE)
+                                 + CAST(rank AS DOUBLE))) AS BIGINT) AS t
+                  FROM lex
+                  UNION ALL
+                  SELECT doc_id,
+                         CAST(round(CAST(1000000000.0 AS DOUBLE)
+                              / (CAST(60.0 AS DOUBLE)
+                                 + CAST(rank AS DOUBLE))) AS BIGINT)
+                  FROM vec),
+            s AS (SELECT doc_id, sum(t) AS sc,
+                         CAST(count(*) AS BIGINT) AS n_lists
+                  FROM u GROUP BY 1)
+            SELECT doc_id, n_lists,
+                   round(CAST(sc AS DOUBLE) / 1000000000.0, 6) AS rrf_score,
+                   CAST(row_number() OVER (ORDER BY sc DESC, doc_id)
+                        AS BIGINT) AS fused_rank
+            FROM s
+        """,
         "transitions": """
             WITH pairs AS (
               SELECT lag(event_type) OVER (PARTITION BY user_id

@@ -387,3 +387,44 @@ def stratified_fixed_sample(
         df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= cap)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k: int = 60, id_col: str = "doc_id",
+    rank_col: str = "rank", query_col: str | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion — THE standard hybrid-retrieval combiner
+    (lexical BM25 + vector ANN, or any N rankers): ``score(d) =
+    Σ_lists 1/(k + rank_d)``. Each term is rounded to nano-units and
+    summed as BIGINT, so fusion is exact and order-independent no
+    matter how many rankers or how the union partitions; final ranking
+    breaks score ties on id. RRF needs only RANKS — no score
+    calibration between rankers, which is why it wins in practice.
+
+    Scale shape: the inputs are top-k lists (bounded by construction —
+    the rankers own the corpus-scale work); fusion is one union + one
+    hash agg + a rank window over Σk_i rows per query. Returns
+    (*query, id, n_lists, rrf_score, fused_rank)."""
+    keys = ([query_col] if query_col else []) + [id_col]
+    scaled = [
+        r.select(*keys,
+                 F.round(F.lit(1_000_000_000.0)
+                         / (F.lit(float(k)) + F.col(rank_col).cast("double")))
+                 .cast("long").alias("_t"))
+        for r in rankings]
+    u = scaled[0]
+    for s in scaled[1:]:
+        u = u.unionByName(s)
+    sc = u.groupBy(*keys).agg(
+        F.sum("_t").alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"))
+    w = Window.partitionBy(*([query_col] if query_col else [])) \
+        .orderBy(F.desc("_s"), id_col)
+    out = sc.select(
+        *keys, "n_lists",
+        F.round(F.col("_s").cast("double") / 1e9, 6).alias("rrf_score"),
+        F.row_number().over(w).cast("long").alias("fused_rank"))
+    if top_k is not None:
+        out = out.filter(F.col("fused_rank") <= top_k)
+    return out

@@ -1289,3 +1289,30 @@ def test_k_center_greedy_deterministic_across_partitionings(spark):
         spark.createDataFrame(rows[::-1], "vec_id long, embedding array<double>")
         .repartition(16), k=5)
     assert a.collect() == b.collect()
+
+
+def test_rrf_fuse_combines_rankings(spark):
+    from db_spark.llm.corpus import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame(
+        [(3, 1), (1, 2), (4, 3)], "doc_id long, rank long")
+    got = {r["doc_id"]: r for r in rrf_fuse([a, b], k=60).collect()}
+    # doc 1: 1/61 + 1/62; doc 3: 1/63 + 1/61 — doc 1 wins
+    assert got[1]["fused_rank"] == 1 and got[3]["fused_rank"] == 2
+    assert got[1]["n_lists"] == 2 and got[2]["n_lists"] == 1
+    assert got[1]["rrf_score"] == round(
+        (round(1e9 / 61) + round(1e9 / 62)) / 1e9, 6)
+    # singles rank below doubles here (1/62 < 1/61 + anything)
+    assert got[2]["fused_rank"] > got[3]["fused_rank"]
+
+
+def test_rrf_fuse_tie_breaks_by_id_and_respects_top_k(spark):
+    from db_spark.llm.corpus import rrf_fuse
+
+    a = spark.createDataFrame([(7, 1), (5, 1)], "doc_id long, rank long")
+    # both docs rank 1 in their only list: identical score, id breaks
+    out = rrf_fuse([a.filter("doc_id = 7"), a.filter("doc_id = 5")],
+                   k=60, top_k=1).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 5

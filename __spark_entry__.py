@@ -582,6 +582,21 @@ def q_forecast_revenue(spark, sf_dir):
     )
 
 
+def q_ab_test(spark, sf_dir):
+    """Two-proportion A/B readout (db_spark/analytics.py: ab_test):
+    hash-stable variant assignment (salted md5 — same user, same arm,
+    on any engine), conversion = "ever made a purchase over 400"
+    (every user has SOME purchase here — an all-converters pool has
+    undefined z, the guard ab_test also carries), pooled z statistic
+    in one IEEE-shared double expression (sqrt is correctly rounded
+    everywhere)."""
+    from db_spark import analytics as lan
+
+    ev = _t(spark, sf_dir, "events")
+    return lan.ab_test(
+        ev, (F.col("event_type") == "purchase") & (F.col("value") > 400))
+
+
 def q_transitions(spark, sf_dir):
     """First-order Markov event-transition matrix (db_spark/
     analytics.py: transition_matrix): adjacent pairs from one per-user
@@ -4444,6 +4459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "attribution": q_attribution,
         "transitions": q_transitions,
+        "ab_test": q_ab_test,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -6800,6 +6816,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY sc DESC, doc_id)
                         AS BIGINT) AS fused_rank
             FROM s
+        """,
+        "ab_test": """
+            WITH pu AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'purchase'
+                              AND value > 400
+                              THEN 1 ELSE 0 END) AS conv,
+                     CASE WHEN ('0x' || substr(md5('ab'
+                              || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                              % 2 = 0
+                          THEN 'A' ELSE 'B' END AS arm
+              FROM events GROUP BY user_id),
+            arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                            CAST(sum(conv) AS BIGINT) AS c
+                     FROM pu GROUP BY arm),
+            one AS (SELECT
+                      max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+                      max(CASE WHEN arm = 'A' THEN c END) AS conv_a,
+                      max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+                      max(CASE WHEN arm = 'B' THEN c END) AS conv_b
+                    FROM arms)
+            SELECT n_a, conv_a,
+                   round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+                       AS rate_a,
+                   n_b, conv_b,
+                   round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+                       AS rate_b,
+                   round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                          - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                         / sqrt(((CAST(conv_a AS DOUBLE)
+                                  + CAST(conv_b AS DOUBLE))
+                                 / (CAST(n_a AS DOUBLE)
+                                    + CAST(n_b AS DOUBLE)))
+                                * (1 - (CAST(conv_a AS DOUBLE)
+                                        + CAST(conv_b AS DOUBLE))
+                                       / (CAST(n_a AS DOUBLE)
+                                          + CAST(n_b AS DOUBLE)))
+                                * (1 / CAST(n_a AS DOUBLE)
+                                   + 1 / CAST(n_b AS DOUBLE))), 6) AS z,
+                   abs(round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                          - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                         / sqrt(((CAST(conv_a AS DOUBLE)
+                                  + CAST(conv_b AS DOUBLE))
+                                 / (CAST(n_a AS DOUBLE)
+                                    + CAST(n_b AS DOUBLE)))
+                                * (1 - (CAST(conv_a AS DOUBLE)
+                                        + CAST(conv_b AS DOUBLE))
+                                       / (CAST(n_a AS DOUBLE)
+                                          + CAST(n_b AS DOUBLE)))
+                                * (1 / CAST(n_a AS DOUBLE)
+                                   + 1 / CAST(n_b AS DOUBLE))), 6))
+                       > 1.96 AS significant
+            FROM one
         """,
         "transitions": """
             WITH pairs AS (

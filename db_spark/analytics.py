@@ -813,3 +813,53 @@ def transition_matrix(
         "from_type", "to_type", "n_transitions",
         F.round(F.col("n_transitions").cast("double")
                 / F.sum("n_transitions").over(row_w), 6).alias("p"))
+
+
+def ab_test(
+    events: DataFrame, conversion: Column,
+    key_col: str = "user_id",
+    salt: str = "ab", alpha_z: float = 1.96,
+) -> DataFrame:
+    """Two-proportion A/B test harness: users are assigned to variants
+    by a stable salted content hash (no RNG state — the same user
+    lands in the same arm on any engine, any partitioning, any rerun;
+    `df.sample` seeds are partition-dependent and do not), conversion
+    is "does any of the user's events satisfy the ``conversion``
+    predicate", and the readout is the pooled two-proportion z
+    statistic. sqrt is IEEE correctly-rounded, so the one double
+    expression is engine-exact; a zero-variance pool (0% or 100%
+    conversion — z undefined) yields NULL z, not a crash.
+
+    Shape: one user-keyed aggregate (exists-conversion per user), one
+    2-row variant aggregate, then scalar arithmetic on 2 rows pivoted
+    to one. Returns a single row (n_a, conv_a, rate_a, n_b, conv_b,
+    rate_b, z, significant)."""
+    from db_spark.llm.dedup import h32
+
+    variant = F.when(
+        h32(F.concat(F.lit(salt), F.col(key_col).cast("string"))) % 2 == 0,
+        F.lit("A")).otherwise(F.lit("B"))
+    per_user = events.groupBy(F.col(key_col)).agg(
+        F.max(conversion.cast("int")).alias("_conv"))
+    arms = (
+        per_user.select(variant.alias("_arm"), "_conv")
+        .groupBy("_arm")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"),
+             F.sum("_conv").cast("long").alias("_c"))
+    )
+    one = arms.groupBy().agg(
+        F.max(F.when(F.col("_arm") == "A", F.col("_n"))).alias("n_a"),
+        F.max(F.when(F.col("_arm") == "A", F.col("_c"))).alias("conv_a"),
+        F.max(F.when(F.col("_arm") == "B", F.col("_n"))).alias("n_b"),
+        F.max(F.when(F.col("_arm") == "B", F.col("_c"))).alias("conv_b"))
+    na, ca = F.col("n_a").cast("double"), F.col("conv_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("conv_b").cast("double")
+    pa, pb = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    se = F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    z = F.when(se > 0, F.round((pa - pb) / se, 6))
+    return one.select(
+        "n_a", "conv_a", F.round(pa, 6).alias("rate_a"),
+        "n_b", "conv_b", F.round(pb, 6).alias("rate_b"),
+        z.alias("z"),
+        (F.abs(z) > alpha_z).alias("significant"))

@@ -638,3 +638,57 @@ def test_transition_matrix_tie_breaks_by_id(spark):
     got = {(r["from_type"], r["to_type"])
            for r in transition_matrix(df).collect()}
     assert got == {("a", "b"), ("b", "c")}
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion A/B test
+# ---------------------------------------------------------------------------
+
+def test_ab_test_counts_and_z_statistic(spark):
+    import math
+
+    from db_spark.analytics import ab_test
+
+    rows = ([(u, "view") for u in range(1, 21)]
+            + [(u, "purchase") for u in range(1, 21) if u % 2 == 0])
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = ab_test(df, F.col("event_type") == "purchase").collect()[0]
+    assert r["n_a"] + r["n_b"] == 20
+    assert r["conv_a"] + r["conv_b"] == 10
+    pa, pb = r["conv_a"] / r["n_a"], r["conv_b"] / r["n_b"]
+    pool = (r["conv_a"] + r["conv_b"]) / 20
+    z = (pa - pb) / math.sqrt(
+        pool * (1 - pool) * (1 / r["n_a"] + 1 / r["n_b"]))
+    assert r["z"] == round(z, 6)
+    assert r["significant"] == (abs(round(z, 6)) > 1.96)
+
+
+def test_ab_test_assignment_is_stable_across_partitionings(spark):
+    from db_spark.analytics import ab_test
+
+    rows = [(u, t) for u in range(1, 40)
+            for t in (["view"] if u % 3 else ["view", "purchase"])]
+    a = ab_test(spark.createDataFrame(rows, "user_id long, event_type string")
+                .repartition(1), F.col("event_type") == "purchase")
+    b = ab_test(spark.createDataFrame(rows[::-1], "user_id long, event_type string")
+                .repartition(16), F.col("event_type") == "purchase")
+    assert a.collect() == b.collect()
+
+
+def test_ab_test_empty_arm_yields_null_z(spark):
+    from db_spark.analytics import ab_test
+
+    df = spark.createDataFrame([(1, "view")], "user_id long, event_type string")
+    r = ab_test(df, F.col("event_type") == "purchase").collect()[0]
+    assert (r["n_a"] is None) != (r["n_b"] is None)  # one arm only
+    assert r["z"] is None
+
+
+def test_ab_test_all_converters_pool_yields_null_z(spark):
+    from db_spark.analytics import ab_test
+
+    rows = [(u, "purchase") for u in range(1, 30)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = ab_test(df, F.col("event_type") == "purchase").collect()[0]
+    assert r["rate_a"] == 1.0 and r["rate_b"] == 1.0
+    assert r["z"] is None  # zero-variance pool: undefined, not a crash

@@ -582,6 +582,39 @@ def q_forecast_revenue(spark, sf_dir):
     )
 
 
+def q_survival(spark, sf_dir):
+    """Kaplan-Meier user-lifetime curve (db_spark/analytics.py:
+    survival_curve): per-user active-span HOURS (epoch-second
+    composition — TZ-free on TIMESTAMP_NTZ, exact integers), churned =
+    last activity more than 24h before the corpus horizon (else
+    right-censored). Aggregate-first discipline: the KM product runs
+    as one in-row fold over the |distinct durations| table; the
+    oracle steps the identical recursion as a recursive CTE."""
+    from db_spark import analytics as lan
+
+    def _es(c):
+        return (F.datediff(F.to_date(c), F.to_date(F.lit("1970-01-01")))
+                .cast("long") * 86400
+                + F.hour(c).cast("long") * 3600
+                + F.minute(c).cast("long") * 60
+                + F.second(c).cast("long"))
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("_first"), F.max("ts").alias("_last"))
+    horizon = per_user.agg(F.max("_last").alias("_H"))
+    subj = (
+        per_user.crossJoin(F.broadcast(horizon))
+        .select(
+            (_es(F.col("_last")) - _es(F.col("_first"))).alias("_gap_s"),
+            (F.col("_last") < F.col("_H") - F.expr("INTERVAL 24 HOUR"))
+            .cast("long").alias("_ev"))
+        .select(F.expr("_gap_s div 3600").cast("long").alias("_dur"),
+                "_ev")
+    )
+    return lan.survival_curve(subj, "_dur", "_ev")
+
+
 def q_ab_test(spark, sf_dir):
     """Two-proportion A/B readout (db_spark/analytics.py: ab_test):
     hash-stable variant assignment (salted md5 — same user, same arm,
@@ -4460,6 +4493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "transitions": q_transitions,
         "ab_test": q_ab_test,
+        "survival": q_survival,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -6816,6 +6850,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY sc DESC, doc_id)
                         AS BIGINT) AS fused_rank
             FROM s
+        """,
+        "survival": """
+            WITH RECURSIVE pu AS (
+              SELECT user_id, min(ts) AS f, max(ts) AS l
+              FROM events GROUP BY 1),
+            h AS (SELECT max(l) AS hz FROM pu),
+            subj AS (SELECT (epoch_us(l) // 1000000
+                             - epoch_us(f) // 1000000) // 3600 AS dur,
+                            CASE WHEN l < hz - INTERVAL 24 HOUR
+                                 THEN 1 ELSE 0 END AS ev
+                     FROM pu CROSS JOIN h),
+            per_t AS (SELECT dur AS t, CAST(sum(ev) AS BIGINT) AS d,
+                             CAST(count(*) AS BIGINT) AS c
+                      FROM subj GROUP BY 1),
+            km AS (SELECT t, d,
+                          CAST(sum(c) OVER (ORDER BY t DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n
+                   FROM per_t QUALIFY d > 0),
+            pos AS (SELECT t, d, n,
+                           CAST(row_number() OVER (ORDER BY t) AS BIGINT)
+                               AS i
+                    FROM km),
+            r AS (SELECT t, d, n, i,
+                         1.0 * (1 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE))
+                             AS s
+                  FROM pos WHERE i = 1
+                  UNION ALL
+                  SELECT p.t, p.d, p.n, p.i,
+                         r.s * (1 - CAST(p.d AS DOUBLE)
+                                    / CAST(p.n AS DOUBLE))
+                  FROM r JOIN pos p ON p.i = r.i + 1)
+            SELECT t AS duration, n AS n_risk, d AS n_events,
+                   round(s, 6) AS survival
+            FROM r
         """,
         "ab_test": """
             WITH pu AS (

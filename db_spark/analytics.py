@@ -863,3 +863,57 @@ def ab_test(
         "n_b", "conv_b", F.round(pb, 6).alias("rate_b"),
         z.alias("z"),
         (F.abs(z) > alpha_z).alias("significant"))
+
+
+def survival_curve(
+    df: DataFrame, duration_col: str, event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator over one row per subject
+    (duration, event-observed 0/1; 0 = right-censored): for each
+    distinct event duration t, the at-risk count n_t (subjects with
+    duration >= t), observed events d_t, and the product-limit
+    survival ``S(t) = Π_{t' <= t} (1 - d_t'/n_t')``.
+
+    The KM product is inherently sequential, so it follows the Holt
+    discipline: aggregate FIRST (the per-duration (d, n) table is
+    bounded by distinct durations — days/weeks, never subjects), then
+    run the product as one in-row left-to-right fold over the
+    collected table, identical IEEE op order on every engine (the
+    oracle steps the same recursion as a recursive CTE). At-risk
+    counts come from a descending window sum — exact integers.
+    Censored-only durations contribute to the risk set but emit no
+    curve row (standard KM: the curve steps only at event times).
+    Returns (duration, n_risk, n_events, survival) rounded 6."""
+    per_t = df.groupBy(F.col(duration_col).alias("_t")).agg(
+        F.sum(F.col(event_col).cast("long")).alias("_d"),
+        F.count(F.lit(1)).cast("long").alias("_c"))
+    w = (Window.orderBy(F.desc("_t"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    km = (per_t.withColumn("_n", F.sum("_c").over(w))
+          .filter(F.col("_d") > 0))
+    arr = F.array_sort(F.collect_list(F.struct(
+        F.col("_t").alias("t"), F.col("_d").alias("d"),
+        F.col("_n").alias("n"))))
+    out_t = ("array<struct<duration:bigint,n_risk:bigint,"
+             "n_events:bigint,survival:double>>")
+
+    def step(acc, x):
+        s = acc.s * (1 - x.d.cast("double") / x.n.cast("double"))
+        return F.struct(
+            s.alias("s"),
+            F.concat(acc.out, F.array(F.struct(
+                x.t.alias("duration"), x.n.alias("n_risk"),
+                x.d.alias("n_events"),
+                F.round(s, 6).alias("survival")))).alias("out"))
+
+    folded = km.agg(arr.alias("_a")).select(
+        F.aggregate(
+            F.col("_a"),
+            # the zero element must be an EMPTY typed array — a NULL
+            # array poisons every concat and the fold returns nothing
+            F.struct(F.lit(1.0).alias("s"),
+                     F.expr(f"CAST(array() AS {out_t})").alias("out")),
+            step).alias("_st"))
+    return folded.select(
+        F.explode(F.col("_st").getField("out")).alias("_r")
+    ).select("_r.duration", "_r.n_risk", "_r.n_events", "_r.survival")

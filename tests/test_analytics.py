@@ -692,3 +692,32 @@ def test_ab_test_all_converters_pool_yields_null_z(spark):
     r = ab_test(df, F.col("event_type") == "purchase").collect()[0]
     assert r["rate_a"] == 1.0 and r["rate_b"] == 1.0
     assert r["z"] is None  # zero-variance pool: undefined, not a crash
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve
+# ---------------------------------------------------------------------------
+
+def test_survival_curve_product_limit(spark):
+    from db_spark.analytics import survival_curve
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 0), (2, 1), (3, 1)], "dur long, ev long")
+    got = {r["duration"]: r for r in
+           survival_curve(df, "dur", "ev").collect()}
+    assert got[1]["n_risk"] == 4 and got[1]["survival"] == 0.75
+    assert got[2]["n_risk"] == 3 and got[2]["survival"] == 0.5
+    assert got[3]["n_risk"] == 1 and got[3]["survival"] == 0.0
+
+
+def test_survival_curve_censoring_extends_risk_set_only(spark):
+    from db_spark.analytics import survival_curve
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 0), (2, 1), (3, 1), (4, 0)], "dur long, ev long")
+    got = {r["duration"]: r for r in
+           survival_curve(df, "dur", "ev").collect()}
+    assert 4 not in got               # censored-only time: no curve step
+    assert got[1]["n_risk"] == 5 and got[1]["survival"] == 0.8
+    assert got[2]["n_risk"] == 4 and got[2]["survival"] == 0.6
+    assert got[3]["n_risk"] == 2 and got[3]["survival"] == 0.3

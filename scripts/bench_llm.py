@@ -39,6 +39,10 @@ PICKS = [
     "skyline", "bfs_hops", "hashed_features", "interval_join", "decontaminate",
     "stratified_sample", "bm25_topk", "embedding_quantize",
     "span_dup", "span_dedup", "collocations", "temperature_sample", "domain_cap", "redact_pii",
+    # round-5 session additions
+    "bigram_surprisal", "kcenter", "hybrid_rrf", "lsh_probe",
+    "kcore", "communities", "linreg", "cusum", "attribution",
+    "transitions", "survival", "ab_test", "holt_forecast",
 ]
 
 

@@ -1318,6 +1318,33 @@ def q_kcore(spark, sf_dir):
     return lgraph.k_core(edges, k=2, rounds=3)
 
 
+def q_weighted_paths(spark, sf_dir):
+    """Fixed-round Bellman-Ford SSSP (db_spark/graph.py: bellman_ford)
+    over the weighted co-purchase graph (weight = 1e6 div support —
+    stronger ties are cheaper): 4 relaxation rounds from the smallest
+    part id. Integer min-merge arithmetic, no tie-breaks, so the
+    oracle unrolls the identical rounds as CTEs."""
+    from db_spark import graph as lgraph
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("_ok"),
+                  F.col("l_partkey").alias("dst"))
+    ep = (
+        a.join(b, (F.col("l_orderkey") == F.col("_ok"))
+               & (F.col("src") < F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("src", "dst", F.expr("1000000 div _n").alias("weight"))
+    )
+    edges = ep.unionByName(ep.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
+    src0 = edges.agg(F.min("src")).collect()[0][0]
+    return lgraph.bellman_ford(edges, src0, rounds=4)
+
+
 def q_triangle_count(spark, sf_dir):
     """Graph analytics: triangle count over the co-purchase graph
     (edges = part pairs co-ordered in >= 2 orders, oriented a < b so
@@ -3506,6 +3533,38 @@ _SHINGLES = (
 _H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
 
 
+def _bford_oracle(rounds: int = 4) -> str:
+    """Unrolled Bellman-Ford relaxation mirroring
+    ``db_spark.graph.bellman_ford`` op for op: per round a src-keyed
+    relax + dst-keyed min + full-outer min-merge."""
+    its = []
+    for i in range(1, rounds + 1):
+        prev = f"d{i-1}"
+        its.append(f"""
+        x{i} AS (SELECT e.d AS node, min({prev}.dist + e.w) AS nd
+                 FROM {prev} JOIN ed e ON e.s = {prev}.node GROUP BY 1),
+        d{i} AS (SELECT coalesce(a.node, b.node) AS node,
+                        least(coalesce(a.dist, b.nd),
+                              coalesce(b.nd, a.dist)) AS dist
+                 FROM {prev} a FULL OUTER JOIN x{i} b
+                   ON a.node = b.node)""")
+    return f"""
+        WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        ep AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                      count(*) AS cnt
+               FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                                AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        ed AS (SELECT pa AS s, pb AS d,
+                      CAST(1000000 // cnt AS BIGINT) AS w FROM ep
+               UNION ALL
+               SELECT pb, pa, CAST(1000000 // cnt AS BIGINT) FROM ep),
+        d0 AS (SELECT min(s) AS node, CAST(0 AS BIGINT) AS dist FROM ed),
+        {",".join(its)}
+        SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}
+    """
+
+
 def _lpa_oracle(iterations: int = 4) -> str:
     """Unrolled synchronous label propagation mirroring
     ``db_spark.graph.label_propagation`` op for op: integer votes,
@@ -4498,6 +4557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions": q_transitions,
         "ab_test": q_ab_test,
         "survival": q_survival,
+        "weighted_paths": q_weighted_paths,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -6791,6 +6851,7 @@ def oracle_sql() -> dict[str, str]:
         # same edge set — each triangle counted exactly once.
         "communities": _lpa_oracle(),
         "kcore": _kcore_oracle(k=2),
+        "weighted_paths": _bford_oracle(),
         "linreg": _linreg_oracle(),
         "lsh_probe": _lsh_probe_oracle(),
         "kcenter": _kcenter_oracle(),

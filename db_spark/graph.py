@@ -241,3 +241,50 @@ def k_core(
             prev = n
     return e.groupBy(F.col("_s").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree"))
+
+
+def bellman_ford(
+    edges: DataFrame, source, rounds: int = 4,
+    src_col: str = "src", dst_col: str = "dst", weight_col: str = "weight",
+) -> DataFrame:
+    """Fixed-round Bellman-Ford single-source shortest paths over a
+    directed weighted edge list (integer weights, duplicates keep the
+    cheapest): after N relaxation rounds, (node, dist) holds the exact
+    shortest-path cost over paths of <= N edges — integer min-merge
+    arithmetic has NO tie-breaking to drift, so the result is
+    bit-deterministic under any partitioning and the oracle unrolls
+    the same rounds as CTEs (`kcore`/`communities` discipline). With
+    rounds >= |V|-1 this is the true SSSP; fixed small N is the
+    "reachable within N hops, cheapest way" ask. Negative weights are
+    rejected (cycles would make fixed-round output path-length-
+    dependent in a way users rarely intend).
+
+    Per round: one join of the CURRENT distance table (|reached| rows,
+    grows toward |V|) against the edge list keyed by src, one dst-keyed
+    min, one full-outer min-merge with the previous table;
+    ``localCheckpoint`` per round. Edges never move — only the
+    distance table shuffles."""
+    e = (edges.select(F.col(src_col).alias("_s"),
+                      F.col(dst_col).alias("_d"),
+                      F.col(weight_col).cast("long").alias("_w"))
+         .groupBy("_s", "_d").agg(F.min("_w").alias("_w"))
+         .localCheckpoint(eager=True))
+    if not e.filter(F.col("_w") < 0).isEmpty():
+        raise ValueError("bellman_ford requires non-negative weights")
+    dist = e.sparkSession.createDataFrame(
+        [(source, 0)], "node long, dist long").localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(e, dist["node"] == e["_s"])
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("_w")).alias("_nd"))
+        )
+        dist = (
+            dist.join(relaxed, "node", "full_outer")
+            .select("node",
+                    F.least(F.coalesce(F.col("dist"), F.col("_nd")),
+                            F.coalesce(F.col("_nd"), F.col("dist")))
+                    .alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

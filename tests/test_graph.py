@@ -168,3 +168,46 @@ def test_kcore_deterministic_across_partitionings(spark):
     a = graph.k_core(_edges(spark, pairs).repartition(1), 3)
     b = graph.k_core(_edges(spark, pairs).repartition(16), 3)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+# ---------------------------------------------------------------------------
+# Bellman-Ford weighted shortest paths
+# ---------------------------------------------------------------------------
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(triples, "src long, dst long, weight long")
+
+
+def test_bellman_ford_prefers_cheaper_longer_path(spark):
+    # 1->3 direct costs 10; 1->2->3 costs 5
+    e = _wedges(spark, [(1, 3, 10), (1, 2, 2), (2, 3, 3), (3, 4, 1)])
+    got = {r["node"]: r["dist"]
+           for r in graph.bellman_ford(e, 1, rounds=4).collect()}
+    assert got == {1: 0, 2: 2, 3: 5, 4: 6}
+
+
+def test_bellman_ford_round_budget_limits_path_length(spark):
+    e = _wedges(spark, [(1, 2, 1), (2, 3, 1), (3, 4, 1)])
+    got = {r["node"]: r["dist"]
+           for r in graph.bellman_ford(e, 1, rounds=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}  # 4 is 3 hops away: unreached
+
+
+def test_bellman_ford_duplicate_edges_keep_cheapest(spark):
+    a = graph.bellman_ford(
+        _wedges(spark, [(1, 2, 5), (1, 2, 3)]), 1, rounds=2)
+    assert {r["node"]: r["dist"] for r in a.collect()} == {1: 0, 2: 3}
+
+
+def test_bellman_ford_rejects_negative_weights(spark):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-negative"):
+        graph.bellman_ford(_wedges(spark, [(1, 2, -1)]), 1)
+
+
+def test_bellman_ford_deterministic_across_partitionings(spark):
+    triples = [(i % 8, (i * 3) % 8, (i * 7) % 5 + 1) for i in range(40)
+               if i % 8 != (i * 3) % 8]
+    a = graph.bellman_ford(_wedges(spark, triples).repartition(1), 0, 4)
+    b = graph.bellman_ford(_wedges(spark, triples).repartition(16), 0, 4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -3358,6 +3358,18 @@ def q_psi_drift(spark, sf_dir):
         buckets=16)
 
 
+def q_funnel_latency(spark, sf_dir):
+    """Conversion latency per funnel step pair (db_spark/analytics.py:
+    funnel_latency): the same greedy min-cascade as event_funnel, plus
+    rank-exact median / p90 of the per-user frontier gaps — integer
+    rank (9n+9) div 10, middle-two medians, no engine percentile
+    interpolation anywhere."""
+    from db_spark import analytics
+
+    ev = _t(spark, sf_dir, "events")
+    return analytics.funnel_latency(ev, ["view", "click", "purchase"])
+
+
 def q_event_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase (db_spark/analytics.py):
     min-cascade of step-filtered aggregates — stage k shuffles only
@@ -4558,6 +4570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "survival": q_survival,
         "weighted_paths": q_weighted_paths,
+        "funnel_latency": q_funnel_latency,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -6551,6 +6564,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         # identical min-cascade as chained CTEs: strict-after ordering,
         # stage k joins the previous frontier.
+        "funnel_latency": """
+            WITH u0 AS (SELECT user_id, MIN(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            u1 AS (SELECT e.user_id, MIN(e.ts) AS t, MIN(u0.t) AS tp
+                   FROM events e JOIN u0 ON e.user_id = u0.user_id
+                   WHERE e.event_type = 'click' AND e.ts > u0.t
+                   GROUP BY 1),
+            u2 AS (SELECT e.user_id, MIN(e.ts) AS t, MIN(u1.t) AS tp
+                   FROM events e JOIN u1 ON e.user_id = u1.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > u1.t
+                   GROUP BY 1),
+            g AS (SELECT CAST(1 AS INT) AS step, 'view' AS from_type,
+                         'click' AS to_type, user_id,
+                         epoch_us(t) // 1000000
+                         - epoch_us(tp) // 1000000 AS gap
+                  FROM u1
+                  UNION ALL
+                  SELECT 2, 'click', 'purchase', user_id,
+                         epoch_us(t) // 1000000 - epoch_us(tp) // 1000000
+                  FROM u2),
+            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY step
+                             ORDER BY gap, user_id) AS BIGINT) AS rn
+                  FROM g),
+            nn AS (SELECT step, from_type, to_type,
+                          CAST(max(rn) AS BIGINT) AS n
+                   FROM r GROUP BY 1, 2, 3),
+            med AS (SELECT r.step, (MIN(gap) + MAX(gap)) / 2.0
+                               AS median_gap_s
+                    FROM r JOIN nn ON r.step = nn.step
+                    WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+                    GROUP BY 1),
+            p90 AS (SELECT r.step,
+                           CAST(MIN(gap) AS BIGINT) AS p90_gap_s
+                    FROM r JOIN nn ON r.step = nn.step
+                    WHERE rn = (9 * n + 9) // 10 GROUP BY 1)
+            SELECT nn.step, nn.from_type, nn.to_type, nn.n AS n_users,
+                   med.median_gap_s, p90.p90_gap_s
+            FROM nn JOIN med ON med.step = nn.step
+            JOIN p90 ON p90.step = nn.step
+        """,
         "event_funnel": """
             WITH u0 AS (
               SELECT user_id, MIN(ts) AS t FROM events

@@ -917,3 +917,71 @@ def survival_curve(
     return folded.select(
         F.explode(F.col("_st").getField("out")).alias("_r")
     ).select("_r.duration", "_r.n_risk", "_r.n_events", "_r.survival")
+
+
+def funnel_latency(
+    events: DataFrame, steps: list[str],
+    user_col: str = "user_id", type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Step-to-step conversion latency over the same greedy min-cascade
+    as :func:`funnel`: for each user completing step k, the
+    whole-second gap between their step-(k-1) and step-k frontiers;
+    per adjacent step pair, the rank-exact median (middle-two average)
+    and p90 (integer rank ``ceil(9n/10)`` — computed as
+    ``(9n+9) div 10``, never a float multiply whose representation
+    error could shift the rank) of those gaps. No engine percentile
+    interpolation anywhere, so both engines agree bit-for-bit.
+
+    Shape: the cascade is k step-filtered user-keyed aggregates (the
+    funnel discipline — per-stage shuffle is that stage's event type
+    only); gap percentiles add one rank window per step pair over
+    |completers| rows. Returns (step, from_type, to_type, n_users,
+    median_gap_s, p90_gap_s)."""
+    def _es(c):
+        return (F.datediff(F.to_date(c), F.to_date(F.lit("1970-01-01")))
+                .cast("long") * 86400
+                + F.hour(c).cast("long") * 3600
+                + F.minute(c).cast("long") * 60
+                + F.second(c).cast("long"))
+
+    cur = (events.filter(F.col(type_col) == steps[0])
+           .groupBy(user_col).agg(F.min(ts_col).alias("_t")))
+    gaps = None
+    for i, s in enumerate(steps[1:], start=1):
+        nxt = (
+            events.filter(F.col(type_col) == s)
+            .join(cur.select(user_col, "_t"), user_col)
+            .filter(F.col(ts_col) > F.col("_t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("_t2"), F.min("_t").alias("_tp"))
+        )
+        g = nxt.select(
+            F.lit(i).cast("int").alias("step"),
+            F.lit(steps[i - 1]).alias("from_type"),
+            F.lit(s).alias("to_type"),
+            F.col(user_col),
+            (_es(F.col("_t2")) - _es(F.col("_tp")))
+            .cast("long").alias("_gap"))
+        gaps = g if gaps is None else gaps.unionByName(g)
+        cur = nxt.select(user_col, F.col("_t2").alias("_t"))
+    keys = ["step", "from_type", "to_type"]
+    ranked = gaps.withColumn("_rn", F.row_number().over(
+        Window.partitionBy(*keys).orderBy("_gap", user_col)))
+    nn = ranked.groupBy(*keys).agg(F.max("_rn").cast("long").alias("_n"))
+    med = (
+        ranked.join(F.broadcast(nn), keys)
+        .filter((F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+                | (F.col("_rn") == F.floor(F.col("_n") / 2) + 1))
+        .groupBy(*keys)
+        .agg(((F.min("_gap") + F.max("_gap")) / 2.0).alias("median_gap_s"))
+    )
+    p90 = (
+        ranked.join(F.broadcast(nn), keys)
+        .filter(F.col("_rn") == F.expr("(9 * _n + 9) div 10"))
+        .groupBy(*keys)
+        .agg(F.min("_gap").cast("long").alias("p90_gap_s"))
+    )
+    return (nn.join(med, keys).join(p90, keys)
+            .select(*keys, F.col("_n").alias("n_users"),
+                    "median_gap_s", "p90_gap_s"))

@@ -721,3 +721,41 @@ def test_survival_curve_censoring_extends_risk_set_only(spark):
     assert got[1]["n_risk"] == 5 and got[1]["survival"] == 0.8
     assert got[2]["n_risk"] == 4 and got[2]["survival"] == 0.6
     assert got[3]["n_risk"] == 2 and got[3]["survival"] == 0.3
+
+
+# ---------------------------------------------------------------------------
+# Funnel step latency
+# ---------------------------------------------------------------------------
+
+def test_funnel_latency_rank_exact_percentiles(spark):
+    from db_spark.analytics import funnel_latency
+
+    rows = [(1, 10, "a"), (1, 25, "b"), (1, 30, "c"),
+            (2, 10, "a"), (2, 20, "b"),
+            (3, 10, "a"), (3, 40, "b"),
+            (4, 10, "a")]
+    df = spark.createDataFrame(
+        rows, "user_id long, tsec long, event_type string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("tsec")))
+    got = {r["step"]: r for r in
+           funnel_latency(df, ["a", "b", "c"]).collect()}
+    # a->b gaps: 15, 10, 30 -> median 15, p90 = rank ceil(27/10)=3 -> 30
+    assert got[1]["from_type"] == "a" and got[1]["to_type"] == "b"
+    assert got[1]["n_users"] == 3
+    assert got[1]["median_gap_s"] == 15.0 and got[1]["p90_gap_s"] == 30
+    # b->c: only u1 completes; single-element percentiles are the value
+    assert got[2]["n_users"] == 1
+    assert got[2]["median_gap_s"] == 5.0 and got[2]["p90_gap_s"] == 5
+
+
+def test_funnel_latency_even_count_median_is_middle_two_average(spark):
+    from db_spark.analytics import funnel_latency
+
+    rows = [(u, 10, "a") for u in (1, 2, 3, 4)] + [
+        (1, 12, "b"), (2, 14, "b"), (3, 20, "b"), (4, 30, "b")]
+    df = spark.createDataFrame(
+        rows, "user_id long, tsec long, event_type string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("tsec")))
+    r = funnel_latency(df, ["a", "b"]).collect()[0]
+    # gaps 2, 4, 10, 20 -> median (4+10)/2 = 7.0, p90 rank ceil(36/10)=4
+    assert r["median_gap_s"] == 7.0 and r["p90_gap_s"] == 20

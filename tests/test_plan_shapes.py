@@ -298,3 +298,48 @@ def test_assoc_rules_topk_no_global_sort(spark):
     plan = _plan(E.q_assoc_rules(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_attribution_is_one_window_pass_no_self_join(spark):
+    # the credited touch must come from a window, never a
+    # conversions x touches self-join of the event table
+    plan = _plan(E.q_attribution(spark, SF))
+    assert "Window" in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join not in plan
+
+
+def test_transitions_is_lag_window_plus_tiny_agg(spark):
+    plan = _plan(E.q_transitions(spark, SF))
+    assert "Window" in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join not in plan
+
+
+def test_linreg_is_single_hash_aggregate(spark):
+    # five 128-bit moment sums in ONE partial+final hash agg: no join,
+    # no second scan, bounded exchanges
+    plan = _plan(E.q_linreg(spark, SF))
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange") <= 2
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join not in plan
+
+
+def test_cusum_windows_run_on_series_after_broadcast_target(spark):
+    plan = _plan(E.q_cusum(spark, SF))
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan  # |keys|-row target broadcast back
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_rankers_stay_topk_shaped(spark):
+    plan = _plan(E.q_hybrid_rrf(spark, SF))
+    assert "TakeOrderedAndProject" in plan  # BM25 branch top-k
+    assert "CartesianProduct" not in plan
+
+
+def test_survival_and_funnel_latency_cartesian_free(spark):
+    for q in (E.q_survival, E.q_funnel_latency, E.q_ab_test):
+        assert "CartesianProduct" not in _plan(q(spark, SF))

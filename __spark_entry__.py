@@ -1068,6 +1068,39 @@ def q_mad_outliers(spark, sf_dir):
     )
 
 
+def q_entity_resolution(spark, sf_dir):
+    """End-to-end entity resolution over part names — the relational ER
+    counterpart of curate_corpus's document pipeline: block on the
+    DISTINCT-name dictionary (fuzzy_join discipline: similarity never
+    touches the row set), match edges = names within Levenshtein 2
+    under a length band, cluster with min-label connected components
+    (db_spark/llm/dedup.py: connected_components), then give every
+    part row its entity id (cluster-min name-node id; singleton names
+    keep their own). Oracle replays blocking + matching and resolves
+    components with a recursive reachability CTE."""
+    from db_spark.llm import dedup as ldedup
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    names = p.groupBy("p_name").agg(F.min("p_partkey").alias("_nid"))
+    a = names.select(F.col("p_name").alias("_na"),
+                     F.col("_nid").alias("_ida"))
+    b = names.select(F.col("p_name").alias("_nb"),
+                     F.col("_nid").alias("_idb"))
+    edges = (
+        a.join(F.broadcast(b), F.col("_ida") < F.col("_idb"))
+        .filter(F.abs(F.length("_na") - F.length("_nb")) <= 2)
+        .filter(F.levenshtein("_na", "_nb") <= 2)
+        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
+    )
+    clusters = ldedup.connected_components(edges)
+    return (
+        p.join(names, "p_name")
+        .join(clusters.withColumnRenamed("doc_id", "_nid"), "_nid", "left")
+        .select("p_partkey",
+                F.coalesce("cluster_id", "_nid").alias("entity_id"))
+    )
+
+
 def q_fuzzy_join(spark, sf_dir):
     """Dictionary-blocked fuzzy self-join: part-name pairs within
     Levenshtein distance 4. The 100 TB design point: similarity runs on
@@ -4571,6 +4604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival": q_survival,
         "weighted_paths": q_weighted_paths,
         "funnel_latency": q_funnel_latency,
+        "entity_resolution": q_entity_resolution,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -6905,6 +6939,26 @@ def oracle_sql() -> dict[str, str]:
         "communities": _lpa_oracle(),
         "kcore": _kcore_oracle(k=2),
         "weighted_paths": _bford_oracle(),
+        "entity_resolution": """
+            WITH RECURSIVE names AS (
+              SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY 1),
+            e AS (SELECT a.nid AS id_a, b.nid AS id_b
+                  FROM names a JOIN names b ON a.nid < b.nid
+                  WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+                    AND levenshtein(a.p_name, b.p_name) <= 2),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM e
+                      UNION SELECT id_b, id_a FROM e),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e2.dst FROM reach r
+              JOIN edges e2 ON r.dst = e2.src),
+            cl AS (SELECT src AS nid, least(src, MIN(dst)) AS cid
+                   FROM reach GROUP BY src)
+            SELECT p.p_partkey, coalesce(cl.cid, n.nid) AS entity_id
+            FROM part p JOIN names n ON p.p_name = n.p_name
+            LEFT JOIN cl ON cl.nid = n.nid
+        """,
         "linreg": _linreg_oracle(),
         "lsh_probe": _lsh_probe_oracle(),
         "kcenter": _kcenter_oracle(),

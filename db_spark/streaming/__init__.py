@@ -601,3 +601,84 @@ def stream_dq_reports(
     )
     q.awaitTermination()
     return q
+
+
+CUSUM_OUT_SCHEMA = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("n_batch", T.LongType()),
+    T.StructField("s_pos", T.DoubleType()),
+    T.StructField("s_neg", T.DoubleType()),
+    T.StructField("alarm_pos", T.BooleanType()),
+    T.StructField("alarm_neg", T.BooleanType()),
+])
+
+_CUSUM_STATE_SCHEMA = T.StructType([
+    T.StructField("sp", T.LongType()),
+    T.StructField("sn", T.LongType()),
+])
+
+
+def cusum_alerts_stateful(
+    events: DataFrame, target: float, threshold: float, drift: float = 0.0,
+) -> DataFrame:
+    """Streaming CUSUM monitor — the stateful-stream counterpart of
+    ``analytics.cusum_changepoints``: per event_type, the reset-at-zero
+    statistics survive across micro-batches as two BIGINT cents in
+    explicit state. The target must be a KNOWN in-control mean
+    (streaming has no global-mean pass); within a batch rows process
+    in event-time order, across batches in arrival order — the
+    standard monitoring contract.
+
+    The per-batch update is VECTORIZED via the carry-in form of the
+    cumsum identity: with prior state s0 and deviation cumsums cs_i,
+    ``s_i = max(0, cs_i - min(0, min_{j<i} cs_j), s0 + cs_i)`` — no
+    per-row Python loop. ``alarm_*`` is true if the statistic crossed
+    the threshold at ANY point in the batch, not just its end.
+    Emits one row per key per batch (update mode)."""
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    t_c = int(round(target * 100))
+    d_c = int(round(drift * 100))
+    h_c = int(round(threshold * 100))
+
+    def path(dev: "np.ndarray", s0: int) -> "np.ndarray":
+        cs = np.cumsum(dev)
+        prev_min = np.minimum.accumulate(
+            np.concatenate(([0], cs[:-1])))
+        return np.maximum(0, np.maximum(
+            cs - np.minimum(0, prev_min), s0 + cs))
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (etype,) = key
+        sp, sn = state.get if state.exists else (0, 0)
+        ap = an = False
+        n = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            c = np.rint(pdf["value"].to_numpy(dtype=float) * 100) \
+                .astype(np.int64)
+            if len(c) == 0:
+                continue
+            n += len(c)
+            pp = path(c - t_c - d_c, sp)
+            nn = path(t_c - c - d_c, sn)
+            ap = ap or bool((pp > h_c).any())
+            an = an or bool((nn > h_c).any())
+            sp, sn = int(pp[-1]), int(nn[-1])
+        state.update((sp, sn))
+        yield pd.DataFrame({
+            "event_type": [etype], "n_batch": [n],
+            "s_pos": [sp / 100.0], "s_neg": [sn / 100.0],
+            "alarm_pos": [ap], "alarm_neg": [an]})
+
+    return (
+        events.groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CUSUM_OUT_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -928,3 +928,47 @@ def test_streaming_curation_gates_are_stream_safe(spark, tmp_path):
     assert set(rows) == {"1"}
     assert rows["1"]["text"] == '"' + good + '"'   # quotes normalized
     assert rows["1"]["quality_ppm"] >= 500_000
+
+
+def test_stateful_cusum_carries_state_across_batches(spark, tmp_path):
+    """Streaming CUSUM: scaled-integer state survives micro-batches
+    (and restarts via the checkpoint); within-batch alarms fire even
+    when the statistic later resets."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    d = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = st.stream_from_files(spark, d, EVENTS_SCHEMA)
+        mon = st.cusum_alerts_stateful(stream, target=50.0, threshold=100.0)
+        # file sinks are append-only: drain update-mode batches via
+        # foreachBatch (the standard update->file bridge)
+        q = (mon.writeStream.outputMode("update")
+             .foreachBatch(
+                 lambda df, _bid: df.write.mode("append").parquet(out_dir))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    batch1 = [(i, base + dt.timedelta(minutes=i), 1, "m", v)
+              for i, v in enumerate([10.0, 10.0, 200.0])]
+    spark.createDataFrame(batch1, EVENTS_SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(d)
+    run_once()
+    batch2 = [(10, base + dt.timedelta(hours=1), 1, "m", 300.0)]
+    spark.createDataFrame(batch2, EVENTS_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(d)
+    run_once()
+
+    rows = sorted(spark.read.parquet(out_dir).collect(),
+                  key=lambda r: r["n_batch"], reverse=True)
+    # batch 1 (3 rows): dev path peaks at 150 -> s_pos 150, alarm fired
+    b1 = [r for r in rows if r["n_batch"] == 3][0]
+    assert b1["s_pos"] == 150.0 and b1["alarm_pos"]
+    assert b1["s_neg"] == 0.0 and not b1["alarm_neg"]
+    # batch 2 (1 row): carry-in 150 + (300-50) = 400
+    b2 = [r for r in rows if r["n_batch"] == 1][0]
+    assert b2["s_pos"] == 400.0 and b2["alarm_pos"]

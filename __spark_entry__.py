@@ -1068,6 +1068,17 @@ def q_mad_outliers(spark, sf_dir):
     )
 
 
+def q_benford(spark, sf_dir):
+    """Benford first-digit audit (db_spark/quality.py: benford_audit)
+    of order totals: map-only digit extraction + a 9-cell aggregate;
+    expected shares are integer-ppb literals (no libm log at query
+    time on either engine), chi-square terms nano-round into BIGINT
+    before the total."""
+    from db_spark.quality import benford_audit
+
+    return benford_audit(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
 def q_entity_resolution(spark, sf_dir):
     """End-to-end entity resolution over part names — the relational ER
     counterpart of curate_corpus's document pipeline: block on the
@@ -4605,6 +4616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_paths": q_weighted_paths,
         "funnel_latency": q_funnel_latency,
         "entity_resolution": q_entity_resolution,
+        "benford": q_benford,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -6939,6 +6951,34 @@ def oracle_sql() -> dict[str, str]:
         "communities": _lpa_oracle(),
         "kcore": _kcore_oracle(k=2),
         "weighted_paths": _bford_oracle(),
+        "benford": """
+            WITH v AS (
+              SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice))
+                         AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+              FROM orders WHERE abs(o_totalprice) >= 1),
+            c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+                  FROM v GROUP BY 1),
+            d AS (SELECT * FROM (VALUES (1, 301029996),(2, 176091259),(3, 124938737),(4, 96910013),(5, 79181246),(6, 66946790),(7, 57991947),(8, 51152522),(9, 45757491)) t(digit, ppb)),
+            j AS (SELECT d.digit, d.ppb,
+                         CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs
+                  FROM d LEFT JOIN c USING (digit)),
+            n AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS nn FROM j),
+            t AS (SELECT digit, n_obs, nn,
+                         (CAST(n_obs AS DOUBLE)
+                          - nn * (CAST(ppb AS DOUBLE) / 1e9))
+                         * (CAST(n_obs AS DOUBLE)
+                            - nn * (CAST(ppb AS DOUBLE) / 1e9))
+                         / (nn * (CAST(ppb AS DOUBLE) / 1e9)) AS term,
+                         CAST(ppb AS DOUBLE) / 1e9 AS exps
+                  FROM j CROSS JOIN n)
+            SELECT digit, n_obs,
+                   round(CAST(n_obs AS DOUBLE) / nn, 6) AS share,
+                   round(exps, 6) AS expected_share,
+                   round(term, 6) AS chi2_term,
+                   round(CAST(sum(CAST(round(term * 1e9) AS BIGINT))
+                         OVER () AS DOUBLE) / 1e9, 6) AS chi2
+            FROM t
+        """,
         "entity_resolution": """
             WITH RECURSIVE names AS (
               SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY 1),

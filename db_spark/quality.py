@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 @dataclass(frozen=True)
@@ -195,3 +195,56 @@ def dq_violations(df: DataFrame, rule: Rule, limit: int = 100) -> DataFrame:
     else:
         raise ValueError(f"unknown rule kind: {rule.kind}")
     return bad.limit(limit)
+
+
+#: Benford expected first-digit shares as exact parts-per-billion
+#: integer literals — log10(1 + 1/d) precomputed once in Python so
+#: NEITHER engine evaluates a libm log at query time (constants are
+#: exact by definition; libm ULP differences can't enter).
+BENFORD_PPB = [301029996, 176091259, 124938737, 96910013, 79181246,
+               66946790, 57991947, 51152522, 45757491]
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fraud /
+    data-fabrication screen for naturally-occurring positive amounts:
+    observed first-digit shares vs log10(1+1/d), with a chi-square
+    deviation statistic. Values with |v| < 1 are excluded (no integer
+    leading digit); all 9 digits appear in the output even at zero
+    observations. Chi-square terms nano-round into BIGINT before the
+    total (the chi2/entropy order-independence discipline), and the
+    expected shares are integer ppb literals, so the whole audit is
+    engine-exact.
+
+    Shape: one map-only digit extraction + a 9-cell aggregate;
+    everything after runs on 9 rows. Returns (digit, n_obs, share,
+    expected_share, chi2_term, chi2) rounded 6."""
+    spark = df.sparkSession
+    digit = F.substring(
+        F.floor(F.abs(F.col(value_col))).cast("long").cast("string"),
+        1, 1).cast("int")
+    counts = (df.filter(F.abs(F.col(value_col)) >= 1)
+              .select(digit.alias("digit"))
+              .groupBy("digit")
+              .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    cells = spark.createDataFrame(
+        [(d, BENFORD_PPB[d - 1]) for d in range(1, 10)],
+        "digit int, _ppb long")
+    j = (cells.join(counts, "digit", "left")
+         .select("digit", "_ppb",
+                 F.coalesce(F.col("_c"), F.lit(0)).cast("long")
+                 .alias("n_obs")))
+    w = Window.partitionBy()
+    n = F.sum("n_obs").over(w).cast("double")
+    exp = n * (F.col("_ppb").cast("double") / 1e9)
+    term = (F.col("n_obs").cast("double") - exp) \
+        * (F.col("n_obs").cast("double") - exp) / exp
+    nano = F.round(term * 1e9).cast("long")
+    return j.select(
+        "digit", "n_obs",
+        F.round(F.col("n_obs").cast("double") / n, 6).alias("share"),
+        F.round(F.col("_ppb").cast("double") / 1e9, 6)
+        .alias("expected_share"),
+        F.round(term, 6).alias("chi2_term"),
+        F.round(F.sum(nano).over(w).cast("double") / 1e9, 6).alias("chi2"),
+    )

@@ -89,3 +89,31 @@ def test_dq_violations_drilldown_matches_report_counts(spark):
     assert dq.dq_violations(df, rules[4]).collect()[0]["fk"] == 999
     # limit caps the extraction
     assert len(dq.dq_violations(df, rules[5], limit=0).collect()) == 0
+
+
+def test_benford_audit_known_distribution(spark):
+    from db_spark.quality import BENFORD_PPB, benford_audit
+
+    # 100 values whose first digit IS Benford-distributed (30x 1.., 17x
+    # 2.., ...) -> tiny chi2; plus sub-1 values that must be excluded
+    counts = [30, 18, 12, 10, 8, 7, 6, 5, 4]
+    rows = [(float(d) * 10 + 0.5,) for d, c in
+            zip(range(1, 10), counts) for _ in range(c)]
+    rows += [(0.2,), (0.9,)]  # |v| < 1: no leading digit
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+    assert len(out) == 9
+    assert out[1]["n_obs"] == 30 and out[9]["n_obs"] == 4
+    assert out[1]["share"] == 0.3
+    assert out[1]["expected_share"] == round(BENFORD_PPB[0] / 1e9, 6)
+    assert out[1]["chi2"] < 1.0  # near-Benford data: tiny statistic
+
+
+def test_benford_audit_zero_cells_and_uniform_flags(spark):
+    from db_spark.quality import benford_audit
+
+    # all-9s data: digit 9 has everything, the other 8 cells are zero
+    df = spark.createDataFrame([(9.5,)] * 50, "v double")
+    out = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+    assert out[9]["n_obs"] == 50 and out[1]["n_obs"] == 0
+    assert out[9]["chi2"] > 100  # wildly non-Benford

@@ -712,6 +712,26 @@ def q_holt_forecast(spark, sf_dir):
                              alpha=0.5, beta=0.5, horizon=3)
 
 
+def q_holt_backtest(spark, sf_dir):
+    """Forecast backtest (db_spark/analytics.py: holt_backtest): Holt
+    fitted on all but the last 3 months of per-priority revenue,
+    holdout MAE vs the naive last-value baseline as a skill ratio.
+    Same fold discipline as holt_forecast; the oracle bounds the
+    recursive CTE to the train prefix and sums the three error terms
+    in the identical left-to-right order."""
+    from db_spark import analytics as lan
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", F.col("o_orderdate")).alias("_m"))
+        .agg((F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+              .cast("double") / 100.0).alias("_v")))
+    return lan.holt_backtest(monthly, "o_orderpriority", "_m", "_v",
+                             holdout=3)
+
+
 def q_market_share(spark, sf_dir):
     """TPC-H Q8 shape: NATION_7's share of STANDARD-part revenue sold to
     region-2 customers, by order year. All four dims broadcast; the
@@ -4617,6 +4637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_latency": q_funnel_latency,
         "entity_resolution": q_entity_resolution,
         "benford": q_benford,
+        "holt_backtest": q_holt_backtest,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -6951,6 +6972,52 @@ def oracle_sql() -> dict[str, str]:
         "communities": _lpa_oracle(),
         "kcore": _kcore_oracle(k=2),
         "weighted_paths": _bford_oracle(),
+        "holt_backtest": """
+            WITH RECURSIVE m AS (
+              SELECT o_orderpriority AS k,
+                     date_trunc('month', o_orderdate) AS mth,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0 AS v
+              FROM orders GROUP BY 1, 2),
+            pos AS (SELECT k,
+                           CAST(row_number() OVER (PARTITION BY k
+                                ORDER BY mth) AS BIGINT) AS i, v
+                    FROM m),
+            cnt AS (SELECT k, CAST(count(*) AS BIGINT) AS n
+                    FROM pos GROUP BY k),
+            r AS (
+              SELECT a.k, CAST(2 AS BIGINT) AS i,
+                     b.v AS l, b.v - a.v AS t
+              FROM pos a JOIN pos b ON a.k = b.k AND b.i = 2
+              WHERE a.i = 1
+              UNION ALL
+              SELECT r.k, r.i + 1,
+                     0.5 * p.v + 0.5 * (r.l + r.t),
+                     0.5 * ((0.5 * p.v + 0.5 * (r.l + r.t)) - r.l)
+                     + 0.5 * r.t
+              FROM r JOIN pos p ON p.k = r.k AND p.i = r.i + 1
+              JOIN cnt ON cnt.k = r.k AND p.i <= cnt.n - 3),
+            f AS (SELECT r.k, cnt.n, r.l, r.t
+                  FROM r JOIN cnt ON cnt.k = r.k AND r.i = cnt.n - 3
+                  WHERE cnt.n >= 5),
+            e AS (SELECT f.k, f.n, f.l, f.t,
+                         abs(f.l + 1 * f.t - p1.v)
+                         + abs(f.l + 2 * f.t - p2.v)
+                         + abs(f.l + 3 * f.t - p3.v) AS eh,
+                         abs(tr.v - p1.v) + abs(tr.v - p2.v)
+                         + abs(tr.v - p3.v) AS en
+                  FROM f
+                  JOIN pos tr ON tr.k = f.k AND tr.i = f.n - 3
+                  JOIN pos p1 ON p1.k = f.k AND p1.i = f.n - 2
+                  JOIN pos p2 ON p2.k = f.k AND p2.i = f.n - 1
+                  JOIN pos p3 ON p3.k = f.k AND p3.i = f.n)
+            SELECT k AS o_orderpriority, n AS n_points,
+                   round(l, 6) AS level, round(t, 6) AS trend,
+                   round(eh / CAST(3 AS DOUBLE), 6) AS mae_holt,
+                   round(en / CAST(3 AS DOUBLE), 6) AS mae_naive,
+                   CASE WHEN en > 0 THEN round(eh / en, 6) END AS skill
+            FROM e
+        """,
         "benford": """
             WITH v AS (
               SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice))

@@ -985,3 +985,66 @@ def funnel_latency(
     return (nn.join(med, keys).join(p90, keys)
             .select(*keys, F.col("_n").alias("n_users"),
                     "median_gap_s", "p90_gap_s"))
+
+
+def holt_backtest(
+    df: DataFrame, key_col: str, t_col: str, value_col: str,
+    holdout: int = 3, alpha: float = 0.5, beta: float = 0.5,
+) -> DataFrame:
+    """Holdout backtest of :func:`holt_forecast` against the naive
+    last-value baseline — the evaluation that justifies shipping a
+    forecaster: fit Holt on the first n-h points, forecast the held-out
+    h, and report MAE against the naive forecast's MAE as a skill
+    ratio (< 1 = beats naive; MASE-style, per key). Everything runs
+    in-row on the collected series (aggregate-first discipline): the
+    train fold is the holt_forecast fold bounded to the prefix, and
+    both error sums fold left-to-right over the h holdout positions —
+    fixed IEEE op order, engine-exact, oracle-replayable. Keys with
+    < h+2 points are dropped (no train trend). Returns (key, n_points,
+    level, trend, mae_holt, mae_naive, skill) rounded 6."""
+    a, b = float(alpha), float(beta)
+    h = int(holdout)
+    series = F.transform(
+        F.array_sort(F.collect_list(F.struct(
+            F.col(t_col).alias("t"),
+            F.col(value_col).cast("double").alias("v")))),
+        lambda s: s.v)
+    g = (df.groupBy(key_col)
+         .agg(series.alias("_vals"),
+              F.count(F.lit(1)).cast("long").alias("n_points"))
+         .filter(F.size("_vals") >= h + 2))
+    vals, n = F.col("_vals"), F.size(F.col("_vals"))
+    train = F.slice(vals, 1, n - h)
+    init = F.struct(train[1].alias("l"), (train[1] - train[0]).alias("t"))
+
+    def new_level(acc, y):
+        return F.lit(a) * y + F.lit(1.0 - a) * (acc.l + acc.t)
+
+    state = F.aggregate(
+        F.slice(train, 3, F.size(train) - 2), init,
+        lambda acc, y: F.struct(
+            new_level(acc, y).alias("l"),
+            (F.lit(b) * (new_level(acc, y) - acc.l)
+             + F.lit(1.0 - b) * acc.t).alias("t")))
+    lvl, tr = state.getField("l"), state.getField("t")
+    lastv = F.element_at(vals, (n - h).cast("int"))
+
+    def y_at(j):
+        return F.element_at(vals, (n - h + j).cast("int"))
+
+    errs = F.aggregate(
+        F.sequence(F.lit(1), F.lit(h)),
+        F.struct(F.lit(0.0).alias("eh"), F.lit(0.0).alias("en")),
+        lambda acc, j: F.struct(
+            (acc.eh + F.abs(lvl + j.cast("double") * tr - y_at(j)))
+            .alias("eh"),
+            (acc.en + F.abs(lastv - y_at(j))).alias("en")))
+    eh, en = errs.getField("eh"), errs.getField("en")
+    return g.select(
+        key_col, "n_points",
+        F.round(lvl, 6).alias("level"),
+        F.round(tr, 6).alias("trend"),
+        F.round(eh / F.lit(float(h)), 6).alias("mae_holt"),
+        F.round(en / F.lit(float(h)), 6).alias("mae_naive"),
+        F.when(en > 0, F.round(eh / en, 6)).alias("skill"),
+    )

@@ -759,3 +759,35 @@ def test_funnel_latency_even_count_median_is_middle_two_average(spark):
     r = funnel_latency(df, ["a", "b"]).collect()[0]
     # gaps 2, 4, 10, 20 -> median (4+10)/2 = 7.0, p90 rank ceil(36/10)=4
     assert r["median_gap_s"] == 7.0 and r["p90_gap_s"] == 20
+
+
+# ---------------------------------------------------------------------------
+# Holt backtest
+# ---------------------------------------------------------------------------
+
+def test_holt_backtest_perfect_on_linear_series(spark):
+    from db_spark.analytics import holt_backtest
+
+    rows = [("k", t, float(2 * t + 1)) for t in range(8)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    r = holt_backtest(df, "k", "t", "v", holdout=3).collect()[0]
+    # train = first 5 points of an exact line: level=y[4]=9, trend=2;
+    # forecasts are exact -> mae_holt 0, naive errs 2,4,6 -> mae 4
+    assert (r["level"], r["trend"]) == (9.0, 2.0)
+    assert r["mae_holt"] == 0.0 and r["mae_naive"] == 4.0
+    assert r["skill"] == 0.0
+
+
+def test_holt_backtest_drops_short_series_and_flat_naive(spark):
+    from db_spark.analytics import holt_backtest
+
+    rows = ([("flat", t, 5.0) for t in range(6)]
+            + [("short", t, 1.0) for t in range(4)])
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {r["k"]: r for r in
+           holt_backtest(df, "k", "t", "v", holdout=3).collect()}
+    assert set(got) == {"flat"}  # short has < holdout+2 points
+    # flat series: holt and naive both perfect; skill undefined (0/0)
+    assert got["flat"]["mae_holt"] == 0.0
+    assert got["flat"]["mae_naive"] == 0.0
+    assert got["flat"]["skill"] is None

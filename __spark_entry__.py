@@ -660,6 +660,29 @@ def q_attribution(spark, sf_dir):
     )
 
 
+def q_rolling_corr(spark, sf_dir):
+    """Rolling 24-point Pearson correlation between hourly click and
+    purchase value totals (db_spark/analytics.py: rolling_corr): the
+    five sufficient statistics are window sums of EXACT integers —
+    bit-identical frames on any engine, unlike double window sums —
+    with the correlation finale one shared double expression."""
+    from db_spark import analytics as lan
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .agg((F.sum(F.when(F.col("event_type") == "click", cents)
+                    .otherwise(F.lit(0))).cast("double") / 100.0)
+             .alias("_x"),
+             (F.sum(F.when(F.col("event_type") == "purchase", cents)
+                    .otherwise(F.lit(0))).cast("double") / 100.0)
+             .alias("_y")))
+    return lan.rolling_corr(hourly, "hour_ts", "_x", "_y",
+                            window_rows=24)
+
+
 def q_cusum(spark, sf_dir):
     """CUSUM change detection (db_spark/analytics.py:
     cusum_changepoints) on per-type hourly event value: the
@@ -4638,6 +4661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_resolution": q_entity_resolution,
         "benford": q_benford,
         "holt_backtest": q_holt_backtest,
+        "rolling_corr": q_rolling_corr,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -6972,6 +6996,42 @@ def oracle_sql() -> dict[str, str]:
         "communities": _lpa_oracle(),
         "kcore": _kcore_oracle(k=2),
         "weighted_paths": _bford_oracle(),
+        "rolling_corr": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS hour_ts,
+                     CAST(sum(CASE WHEN event_type = 'click'
+                              THEN CAST(round(value * 100) AS BIGINT)
+                              ELSE 0 END) AS DOUBLE) / 100.0 AS x,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN CAST(round(value * 100) AS BIGINT)
+                              ELSE 0 END) AS DOUBLE) / 100.0 AS y
+              FROM events WHERE event_type IN ('click', 'purchase')
+              GROUP BY 1),
+            c AS (SELECT hour_ts,
+                         CAST(round(x * 100) AS BIGINT) AS xs,
+                         CAST(round(y * 100) AS BIGINT) AS ys
+                  FROM h),
+            s AS (SELECT hour_ts,
+                         CAST(count(*) OVER w AS BIGINT) AS nw,
+                         CAST(count(*) OVER w AS DOUBLE) AS n,
+                         CAST(sum(xs) OVER w AS DOUBLE) AS sx,
+                         CAST(sum(ys) OVER w AS DOUBLE) AS sy,
+                         CAST(sum(xs * xs) OVER w AS DOUBLE) AS sxx,
+                         CAST(sum(ys * ys) OVER w AS DOUBLE) AS syy,
+                         CAST(sum(xs * ys) OVER w AS DOUBLE) AS sxy
+                  FROM c
+                  WINDOW w AS (ORDER BY hour_ts
+                               ROWS BETWEEN 23 PRECEDING
+                                    AND CURRENT ROW))
+            SELECT hour_ts, nw AS n_window,
+                   CASE WHEN (n * sxx - sx * sx) > 0
+                         AND (n * syy - sy * sy) > 0
+                        THEN round((n * sxy - sx * sy)
+                                   / sqrt((n * sxx - sx * sx)
+                                          * (n * syy - sy * sy)), 6)
+                   END AS corr
+            FROM s
+        """,
         "holt_backtest": """
             WITH RECURSIVE m AS (
               SELECT o_orderpriority AS k,

@@ -1048,3 +1048,43 @@ def holt_backtest(
         F.round(en / F.lit(float(h)), 6).alias("mae_naive"),
         F.when(en > 0, F.round(eh / en, 6)).alias("skill"),
     )
+
+
+def rolling_corr(
+    df: DataFrame, t_col: str, x_col: str, y_col: str,
+    window_rows: int = 24, key_col: str | None = None, scale: int = 2,
+) -> DataFrame:
+    """Rolling Pearson correlation between two aligned series over a
+    trailing ROWS window: the five sufficient statistics are WINDOW
+    SUMS OF EXACT INTEGERS (scaled cents and their products — integer
+    addition is order-independent, so the frame sums are
+    bit-identical on any engine, unlike double window sums which
+    drift), and the correlation finale is one shared double
+    expression per row. Frames with zero variance on either side get
+    NULL corr. ``t_col`` must be unique (per key) — an aligned,
+    aggregated series.
+
+    Shape: one sorted window pass; products stay BIGINT (cents² x
+    window — bounded; use a smaller ``scale`` for huge windows).
+    Returns the input keys/time plus (n_window, corr)."""
+    m = 10 ** scale
+    xs = F.round(F.col(x_col) * m).cast("long")
+    ys = F.round(F.col(y_col) * m).cast("long")
+    part = [key_col] if key_col else []
+    w = (Window.partitionBy(*part).orderBy(t_col)
+         .rowsBetween(-(window_rows - 1), Window.currentRow))
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(xs).over(w).cast("double")
+    sy = F.sum(ys).over(w).cast("double")
+    sxx = F.sum(xs * xs).over(w).cast("double")
+    syy = F.sum(ys * ys).over(w).cast("double")
+    sxy = F.sum(xs * ys).over(w).cast("double")
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    corr = F.when((denx > 0) & (deny > 0),
+                  F.round(num / F.sqrt(denx * deny), 6))
+    return df.select(
+        *part, F.col(t_col),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_window"),
+        corr.alias("corr"))

@@ -791,3 +791,32 @@ def test_holt_backtest_drops_short_series_and_flat_naive(spark):
     assert got["flat"]["mae_holt"] == 0.0
     assert got["flat"]["mae_naive"] == 0.0
     assert got["flat"]["skill"] is None
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation
+# ---------------------------------------------------------------------------
+
+def test_rolling_corr_perfect_and_anti_correlation(spark):
+    from db_spark.analytics import rolling_corr
+
+    rows = [(t, float(t), float(2 * t + 1), float(10 - t))
+            for t in range(6)]
+    df = spark.createDataFrame(rows, "t long, x double, y double, z double")
+    pos = {r["t"]: r for r in
+           rolling_corr(df, "t", "x", "y", window_rows=3).collect()}
+    neg = {r["t"]: r for r in
+           rolling_corr(df, "t", "x", "z", window_rows=3).collect()}
+    assert pos[0]["corr"] is None          # single-point frame: no variance
+    assert pos[2]["corr"] == 1.0 and pos[5]["corr"] == 1.0
+    assert neg[2]["corr"] == -1.0
+    assert pos[2]["n_window"] == 3 and pos[1]["n_window"] == 2
+
+
+def test_rolling_corr_constant_side_yields_null(spark):
+    from db_spark.analytics import rolling_corr
+
+    rows = [(t, float(t), 7.0) for t in range(4)]
+    df = spark.createDataFrame(rows, "t long, x double, y double")
+    out = rolling_corr(df, "t", "x", "y", window_rows=4).collect()
+    assert all(r["corr"] is None for r in out)

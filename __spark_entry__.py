@@ -3504,6 +3504,28 @@ def q_pagerank(spark, sf_dir):
     return graph.pagerank(edges, iterations=5)
 
 
+def q_ppr(spark, sf_dir):
+    """Personalized PageRank (db_spark/graph.py: pagerank(source=0)):
+    random-walk-with-restart relevance to nation 0 over the same trade
+    graph — unit mass starts at the source and every teleport returns
+    there; identical integer arithmetic, oracle replays the same 5
+    personalized iterations."""
+    from db_spark import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("c_nationkey").cast("long").alias("src"),
+                F.col("s_nationkey").cast("long").alias("dst"))
+    )
+    return graph.pagerank(edges, iterations=5, source=0)
+
+
 def q_bfs_hops(spark, sf_dir):
     """BFS hop distances (db_spark/graph.py:bfs_distances) over the
     undirected co-purchase graph (part pairs co-ordered in >= 2
@@ -3754,17 +3776,21 @@ def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
     """
 
 
-def _pagerank_oracle(iterations: int = 5) -> str:
+def _pagerank_oracle(iterations: int = 5, source=None) -> str:
     """Unrolled integer-PageRank CTE chain mirroring
     ``db_spark.graph.pagerank`` op for op: BIGINT micro-unit ranks,
     floor divisions, dangling mass dropped — every iteration is pure
-    integer arithmetic, so 5 rounds stay hash-identical."""
+    integer arithmetic, so 5 rounds stay hash-identical. ``source``
+    produces the personalized variant (init mass and teleport base at
+    the source only), mirroring the engine's ``source=`` switch."""
+    base = ("150000" if source is None else
+            f"(CASE WHEN n.node = {int(source)} THEN 150000 ELSE 0 END)")
     its = []
     for i in range(1, iterations + 1):
         its.append(f"""
         r{i} AS (
           SELECT n.node,
-                 CAST(150000 + (85 * COALESCE(SUM(c.contrib), 0)) // 100
+                 CAST({base} + (85 * COALESCE(SUM(c.contrib), 0)) // 100
                       AS BIGINT) AS r
           FROM nodes n LEFT JOIN (
             SELECT e.d AS node, r.r // g.deg AS contrib
@@ -3772,6 +3798,8 @@ def _pagerank_oracle(iterations: int = 5) -> str:
                    JOIN deg g ON e.s = g.s) c
           ON n.node = c.node
           GROUP BY n.node)""")
+    init = ("1000000" if source is None else
+            f"CASE WHEN node = {int(source)} THEN 1000000 ELSE 0 END")
     return f"""
         WITH e AS (
           SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS s,
@@ -3783,7 +3811,7 @@ def _pagerank_oracle(iterations: int = 5) -> str:
         ),
         nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
         deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY s),
-        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        r0 AS (SELECT node, CAST({init} AS BIGINT) AS r FROM nodes),
         {','.join(its)}
         SELECT node, r AS rank_scaled,
                round(CAST(r AS DOUBLE) / 1000000, 6) AS rank
@@ -4662,6 +4690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "holt_backtest": q_holt_backtest,
         "rolling_corr": q_rolling_corr,
+        "ppr": q_ppr,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -6996,6 +7025,7 @@ def oracle_sql() -> dict[str, str]:
         "communities": _lpa_oracle(),
         "kcore": _kcore_oracle(k=2),
         "weighted_paths": _bford_oracle(),
+        "ppr": _pagerank_oracle(source=0),
         "rolling_corr": """
             WITH h AS (
               SELECT date_trunc('hour', ts) AS hour_ts,

@@ -40,13 +40,20 @@ DAMP_PCT = 85
 
 def pagerank(
     edges: DataFrame, iterations: int = 5,
-    src_col: str = "src", dst_col: str = "dst",
+    src_col: str = "src", dst_col: str = "dst", source=None,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a directed edge list
     (duplicate edges collapse). Returns (node, rank_scaled BIGINT,
     rank DOUBLE) where rank = rank_scaled / 1e6; every node that
     appears as src or dst gets a row. Deterministic: integer ops only,
-    identical under any execution order."""
+    identical under any execution order.
+
+    ``source`` switches to PERSONALIZED PageRank: unit mass starts at
+    the source and every teleport returns there — rank becomes
+    "relevance to source through the link structure" (the
+    random-walk-with-restart similarity used for recommendations).
+    Same integer arithmetic, same unrollable oracle; only the init
+    and base terms change."""
     e = edges.select(F.col(src_col).alias("_s"),
                      F.col(dst_col).alias("_d")).distinct()
     nodes = (
@@ -56,7 +63,14 @@ def pagerank(
     )
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
     base = SCALE - DAMP_PCT * SCALE // 100  # 150_000: the (1-d) share
-    rank = nodes.select("node", F.lit(SCALE).cast("long").alias("_r"))
+    if source is None:
+        init = F.lit(SCALE)
+        base_term = F.lit(base)
+    else:
+        init = F.when(F.col("node") == source, F.lit(SCALE)).otherwise(F.lit(0))
+        base_term = F.when(F.col("node") == source, F.lit(base)) \
+            .otherwise(F.lit(0))
+    rank = nodes.select("node", init.cast("long").alias("_r"))
     rank = rank.localCheckpoint(eager=True)
     for _ in range(iterations):
         # `div` (not float division + cast): double rounding could land
@@ -74,7 +88,7 @@ def pagerank(
             .withColumn("_sc", F.coalesce(F.col("_sc"), F.lit(0)))
             .select(
                 "node",
-                (F.lit(base)
+                (base_term
                  + F.expr(f"({DAMP_PCT} * _sc) div 100"))
                 .cast("long").alias("_r"))
         )

@@ -211,3 +211,27 @@ def test_bellman_ford_deterministic_across_partitionings(spark):
     a = graph.bellman_ford(_wedges(spark, triples).repartition(1), 0, 4)
     b = graph.bellman_ford(_wedges(spark, triples).repartition(16), 0, 4)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank
+# ---------------------------------------------------------------------------
+
+def test_ppr_mass_starts_and_teleports_at_source(spark):
+    # chain 0->1->2: personalized on 0, rank decays along the chain
+    e = _edges(spark, [(0, 1), (1, 2)])
+    got = {r["node"]: r["rank_scaled"]
+           for r in graph.pagerank(e, iterations=5, source=0).collect()}
+    assert got[0] == 150_000          # only source gets the base share
+    assert got[0] > got[1] > got[2] or got[1] > got[2]
+    # a node unreachable from source and not the source: rank 0
+    e2 = _edges(spark, [(0, 1), (5, 6)])
+    got2 = {r["node"]: r["rank_scaled"]
+            for r in graph.pagerank(e2, iterations=3, source=0).collect()}
+    assert got2[5] == 0 and got2[6] == 0
+
+
+def test_ppr_deterministic_across_partitionings(spark):
+    pairs = [(i % 7, (i * 3) % 7) for i in range(30) if i % 7 != (i * 3) % 7]
+    a = graph.pagerank(_edges(spark, pairs).repartition(1), 5, source=1)
+    b = graph.pagerank(_edges(spark, pairs).repartition(13), 5, source=1)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

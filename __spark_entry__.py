@@ -1111,6 +1111,18 @@ def q_mad_outliers(spark, sf_dir):
     )
 
 
+def q_skew_profile(spark, sf_dir):
+    """Join-key skew profiler (db_spark/quality.py: skew_profile) on
+    lineitem's supplier key: top-10 hot keys + share and hot/average
+    multiplier — the pre-shuffle check that tells you whether a key
+    needs salting before a 100 TB join. TakeOrderedAndProject top-k,
+    single-row total broadcast, no global sort."""
+    from db_spark.quality import skew_profile
+
+    return skew_profile(_t(spark, sf_dir, "lineitem"), "l_suppkey",
+                        top_k=10)
+
+
 def q_benford(spark, sf_dir):
     """Benford first-digit audit (db_spark/quality.py: benford_audit)
     of order totals: map-only digit extraction + a 9-cell aggregate;
@@ -4691,6 +4703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_backtest": q_holt_backtest,
         "rolling_corr": q_rolling_corr,
         "ppr": q_ppr,
+        "skew_profile": q_skew_profile,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -7107,6 +7120,23 @@ def oracle_sql() -> dict[str, str]:
                    round(en / CAST(3 AS DOUBLE), 6) AS mae_naive,
                    CASE WHEN en > 0 THEN round(eh / en, 6) END AS skill
             FROM e
+        """,
+        "skew_profile": """
+            WITH c AS (SELECT l_suppkey,
+                              CAST(count(*) AS BIGINT) AS n_rows
+                       FROM lineitem GROUP BY 1),
+            t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+                         CAST(count(*) AS BIGINT) AS nkeys FROM c),
+            r AS (SELECT c.*, t.total, t.nkeys FROM c CROSS JOIN t
+                  ORDER BY n_rows DESC, l_suppkey LIMIT 10)
+            SELECT l_suppkey, n_rows,
+                   round(CAST(n_rows AS DOUBLE)
+                         / CAST(total AS DOUBLE), 6) AS share,
+                   round(CAST(n_rows AS DOUBLE)
+                         / (CAST(total AS DOUBLE)
+                            / CAST(nkeys AS DOUBLE)), 6)
+                       AS avg_multiplier
+            FROM r
         """,
         "benford": """
             WITH v AS (

@@ -248,3 +248,35 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
         F.round(term, 6).alias("chi2_term"),
         F.round(F.sum(nano).over(w).cast("double") / 1e9, 6).alias("chi2"),
     )
+
+
+def skew_profile(
+    df: DataFrame, key_col: str, top_k: int = 10,
+) -> DataFrame:
+    """Join-key skew profiler — the check to run BEFORE shuffling a
+    100 TB table on a key: per-key frequencies reduced to the top-k
+    hot keys plus the skew statistics that predict reducer imbalance
+    (hot-key share of all rows, hot/average multiplier). A key whose
+    max/avg multiplier is in the hundreds needs salting or an AQE
+    skew-join before it becomes a straggler.
+
+    Shape: one key-keyed count, one TakeOrderedAndProject for the
+    top-k, one single-row total broadcast — never a global sort.
+    Returns top-k rows: (key value, n_rows, share, avg_multiplier),
+    ranked by count desc with key tiebreak."""
+    counts = df.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_nkeys"))
+    ranked = (
+        counts.crossJoin(F.broadcast(totals))
+        .orderBy(F.desc("n_rows"), key_col).limit(top_k)
+    )
+    avg = F.col("_total").cast("double") / F.col("_nkeys").cast("double")
+    return ranked.select(
+        key_col, "n_rows",
+        F.round(F.col("n_rows").cast("double")
+                / F.col("_total").cast("double"), 6).alias("share"),
+        F.round(F.col("n_rows").cast("double") / avg, 6)
+        .alias("avg_multiplier"))

@@ -117,3 +117,24 @@ def test_benford_audit_zero_cells_and_uniform_flags(spark):
     out = {r["digit"]: r for r in benford_audit(df, "v").collect()}
     assert out[9]["n_obs"] == 50 and out[1]["n_obs"] == 0
     assert out[9]["chi2"] > 100  # wildly non-Benford
+
+
+def test_skew_profile_flags_hot_key(spark):
+    from db_spark.quality import skew_profile
+
+    rows = [("hot",)] * 90 + [("k%d" % i,) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_profile(df, "k", top_k=3).collect()
+    assert out[0]["k"] == "hot" and out[0]["n_rows"] == 90
+    assert out[0]["share"] == 0.9
+    # 100 rows / 11 keys ~ 9.09 avg -> hot is ~9.9x
+    assert out[0]["avg_multiplier"] == round(90 / (100 / 11), 6)
+    assert len(out) == 3 and out[1]["n_rows"] == 1
+
+
+def test_skew_profile_ties_break_on_key(spark):
+    from db_spark.quality import skew_profile
+
+    df = spark.createDataFrame([("b",), ("a",)], "k string")
+    out = skew_profile(df, "k", top_k=2).collect()
+    assert [r["k"] for r in out] == ["a", "b"]

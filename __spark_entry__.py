@@ -582,6 +582,34 @@ def q_forecast_revenue(spark, sf_dir):
     )
 
 
+def q_conversion_ci(spark, sf_dir):
+    """Per-arm conversion rates with Wilson 95% intervals
+    (db_spark/analytics.py: wilson_bounds) over the same salted-hash
+    arms and purchase>400 conversion as ab_test — the per-variant
+    readout with honest small-n uncertainty; the z constant enters as
+    a product of double literals on both engines."""
+    from db_spark.analytics import wilson_bounds
+    from db_spark.llm.dedup import h32
+
+    ev = _t(spark, sf_dir, "events")
+    variant = F.when(
+        h32(F.concat(F.lit("ab"), F.col("user_id").cast("string")))
+        % 2 == 0, F.lit("A")).otherwise(F.lit("B"))
+    per_user = ev.groupBy("user_id").agg(
+        F.max(((F.col("event_type") == "purchase")
+               & (F.col("value") > 400)).cast("int")).alias("_conv"))
+    arms = (per_user.select(variant.alias("arm"), "_conv")
+            .groupBy("arm")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                 F.sum("_conv").cast("long").alias("n_conv")))
+    lo, hi = wilson_bounds(F.col("n_conv"), F.col("n_users"))
+    return arms.select(
+        "arm", "n_users", "n_conv",
+        F.round(F.col("n_conv").cast("double")
+                / F.col("n_users").cast("double"), 6).alias("rate"),
+        lo.alias("ci_lo"), hi.alias("ci_hi"))
+
+
 def q_survival(spark, sf_dir):
     """Kaplan-Meier user-lifetime curve (db_spark/analytics.py:
     survival_curve): per-user active-span HOURS (epoch-second
@@ -4704,6 +4732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "ppr": q_ppr,
         "skew_profile": q_skew_profile,
+        "conversion_ci": q_conversion_ci,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -7120,6 +7149,26 @@ def oracle_sql() -> dict[str, str]:
                    round(en / CAST(3 AS DOUBLE), 6) AS mae_naive,
                    CASE WHEN en > 0 THEN round(eh / en, 6) END AS skill
             FROM e
+        """,
+        "conversion_ci": """
+            WITH pu AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'purchase'
+                              AND value > 400
+                              THEN 1 ELSE 0 END) AS conv,
+                     CASE WHEN ('0x' || substr(md5('ab'
+                              || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                              % 2 = 0
+                          THEN 'A' ELSE 'B' END AS arm
+              FROM events GROUP BY user_id),
+            arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                            CAST(sum(conv) AS BIGINT) AS n_conv
+                     FROM pu GROUP BY arm)
+            SELECT arm, n_users, n_conv,
+                   round(CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS rate,
+                   round((((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)) + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2 * CAST(n_users AS DOUBLE))) - CAST(1.96 AS DOUBLE) * sqrt(((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)) * (1 - (CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))) + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (4 * CAST(n_users AS DOUBLE))) / CAST(n_users AS DOUBLE))) / (1 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n_users AS DOUBLE)), 6) + CAST(0 AS DOUBLE) AS ci_lo,
+                   round((((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)) + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2 * CAST(n_users AS DOUBLE))) + CAST(1.96 AS DOUBLE) * sqrt(((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)) * (1 - (CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))) + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (4 * CAST(n_users AS DOUBLE))) / CAST(n_users AS DOUBLE))) / (1 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n_users AS DOUBLE)), 6) + CAST(0 AS DOUBLE) AS ci_hi
+            FROM arms
         """,
         "skew_profile": """
             WITH c AS (SELECT l_suppkey,

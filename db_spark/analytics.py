@@ -1088,3 +1088,24 @@ def rolling_corr(
         *part, F.col(t_col),
         F.count(F.lit(1)).over(w).cast("long").alias("n_window"),
         corr.alias("corr"))
+
+
+def wilson_bounds(conv, n, z: float = 1.96):
+    """Wilson score interval (lo, hi) Column pair for a binomial
+    proportion — the CI that stays inside [0,1] and behaves at small n
+    where the normal approximation's doesn't. The z constant enters as
+    the literal ``z * z`` PRODUCT of double literals (never a
+    pre-multiplied 17-digit repr, and never DECIMAL arithmetic — the
+    oracle writes ``CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)``), so
+    both engines fold the identical IEEE sequence."""
+    p = conv.cast("double") / n.cast("double")
+    zc = F.lit(float(z))
+    zz = zc * zc
+    nd = n.cast("double")
+    half = zc * F.sqrt((p * (1 - p) + zz / (4 * nd)) / nd)
+    denom = 1 + zz / nd
+    lo = (p + zz / (2 * nd) - half) / denom
+    hi = (p + zz / (2 * nd) + half) / denom
+    # + 0.0 normalizes IEEE negative zero (a 0-conversion arm computes
+    # -0.0 on one engine and 0.0 on the other; -0.0 + 0.0 == +0.0)
+    return F.round(lo, 6) + F.lit(0.0), F.round(hi, 6) + F.lit(0.0)

@@ -820,3 +820,19 @@ def test_rolling_corr_constant_side_yields_null(spark):
     df = spark.createDataFrame(rows, "t long, x double, y double")
     out = rolling_corr(df, "t", "x", "y", window_rows=4).collect()
     assert all(r["corr"] is None for r in out)
+
+
+def test_wilson_bounds_known_values_and_range(spark):
+    from db_spark.analytics import wilson_bounds
+
+    df = spark.createDataFrame([(8, 10), (0, 5), (5, 5)],
+                               "conv long, n long")
+    lo, hi = wilson_bounds(F.col("conv"), F.col("n"))
+    out = {(r["conv"], r["n"]): (r["lo"], r["hi"]) for r in
+           df.select("conv", "n", lo.alias("lo"), hi.alias("hi")).collect()}
+    # reference: 8/10 Wilson 95% = (0.490157, 0.943319) (recomputed
+    # from the same closed form in plain Python)
+    assert out[(8, 10)] == (0.490157, 0.943319)
+    # boundary proportions stay inside [0, 1] (normal approx would not)
+    assert out[(0, 5)][0] == 0.0 and out[(0, 5)][1] < 1.0
+    assert out[(5, 5)][0] > 0.0 and out[(5, 5)][1] == 1.0

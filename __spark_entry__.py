@@ -658,6 +658,31 @@ def q_ab_test(spark, sf_dir):
         ev, (F.col("event_type") == "purchase") & (F.col("value") > 400))
 
 
+def q_top_paths(spark, sf_dir):
+    """Top user-journey prefixes: each user's first three events
+    ((ts, id)-ordered — deterministic adjacency) joined into a path
+    string, counted, top-20 by TakeOrderedAndProject with path
+    tiebreak. The n-gram complement of the 1-step transition
+    matrix."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = (ev.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= 3))
+    paths = first3.groupBy("user_id").agg(
+        F.concat_ws(
+            " > ",
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("_rn").alias("r"),
+                             F.col("event_type").alias("t")))),
+                lambda s: s.t)).alias("path"))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+            .orderBy(F.desc("n_users"), "path").limit(20))
+
+
 def q_transitions(spark, sf_dir):
     """First-order Markov event-transition matrix (db_spark/
     analytics.py: transition_matrix): adjacent pairs from one per-user
@@ -4733,6 +4758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr": q_ppr,
         "skew_profile": q_skew_profile,
         "conversion_ci": q_conversion_ci,
+        "top_paths": q_top_paths,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -7149,6 +7175,20 @@ def oracle_sql() -> dict[str, str]:
                    round(en / CAST(3 AS DOUBLE), 6) AS mae_naive,
                    CASE WHEN en > 0 THEN round(eh / en, 6) END AS skill
             FROM e
+        """,
+        "top_paths": """
+            WITH r AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS rn
+              FROM events QUALIFY rn <= 3),
+            p AS (SELECT user_id,
+                         string_agg(event_type, ' > ' ORDER BY rn)
+                             AS path
+                  FROM r GROUP BY user_id)
+            SELECT path, CAST(count(*) AS BIGINT) AS n_users
+            FROM p GROUP BY path
+            ORDER BY n_users DESC, path LIMIT 20
         """,
         "conversion_ci": """
             WITH pu AS (

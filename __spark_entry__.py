@@ -4660,11 +4660,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the last slot). Below the boundary, in r06-entry order:
     mvcc_evolve, then the two
     semantics-changed queries (anti_join, except — their old rows
-    describe the old vacuously-empty forms), then the thirteen
-    late-round-5 novel-module additions (kcore through survival —
-    graph peeling, bigram LM, Holt/CUSUM/OLS/KM statistics, RRF
-    hybrid retrieval, k-center coresets, LSH index probe,
-    attribution/transitions/A-B event analytics), normalize_text, then
+    describe the old vacuously-empty forms), then the late-round-5
+    novel-module additions (kcore through top_paths — graph
+    peeling/SSSP/PPR, bigram LM, Holt/CUSUM/OLS/KM/backtest/rolling
+    statistics, RRF hybrid retrieval, k-center coresets, LSH index
+    probe, attribution/transitions/A-B/CI/latency/path event
+    analytics, Benford/skew DQ screens, entity resolution),
+    normalize_text, then
     seventeen never-checked breadth/shape queries (function-breadth
     and TPC-H-composite relatives of driver-checked queries — rank/
     datetime/string/json breadth, Q2/Q8/Q11/Q15/Q20 shapes, corr/

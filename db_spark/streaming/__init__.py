@@ -653,18 +653,21 @@ def cusum_alerts_stateful(
         (etype,) = key
         sp, sn = state.get if state.exists else (0, 0)
         ap = an = False
-        n = 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            c = np.rint(pdf["value"].to_numpy(dtype=float) * 100) \
+        # a group's micro-batch arrives as MULTIPLE Arrow chunks in
+        # partition order (split at arrow.maxRecordsPerBatch): sorting
+        # per chunk would run the path on a mis-ordered series, so
+        # concat first and sort ONCE, event-id tiebreak for stability
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        if len(whole):
+            whole = whole.sort_values(["ts", "event_id"])
+        n = len(whole)
+        if n:
+            c = np.rint(whole["value"].to_numpy(dtype=float) * 100) \
                 .astype(np.int64)
-            if len(c) == 0:
-                continue
-            n += len(c)
             pp = path(c - t_c - d_c, sp)
             nn = path(t_c - c - d_c, sn)
-            ap = ap or bool((pp > h_c).any())
-            an = an or bool((nn > h_c).any())
+            ap = bool((pp > h_c).any())
+            an = bool((nn > h_c).any())
             sp, sn = int(pp[-1]), int(nn[-1])
         state.update((sp, sn))
         yield pd.DataFrame({

@@ -972,3 +972,43 @@ def test_stateful_cusum_carries_state_across_batches(spark, tmp_path):
     # batch 2 (1 row): carry-in 150 + (300-50) = 400
     b2 = [r for r in rows if r["n_batch"] == 1][0]
     assert b2["s_pos"] == 400.0 and b2["alarm_pos"]
+
+
+def test_stateful_cusum_is_chunk_order_safe(spark, tmp_path):
+    """A group's micro-batch rows arrive as multiple Arrow chunks in
+    partition order; the path must be computed on the time-sorted WHOLE
+    batch, not per chunk."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    d = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # file order deliberately REVERSES event time: the spike (minute 0)
+    # is written last, the recovery (minutes 1-5) first
+    vals = [(i, base + dt.timedelta(minutes=m), 1, "m", v)
+            for i, (m, v) in enumerate(
+                [(5, 50.0), (4, 50.0), (3, 50.0), (2, 50.0), (1, 50.0),
+                 (0, 500.0)])]
+    spark.createDataFrame(vals, EVENTS_SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(d)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = st.stream_from_files(spark, d, EVENTS_SCHEMA)
+        mon = st.cusum_alerts_stateful(stream, target=50.0,
+                                       threshold=100.0)
+        q = (mon.writeStream.outputMode("update")
+             .foreachBatch(
+                 lambda df, _b: df.write.mode("append").parquet(out_dir))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    r = spark.read.parquet(out_dir).collect()[0]
+    # time-sorted series: 500 then five 50s -> peak s_pos 450 at t=0,
+    # decays by 0 afterwards (dev 0 each) -> stays 450; chunk-local
+    # sorting would have started at the 50s and produced a lower path
+    assert r["n_batch"] == 6
+    assert r["s_pos"] == 450.0 and r["alarm_pos"]

@@ -588,20 +588,11 @@ def q_conversion_ci(spark, sf_dir):
     arms and purchase>400 conversion as ab_test — the per-variant
     readout with honest small-n uncertainty; the z constant enters as
     a product of double literals on both engines."""
-    from db_spark.analytics import wilson_bounds
-    from db_spark.llm.dedup import h32
+    from db_spark.analytics import ab_arms, wilson_bounds
 
     ev = _t(spark, sf_dir, "events")
-    variant = F.when(
-        h32(F.concat(F.lit("ab"), F.col("user_id").cast("string")))
-        % 2 == 0, F.lit("A")).otherwise(F.lit("B"))
-    per_user = ev.groupBy("user_id").agg(
-        F.max(((F.col("event_type") == "purchase")
-               & (F.col("value") > 400)).cast("int")).alias("_conv"))
-    arms = (per_user.select(variant.alias("arm"), "_conv")
-            .groupBy("arm")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
-                 F.sum("_conv").cast("long").alias("n_conv")))
+    arms = ab_arms(ev, (F.col("event_type") == "purchase")
+                   & (F.col("value") > 400))
     lo, hi = wilson_bounds(F.col("n_conv"), F.col("n_users"))
     return arms.select(
         "arm", "n_users", "n_conv",
@@ -1417,67 +1408,12 @@ def q_assoc_rules(spark, sf_dir):
                                  min_pair_count=2, top_k=50)
 
 
-def q_communities(spark, sf_dir):
-    """Label-propagation communities (db_spark/graph.py:
-    label_propagation) over the part co-purchase graph (pairs sharing
-    >= 2 orders): 4 synchronous rounds, exact integer votes with
-    min-label tie-breaks, so the result is bit-deterministic and the
-    oracle replays the SAME 4 rounds as unrolled CTEs — the community-
-    detection counterpart of the unrolled-PageRank contract."""
-    from db_spark import graph as lgraph
-
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey").distinct()
-    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("_ok"),
-                  F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, (F.col("l_orderkey") == F.col("_ok"))
-               & (F.col("src") < F.col("dst")))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("src", "dst")
-    )
-    return lgraph.label_propagation(edges, iterations=4)
-
-
-def q_kcore(spark, sf_dir):
-    """K-core decomposition (db_spark/graph.py: k_core) of the part
-    co-purchase graph (pairs sharing >= 2 orders): 3 synchronous peel
-    rounds at k=2 — each round drops nodes whose current degree is
-    below 2 and induces the survivor subgraph (k=2 keeps the query
-    non-vacuous at sf0.1, where the support-thresholded graph has no
-    3-core). Pure set arithmetic
-    (no tie-breaks), so fixed-round peeling is bit-deterministic and
-    the oracle replays the SAME 3 rounds as unrolled CTEs; returns
-    (node, degree-in-final-subgraph)."""
-    from db_spark import graph as lgraph
-
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey").distinct()
-    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("_ok"),
-                  F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, (F.col("l_orderkey") == F.col("_ok"))
-               & (F.col("src") < F.col("dst")))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("src", "dst")
-    )
-    return lgraph.k_core(edges, k=2, rounds=3)
-
-
-def q_weighted_paths(spark, sf_dir):
-    """Fixed-round Bellman-Ford SSSP (db_spark/graph.py: bellman_ford)
-    over the weighted co-purchase graph (weight = 1e6 div support —
-    stronger ties are cheaper): 4 relaxation rounds from the smallest
-    part id. Integer min-merge arithmetic, no tie-breaks, so the
-    oracle unrolls the identical rounds as CTEs."""
-    from db_spark import graph as lgraph
-
+def _copurchase_edges(spark, sf_dir, min_support: int = 2,
+                      with_support: bool = False):
+    """Oriented (src < dst) part co-purchase pairs sharing at least
+    ``min_support`` orders — the edge list every graph query
+    (communities / kcore / weighted_paths / triangle_count) builds
+    from; one definition so the graphs can't drift apart."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey").distinct()
     a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
@@ -1488,9 +1424,50 @@ def q_weighted_paths(spark, sf_dir):
                & (F.col("src") < F.col("dst")))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("src", "dst", F.expr("1000000 div _n").alias("weight"))
+        .filter(F.col("_n") >= min_support)
     )
+    return ep if with_support else ep.select("src", "dst")
+
+
+def q_communities(spark, sf_dir):
+    """Label-propagation communities (db_spark/graph.py:
+    label_propagation) over the part co-purchase graph (pairs sharing
+    >= 2 orders): 4 synchronous rounds, exact integer votes with
+    min-label tie-breaks, so the result is bit-deterministic and the
+    oracle replays the SAME 4 rounds as unrolled CTEs — the community-
+    detection counterpart of the unrolled-PageRank contract."""
+    from db_spark import graph as lgraph
+
+    return lgraph.label_propagation(
+        _copurchase_edges(spark, sf_dir), iterations=4)
+
+
+def q_kcore(spark, sf_dir):
+    """K-core decomposition (db_spark/graph.py: k_core) of the part
+    co-purchase graph (pairs sharing >= 2 orders): 3 synchronous peel
+    rounds at k=2 — each round drops nodes whose current degree is
+    below 2 and induces the survivor subgraph (k=2 keeps the query
+    non-vacuous at sf0.1, where the support-thresholded graph has no
+    3-core). Pure set arithmetic (no tie-breaks), so fixed-round
+    peeling is bit-deterministic and the oracle replays the SAME 3
+    rounds as unrolled CTEs; returns (node, degree-in-final-
+    subgraph)."""
+    from db_spark import graph as lgraph
+
+    return lgraph.k_core(_copurchase_edges(spark, sf_dir),
+                         k=2, rounds=3)
+
+
+def q_weighted_paths(spark, sf_dir):
+    """Fixed-round Bellman-Ford SSSP (db_spark/graph.py: bellman_ford)
+    over the weighted co-purchase graph (weight = 1e6 div support —
+    stronger ties are cheaper): 4 relaxation rounds from the smallest
+    part id. Integer min-merge arithmetic, no tie-breaks, so the
+    oracle unrolls the identical rounds as CTEs."""
+    from db_spark import graph as lgraph
+
+    ep = (_copurchase_edges(spark, sf_dir, with_support=True)
+          .select("src", "dst", F.expr("1000000 div _n").alias("weight")))
     edges = ep.unionByName(ep.select(
         F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
     src0 = edges.agg(F.min("src")).collect()[0][0]
@@ -7394,39 +7371,30 @@ def oracle_sql() -> dict[str, str]:
                       max(CASE WHEN arm = 'A' THEN c END) AS conv_a,
                       max(CASE WHEN arm = 'B' THEN n END) AS n_b,
                       max(CASE WHEN arm = 'B' THEN c END) AS conv_b
-                    FROM arms)
-            SELECT n_a, conv_a,
-                   round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
-                       AS rate_a,
-                   n_b, conv_b,
-                   round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
-                       AS rate_b,
-                   round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-                          - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-                         / sqrt(((CAST(conv_a AS DOUBLE)
-                                  + CAST(conv_b AS DOUBLE))
-                                 / (CAST(n_a AS DOUBLE)
-                                    + CAST(n_b AS DOUBLE)))
-                                * (1 - (CAST(conv_a AS DOUBLE)
-                                        + CAST(conv_b AS DOUBLE))
-                                       / (CAST(n_a AS DOUBLE)
-                                          + CAST(n_b AS DOUBLE)))
-                                * (1 / CAST(n_a AS DOUBLE)
-                                   + 1 / CAST(n_b AS DOUBLE))), 6) AS z,
-                   abs(round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-                          - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-                         / sqrt(((CAST(conv_a AS DOUBLE)
-                                  + CAST(conv_b AS DOUBLE))
-                                 / (CAST(n_a AS DOUBLE)
-                                    + CAST(n_b AS DOUBLE)))
-                                * (1 - (CAST(conv_a AS DOUBLE)
-                                        + CAST(conv_b AS DOUBLE))
-                                       / (CAST(n_a AS DOUBLE)
-                                          + CAST(n_b AS DOUBLE)))
-                                * (1 / CAST(n_a AS DOUBLE)
-                                   + 1 / CAST(n_b AS DOUBLE))), 6))
-                       > 1.96 AS significant
-            FROM one
+                    FROM arms),
+            v AS (SELECT n_a, conv_a, n_b, conv_b,
+                         CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                             AS pa,
+                         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                             AS pb,
+                         (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                             AS pool,
+                         (1 / CAST(n_a AS DOUBLE)
+                          + 1 / CAST(n_b AS DOUBLE)) AS hmean
+                  FROM one)
+            SELECT n_a, conv_a, round(pa, 6) AS rate_a,
+                   n_b, conv_b, round(pb, 6) AS rate_b,
+                   CASE WHEN pool * (1 - pool) * hmean > 0
+                        THEN round((pa - pb)
+                                   / sqrt(pool * (1 - pool) * hmean), 6)
+                   END AS z,
+                   CASE WHEN pool * (1 - pool) * hmean > 0
+                        THEN abs(round((pa - pb)
+                                 / sqrt(pool * (1 - pool) * hmean), 6))
+                             > 1.96
+                   END AS significant
+            FROM v
         """,
         "transitions": """
             WITH pairs AS (

@@ -19,6 +19,38 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_seconds(c):
+    """Whole seconds since epoch, timezone-free — works on TIMESTAMP
+    and TIMESTAMP_NTZ alike (epoch functions like unix_micros are
+    LTZ-only and would drag the session timezone in); DuckDB parity:
+    ``epoch_us(ts) // 1000000``."""
+    return (F.datediff(F.to_date(c), F.to_date(F.lit("1970-01-01")))
+            .cast("long") * 86400
+            + F.hour(c).cast("long") * 3600
+            + F.minute(c).cast("long") * 60
+            + F.second(c).cast("long"))
+
+
+def _holt_fold(vals, alpha: float, beta: float):
+    """The Holt level/trend recursion as one in-row left-to-right
+    fold over an ordered value array: init level = vals[1],
+    trend = vals[1] - vals[0], fold vals[2:]. ONE definition shared
+    by holt_forecast and holt_backtest so the recursion the oracles
+    replay can never fork."""
+    a, b = float(alpha), float(beta)
+    init = F.struct(vals[1].alias("l"), (vals[1] - vals[0]).alias("t"))
+
+    def new_level(acc, y):
+        return F.lit(a) * y + F.lit(1.0 - a) * (acc.l + acc.t)
+
+    return F.aggregate(
+        F.slice(vals, 3, F.size(vals) - 2), init,
+        lambda acc, y: F.struct(
+            new_level(acc, y).alias("l"),
+            (F.lit(b) * (new_level(acc, y) - acc.l)
+             + F.lit(1.0 - b) * acc.t).alias("t")))
+
+
 def funnel(
     events: DataFrame, steps: list[str],
     user_col: str = "user_id", type_col: str = "event_type",
@@ -141,16 +173,7 @@ def sessionize(
         | (F.col(ts_col) > prev + F.expr(f"INTERVAL {int(gap_seconds)} SECOND"))
     ).cast("long")
 
-    def epoch_s(c):
-        # whole seconds since epoch, timezone-free (floor per timestamp)
-        return (
-            F.datediff(F.to_date(c), F.to_date(F.lit("1970-01-01")))
-            .cast("long") * 86400
-            + F.hour(c).cast("long") * 3600
-            + F.minute(c).cast("long") * 60
-            + F.second(c).cast("long")
-        )
-
+    epoch_s = _epoch_seconds
     return (
         events
         .withColumn("_new", is_new)
@@ -614,18 +637,7 @@ def holt_forecast(
              F.count(F.lit(1)).cast("long").alias("n_points"))
         .filter(F.size("_vals") >= 2)
     )
-    vals = F.col("_vals")
-    init = F.struct(vals[1].alias("l"), (vals[1] - vals[0]).alias("t"))
-
-    def new_level(acc, y):
-        return F.lit(a) * y + F.lit(1.0 - a) * (acc.l + acc.t)
-
-    state = F.aggregate(
-        F.slice(vals, 3, F.size(vals) - 2), init,
-        lambda acc, y: F.struct(
-            new_level(acc, y).alias("l"),
-            (F.lit(b) * (new_level(acc, y) - acc.l)
-             + F.lit(1.0 - b) * acc.t).alias("t")))
+    state = _holt_fold(F.col("_vals"), a, b)
     return g.select(
         key_col, "n_points",
         F.round(state.getField("l"), 6).alias("level"),
@@ -815,6 +827,29 @@ def transition_matrix(
                 / F.sum("n_transitions").over(row_w), 6).alias("p"))
 
 
+def ab_arms(
+    events: DataFrame, conversion: Column,
+    key_col: str = "user_id", salt: str = "ab",
+) -> DataFrame:
+    """Salted-hash A/B arm aggregate shared by :func:`ab_test` and the
+    Wilson-CI readout: per arm, user count and converted-user count —
+    ONE definition of the arm hash and the per-user conversion so the
+    z readout and the CIs can never describe different experiments."""
+    from db_spark.llm.dedup import h32
+
+    variant = F.when(
+        h32(F.concat(F.lit(salt), F.col(key_col).cast("string"))) % 2 == 0,
+        F.lit("A")).otherwise(F.lit("B"))
+    per_user = events.groupBy(F.col(key_col)).agg(
+        F.max(conversion.cast("int")).alias("_conv"))
+    return (
+        per_user.select(variant.alias("arm"), "_conv")
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+             F.sum("_conv").cast("long").alias("n_conv"))
+    )
+
+
 def ab_test(
     events: DataFrame, conversion: Column,
     key_col: str = "user_id",
@@ -834,24 +869,12 @@ def ab_test(
     2-row variant aggregate, then scalar arithmetic on 2 rows pivoted
     to one. Returns a single row (n_a, conv_a, rate_a, n_b, conv_b,
     rate_b, z, significant)."""
-    from db_spark.llm.dedup import h32
-
-    variant = F.when(
-        h32(F.concat(F.lit(salt), F.col(key_col).cast("string"))) % 2 == 0,
-        F.lit("A")).otherwise(F.lit("B"))
-    per_user = events.groupBy(F.col(key_col)).agg(
-        F.max(conversion.cast("int")).alias("_conv"))
-    arms = (
-        per_user.select(variant.alias("_arm"), "_conv")
-        .groupBy("_arm")
-        .agg(F.count(F.lit(1)).cast("long").alias("_n"),
-             F.sum("_conv").cast("long").alias("_c"))
-    )
+    arms = ab_arms(events, conversion, key_col, salt)
     one = arms.groupBy().agg(
-        F.max(F.when(F.col("_arm") == "A", F.col("_n"))).alias("n_a"),
-        F.max(F.when(F.col("_arm") == "A", F.col("_c"))).alias("conv_a"),
-        F.max(F.when(F.col("_arm") == "B", F.col("_n"))).alias("n_b"),
-        F.max(F.when(F.col("_arm") == "B", F.col("_c"))).alias("conv_b"))
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_conv"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_conv"))).alias("conv_b"))
     na, ca = F.col("n_a").cast("double"), F.col("conv_a").cast("double")
     nb, cb = F.col("n_b").cast("double"), F.col("conv_b").cast("double")
     pa, pb = ca / na, cb / nb
@@ -938,13 +961,7 @@ def funnel_latency(
     only); gap percentiles add one rank window per step pair over
     |completers| rows. Returns (step, from_type, to_type, n_users,
     median_gap_s, p90_gap_s)."""
-    def _es(c):
-        return (F.datediff(F.to_date(c), F.to_date(F.lit("1970-01-01")))
-                .cast("long") * 86400
-                + F.hour(c).cast("long") * 3600
-                + F.minute(c).cast("long") * 60
-                + F.second(c).cast("long"))
-
+    _es = _epoch_seconds
     cur = (events.filter(F.col(type_col) == steps[0])
            .groupBy(user_col).agg(F.min(ts_col).alias("_t")))
     gaps = None
@@ -1015,17 +1032,7 @@ def holt_backtest(
          .filter(F.size("_vals") >= h + 2))
     vals, n = F.col("_vals"), F.size(F.col("_vals"))
     train = F.slice(vals, 1, n - h)
-    init = F.struct(train[1].alias("l"), (train[1] - train[0]).alias("t"))
-
-    def new_level(acc, y):
-        return F.lit(a) * y + F.lit(1.0 - a) * (acc.l + acc.t)
-
-    state = F.aggregate(
-        F.slice(train, 3, F.size(train) - 2), init,
-        lambda acc, y: F.struct(
-            new_level(acc, y).alias("l"),
-            (F.lit(b) * (new_level(acc, y) - acc.l)
-             + F.lit(1.0 - b) * acc.t).alias("t")))
+    state = _holt_fold(train, a, b)
     lvl, tr = state.getField("l"), state.getField("t")
     lastv = F.element_at(vals, (n - h).cast("int"))
 

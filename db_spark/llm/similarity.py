@@ -668,6 +668,14 @@ def k_center_greedy(
     st = emb.select(F.col(id_col).alias("_id"),
                     _dbl(F.col(vec_col)).alias("_v"))
     st = st.localCheckpoint(eager=True)
+    # k is clamped to the corpus size (an empty corpus returns an
+    # empty result, not a crash): after the last vector is picked
+    # there is nothing left to argmax over
+    n_corpus = st.count()
+    k = min(int(k), n_corpus)
+    if k == 0:
+        return spark.createDataFrame(
+            [], "sel_rank int, " + id_col + " long, min_dist double")
     cur = st.agg(F.min("_id")).collect()[0][0]
     picks = [(1, int(cur), None)]
     for r in range(2, k + 1):

@@ -1316,3 +1316,15 @@ def test_rrf_fuse_tie_breaks_by_id_and_respects_top_k(spark):
     out = rrf_fuse([a.filter("doc_id = 7"), a.filter("doc_id = 5")],
                    k=60, top_k=1).collect()
     assert len(out) == 1 and out[0]["doc_id"] == 5
+
+
+def test_k_center_greedy_clamps_k_and_handles_empty(spark):
+    from db_spark.llm import similarity
+
+    small = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    out = similarity.k_center_greedy(small, k=10).collect()
+    assert [r["vec_id"] for r in out] == [1, 2]  # clamped to |corpus|
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert similarity.k_center_greedy(empty, k=3).count() == 0

@@ -226,6 +226,26 @@ PICKS = {
     "importance_sample": (E.q_importance_sample,
         "Map-only: the quality rate and the ppm threshold fold into a "
         "single Filter over the scan — no exchange, no join, no window."),
+    "attribution": (E.q_attribution,
+        "One per-user window pass carrying the touch struct "
+        "(ignorenulls, strictly-before frame) — NO join operator "
+        "anywhere; the aggregate runs on conversion rows only."),
+    "linreg": (E.q_linreg,
+        "Grouped OLS = ONE partial+final hash aggregate of five "
+        "DECIMAL(38) moment sums; the slope/R2 finale is a projection "
+        "on |groups| rows. No second scan, no centering pass."),
+    "hybrid_rrf": (E.q_hybrid_rrf,
+        "Both rankers keep their own scale shapes (BM25 postings join "
+        "+ TakeOrderedAndProject; cosine scan + broadcast query); "
+        "fusion is a union + hash agg + rank window over <= 40 rows."),
+    "cusum": (E.q_cusum,
+        "Change detection as two window passes over the aggregated "
+        "series (cumsum, then running min) after a broadcast "
+        "|keys|-row target join — no fold, no iteration."),
+    "kcore": (E.q_kcore,
+        "Fixed-round peeling: the final plan is round-3's degree "
+        "filter + two semi-joins over the (checkpointed) shrunken "
+        "edge list — earlier rounds are truncated by localCheckpoint."),
 }
 
 

@@ -2684,6 +2684,22 @@ def q_ivf_recall(spark, sf_dir):
     return lsim.recall_at_k(exact, approx, k=10)
 
 
+def q_ivf_rbo(spark, sf_dir):
+    """Order-aware ANN agreement (db_spark/llm/similarity.py: rbo):
+    truncated RBO@10 (p=0.5) of the IVF ranking against exact brute
+    force per query — penalizes the rank inversions recall@k cannot
+    see. Per-doc closed form: nano-integer weight literals keyed by
+    max(rank_exact, rank_ivf), BIGINT-summed per query."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = lsim.brute_force_topk(emb, queries_df, k=10)
+    approx = lsim.ivf_topk(emb, queries_df, k=10, n_cells=16, n_probe=4)
+    return lsim.rbo(exact, approx, k=10, p=0.5)
+
+
 def q_ivf_index_topk(spark, sf_dir):
     """Persisted IVF index probe (db_spark/llm/similarity.py:
     ivf_index_build/ivf_index_topk): the assigned corpus is materialized
@@ -4738,6 +4754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": q_skew_profile,
         "conversion_ci": q_conversion_ci,
         "top_paths": q_top_paths,
+        "ivf_rbo": q_ivf_rbo,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -7993,6 +8010,26 @@ def oracle_sql() -> dict[str, str]:
     # The persisted-index probe computes the same math as the in-flight
     # ivf_topk (same centroids, k, n_probe) — one oracle serves both.
     d["ivf_index_topk"] = d["ivf_topk"]
+    # truncated RBO@10: same two rankings, per-doc closed-form weights
+    # (nano-integer literals from the same Python formula the engine
+    # uses) keyed by max rank, BIGINT-summed
+    d["ivf_rbo"] = f"""
+        WITH exact AS (SELECT * FROM ({d['cosine_topk']})),
+             approx AS (SELECT * FROM ({d['ivf_topk']})),
+        w(m, wn) AS (VALUES (1, 1386129712),(2, 386129712),(3, 136129712),(4, 52796379),(5, 21546379),(6, 9046379),(7, 3838046),(8, 1605903),(9, 629340),(10, 195312)),
+        j AS (SELECT e.query_id, greatest(e.rank, a.rank) AS m
+              FROM exact e JOIN approx a
+                ON e.query_id = a.query_id AND e.vec_id = a.vec_id),
+        s AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_common,
+                     CAST(sum(wn) AS BIGINT) AS sn
+              FROM j JOIN w ON w.m = j.m GROUP BY 1),
+        q AS (SELECT DISTINCT query_id FROM exact)
+        SELECT q.query_id,
+               CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+               round(CAST(0.5 AS DOUBLE)
+                     * (CAST(coalesce(sn, 0) AS DOUBLE) / 1e9), 6) AS rbo
+        FROM q LEFT JOIN s ON s.query_id = q.query_id
+    """
     # recall@10 of IVF vs brute force: compose the two top-k oracles
     d["ivf_recall"] = f"""
         WITH exact AS (SELECT * FROM ({d['cosine_topk']})),

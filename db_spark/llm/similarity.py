@@ -697,3 +697,51 @@ def k_center_greedy(
         picks.append((r, int(cur), float(top["_mind"])))
     return spark.createDataFrame(
         picks, "sel_rank int, " + id_col + " long, min_dist double")
+
+
+def rbo(
+    exact: DataFrame, approx: DataFrame, k: int, p: float = 0.5,
+    query_id_col: str = "query_id", id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Truncated rank-biased overlap at depth k — the ORDER-AWARE
+    ranking-agreement metric that complements :func:`recall_at_k`
+    (which treats a reversed top-k as perfect):
+    ``RBO@k = (1-p) * Σ_{d<=k} p^(d-1) * |A_d ∩ B_d| / d``.
+
+    Per-doc closed form instead of k prefix joins: a doc present in
+    both top-k lists first enters both prefixes at ``m = max(rank_a,
+    rank_b)`` and contributes ``Σ_{d=m..k} p^(d-1)/d`` — that weight
+    depends only on m, so the k weights are PRECOMPUTED in Python,
+    nano-rounded to integer literals, and the per-query total is a
+    BIGINT sum (order-independent; a float sum of weights would drift
+    with row order). One (query, id) equi-join of two bounded top-k
+    tables + a query-keyed sum; queries with zero overlap keep a 0
+    row. Truncated form — no tail extrapolation: identical lists
+    score (1-p)·Σ p^(d-1), not 1. Returns (query_id, n_common,
+    rbo)."""
+    w_nano = [
+        int(round(sum(p ** (d - 1) / d for d in range(m, k + 1)) * 1e9))
+        for m in range(1, k + 1)]
+    arr = F.array(*[F.lit(w) for w in w_nano])
+    a = exact.select(query_id_col, id_col,
+                     F.col(rank_col).alias("_ra")) \
+        .filter(F.col("_ra") <= k)
+    b = approx.select(query_id_col, id_col,
+                      F.col(rank_col).alias("_rb")) \
+        .filter(F.col("_rb") <= k)
+    j = (a.join(b, [query_id_col, id_col])
+         .select(query_id_col,
+                 F.element_at(arr, F.greatest("_ra", "_rb").cast("int"))
+                 .alias("_w")))
+    per_q = j.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("_w").alias("_s"))
+    qs = exact.select(query_id_col).distinct()
+    return (qs.join(per_q, query_id_col, "left")
+            .select(query_id_col,
+                    F.coalesce("n_common", F.lit(0)).cast("long")
+                    .alias("n_common"),
+                    F.round(F.lit(1.0 - p)
+                            * (F.coalesce(F.col("_s"), F.lit(0))
+                               .cast("double") / 1e9), 6).alias("rbo")))

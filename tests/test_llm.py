@@ -1328,3 +1328,33 @@ def test_k_center_greedy_clamps_k_and_handles_empty(spark):
     assert [r["vec_id"] for r in out] == [1, 2]  # clamped to |corpus|
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert similarity.k_center_greedy(empty, k=3).count() == 0
+
+
+def test_rbo_hand_computed_and_order_sensitivity(spark):
+    from db_spark.llm import similarity
+
+    # q1: A=[x,y] B=[x,z] -> rbo .5*(1 + .25) with only x common = .625
+    # q2: identical [x,y] -> .5*(1.25 + .25) = .75 (truncated max)
+    # q3: same SET, reversed order -> x:m=2 W=.25, y:m=2 W=.25 -> .25
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 10, 1), (2, 11, 2),
+         (3, 10, 1), (3, 11, 2)],
+        "query_id long, vec_id long, rank long")
+    b = spark.createDataFrame(
+        [(1, 10, 1), (1, 12, 2), (2, 10, 1), (2, 11, 2),
+         (3, 11, 1), (3, 10, 2)],
+        "query_id long, vec_id long, rank long")
+    got = {r["query_id"]: r for r in
+           similarity.rbo(a, b, k=2, p=0.5).collect()}
+    assert got[1]["rbo"] == 0.625 and got[1]["n_common"] == 1
+    assert got[2]["rbo"] == 0.75
+    assert got[3]["rbo"] == 0.25   # recall@2 would call q2 and q3 equal
+
+
+def test_rbo_zero_overlap_query_kept(spark):
+    from db_spark.llm import similarity
+
+    a = spark.createDataFrame([(1, 10, 1)], "query_id long, vec_id long, rank long")
+    b = spark.createDataFrame([(1, 99, 1)], "query_id long, vec_id long, rank long")
+    r = similarity.rbo(a, b, k=1).collect()[0]
+    assert r["rbo"] == 0.0 and r["n_common"] == 0

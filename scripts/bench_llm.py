@@ -43,6 +43,9 @@ PICKS = [
     "bigram_surprisal", "kcenter", "hybrid_rrf", "lsh_probe",
     "kcore", "communities", "linreg", "cusum", "attribution",
     "transitions", "survival", "ab_test", "holt_forecast",
+    "weighted_paths", "funnel_latency", "entity_resolution", "benford",
+    "holt_backtest", "rolling_corr", "ppr", "skew_profile",
+    "conversion_ci", "top_paths", "ivf_rbo",
 ]
 
 

@@ -1776,11 +1776,13 @@ def q_min_cost_supplier(spark, sf_dir):
 
 def q_important_stock(spark, sf_dir):
     """TPC-H Q11 shape: per-part supply value for one nation's
-    suppliers, keeping parts whose value exceeds a fixed fraction of
-    the nation-wide total — a grouped exact sum HAVING a scalar
-    subquery over the same aggregate. Catalyst reuses the per-part agg
-    for the total (single lineitem scan feeding both); the threshold
-    compare stays in integer cents."""
+    suppliers, keeping parts whose value exceeds TWICE THE AVERAGE
+    part share — a grouped exact sum HAVING a scalar subquery over the
+    same aggregate. The scale-free relative threshold (v * nparts >
+    2 * total, all integer cents — exact at any scale; a fixed
+    fraction like Q11's 0.0001/SF goes vacuous as |parts| grows) keeps
+    the query non-empty at every sf dir. Catalyst reuses the per-part
+    agg for the total (single lineitem scan feeding both)."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
@@ -1793,11 +1795,11 @@ def q_important_stock(spark, sf_dir):
         .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
              .alias("_v_c"))
     )
-    total = value.agg(F.sum("_v_c").alias("_tot_c"))
+    total = value.agg(F.sum("_v_c").alias("_tot_c"),
+                      F.count(F.lit(1)).cast("long").alias("_np"))
     return (
         value.join(F.broadcast(total))
-        .filter(F.col("_v_c").cast("double")
-                > F.col("_tot_c").cast("double") * 0.001)
+        .filter(F.col("_v_c") * F.col("_np") > 2 * F.col("_tot_c"))
         .select("l_partkey",
                 (F.col("_v_c").cast("double") / 100.0).alias("value"))
     )
@@ -7982,8 +7984,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_partkey, CAST(v_c AS DOUBLE) / 100.0 AS value
             FROM v
-            WHERE CAST(v_c AS DOUBLE)
-                  > (SELECT CAST(SUM(v_c) AS DOUBLE) FROM v) * 0.001
+            WHERE v_c * (SELECT CAST(count(*) AS BIGINT) FROM v)
+                  > 2 * (SELECT CAST(SUM(v_c) AS BIGINT) FROM v)
         """,
         # TPC-H Q20 shape: correlated-aggregate threshold via one
         # conditional-sum pass; half comparison kept integer.

@@ -84,3 +84,52 @@ def test_linreg_matches_reference_least_squares(spark, pairs):
         slope = sxy / sxx
         assert r["slope"] == pytest.approx(slope, abs=1e-5)
         assert r["intercept"] == pytest.approx(my - slope * mx, abs=1e-4)
+
+
+@given(edges=st_.lists(
+    st_.tuples(st_.integers(0, 6), st_.integers(0, 6),
+               st_.integers(1, 9)),
+    min_size=1, max_size=15).map(
+        lambda es: [e for e in es if e[0] != e[1]]))
+@_settings
+def test_bellman_ford_matches_python_fixed_round_relaxation(spark, edges):
+    from hypothesis import assume
+
+    from db_spark.graph import bellman_ford
+
+    assume(edges)
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    got = {r["node"]: r["dist"]
+           for r in bellman_ford(df, 0, rounds=3).collect()}
+
+    # reference: identical fixed-round synchronous relaxation
+    best = {}
+    for s, d, w in edges:
+        best[(s, d)] = min(best.get((s, d), w), w)
+    dist = {0: 0}
+    for _ in range(3):
+        relaxed = {}
+        for (s, d), w in best.items():
+            if s in dist:
+                nd = dist[s] + w
+                relaxed[d] = min(relaxed.get(d, nd), nd)
+        for d, nd in relaxed.items():
+            dist[d] = min(dist.get(d, nd), nd)
+    assert got == dist
+
+
+@given(perm=st_.permutations(list(range(5))))
+@_settings
+def test_rbo_bounds_and_self_agreement(spark, perm):
+    from db_spark.llm.similarity import rbo
+
+    k, p = 5, 0.5
+    ident = [(1, i, r + 1) for r, i in enumerate(range(5))]
+    other = [(1, i, r + 1) for r, i in enumerate(perm)]
+    a = spark.createDataFrame(ident, "query_id long, vec_id long, rank long")
+    b = spark.createDataFrame(other, "query_id long, vec_id long, rank long")
+    max_rbo = round((1 - p) * sum(p ** (d - 1) for d in range(1, k + 1)), 6)
+    r = rbo(a, b, k=k, p=p).collect()[0]["rbo"]
+    assert 0.0 <= r <= max_rbo
+    self_r = rbo(a, a, k=k, p=p).collect()[0]["rbo"]
+    assert self_r == max_rbo

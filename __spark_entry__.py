@@ -2811,6 +2811,33 @@ def q_embedding_near_dup(spark, sf_dir):
     return lsim.embedding_near_dup_pairs(corpus, dim=64, threshold=0.95)
 
 
+def q_dbscan(spark, sf_dir):
+    """Density clustering (db_spark/llm/similarity.py: dbscan) over a
+    corpus where density varies by construction: every embedding gets
+    one perturbed copy, every third gets a second — triads are dense
+    (core, min_pts=2) while pairs are sparse (noise). SRP-blocked
+    eps-pairs, component clustering, deterministic min-cluster border
+    assignment; the oracle replays pairs + degree + recursive-CC +
+    border CTEs."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    arr = F.col("embedding").cast("array<double>")
+
+    def pert(shift, mod, eps_mod, eps_off):
+        d = emb.select((F.col("vec_id") + shift).alias("vec_id"),
+                       F.zip_with(
+                           arr, F.sequence(F.lit(0), F.lit(63)),
+                           lambda x, j: x + (j % eps_mod - eps_off)
+                           .cast("double") * 0.01).alias("embedding"))
+        return d if mod is None else             d.filter((F.col("vec_id") - shift) % mod == 0)
+
+    corpus = (emb.select("vec_id", arr.alias("embedding"))
+              .unionByName(pert(10000, None, 7, 3))
+              .unionByName(pert(20000, 3, 5, 2)))
+    return lsim.dbscan(corpus, threshold=0.95, min_pts=2)
+
+
 def q_corpus_stats(spark, sf_dir):
     """Composite: text analysis feeding relational aggregation — corpus
     health per predicted language (doc counts, token volume, exact
@@ -4274,10 +4301,12 @@ def _simhash_oracle() -> str:
 
 def _srp_near_dup_oracle(
     n_bits: int = 16, max_hamming: int = 3, threshold: float = 0.95, dim: int = 64,
+    corpus_sql: str | None = None,
 ) -> str:
     """Mirror of llm.similarity.embedding_near_dup_pairs over the
-    perturbed-union corpus of q_embedding_near_dup: same md5-derived
-    hyperplane signs, same segment blocking, same exact-cosine verify."""
+    perturbed-union corpus of q_embedding_near_dup (or a caller-
+    supplied corpus CTE body): same md5-derived hyperplane signs, same
+    segment blocking, same exact-cosine verify."""
 
     def sign(i: int) -> str:
         return (
@@ -4307,18 +4336,19 @@ def _srp_near_dup_oracle(
         return (f"list_sum(list_transform(range(0, {dim}),"
                 f" j -> {a}[j+1] * {b}[j+1]))")
 
+    corpus_body = corpus_sql or f"""SELECT vec_id, v FROM base
+          UNION ALL
+          SELECT vec_id + 10000 AS vec_id,
+                 list_transform(range(0, {dim}),
+                                j -> v[j+1] + ((j % 7) - 3)::DOUBLE * 0.01) AS v
+          FROM base"""
     return f"""
         WITH base AS (
           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
           FROM embeddings
         ),
         corpus AS (
-          SELECT vec_id, v FROM base
-          UNION ALL
-          SELECT vec_id + 10000 AS vec_id,
-                 list_transform(range(0, {dim}),
-                                j -> v[j+1] + ((j % 7) - 3)::DOUBLE * 0.01) AS v
-          FROM base
+          {corpus_body}
         ),
         proj AS (
           SELECT vec_id, v,
@@ -4339,6 +4369,65 @@ def _srp_near_dup_oracle(
           JOIN corpus b ON b.vec_id = id_b
         )
         SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {threshold}
+    """
+
+
+def _dbscan_oracle(min_pts: int = 2, dim: int = 64) -> str:
+    """Pairs (parametrized SRP corpus: one perturbation of every
+    vector, a second for every third) + degree + core filter +
+    recursive-CC + min-cluster border assignment, mirroring
+    ``similarity.dbscan`` stage for stage."""
+    corpus_body = f"""SELECT vec_id, v FROM base
+          UNION ALL
+          SELECT vec_id + 10000 AS vec_id,
+                 list_transform(range(0, {dim}),
+                                j -> v[j+1] + ((j % 7) - 3)::DOUBLE * 0.01)
+                     AS v
+          FROM base
+          UNION ALL
+          SELECT vec_id + 20000 AS vec_id,
+                 list_transform(range(0, {dim}),
+                                j -> v[j+1] + ((j % 5) - 2)::DOUBLE * 0.01)
+                     AS v
+          FROM base WHERE vec_id % 3 = 0"""
+    pairs_sql = _srp_near_dup_oracle(corpus_sql=corpus_body)
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        corpus_ids AS (
+          SELECT vec_id FROM embeddings
+          UNION ALL SELECT vec_id + 10000 FROM embeddings
+          UNION ALL SELECT vec_id + 20000 FROM embeddings
+                    WHERE vec_id % 3 = 0),
+        sym AS (SELECT id_a, id_b FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+        deg AS (SELECT id_a, count(*) AS d FROM sym GROUP BY 1),
+        core AS (SELECT id_a AS id FROM deg WHERE d >= {min_pts}),
+        ce AS (SELECT p.id_a, p.id_b FROM pairs p
+               JOIN core a ON p.id_a = a.id
+               JOIN core b ON p.id_b = b.id),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM ce
+                  UNION SELECT id_b, id_a FROM ce),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS id, least(src, MIN(dst)) AS cluster
+                 FROM reach GROUP BY src),
+        core_lab AS (SELECT core.id,
+                            coalesce(comp.cluster, core.id) AS cluster
+                     FROM core LEFT JOIN comp ON comp.id = core.id),
+        border AS (SELECT s.id_a AS id, min(cl.cluster) AS cluster
+                   FROM sym s JOIN core_lab cl ON s.id_b = cl.id
+                   WHERE s.id_a NOT IN (SELECT id FROM core)
+                   GROUP BY 1)
+        SELECT c.vec_id,
+               coalesce(cl.cluster, b.cluster) AS cluster_id,
+               CASE WHEN cl.id IS NOT NULL THEN 'core'
+                    WHEN b.id IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role
+        FROM corpus_ids c
+        LEFT JOIN core_lab cl ON cl.id = c.vec_id
+        LEFT JOIN border b ON b.id = c.vec_id
     """
 
 
@@ -4757,6 +4846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_ci": q_conversion_ci,
         "top_paths": q_top_paths,
         "ivf_rbo": q_ivf_rbo,
+        "dbscan": q_dbscan,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -7092,6 +7182,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_oracle(k=2),
         "weighted_paths": _bford_oracle(),
         "ppr": _pagerank_oracle(source=0),
+        "dbscan": _dbscan_oracle(),
         "rolling_corr": """
             WITH h AS (
               SELECT date_trunc('hour', ts) AS hour_ts,

@@ -745,3 +745,65 @@ def rbo(
                     F.round(F.lit(1.0 - p)
                             * (F.coalesce(F.col("_s"), F.lit(0))
                                .cast("double") / 1e9), 6).alias("rbo")))
+
+
+def dbscan(
+    emb: DataFrame, threshold: float = 0.95, min_pts: int = 2,
+    dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_bits: int = 16, max_hamming: int = 3,
+) -> DataFrame:
+    """DBSCAN-style density clustering over an embedding corpus with
+    cosine eps-neighborhoods: core points have >= ``min_pts`` neighbors
+    at cosine >= ``threshold``; clusters are connected components of
+    the core-core adjacency; non-core points adjacent to a core point
+    join its cluster (ties toward the smallest cluster id —
+    deterministic border assignment, unlike classic order-dependent
+    DBSCAN); everything else is noise (NULL cluster, kept in the
+    output).
+
+    Composition of proven pieces: the eps-neighborhood pairs come from
+    the SRP-blocked near-dup join (pigeonhole segments — never the
+    full pair matrix; the documented recall bound applies), degrees
+    are one pair-keyed count, components reuse
+    ``dedup.connected_components`` (min-label propagation), and the
+    border step is one min-aggregate over core-adjacent pairs. Returns
+    (id, cluster_id NULLable, role in {core, border, noise})."""
+    from db_spark.llm.dedup import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        emb, dim=dim, threshold=threshold, n_bits=n_bits,
+        max_hamming=max_hamming).select("id_a", "id_b")
+    pairs = pairs.localCheckpoint(eager=True)
+    sym = pairs.unionByName(pairs.select(
+        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+    deg = sym.groupBy("id_a").agg(
+        F.count(F.lit(1)).cast("long").alias("_deg"))
+    core_ids = deg.filter(F.col("_deg") >= min_pts) \
+        .select(F.col("id_a").alias("_core"))
+    core_edges = (
+        pairs
+        .join(core_ids, pairs["id_a"] == core_ids["_core"], "left_semi")
+        .join(core_ids, pairs["id_b"] == core_ids["_core"], "left_semi"))
+    comp = connected_components(core_edges, "id_a", "id_b")
+    core_lab = (
+        core_ids.join(comp, core_ids["_core"] == comp["doc_id"], "left")
+        .select(F.col("_core").alias("_cid"),
+                F.coalesce("cluster_id", F.col("_core"))
+                .alias("_cluster")))
+    border = (
+        sym.join(core_ids, sym["id_a"] == core_ids["_core"], "left_anti")
+        .join(core_lab, F.col("id_b") == F.col("_cid"))
+        .groupBy("id_a")
+        .agg(F.min("_cluster").alias("_bcluster")))
+    base = emb.select(F.col(id_col).alias("_id"))
+    out = (
+        base
+        .join(core_lab, base["_id"] == core_lab["_cid"], "left")
+        .join(border, base["_id"] == border["id_a"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("_cluster", "_bcluster").alias("cluster_id"),
+            F.when(F.col("_cluster").isNotNull(), F.lit("core"))
+            .when(F.col("_bcluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise")).alias("role")))
+    return out

@@ -1358,3 +1358,31 @@ def test_rbo_zero_overlap_query_kept(spark):
     b = spark.createDataFrame([(1, 99, 1)], "query_id long, vec_id long, rank long")
     r = similarity.rbo(a, b, k=1).collect()[0]
     assert r["rbo"] == 0.0 and r["n_common"] == 0
+
+
+def test_dbscan_core_border_noise_roles(spark):
+    import math
+
+    from db_spark.llm import similarity
+
+    def vec(deg):
+        a = math.radians(deg)
+        return [math.cos(a), math.sin(a)] + [0.0] * 62
+
+    rows = [
+        (1, vec(0)), (2, vec(1)), (3, vec(2)),      # tight triad: core
+        (10, vec(60)), (11, vec(80)), (12, vec(100)),  # chain: 11 core,
+                                                       # 10/12 border
+        (20, vec(170)),                                # isolated: noise
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in similarity.dbscan(
+        df, threshold=0.9, min_pts=2, dim=64, max_hamming=15).collect()}
+    assert {got[i]["role"] for i in (1, 2, 3)} == {"core"}
+    assert len({got[i]["cluster_id"] for i in (1, 2, 3)}) == 1
+    assert got[11]["role"] == "core"
+    assert got[10]["role"] == "border" and got[12]["role"] == "border"
+    assert got[10]["cluster_id"] == got[11]["cluster_id"]
+    assert got[20]["role"] == "noise" and got[20]["cluster_id"] is None
+    # the two density regions are distinct clusters
+    assert got[1]["cluster_id"] != got[11]["cluster_id"]

@@ -63,3 +63,68 @@ def test_weighted_sample_contract(spark, weights, k):
     ids2 = {r["doc_id"] for r in corpus.weighted_sample(
         df.repartition(4), F.col("w"), k).collect()}
     assert ids2 == set(ids)
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN role/cluster consistency vs a brute-force reference
+# ---------------------------------------------------------------------------
+
+VEC = st_.lists(st_.integers(-3, 3), min_size=3, max_size=3)
+
+
+@given(vecs=st_.lists(VEC, min_size=2, max_size=8))
+@_settings
+def test_dbscan_matches_bruteforce_reference(spark, vecs):
+    import math
+
+    from hypothesis import assume
+
+    from db_spark.llm.similarity import dbscan
+
+    assume(all(any(x != 0 for x in v) for v in vecs))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # max_hamming = n_bits disables blocking loss: candidate set == all
+    # pairs, so the engine must equal the brute-force reference exactly
+    got = {r["vec_id"]: (r["cluster_id"], r["role"]) for r in dbscan(
+        df, threshold=0.9, min_pts=2, dim=3, n_bits=16,
+        max_hamming=16).collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    n = len(rows)
+    adj = {i: set() for i in range(n)}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if cos(rows[i][1], rows[j][1]) >= 0.9:
+                adj[i].add(j)
+                adj[j].add(i)
+    core = {i for i in range(n) if len(adj[i]) >= 2}
+    # components over core-core adjacency, label = min member
+    label = {}
+    for c in sorted(core):
+        if c in label:
+            continue
+        stack, comp = [c], set()
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            comp.add(x)
+            stack.extend(y for y in adj[x] if y in core)
+        m = min(comp)
+        for x in comp:
+            label[x] = m
+    for i in range(n):
+        if i in core:
+            assert got[i] == (label[i], "core")
+        else:
+            bclusters = [label[j] for j in adj[i] if j in core]
+            if bclusters:
+                assert got[i] == (min(bclusters), "border")
+            else:
+                assert got[i] == (None, "noise")

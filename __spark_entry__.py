@@ -3170,6 +3170,18 @@ def q_span_dedup(spark, sf_dir):
         F.md5("clean_text").alias("clean_md5"))
 
 
+def q_bootstrap(spark, sf_dir):
+    """Deterministic Poisson bootstrap (db_spark/llm/corpus.py:
+    bootstrap_counts): with-replacement epoch resampling where each
+    doc's replication count is the inverse Poisson(1) CDF of its
+    salted id-hash uniform — RNG-free, partition-invariant, map-only;
+    CDF thresholds are Python-precomputed ppb literals shared verbatim
+    with the oracle."""
+    from db_spark.llm.corpus import bootstrap_counts
+
+    return bootstrap_counts(_t(spark, sf_dir, "documents"), rate=1.0)
+
+
 def q_deterministic_split(spark, sf_dir):
     """Reproducible train/val/test split by stable content hash — no RNG
     state, invariant under repartitioning/re-runs/engine (the correct way
@@ -4847,6 +4859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_paths": q_top_paths,
         "ivf_rbo": q_ivf_rbo,
         "dbscan": q_dbscan,
+        "bootstrap": q_bootstrap,
         # -- never driver-checked breadth/shape relatives: enter the r06
         # -- window FIRST
         "rank_funcs": q_rank_funcs,
@@ -7183,6 +7196,26 @@ def oracle_sql() -> dict[str, str]:
         "weighted_paths": _bford_oracle(),
         "ppr": _pagerank_oracle(source=0),
         "dbscan": _dbscan_oracle(),
+        "bootstrap": """
+            WITH h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('boot'
+                          || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 1000000000 AS u
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     CAST((CASE WHEN u >= 367879441 THEN 1 ELSE 0 END)
+                   + (CASE WHEN u >= 735758882 THEN 1 ELSE 0 END)
+                   + (CASE WHEN u >= 919698603 THEN 1 ELSE 0 END)
+                   + (CASE WHEN u >= 981011843 THEN 1 ELSE 0 END)
+                   + (CASE WHEN u >= 996340153 THEN 1 ELSE 0 END)
+                   + (CASE WHEN u >= 999405815 THEN 1 ELSE 0 END)
+                   + (CASE WHEN u >= 999916759 THEN 1 ELSE 0 END)
+                   + (CASE WHEN u >= 999989751 THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+              FROM h)
+            SELECT doc_id, n_copies FROM c WHERE n_copies > 0
+        """,
         "rolling_corr": """
             WITH h AS (
               SELECT date_trunc('hour', ts) AS hour_ts,

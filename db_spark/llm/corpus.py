@@ -428,3 +428,47 @@ def rrf_fuse(
     if top_k is not None:
         out = out.filter(F.col("fused_rank") <= top_k)
     return out
+
+
+def poisson_cdf_ppb(rate: float, max_k: int = 8) -> list[int]:
+    """Cumulative Poisson(rate) probabilities as integer parts-per-
+    billion — precomputed in Python so no engine evaluates exp() at
+    query time (the Benford-constant discipline); shared verbatim by
+    the engine and the SQL oracle."""
+    import math
+
+    cdf, pk, acc = [], math.exp(-rate), 0.0
+    for k in range(max_k):
+        acc += pk
+        cdf.append(int(round(acc * 1e9)))
+        pk = pk * rate / (k + 1)
+    return cdf
+
+
+def bootstrap_counts(
+    df: DataFrame, rate: float = 1.0, id_col: str = "doc_id",
+    salt: str = "boot", max_k: int = 8,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap — sampling WITH replacement for
+    epoch resampling at corpus scale: each row's replication count is
+    the inverse Poisson(rate) CDF applied to its stable salted id-hash
+    uniform. RNG-free and partition-invariant (the same row draws the
+    same count on any engine, any run — `df.sample(withReplacement=
+    True)` seeds are partition-dependent and do not), map-only, and
+    the count distribution is exactly the independent-draws limit the
+    classic bootstrap approximates at large n. Counts truncate at
+    ``max_k`` (P(X > 8) < 1e-6 at rate 1 — documented tail cut).
+    Returns (id, n_copies) for rows drawn at least once; downstream
+    repeats rows with explode(sequence(1, n_copies)) when
+    materialization is needed."""
+    from db_spark.llm.dedup import h32
+
+    cdf = poisson_cdf_ppb(rate, max_k)
+    u = h32(F.concat(F.lit(salt), F.col(id_col).cast("string"))) \
+        % 1_000_000_000
+    count = None
+    for t in cdf:
+        ind = (u >= t).cast("int")
+        count = ind if count is None else count + ind
+    return (df.select(F.col(id_col), count.cast("long").alias("n_copies"))
+            .filter(F.col("n_copies") > 0))

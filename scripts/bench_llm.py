@@ -45,7 +45,7 @@ PICKS = [
     "transitions", "survival", "ab_test", "holt_forecast",
     "weighted_paths", "funnel_latency", "entity_resolution", "benford",
     "holt_backtest", "rolling_corr", "ppr", "skew_profile",
-    "conversion_ci", "top_paths", "ivf_rbo", "dbscan",
+    "conversion_ci", "top_paths", "ivf_rbo", "dbscan", "bootstrap",
 ]
 
 

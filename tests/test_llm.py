@@ -1386,3 +1386,22 @@ def test_dbscan_core_border_noise_roles(spark):
     assert got[20]["role"] == "noise" and got[20]["cluster_id"] is None
     # the two density regions are distinct clusters
     assert got[1]["cluster_id"] != got[11]["cluster_id"]
+
+
+def test_bootstrap_counts_distribution_and_determinism(spark):
+    from db_spark.llm.corpus import bootstrap_counts, poisson_cdf_ppb
+
+    # CDF constants: P(0) = e^-1 exactly in ppb
+    assert poisson_cdf_ppb(1.0)[0] == 367879441
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = bootstrap_counts(df, rate=1.0)
+    rows = out.collect()
+    kept = len(rows)
+    # kept fraction -> 1 - e^-1 = 63.2%; loose band for hash variance
+    assert 0.55 < kept / 2000 < 0.71
+    assert all(r["n_copies"] >= 1 for r in rows)
+    total = sum(r["n_copies"] for r in rows)
+    assert 0.9 < total / 2000 < 1.1   # E[total] = n * rate
+    # partition-invariant: identical draws on any layout
+    again = bootstrap_counts(df.repartition(16), rate=1.0).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -7197,22 +7197,23 @@ def oracle_sql() -> dict[str, str]:
         "ppr": _pagerank_oracle(source=0),
         "dbscan": _dbscan_oracle(),
         "bootstrap": """
+            -- raw 32-bit hash vs CDF thresholds in 2^32 units
+            -- (poisson_cdf_u32; no % 1e9 remap = no modulo bias)
             WITH h AS (
               SELECT doc_id,
                      ('0x' || substr(md5('boot'
-                          || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                     % 1000000000 AS u
+                          || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
               FROM documents),
             c AS (
               SELECT doc_id,
-                     CAST((CASE WHEN u >= 367879441 THEN 1 ELSE 0 END)
-                   + (CASE WHEN u >= 735758882 THEN 1 ELSE 0 END)
-                   + (CASE WHEN u >= 919698603 THEN 1 ELSE 0 END)
-                   + (CASE WHEN u >= 981011843 THEN 1 ELSE 0 END)
-                   + (CASE WHEN u >= 996340153 THEN 1 ELSE 0 END)
-                   + (CASE WHEN u >= 999405815 THEN 1 ELSE 0 END)
-                   + (CASE WHEN u >= 999916759 THEN 1 ELSE 0 END)
-                   + (CASE WHEN u >= 999989751 THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+                     CAST((CASE WHEN u >= 1580030169 THEN 1 ELSE 0 END)
+                   + (CASE WHEN u >= 3160060337 THEN 1 ELSE 0 END)
+                   + (CASE WHEN u >= 3950075422 THEN 1 ELSE 0 END)
+                   + (CASE WHEN u >= 4213413783 THEN 1 ELSE 0 END)
+                   + (CASE WHEN u >= 4279248374 THEN 1 ELSE 0 END)
+                   + (CASE WHEN u >= 4292415292 THEN 1 ELSE 0 END)
+                   + (CASE WHEN u >= 4294609778 THEN 1 ELSE 0 END)
+                   + (CASE WHEN u >= 4294923276 THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
               FROM h)
             SELECT doc_id, n_copies FROM c WHERE n_copies > 0
         """,

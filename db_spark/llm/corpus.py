@@ -445,6 +445,23 @@ def poisson_cdf_ppb(rate: float, max_k: int = 8) -> list[int]:
     return cdf
 
 
+def poisson_cdf_u32(rate: float, max_k: int = 8) -> list[int]:
+    """Cumulative Poisson(rate) probabilities scaled to 2^32 — the
+    thresholds ``bootstrap_counts`` compares the raw 32-bit id-hash
+    against.  Expressing the CDF in 2^32 units (instead of mapping the
+    hash to ppb with ``% 1e9``, whose 2^32 mod 1e9 remainder overweights
+    low residues by 25%) makes the uniform exactly unbiased; shared
+    verbatim by the engine and the SQL oracle."""
+    import math
+
+    cdf, pk, acc = [], math.exp(-rate), 0.0
+    for k in range(max_k):
+        acc += pk
+        cdf.append(int(round(acc * 4_294_967_296.0)))
+        pk = pk * rate / (k + 1)
+    return cdf
+
+
 def bootstrap_counts(
     df: DataFrame, rate: float = 1.0, id_col: str = "doc_id",
     salt: str = "boot", max_k: int = 8,
@@ -458,14 +475,16 @@ def bootstrap_counts(
     the count distribution is exactly the independent-draws limit the
     classic bootstrap approximates at large n. Counts truncate at
     ``max_k`` (P(X > 8) < 1e-6 at rate 1 — documented tail cut).
-    Returns (id, n_copies) for rows drawn at least once; downstream
-    repeats rows with explode(sequence(1, n_copies)) when
-    materialization is needed."""
+    The raw 32-bit hash is compared against CDF thresholds expressed
+    in 2^32 units (``poisson_cdf_u32``) — no ``% 1e9`` remap, which
+    would overweight residues below 2^32 mod 1e9 by 25% and depress
+    every replication probability by ~7%. Returns (id, n_copies) for
+    rows drawn at least once; downstream repeats rows with
+    explode(sequence(1, n_copies)) when materialization is needed."""
     from db_spark.llm.dedup import h32
 
-    cdf = poisson_cdf_ppb(rate, max_k)
-    u = h32(F.concat(F.lit(salt), F.col(id_col).cast("string"))) \
-        % 1_000_000_000
+    cdf = poisson_cdf_u32(rate, max_k)
+    u = h32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     count = None
     for t in cdf:
         ind = (u >= t).cast("int")

@@ -924,14 +924,27 @@ class Collection:
         import pyarrow.parquet as pq
 
         # Global visibility sets — markers are tiny by construction; the
-        # scan is column-pruned to (_txid, _kind).
+        # scan is column-pruned to (_txid, _kind, _batch). A txid counts
+        # as decided-committed ONLY if its earliest C marker sits at or
+        # below the merged pair's max batch — scan_at_position honors
+        # only markers within the <=p prefix, so nil-rewriting an entry
+        # whose C marker lies above the cutoff would surface it at
+        # positions in [watermark, marker_batch) where it was
+        # pending-invisible before the merge. Those entries stay pending
+        # verbatim; their marker above the cutoff keeps gating them.
         log = self._read_log()
         mk = (log.filter(F.col("_kind").isin("C", "R"))
-              .select("_txid", "_kind").distinct().collect())
-        committed = {r["_txid"] for r in mk if r["_kind"] == "C"}
-        rolled = {r["_txid"] for r in mk if r["_kind"] == "R"} - committed
+              .groupBy("_txid", "_kind")
+              .agg(F.min("_batch").alias("_mb")).collect())
+        committed_all = {r["_txid"] for r in mk if r["_kind"] == "C"}
+        rolled = {r["_txid"] for r in mk if r["_kind"] == "R"} - committed_all
         merged = pa.concat_tables(
             [pq.read_table(p) for p in paths], promote_options="default")
+        pair_max = max(
+            (r["_batch"] for r in merged.select(["_batch"]).to_pylist()),
+            default=-1)
+        committed = {r["_txid"] for r in mk
+                     if r["_kind"] == "C" and r["_mb"] <= pair_max}
         cols = merged.column_names
         rows = merged.to_pylist()
         rows.sort(key=lambda r: (r["_batch"], r["_seq"]), reverse=True)
@@ -1005,19 +1018,33 @@ class Collection:
           ``_batch``/``_seq``, rewritten to the nil txid;
         - pending-transaction entries kept verbatim (may yet commit).
 
+        A txid counts as decided-committed ONLY if its (earliest) C
+        marker sits at or below the merged range's ``max_batch`` —
+        ``scan_at_position(p)`` honors only markers within the ≤p
+        prefix, so rewriting an entry to the nil txid when its C marker
+        lies ABOVE the cutoff would make it visible at positions in
+        ``[watermark, marker_batch)`` where it was pending-invisible
+        before the merge. Such entries stay in the pending branch
+        verbatim; the still-live marker above the cutoff keeps gating
+        them. (R-marked entries are invisible at every position, so
+        dropping them is safe wherever the marker sits.)
+
         Crash-safe ordering: merged part files land in the log dir
         under fresh names BEFORE the originals are removed — a crash in
         between leaves duplicate identical-payload entries, which
         recency resolution tolerates."""
         import shutil
 
-        # visibility sets from the WHOLE log's markers (tiny, broadcast)
+        # visibility sets from the WHOLE log's markers (tiny, broadcast);
+        # committed is additionally gated on marker position (see above)
         log = self._read_log()
-        markers_all = (log.filter(F.col("_kind").isin("C", "R"))
-                       .select("_txid", "_kind").distinct())
-        committed = markers_all.filter(F.col("_kind") == "C").select("_txid")
-        rolled = (markers_all.filter(F.col("_kind") == "R").select("_txid")
-                  .join(committed, "_txid", "left_anti"))
+        committed_all = (log.filter(F.col("_kind") == "C")
+                         .select("_txid").distinct())
+        committed = (log.filter((F.col("_kind") == "C")
+                                & (F.col("_batch") <= F.lit(int(max_batch))))
+                     .select("_txid").distinct())
+        rolled = (log.filter(F.col("_kind") == "R").select("_txid").distinct()
+                  .join(committed_all, "_txid", "left_anti"))
 
         prefix = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         markers = prefix.filter(F.col("_kind").isin("C", "R"))

@@ -1389,16 +1389,20 @@ def test_dbscan_core_border_noise_roles(spark):
 
 
 def test_bootstrap_counts_distribution_and_determinism(spark):
-    from db_spark.llm.corpus import bootstrap_counts, poisson_cdf_ppb
+    from db_spark.llm.corpus import (
+        bootstrap_counts, poisson_cdf_ppb, poisson_cdf_u32)
 
-    # CDF constants: P(0) = e^-1 exactly in ppb
+    # CDF constants: P(0) = e^-1 exactly in ppb and in 2^32 units
     assert poisson_cdf_ppb(1.0)[0] == 367879441
+    assert poisson_cdf_u32(1.0)[0] == 1580030169
     df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
     out = bootstrap_counts(df, rate=1.0)
     rows = out.collect()
     kept = len(rows)
-    # kept fraction -> 1 - e^-1 = 63.2%; loose band for hash variance
-    assert 0.55 < kept / 2000 < 0.71
+    # kept fraction -> 1 - e^-1 = 63.2%; unbiased uniform allows a
+    # tighter band than the old %1e9 version (which depressed P(kept)
+    # to 0.589 via modulo bias)
+    assert 0.60 < kept / 2000 < 0.67
     assert all(r["n_copies"] >= 1 for r in rows)
     total = sum(r["n_copies"] for r in rows)
     assert 0.9 < total / 2000 < 1.1   # E[total] = n * rate

@@ -934,3 +934,58 @@ def test_vacuum_visibility_cases_distributed(spark, tmp_path):
     assert {(r["_id"], r["name"], r["qty"])
             for r in c.table_scan().select("_id", "name", "qty").collect()} \
         == {("a", "v3-pending", 3), ("e", "v1", 5)}
+
+
+def test_merge_keeps_entries_pending_when_marker_above_cutoff(spark, tmp_path):
+    """A txn whose data entries fall below the vacuum cutoff but whose C
+    marker sits ABOVE it must NOT be nil-rewritten: scan_at_position only
+    honors markers within the <=p prefix, so rewriting would surface the
+    rows at positions in [watermark, marker_batch) where they were
+    pending-invisible before the merge. Covers both merge cores."""
+    st = Storage(spark, str(tmp_path / "strad"), StorageConfig(max_entries=64))
+    c = st.get_collection("t")
+    c.set_objects(None, _df(spark, [("a", "v1", 1)]).coalesce(1))   # batch 0
+    t = uuid7()
+    c.set_objects(t, _df(spark, [("x", "vtx", 9)]).coalesce(1))     # batch 1
+    p_data = c.log_position()
+    c.commit(t)                                                     # marker > 1
+    p_marker = c.log_position()
+    assert p_marker > p_data
+    c.set_objects(None, _df(spark, [("z", "v1", 3)]).coalesce(1))
+    p_now = c.log_position()
+
+    # vacuum merges only the two data segments below the marker
+    assert c.vacuum(p_data + 1) == 2
+    # at the data position the txn is still pending-invisible
+    at_data = {(r["_id"], r["name"], r["qty"])
+               for r in c.scan_at_position(p_data).collect()}
+    assert at_data == {("a", "v1", 1)}
+    # at/after the marker it is visible, as before the merge
+    at_marker = {(r["_id"], r["name"], r["qty"])
+                 for r in c.scan_at_position(p_marker).collect()}
+    assert at_marker == {("a", "v1", 1), ("x", "vtx", 9)}
+    assert {(r["_id"], r["name"], r["qty"])
+            for r in c.scan_at_position(p_now).collect()} \
+        == {("a", "v1", 1), ("x", "vtx", 9), ("z", "v1", 3)}
+
+
+def test_pair_merge_keeps_entries_pending_when_marker_above_pair(spark, tmp_path):
+    """Same straddling-marker scenario through compact_segments (the
+    pyarrow pair-merge core): the pair's max batch is the cutoff."""
+    st = Storage(spark, str(tmp_path / "strad2"), StorageConfig(max_entries=64))
+    c = st.get_collection("t")
+    c.set_objects(None, _df(spark, [("a", "v1", 1)]).coalesce(1))   # batch 0
+    t = uuid7()
+    c.set_objects(t, _df(spark, [("x", "vtx", 9)]).coalesce(1))     # batch 1
+    p_data = c.log_position()
+    c.commit(t)
+    p_marker = c.log_position()
+    files = c._data_files()
+    assert len(files) == 2
+    c.compact_segments(files[0][0], files[1][0])
+    # watermark = pair max = p_data; that position must still hide x
+    assert {(r["_id"], r["name"], r["qty"])
+            for r in c.scan_at_position(p_data).collect()} == {("a", "v1", 1)}
+    assert {(r["_id"], r["name"], r["qty"])
+            for r in c.scan_at_position(p_marker).collect()} \
+        == {("a", "v1", 1), ("x", "vtx", 9)}

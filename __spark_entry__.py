@@ -3175,8 +3175,10 @@ def q_bootstrap(spark, sf_dir):
     bootstrap_counts): with-replacement epoch resampling where each
     doc's replication count is the inverse Poisson(1) CDF of its
     salted id-hash uniform — RNG-free, partition-invariant, map-only;
-    CDF thresholds are Python-precomputed ppb literals shared verbatim
-    with the oracle."""
+    CDF thresholds are Python-precomputed 2^32-scaled integers
+    (poisson_cdf_u32 — 2^32 units keep the 32-bit hash uniform exactly
+    unbiased, unlike a % 1e9 ppb mapping) shared verbatim with the
+    oracle."""
     from db_spark.llm.corpus import bootstrap_counts
 
     return bootstrap_counts(_t(spark, sf_dir, "documents"), rate=1.0)
@@ -4737,251 +4739,262 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def _driver_checked_rounds() -> dict[str, int]:
+    """Last round in which each registry key received a driver
+    CORRECTNESS row, read from the committed CORRECTNESS_r*.json files
+    next to this module. Keys absent from every file have never been
+    driver-checked."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        match = re.search(r"r(\d+)", os.path.basename(path))
+        if match is None:
+            continue
+        rnd = int(match.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for key in rows:
+            last[key] = max(last.get(key, 0), rnd)
+    return last
+
+
+# Keys whose engine or oracle semantics changed AFTER their last driver
+# row (making that row evidence for the old form): list them here to
+# force them back into the 50-query window as if never checked. Clear
+# an entry once the next CORRECTNESS file carries its fresh row.
+_FORCE_RECHECK: frozenset[str] = frozenset()
+
+
+# Canonical registry, in addition order (r1 core -> r6 tiers). The
+# driver's correctness gate checks the FIRST 50 keys of queries();
+# ordering is computed, not hand-maintained: never-driver-checked keys
+# first (in addition order), then stalest-round first. Every key maps
+# to the q_<key> callable in this module.
+_REGISTRY_KEYS: list[str] = [
+    "cm_heavy_hitters",
+    "matview_incremental",
+    "hist_quantiles",
+    "bloom_prefilter",
+    "event_funnel",
+    "cohort_retention",
+    "ivf_index_topk",
+    "event_funnel_windowed",
+    "gapfill_locf",
+    "fuzzy_join",
+    "profile_table",
+    "copurchase_pairs",
+    "triangle_count",
+    "communities",
+    "salted_join_agg",
+    "hll_distinct",
+    "hll_merge",
+    "sessionize",
+    "scd2",
+    "ewma",
+    "pagerank",
+    "gapfill_interp",
+    "mad_outliers",
+    "chi2_independence",
+    "mvcc_history",
+    "hll_rolling",
+    "kmv_set_ops",
+    "token_budget",
+    "matview_join",
+    "bfs_hops",
+    "psi_drift",
+    "keywords_tfidf",
+    "centroid_outliers",
+    "skyline",
+    "importance_sample",
+    "skipgram_counts",
+    "cm_join_size",
+    "seasonal_decompose",
+    "dq_report",
+    "hashed_features",
+    "interval_join",
+    "seasonal_anomalies",
+    "winsorize",
+    "twap",
+    "hll_set_ops",
+    "curate_corpus",
+    "weighted_sample",
+    "jaccard_join",
+    "mmr_rerank",
+    "mvcc_vacuum",
+    "mvcc_evolve",
+    "anti_join",
+    "except",
+    "dedup_keep_best",
+    "assoc_rules",
+    "kcore",
+    "bigram_surprisal",
+    "holt_forecast",
+    "linreg",
+    "cusum",
+    "lsh_probe",
+    "kcenter",
+    "hybrid_rrf",
+    "attribution",
+    "transitions",
+    "ab_test",
+    "survival",
+    "weighted_paths",
+    "funnel_latency",
+    "entity_resolution",
+    "benford",
+    "holt_backtest",
+    "rolling_corr",
+    "ppr",
+    "skew_profile",
+    "conversion_ci",
+    "top_paths",
+    "ivf_rbo",
+    "dbscan",
+    "bootstrap",
+    "rank_funcs",
+    "datetime_funcs",
+    "string_funcs",
+    "json_agg",
+    "mode_by_group",
+    "market_share",
+    "top_supplier",
+    "min_cost_supplier",
+    "important_stock",
+    "excess_supply",
+    "forecast_revenue",
+    "price_qty_corr",
+    "zscore_outliers",
+    "fk_integrity",
+    "range_frame_agg",
+    "exact_percentiles",
+    "entropy_profile",
+    "mvcc_snapshot",
+    "mvcc_cdc",
+    "mvcc_delete_where",
+    "ivf_topk",
+    "ivf_recall",
+    "ivf_kmeans_topk",
+    "media_features",
+    "condition_dsl",
+    "pricing_summary",
+    "count_when",
+    "priority_shipments",
+    "explode_tokens",
+    "window_funcs",
+    "window_frames",
+    "topn_per_group",
+    "asof_join",
+    "range_join",
+    "rollup",
+    "cube",
+    "grouping_sets",
+    "tumbling_window",
+    "sliding_window",
+    "session_window",
+    "hypertable_rollup",
+    "text_stats",
+    "normalize_text",
+    "dedup_exact",
+    "ngram_jaccard",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "dedup_clusters",
+    "dedup_corpus",
+    "simhash",
+    "simhash_near_dup",
+    "cosine_topk",
+    "embedding_near_dup",
+    "deterministic_split",
+    "corpus_stats",
+    "chunk_docs",
+    "embedding_quantize",
+    "repetition_stats",
+    "unigram_surprisal",
+    "pack_sequences",
+    "decontaminate",
+    "stratified_sample",
+    "stratified_fixed",
+    "bm25_topk",
+    "span_dup",
+    "span_dedup",
+    "collocations",
+    "temperature_sample",
+    "domain_cap",
+    "redact_pii",
+    "quality_rules",
+    "kmv_distinct",
+    "kmv_merge",
+    "mvcc_multi_tx",
+    "table_scan",
+    "filter",
+    "global_agg",
+    "hash_match",
+    "multi_join",
+    "merge_intervals",
+    "projection",
+    "take",
+    "skip",
+    "nested_loop",
+    "sort",
+    "distinct",
+    "concat",
+    "constant_scan",
+    "semi_join",
+    "outer_join",
+    "shipping_priority",
+    "local_supplier_volume",
+    "returned_items",
+    "late_shipment_priority",
+    "promo_revenue",
+    "large_orders",
+    "volume_shipping",
+    "product_profit",
+    "customer_distribution",
+    "supplier_part_count",
+    "small_qty_revenue",
+    "disjunctive_revenue",
+    "late_only_supplier",
+    "idle_rich_customers",
+    "intersect",
+    "full_outer",
+    "theta_join",
+    "json_funcs",
+    "scalar_funcs",
+    "pivot",
+    "unpivot",
+    "scalar_subquery",
+    "correlated_subquery",
+    "regex_funcs",
+    "stats_agg",
+    "count_distinct",
+    "array_funcs",
+    "map_struct_funcs",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order matters: the driver's correctness gate checks the
-    first 50 entries. Round-4's driver check never ran (no
-    CORRECTNESS_r04.json), so at round-5 start 61 registry keys had
-    never had a driver row; round 5 adds eight more (curate_corpus,
-    dedup_keep_best, weighted_sample, jaccard_join, mmr_rerank,
-    mvcc_vacuum, mvcc_evolve, normalize_text) and changes the
-    semantics of
-    anti_join / except / hll_set_ops (previously 0-row —
-    trivially-green hashes). Window policy, priority order: every
-    never-driver-checked query from the novel-module tiers (r3 + r4 +
-    late-r4 + r5 additions). That overfills 50 by three:
-    normalize_text and dedup_keep_best (r5) did not fit —
-    curate_corpus subsumes the keep-best path end-to-end — and
-    mvcc_evolve queues at 51 (communities, which completes the
-    in-window graph tier with pagerank/triangle_count/bfs_hops, took
-    the last slot). Below the boundary, in r06-entry order:
-    mvcc_evolve, then the two
-    semantics-changed queries (anti_join, except — their old rows
-    describe the old vacuously-empty forms), then the late-round-5
-    novel-module additions (kcore through top_paths — graph
-    peeling/SSSP/PPR, bigram LM, Holt/CUSUM/OLS/KM/backtest/rolling
-    statistics, RRF hybrid retrieval, k-center coresets, LSH index
-    probe, attribution/transitions/A-B/CI/latency/path event
-    analytics, Benford/skew DQ screens, entity resolution),
-    normalize_text, then
-    seventeen never-checked breadth/shape queries (function-breadth
-    and TPC-H-composite relatives of driver-checked queries — rank/
-    datetime/string/json breadth, Q2/Q8/Q11/Q15/Q20 shapes, corr/
-    zscore/percentile stats), then the r02-stale mvcc/ivf/media
-    set. Every registry entry, in and below the window,
-    is validated each round by scripts/check_oracle.py — the same
-    DuckDB value-hash harness the driver runs (see
-    LOCAL_ORACLE_r05.txt)."""
-    return {
-        # -- never driver-checked: r3 additions ----------------------------
-        "cm_heavy_hitters": q_cm_heavy_hitters,
-        "matview_incremental": q_matview_incremental,
-        "hist_quantiles": q_hist_quantiles,
-        "bloom_prefilter": q_bloom_prefilter,
-        "event_funnel": q_event_funnel,
-        "cohort_retention": q_cohort_retention,
-        # -- never driver-checked: r4 additions (novel modules) -------------
-        "ivf_index_topk": q_ivf_index_topk,
-        "event_funnel_windowed": q_event_funnel_windowed,
-        "gapfill_locf": q_gapfill_locf,
-        "fuzzy_join": q_fuzzy_join,
-        "profile_table": q_profile_table,
-        "copurchase_pairs": q_copurchase_pairs,
-        "triangle_count": q_triangle_count,
-        "communities": q_communities,
-        "salted_join_agg": q_salted_join_agg,
-        "hll_distinct": q_hll_distinct,
-        "hll_merge": q_hll_merge,
-        "sessionize": q_sessionize,
-        "scd2": q_scd2,
-        "ewma": q_ewma,
-        "pagerank": q_pagerank,
-        "gapfill_interp": q_gapfill_interp,
-        "mad_outliers": q_mad_outliers,
-        "chi2_independence": q_chi2_independence,
-        "mvcc_history": q_mvcc_history,
-        "hll_rolling": q_hll_rolling,
-        # -- never driver-checked: late-r4 additions ------------------------
-        "kmv_set_ops": q_kmv_set_ops,
-        "token_budget": q_token_budget,
-        "matview_join": q_matview_join,
-        "bfs_hops": q_bfs_hops,
-        "psi_drift": q_psi_drift,
-        "keywords_tfidf": q_keywords_tfidf,
-        "centroid_outliers": q_centroid_outliers,
-        "skyline": q_skyline,
-        "importance_sample": q_importance_sample,
-        "skipgram_counts": q_skipgram_counts,
-        "cm_join_size": q_cm_join_size,
-        "seasonal_decompose": q_seasonal_decompose,
-        "dq_report": q_dq_report,
-        "hashed_features": q_hashed_features,
-        "interval_join": q_interval_join,
-        "seasonal_anomalies": q_seasonal_anomalies,
-        "winsorize": q_winsorize,
-        "twap": q_twap,
-        "hll_set_ops": q_hll_set_ops,
-        # -- never driver-checked: r5 additions -----------------------------
-        "curate_corpus": q_curate_corpus,
-        "weighted_sample": q_weighted_sample,
-        "jaccard_join": q_jaccard_join,
-        "mmr_rerank": q_mmr_rerank,
-        "mvcc_vacuum": q_mvcc_vacuum,
-        # ---- window boundary (position 50) --------------------------------
-        # -- never driver-checked r5 additions that no longer fit ----------
-        "mvcc_evolve": q_mvcc_evolve,
-        # -- semantics changed in r5 (old rows are for the old 0-row form,
-        # -- which was vacuously green): enter the r06 window FIRST
-        "anti_join": q_anti_join,
-        "except": q_except,
-        "dedup_keep_best": q_dedup_keep_best,
-        "assoc_rules": q_assoc_rules,
-        "kcore": q_kcore,
-        "bigram_surprisal": q_bigram_surprisal,
-        "holt_forecast": q_holt_forecast,
-        "linreg": q_linreg,
-        "cusum": q_cusum,
-        "lsh_probe": q_lsh_probe,
-        "kcenter": q_kcenter,
-        "hybrid_rrf": q_hybrid_rrf,
-        "attribution": q_attribution,
-        "transitions": q_transitions,
-        "ab_test": q_ab_test,
-        "survival": q_survival,
-        "weighted_paths": q_weighted_paths,
-        "funnel_latency": q_funnel_latency,
-        "entity_resolution": q_entity_resolution,
-        "benford": q_benford,
-        "holt_backtest": q_holt_backtest,
-        "rolling_corr": q_rolling_corr,
-        "ppr": q_ppr,
-        "skew_profile": q_skew_profile,
-        "conversion_ci": q_conversion_ci,
-        "top_paths": q_top_paths,
-        "ivf_rbo": q_ivf_rbo,
-        "dbscan": q_dbscan,
-        "bootstrap": q_bootstrap,
-        # -- never driver-checked breadth/shape relatives: enter the r06
-        # -- window FIRST
-        "rank_funcs": q_rank_funcs,
-        "datetime_funcs": q_datetime_funcs,
-        "string_funcs": q_string_funcs,
-        "json_agg": q_json_agg,
-        "mode_by_group": q_mode_by_group,
-        "market_share": q_market_share,
-        "top_supplier": q_top_supplier,
-        "min_cost_supplier": q_min_cost_supplier,
-        "important_stock": q_important_stock,
-        "excess_supply": q_excess_supply,
-        "forecast_revenue": q_forecast_revenue,
-        "price_qty_corr": q_price_qty_corr,
-        "zscore_outliers": q_zscore_outliers,
-        "fk_integrity": q_fk_integrity,
-        "range_frame_agg": q_range_frame_agg,
-        "exact_percentiles": q_exact_percentiles,
-        "entropy_profile": q_entropy_profile,
-        # -- r02-green, modules touched in r4 (re-verify next) --------------
-        "mvcc_snapshot": q_mvcc_snapshot,
-        "mvcc_cdc": q_mvcc_cdc,
-        "mvcc_delete_where": q_mvcc_delete_where,
-        "ivf_topk": q_ivf_topk,
-        "ivf_recall": q_ivf_recall,
-        "ivf_kmeans_topk": q_ivf_kmeans_topk,
-        "media_features": q_media_features,
-        "condition_dsl": q_condition_dsl,
-        "pricing_summary": q_pricing_summary,
-        "count_when": q_count_when,
-        "priority_shipments": q_priority_shipments,
-        "explode_tokens": q_explode_tokens,
-        "window_funcs": q_window_funcs,
-        "window_frames": q_window_frames,
-        "topn_per_group": q_topn_per_group,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "rollup": q_rollup,
-        "cube": q_cube,
-        "grouping_sets": q_grouping_sets,
-        "tumbling_window": q_tumbling_window,
-        "sliding_window": q_sliding_window,
-        "session_window": q_session_window,
-        "hypertable_rollup": q_hypertable_rollup,
-        "text_stats": q_text_stats,
-        "normalize_text": q_normalize_text,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_signature": q_minhash_signature,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_corpus": q_dedup_corpus,
-        "simhash": q_simhash,
-        "simhash_near_dup": q_simhash_near_dup,
-        "cosine_topk": q_cosine_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "deterministic_split": q_deterministic_split,
-        "corpus_stats": q_corpus_stats,
-        "chunk_docs": q_chunk_docs,
-        "embedding_quantize": q_embedding_quantize,
-        "repetition_stats": q_repetition_stats,
-        "unigram_surprisal": q_unigram_surprisal,
-        "pack_sequences": q_pack_sequences,
-        "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
-        "stratified_fixed": q_stratified_fixed,
-        "bm25_topk": q_bm25_topk,
-        "span_dup": q_span_dup,
-        "span_dedup": q_span_dedup,
-        "collocations": q_collocations,
-        "temperature_sample": q_temperature_sample,
-        "domain_cap": q_domain_cap,
-        "redact_pii": q_redact_pii,
-        "quality_rules": q_quality_rules,
-        "kmv_distinct": q_kmv_distinct,
-        "kmv_merge": q_kmv_merge,
-        "mvcc_multi_tx": q_mvcc_multi_tx,
-        "table_scan": q_table_scan,
-        "filter": q_filter,
-        "global_agg": q_global_agg,
-        "hash_match": q_hash_match,
-        "multi_join": q_multi_join,
-        "merge_intervals": q_merge_intervals,
-        "projection": q_projection,
-        "take": q_take,
-        "skip": q_skip,
-        "nested_loop": q_nested_loop,
-        "sort": q_sort,
-        "distinct": q_distinct,
-        "concat": q_concat,
-        "constant_scan": q_constant_scan,
-        "semi_join": q_semi_join,
-        "outer_join": q_outer_join,
-        "shipping_priority": q_shipping_priority,
-        "local_supplier_volume": q_local_supplier_volume,
-        "returned_items": q_returned_items,
-        "late_shipment_priority": q_late_shipment_priority,
-        "promo_revenue": q_promo_revenue,
-        "large_orders": q_large_orders,
-        "volume_shipping": q_volume_shipping,
-        "product_profit": q_product_profit,
-        "customer_distribution": q_customer_distribution,
-        "supplier_part_count": q_supplier_part_count,
-        "small_qty_revenue": q_small_qty_revenue,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "late_only_supplier": q_late_only_supplier,
-        "idle_rich_customers": q_idle_rich_customers,
-        "intersect": q_intersect,
-        "full_outer": q_full_outer,
-        "theta_join": q_theta_join,
-        "json_funcs": q_json_funcs,
-        "scalar_funcs": q_scalar_funcs,
-        "pivot": q_pivot,
-        "unpivot": q_unpivot,
-        "scalar_subquery": q_scalar_subquery,
-        "correlated_subquery": q_correlated_subquery,
-        "regex_funcs": q_regex_funcs,
-        "stats_agg": q_stats_agg,
-        "count_distinct": q_count_distinct,
-        "array_funcs": q_array_funcs,
-        "map_struct_funcs": q_map_struct_funcs,
-    }
+    """Full query registry, ordered for the driver's 50-query
+    correctness window: never-driver-checked keys first, then
+    stalest-driver-row first (ties broken by addition order in
+    _REGISTRY_KEYS). The rotation is derived from the committed
+    CORRECTNESS_r*.json files, so draining the backlog requires no
+    manual reordering. Every key below the window is still validated
+    each round by scripts/check_oracle.py (see LOCAL_ORACLE_r*.txt)."""
+    last = _driver_checked_rounds()
+    pos = {key: i for i, key in enumerate(_REGISTRY_KEYS)}
+    ordered = sorted(
+        _REGISTRY_KEYS,
+        key=lambda k: (0 if k in _FORCE_RECHECK else last.get(k, 0), pos[k]),
+    )
+    return {key: globals()["q_" + key] for key in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -430,21 +430,6 @@ def rrf_fuse(
     return out
 
 
-def poisson_cdf_ppb(rate: float, max_k: int = 8) -> list[int]:
-    """Cumulative Poisson(rate) probabilities as integer parts-per-
-    billion — precomputed in Python so no engine evaluates exp() at
-    query time (the Benford-constant discipline); shared verbatim by
-    the engine and the SQL oracle."""
-    import math
-
-    cdf, pk, acc = [], math.exp(-rate), 0.0
-    for k in range(max_k):
-        acc += pk
-        cdf.append(int(round(acc * 1e9)))
-        pk = pk * rate / (k + 1)
-    return cdf
-
-
 def poisson_cdf_u32(rate: float, max_k: int = 8) -> list[int]:
     """Cumulative Poisson(rate) probabilities scaled to 2^32 — the
     thresholds ``bootstrap_counts`` compares the raw 32-bit id-hash

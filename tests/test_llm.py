@@ -1389,11 +1389,9 @@ def test_dbscan_core_border_noise_roles(spark):
 
 
 def test_bootstrap_counts_distribution_and_determinism(spark):
-    from db_spark.llm.corpus import (
-        bootstrap_counts, poisson_cdf_ppb, poisson_cdf_u32)
+    from db_spark.llm.corpus import bootstrap_counts, poisson_cdf_u32
 
-    # CDF constants: P(0) = e^-1 exactly in ppb and in 2^32 units
-    assert poisson_cdf_ppb(1.0)[0] == 367879441
+    # CDF constant: P(0) = e^-1 exactly in 2^32 units
     assert poisson_cdf_u32(1.0)[0] == 1580030169
     df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
     out = bootstrap_counts(df, rate=1.0)

@@ -27,7 +27,14 @@ Methodology (BASELINE.md parity):
   construction is Python<->JVM round-trips that measure the driver, not
   the engine. Execution (scan/shuffle/agg/collect) is fully re-run each
   iteration — nothing is result-cached.
-- Every query: one untimed warm-up, then median of 3 timed runs.
+- Every query: one untimed warm-up, then the MEDIAN of REPEATS (default
+  5) timed runs; ``query_stats`` carries min/median/max/stdev per query
+  so a cross-round delta can be judged against run noise. Calibration
+  (two solo runs, round 7): sort_topk min 0.028-0.032 s, stdev ~0.003 —
+  the r5/r6 readings of 0.045-0.047 s were concurrent-load noise, not a
+  plan regression (r03's 0.032 s equals the solo min). Run bench SOLO;
+  concurrent work inflates every number up to ~2x (sf1 scan_collect
+  read 2.49 s under driver load vs 1.17-1.33 s solo).
 - scan_collect is the robustness row for the batched count-shaped scan:
   it materializes EVERY column of every row and ships them to the
   driver as Arrow batches (``toArrow``) — the closest analog of the
@@ -126,18 +133,33 @@ BENCH_QUERIES = {
 }
 
 
-def _run_set(spark, sf_dir: str) -> dict[str, float]:
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
+
+
+def _run_set(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
+    """Per query: one untimed warm-up then REPEATS timed runs. Returns
+    (median per query — the driver-facing number) and (min/median/max/
+    stdev per query — so a regression is decidable against run noise)."""
+    import statistics
+
     times: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     for name, prep in BENCH_QUERIES.items():
         run, divisor = prep(spark, sf_dir)
         run()  # warm-up
         samples = []
-        for _ in range(3):
+        for _ in range(REPEATS):
             t0 = time.perf_counter()
             run()
-            samples.append(time.perf_counter() - t0)
-        times[name] = round(sorted(samples)[1] / divisor, 4)
-    return times
+            samples.append((time.perf_counter() - t0) / divisor)
+        times[name] = round(statistics.median(samples), 4)
+        stats[name] = {
+            "min": round(min(samples), 4),
+            "median": times[name],
+            "max": round(max(samples), 4),
+            "stdev": round(statistics.stdev(samples), 4) if len(samples) > 1 else 0.0,
+        }
+    return times, stats
 
 
 def main() -> None:
@@ -146,13 +168,14 @@ def main() -> None:
     # JVM/codegen warm-up on tiny data so measured times reflect steady state
     E.q_pricing_summary(spark, "/root/testdata/sf0.001").collect()
 
-    times = _run_set(spark, SF_DIR)
+    times, stats = _run_set(spark, SF_DIR)
     total = round(sum(times.values()), 4)
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "query_stats": stats,
         "sf": _sf_from_dir(SF_DIR),
     }
 
@@ -161,8 +184,9 @@ def main() -> None:
 
         ensure_scaled(spark, "/root/testdata/sf0.1", SF1_DIR, replicas=10)
         spark.catalog.clearCache()  # _prep_filter caches per-scale inputs
-        sf1_times = _run_set(spark, SF1_DIR)
+        sf1_times, sf1_stats = _run_set(spark, SF1_DIR)
         out["sf1_queries"] = sf1_times
+        out["sf1_query_stats"] = sf1_stats
         out["sf1_total"] = round(sum(sf1_times.values()), 4)
         out["sf1"] = 1.0
 

@@ -646,7 +646,7 @@ def recall_at_k(
 
 def k_center_greedy(
     emb: DataFrame, k: int = 4, id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", batch_m: int = 1,
 ) -> DataFrame:
     """Greedy k-center coreset selection (farthest-point traversal) —
     the classic diversity-sampling pick for training data: seed with
@@ -656,13 +656,28 @@ def k_center_greedy(
     smaller id, so the traversal is a total order — bit-deterministic
     and replayable by the oracle as k unrolled select/update rounds.
 
-    Scale shape: per round ONE map-only distance pass of the remaining
-    corpus against the single newest pick (a literal vector — nothing
-    broadcast but 64 doubles), folded into the running min column;
-    O(k·|corpus|) distance evaluations total, the textbook bound. Per
-    round the driver fetches one id and one vector (scalar class, like
-    the k-core fixpoint counts); ``localCheckpoint`` keeps the plan
-    round-sized. Returns the k picks in selection order:
+    Scale shape (``batch_m=1``, the oracle mode): per round ONE
+    map-only distance pass of the remaining corpus against the single
+    newest pick (a literal vector — nothing broadcast but 64 doubles),
+    folded into the running min column; O(k·|corpus|) distance
+    evaluations total, the textbook bound. Per round the driver
+    fetches one id and one vector (scalar class, like the k-core
+    fixpoint counts); ``localCheckpoint`` keeps the plan round-sized.
+
+    ``batch_m > 1`` keeps the traversal EXACTLY equal but compresses
+    the O(k) job chain — the scale mode for k in the hundreds: each
+    round fetches the top ``batch_m + 1`` frontier candidates by
+    current min-dist, and since adding centers only ever LOWERS a
+    point's min-dist, the (m+1)-th candidate's value upper-bounds
+    every outside point's true score. A driver-side greedy over the
+    batch (pairwise candidate distances come from one tiny map-only
+    engine job on literal rows, so they are bit-identical to the fold
+    expression — no Python float math) accepts picks while the best
+    verified score strictly exceeds that bound, then ONE distributed
+    pass folds all accepted centers into the min column. The first
+    sub-pick per round is the global argmax and always accepted, so
+    the worst case degrades to the m=1 chain, never to an inexact
+    answer. Returns the k picks in selection order:
     (sel_rank, id, min_dist-at-selection), NULL for the seed."""
     spark = emb.sparkSession
     st = emb.select(F.col(id_col).alias("_id"),
@@ -676,6 +691,8 @@ def k_center_greedy(
     if k == 0:
         return spark.createDataFrame(
             [], "sel_rank int, " + id_col + " long, min_dist double")
+    if batch_m > 1:
+        return _k_center_batched(spark, st, k, id_col, int(batch_m))
     cur = st.agg(F.min("_id")).collect()[0][0]
     picks = [(1, int(cur), None)]
     for r in range(2, k + 1):
@@ -695,6 +712,81 @@ def k_center_greedy(
             .limit(1).collect()[0]
         cur = top["_id"]
         picks.append((r, int(cur), float(top["_mind"])))
+    return spark.createDataFrame(
+        picks, "sel_rank int, " + id_col + " long, min_dist double")
+
+
+def _kc_dist_expr(vec: list) -> Column:
+    """Cosine distance of the corpus vector column against one literal
+    center — the exact expression the m=1 fold uses."""
+    lit_c = F.array(*[F.lit(float(x)) for x in vec])
+    return 1 - F.round(
+        _dot_d(F.col("_v"), lit_c)
+        / (_norm_d(F.col("_v")) * _norm_d(lit_c)), 6)
+
+
+def _k_center_batched(
+    spark, st: DataFrame, k: int, id_col: str, m: int,
+) -> DataFrame:
+    """Batched frontier for :func:`k_center_greedy` — same traversal,
+    O(k/m_eff) jobs. ``st`` is the checkpointed (_id, _v) corpus."""
+    seed = st.agg(F.min("_id")).collect()[0][0]
+    seed_vec = st.filter(F.col("_id") == seed).select("_v").collect()[0][0]
+    picks = [(1, int(seed), None)]
+    # eager=False: the checkpoint materializes inside the next round's
+    # frontier job, truncating lineage without spending a job of its own
+    st = (st.filter(F.col("_id") != seed)
+          .withColumn("_mind", _kc_dist_expr(seed_vec))
+          .localCheckpoint(eager=False))
+    while len(picks) < k:
+        cands = (st.orderBy(F.col("_mind").desc(), F.col("_id"))
+                 .limit(m + 1).collect())
+        batch = cands[:m]
+        # every point outside the fetched set has _mind <= bound, and
+        # true scores only shrink — so bound caps all outside scores
+        bound = cands[m]["_mind"] if len(cands) > m else None
+        ids = [int(r["_id"]) for r in batch]
+        vecs = {int(r["_id"]): list(r["_v"]) for r in batch}
+        score = {int(r["_id"]): r["_mind"] for r in batch}
+        # pairwise candidate distances, engine-evaluated on literal
+        # rows (map-only, no join): bit-identical to the fold expr
+        pair = {}
+        if len(ids) > 1:
+            rows = [(ids[i], vecs[ids[i]], ids[j], vecs[ids[j]])
+                    for i in range(len(ids))
+                    for j in range(i + 1, len(ids))]
+            pdf = spark.createDataFrame(
+                rows, "ia long, va array<double>, ib long, vb array<double>")
+            mat = pdf.select(
+                "ia", "ib",
+                (1 - F.round(
+                    _dot_d(F.col("va"), F.col("vb"))
+                    / (_norm_d(F.col("va")) * _norm_d(F.col("vb"))), 6))
+                .alias("d")).collect()
+            for r in mat:
+                pair[(r["ia"], r["ib"])] = pair[(r["ib"], r["ia"])] = r["d"]
+        accepted: list[int] = []
+        remaining = list(ids)
+        while remaining and len(picks) < k:
+            best = min(remaining, key=lambda i: (-score[i], i))
+            # sub-pick 1 is the exact global argmax (min-dists are
+            # fresh); later sub-picks are exact only if they beat the
+            # outside bound STRICTLY (an equal-score outside point
+            # with a smaller id would win the tie-break)
+            if accepted and bound is not None and not score[best] > bound:
+                break
+            accepted.append(best)
+            picks.append((len(picks) + 1, best, float(score[best])))
+            remaining.remove(best)
+            for i in remaining:
+                d = pair[(i, best)]
+                if d < score[i]:
+                    score[i] = d
+        if len(picks) < k:
+            folds = [_kc_dist_expr(vecs[c]) for c in accepted]
+            st = (st.filter(~F.col("_id").isin(accepted))
+                  .withColumn("_mind", F.least(F.col("_mind"), *folds))
+                  .localCheckpoint(eager=False))
     return spark.createDataFrame(
         picks, "sel_rank int, " + id_col + " long, min_dist double")
 

@@ -2755,6 +2755,20 @@ def q_kcenter(spark, sf_dir):
     return lsim.k_center_greedy(emb, k=5)
 
 
+def q_kcenter_batched(spark, sf_dir):
+    """Batched-frontier k-center (db_spark/llm/similarity.py:
+    _k_center_batched): 7 picks with batch_m=3 — per round the top
+    m+1 frontier candidates by current min-dist are fetched and a
+    verified prefix accepted against the (m+1)-th candidate's bound,
+    then ONE distributed fold updates all min-dists; the traversal is
+    exactly the m=1 one (the driver gate proves it against the SAME
+    unrolled m=1 oracle), in ~1/m the Spark jobs."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsim.k_center_greedy(emb, k=7, batch_m=3)
+
+
 def q_lsh_probe(spark, sf_dir):
     """Incremental near-dup ingest (db_spark/llm/dedup.py:
     lsh_index_build / lsh_index_probe): the persisted band-bucket index
@@ -4977,6 +4991,8 @@ _REGISTRY_KEYS: list[str] = [
     "count_distinct",
     "array_funcs",
     "map_struct_funcs",
+    # r7 addition
+    "kcenter_batched",
 ]
 
 
@@ -7414,6 +7430,9 @@ def oracle_sql() -> dict[str, str]:
         "linreg": _linreg_oracle(),
         "lsh_probe": _lsh_probe_oracle(),
         "kcenter": _kcenter_oracle(),
+        # the batched frontier must reproduce the SAME m=1 traversal —
+        # one oracle text, two engine code paths
+        "kcenter_batched": _kcenter_oracle(7),
         # both ranker oracles composed, then the identical nano-BIGINT
         # fusion sum; every reciprocal computed in DOUBLE (DuckDB
         # decimal literals would otherwise pull the division into

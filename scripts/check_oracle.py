@@ -53,8 +53,18 @@ def main():
     import __spark_entry__ as entry_mod
     from db_spark.session import get_spark
 
-    spark = get_spark(app_name="oracle-check", cpus=8, shuffle_partitions=8)
+    cpus = int(os.environ.get("ORACLE_SPARK_CPUS", "8"))
+    spark = get_spark(app_name="oracle-check", cpus=cpus,
+                      shuffle_partitions=cpus)
     con = duckdb.connect()
+    # resource knobs for big-sf runs (several shards in parallel, or a
+    # spill-heavy recursive oracle that needs most of the RAM solo)
+    mem = os.environ.get("ORACLE_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    thr = os.environ.get("ORACLE_DUCKDB_THREADS")
+    if thr:
+        con.execute(f"SET threads TO {int(thr)}")
     for t in TABLES:
         p = os.path.join(sf_dir, t + ".parquet")
         if os.path.isdir(p):

@@ -2263,9 +2263,18 @@ def q_hypertable_rollup(spark, sf_dir):
     out = ru.hypertable_agg(
         spark, path, ev, "ts", "1 hour", "value", ["event_type"],
         high_water=cutoff, exact_decimals=4)
+    # 6-dp mean via exact integer HALF-AWAY division of the scaled sum:
+    # rounding the float quotient is engine-dependent at exact 5e-7
+    # ties (Spark rounds the shortest decimal repr, DuckDB the binary
+    # double — first diverged at sf1 row counts)
+    out = out.withColumn(
+        "_s", F.round(F.col("total") * 10000).cast("long"))
+    vavg = (F.signum("_s").cast("long")
+            * F.expr("(200 * abs(_s) + n) div (2 * n)")
+            ).cast("double") / F.lit(1e6)
     return out.select(
         F.col("bucket_start").alias("window_start"), "event_type", "n",
-        "total", "vmin", "vmax", F.round(F.col("vavg"), 6).alias("vavg"))
+        "total", "vmin", "vmax", vavg.alias("vavg"))
 
 
 def q_session_window(spark, sf_dir):
@@ -4784,7 +4793,12 @@ def _driver_checked_rounds() -> dict[str, int]:
 # row (making that row evidence for the old form): list them here to
 # force them back into the 50-query window as if never checked. Clear
 # an entry once the next CORRECTNESS file carries its fresh row.
-_FORCE_RECHECK: frozenset[str] = frozenset()
+_FORCE_RECHECK: frozenset[str] = frozenset({
+    # r7: vavg recomputed as exact integer HALF-AWAY division (the old
+    # float-quotient round() split on a 5e-7 tie at sf1) — the r2
+    # driver row covers the old form
+    "hypertable_rollup",
+})
 
 
 # Canonical registry, in addition order (r1 core -> r6 tiers). The
@@ -5676,8 +5690,12 @@ def oracle_sql() -> dict[str, str]:
                        / 10000.0 AS total,
                    min("value") AS vmin,
                    max("value") AS vmax,
-                   round((CAST(SUM(CAST(round("value" * 10000) AS BIGINT)) AS DOUBLE)
-                          / 10000.0) / COUNT(*), 6) AS vavg
+                   -- exact integer HALF-AWAY 6-dp mean of the scaled
+                   -- sum (float-quotient round() splits on 5e-7 ties)
+                   CAST(sign(SUM(CAST(round("value" * 10000) AS BIGINT)))
+                        * ((200 * abs(SUM(CAST(round("value" * 10000) AS BIGINT)))
+                            + COUNT(*)) // (2 * COUNT(*))) AS DOUBLE)
+                       / 1e6 AS vavg
             FROM events
             GROUP BY 1, 2
         """,

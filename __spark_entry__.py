@@ -2816,14 +2816,14 @@ def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via SRP-LSH (16-bit signed-random-
     projection signatures, pigeonhole segment blocking, exact-cosine
     verify — never the full pair matrix). The corpus is the embeddings
-    table unioned with deterministically perturbed copies (vec_id+10000)
+    table unioned with deterministically perturbed copies (vec_id+1e8)
     so genuine near-duplicates exist to find."""
     from db_spark.llm import similarity as lsim
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     arr = F.col("embedding").cast("array<double>")
     perturbed = emb.select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
+        (F.col("vec_id") + 100000000).alias("vec_id"),
         F.zip_with(
             arr,
             F.sequence(F.lit(0), F.lit(63)),
@@ -2856,8 +2856,8 @@ def q_dbscan(spark, sf_dir):
         return d if mod is None else             d.filter((F.col("vec_id") - shift) % mod == 0)
 
     corpus = (emb.select("vec_id", arr.alias("embedding"))
-              .unionByName(pert(10000, None, 7, 3))
-              .unionByName(pert(20000, 3, 5, 2)))
+              .unionByName(pert(100000000, None, 7, 3))
+              .unionByName(pert(200000000, 3, 5, 2)))
     return lsim.dbscan(corpus, threshold=0.95, min_pts=2)
 
 
@@ -4375,7 +4375,7 @@ def _srp_near_dup_oracle(
 
     corpus_body = corpus_sql or f"""SELECT vec_id, v FROM base
           UNION ALL
-          SELECT vec_id + 10000 AS vec_id,
+          SELECT vec_id + 100000000 AS vec_id,
                  list_transform(range(0, {dim}),
                                 j -> v[j+1] + ((j % 7) - 3)::DOUBLE * 0.01) AS v
           FROM base"""
@@ -4416,13 +4416,13 @@ def _dbscan_oracle(min_pts: int = 2, dim: int = 64) -> str:
     ``similarity.dbscan`` stage for stage."""
     corpus_body = f"""SELECT vec_id, v FROM base
           UNION ALL
-          SELECT vec_id + 10000 AS vec_id,
+          SELECT vec_id + 100000000 AS vec_id,
                  list_transform(range(0, {dim}),
                                 j -> v[j+1] + ((j % 7) - 3)::DOUBLE * 0.01)
                      AS v
           FROM base
           UNION ALL
-          SELECT vec_id + 20000 AS vec_id,
+          SELECT vec_id + 200000000 AS vec_id,
                  list_transform(range(0, {dim}),
                                 j -> v[j+1] + ((j % 5) - 2)::DOUBLE * 0.01)
                      AS v
@@ -4432,8 +4432,8 @@ def _dbscan_oracle(min_pts: int = 2, dim: int = 64) -> str:
         WITH RECURSIVE pairs AS ({pairs_sql}),
         corpus_ids AS (
           SELECT vec_id FROM embeddings
-          UNION ALL SELECT vec_id + 10000 FROM embeddings
-          UNION ALL SELECT vec_id + 20000 FROM embeddings
+          UNION ALL SELECT vec_id + 100000000 FROM embeddings
+          UNION ALL SELECT vec_id + 200000000 FROM embeddings
                     WHERE vec_id % 3 = 0),
         sym AS (SELECT id_a, id_b FROM pairs
                 UNION ALL SELECT id_b, id_a FROM pairs),
@@ -4798,6 +4798,11 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # float-quotient round() split on a 5e-7 tie at sf1) — the r2
     # driver row covers the old form
     "hypertable_rollup",
+    # r7: perturbed-copy id offset raised 10000/20000 -> 1e8/2e8 (the
+    # old offsets collided with real vec_ids at sf>=1, and the offset
+    # appears in the output ids) — prior rows cover the old corpus
+    "embedding_near_dup",
+    "dbscan",
 })
 
 
@@ -6311,7 +6316,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, source,
                      round(ln(({_H32.format(x='CAST(doc_id AS VARCHAR)')}
                                + 0.5) / 4294967296.0)
-                           / (1 + doc_id % 10), 6) AS sample_key
+                           / (1 + doc_id % 10), 6)
+                         + CAST(0 AS DOUBLE) AS sample_key
               FROM documents)
             SELECT doc_id, source, sample_key FROM keyed
             ORDER BY sample_key DESC, doc_id LIMIT 50

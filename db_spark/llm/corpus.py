@@ -184,7 +184,9 @@ def weighted_sample(
     """
     w = weight.cast("double")
     u = (h32(F.col(id_col).cast("string")) + F.lit(0.5)) / F.lit(float(_TWO32))
-    key = F.round(F.log(u) / w, 6)
+    # + 0.0 normalizes IEEE -0.0 (a tiny negative key rounds to zero;
+    # engines disagree on the sign bit's rendering — wilson precedent)
+    key = F.round(F.log(u) / w, 6) + F.lit(0.0)
     return (
         df.filter(w > 0)
         .withColumn("sample_key", key)

@@ -3221,6 +3221,34 @@ def q_deterministic_split(spark, sf_dir):
     return docs.select("doc_id", split.alias("split"))
 
 
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (db_spark/llm/corpus.py:
+    leakage_safe_split): near-dup clusters from the MinHash-LSH tier
+    split as a UNIT (the group id is hashed, not the doc id), so eval
+    never scores a near-copy of a training document. Cluster table is
+    pair-node-sized; the split itself is one left join + a map-only
+    integer-ppm hash decision."""
+    from db_spark.llm import dedup as ldedup
+    from db_spark.llm.corpus import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ldedup.minhash_dedup_pairs(docs, k=16, bands=4, threshold=0.5)
+    clusters = ldedup.connected_components(pairs)
+    return leakage_safe_split(docs, clusters)
+
+
+def q_shard_plan(spark, sf_dir):
+    """Deterministic global shuffle into training shards
+    (db_spark/llm/corpus.py: global_shuffle_shards): shard assignment
+    and within-shard position both derive from the stable salted id
+    hash — bit-reproducible epoch shuffling, one exchange + per-shard
+    sort (the write pattern repartition + sortWithinPartitions)."""
+    from db_spark.llm.corpus import global_shuffle_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return global_shuffle_shards(docs, n_shards=8)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: documents as opaque binary payloads through
     the Arrow-batched mapInPandas feature pipeline (fake decoder —
@@ -5010,8 +5038,10 @@ _REGISTRY_KEYS: list[str] = [
     "count_distinct",
     "array_funcs",
     "map_struct_funcs",
-    # r7 addition
+    # r7 additions
     "kcenter_batched",
+    "leakage_split",
+    "shard_plan",
 ]
 
 
@@ -6163,6 +6193,46 @@ def oracle_sql() -> dict[str, str]:
                              % 10 < 9 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "leakage_split": f"""
+            WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            members AS (
+              SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+              FROM reach GROUP BY src
+            ),
+            grp AS (
+              SELECT d.doc_id,
+                     coalesce(m.cluster_id, d.doc_id) AS group_id
+              FROM documents d LEFT JOIN members m USING (doc_id)
+            )
+            SELECT doc_id, group_id,
+                   CASE WHEN {_H32.format(x="'split:' || CAST(group_id AS VARCHAR)")}
+                             % 1000000 < 800000 THEN 'train'
+                        WHEN {_H32.format(x="'split:' || CAST(group_id AS VARCHAR)")}
+                             % 1000000 < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM grp
+        """,
+        "shard_plan": f"""
+            WITH keyed AS (
+              SELECT doc_id,
+                     {_H32.format(x="'shuffle:' || CAST(doc_id AS VARCHAR)")} AS k
+              FROM documents
+            )
+            SELECT doc_id, k % 8 AS shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY k % 8
+                                           ORDER BY k, doc_id) AS BIGINT) AS pos
+            FROM keyed
         """,
         "span_dup": f"""
             WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

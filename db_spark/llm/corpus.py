@@ -478,3 +478,90 @@ def bootstrap_counts(
         count = ind if count is None else count + ind
     return (df.select(F.col(id_col), count.cast("long").alias("n_copies"))
             .filter(F.col("n_copies") > 0))
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe splitting and deterministic global shuffle
+# ---------------------------------------------------------------------------
+
+def leakage_safe_split(
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id",
+    train_ppm: int = 800_000, val_ppm: int = 100_000,
+    salt: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: every member of a near-dup
+    cluster lands in the SAME split, so evaluation can never score a
+    near-copy of a training document (the contamination a plain
+    per-document hash split silently allows — `deterministic_split`'s
+    known failure mode on a deduplicated-but-clustered corpus).
+
+    ``clusters`` is the (doc_id, cluster_id) output of
+    ``dedup.connected_components`` over any near-dup pair generator;
+    documents without a cluster row (singletons) split on their own id.
+    The split decision hashes the GROUP id, so the whole cluster moves
+    together and the assignment is invariant under repartitioning,
+    re-runs, and engines. Thresholds are exact integer ppm on the
+    32-bit id-hash uniform: u < train_ppm -> train,
+    u < train_ppm + val_ppm -> val, else test.
+
+    100 TB shape: ``clusters`` is bounded by the near-dup PAIR node
+    set (far smaller than the corpus — AQE broadcasts it when small),
+    so the cost is one left equi-join plus a map-only hash decision.
+    The expensive part is the pair generation, which the LSH tier
+    already bounds (block-then-verify, never all-pairs).
+    """
+    from db_spark.llm.dedup import h32
+
+    grp = clusters.select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id"))
+    joined = df.select(id_col).join(grp, id_col, "left").withColumn(
+        "group_id",
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("long"))
+    u = h32(F.concat(F.lit(salt + ":"),
+                     F.col("group_id").cast("string"))) % 1_000_000
+    split = (
+        F.when(u < train_ppm, F.lit("train"))
+        .when(u < train_ppm + val_ppm, F.lit("val"))
+        .otherwise(F.lit("test")))
+    return joined.select(id_col, "group_id", split.alias("split"))
+
+
+def global_shuffle_shards(
+    df: DataFrame, n_shards: int = 1024, id_col: str = "doc_id",
+    salt: str = "shuffle", with_position: bool = True,
+) -> DataFrame:
+    """Deterministic global shuffle of a corpus into ``n_shards``
+    training shards — the export step before sequential training reads.
+    Shard assignment and within-shard order both derive from the stable
+    salted id hash, so the shuffle is bit-reproducible across runs,
+    partitionings, and engines (a `df.orderBy(rand())` shuffle is
+    neither reproducible nor resumable; seeded `rand()` is
+    partition-dependent).
+
+    Returns (id, shard, pos): ``shard = h32(salt:id) % n_shards`` and
+    ``pos`` the 1-based rank of the hash within its shard (ties broken
+    by id — a total order). Changing the salt is a fresh epoch-level
+    reshuffle; changing ``n_shards`` only re-buckets, it never
+    re-orders the underlying hash sequence.
+
+    100 TB shape: one exchange on ``shard`` plus a per-shard sort —
+    with n_shards sized so a shard fits a task (corpus_bytes /
+    n_shards ~ hundreds of MB), the sort is per-reducer-local and the
+    plan is exactly the write pattern
+    ``repartition(n_shards, shard).sortWithinPartitions(key)``. Set
+    ``with_position=False`` on the pure write path to skip the rank
+    column (same exchange + sort, no window function needed).
+    """
+    from db_spark.llm.dedup import h32
+
+    key = h32(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    out = df.select(id_col).withColumn("_key", key).withColumn(
+        "shard", (F.col("_key") % n_shards).cast("long"))
+    if not with_position:
+        return (out.repartition(n_shards, "shard")
+                .sortWithinPartitions("_key", id_col)
+                .select(id_col, "shard"))
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    return out.select(
+        id_col, "shard",
+        F.row_number().over(w).cast("long").alias("pos"))

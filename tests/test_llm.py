@@ -1453,3 +1453,57 @@ def test_bootstrap_counts_distribution_and_determinism(spark):
     # partition-invariant: identical draws on any layout
     again = bootstrap_counts(df.repartition(16), rate=1.0).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from db_spark.llm.corpus import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # clusters: {0,1,2} -> 0, {10,11} -> 10; everything else singleton
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long")
+    out = leakage_safe_split(docs, clusters).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == 200
+    # cluster members share group AND split
+    assert {by_id[i]["group_id"] for i in (0, 1, 2)} == {0}
+    assert len({by_id[i]["split"] for i in (0, 1, 2)}) == 1
+    assert {by_id[i]["group_id"] for i in (10, 11)} == {10}
+    assert len({by_id[i]["split"] for i in (10, 11)}) == 1
+    # singletons group on their own id
+    assert by_id[50]["group_id"] == 50
+    # ppm thresholds roughly respected on the singleton mass
+    frac_train = sum(1 for r in out if r["split"] == "train") / 200
+    assert 0.7 < frac_train < 0.9
+    # partition-invariant
+    again = leakage_safe_split(docs.repartition(16), clusters).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_global_shuffle_shards_is_deterministic_permutation(spark):
+    from db_spark.llm.corpus import global_shuffle_shards
+
+    docs = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = global_shuffle_shards(docs, n_shards=4).collect()
+    assert len(out) == 1000
+    # positions are a 1..n_s permutation inside every shard
+    from collections import defaultdict
+    per = defaultdict(list)
+    for r in out:
+        per[r["shard"]].append(r["pos"])
+    assert set(per) == {0, 1, 2, 3}
+    for shard, ps in per.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # rough balance (hash-uniform): no shard under half the fair share
+    assert min(len(p) for p in per.values()) > 125
+    # reproducible under repartitioning; salt changes reshuffle
+    again = global_shuffle_shards(docs.repartition(16), n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = global_shuffle_shards(docs, n_shards=4, salt="epoch2").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+    # with_position=False: same shard assignment, no window in the plan
+    wp = global_shuffle_shards(docs, n_shards=4, with_position=False)
+    assert "Window" not in wp._jdf.queryExecution().executedPlan().toString()
+    assert sorted((r["doc_id"], r["shard"]) for r in wp.collect()) == \
+        sorted((r["doc_id"], r["shard"]) for r in out)

@@ -3816,19 +3816,19 @@ def _bford_oracle(rounds: int = 4) -> str:
         its.append(f"""
         x{i} AS (SELECT e.d AS node, min({prev}.dist + e.w) AS nd
                  FROM {prev} JOIN ed e ON e.s = {prev}.node GROUP BY 1),
-        d{i} AS (SELECT coalesce(a.node, b.node) AS node,
+        d{i} AS MATERIALIZED (SELECT coalesce(a.node, b.node) AS node,
                         least(coalesce(a.dist, b.nd),
                               coalesce(b.nd, a.dist)) AS dist
                  FROM {prev} a FULL OUTER JOIN x{i} b
                    ON a.node = b.node)""")
     return f"""
-        WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        ep AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        WITH p AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        ep AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
                       count(*) AS cnt
                FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
                                 AND a.l_partkey < b.l_partkey
                GROUP BY 1, 2 HAVING count(*) >= 2),
-        ed AS (SELECT pa AS s, pb AS d,
+        ed AS MATERIALIZED (SELECT pa AS s, pb AS d,
                       CAST(1000000 // cnt AS BIGINT) AS w FROM ep
                UNION ALL
                SELECT pb, pa, CAST(1000000 // cnt AS BIGINT) FROM ep),
@@ -3848,18 +3848,18 @@ def _lpa_oracle(iterations: int = 4) -> str:
         its.append(f"""
         v{i} AS (SELECT ed.s AS node, l.lbl, count(*) AS c
                  FROM ed JOIN {prev} l ON l.node = ed.d GROUP BY 1, 2),
-        l{i} AS (SELECT node, lbl FROM (
+        l{i} AS MATERIALIZED (SELECT node, lbl FROM (
                    SELECT node, lbl,
                           ROW_NUMBER() OVER (PARTITION BY node
                             ORDER BY c DESC, lbl) AS rk
                    FROM v{i}) WHERE rk = 1)""")
     return f"""
-        WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        WITH p AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb
                FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
                                 AND a.l_partkey < b.l_partkey
                GROUP BY 1, 2 HAVING count(*) >= 2),
-        ed AS (SELECT pa AS s, pb AS d FROM e0
+        ed AS MATERIALIZED (SELECT pa AS s, pb AS d FROM e0
                UNION SELECT pb, pa FROM e0),
         l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM ed),
         {",".join(its)}
@@ -4092,7 +4092,7 @@ def _curate_oracle() -> str:
     norm = _normalize_chain("text")
     return f"""
         WITH RECURSIVE
-        src AS (SELECT doc_id, lang, source, {norm} AS text
+        src AS MATERIALIZED (SELECT doc_id, lang, source, {norm} AS text
                 FROM documents),
         qx AS (
           SELECT doc_id,
@@ -4118,7 +4118,7 @@ def _curate_oracle() -> str:
           SELECT s.doc_id, s.lang, s.source, s.text, q.quality_ppm
           FROM src s JOIN scored q USING (doc_id)
           WHERE q.quality_ppm >= 720000),
-        train0 AS (SELECT * FROM gate WHERE doc_id % 97 <> 0),
+        train0 AS MATERIALIZED (SELECT * FROM gate WHERE doc_id % 97 <> 0),
         egr AS (
           SELECT DISTINCT unnest(list_distinct(list_transform(
                      range(1, greatest(len(toks)-2, 1)),
@@ -4133,11 +4133,11 @@ def _curate_oracle() -> str:
           FROM (SELECT doc_id, {_TOKS} AS toks FROM train0)),
         contaminated AS (
           SELECT DISTINCT tgr.doc_id FROM tgr JOIN egr USING (gram)),
-        clean AS (
+        clean AS MATERIALIZED (
           SELECT * FROM train0
           WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-        pairs AS ({_minhash_lsh_oracle(rel='clean')}),
-        edges AS (
+        pairs AS MATERIALIZED ({_minhash_lsh_oracle(rel='clean')}),
+        edges AS MATERIALIZED (
           SELECT id_a AS src_n, id_b AS dst FROM pairs
           UNION
           SELECT id_b, id_a FROM pairs),
@@ -4249,9 +4249,12 @@ def _minhash_lsh_oracle(k: int = 16, bands: int = 4, threshold: float = 0.5,
         for b in range(bands)
     )
     est = " + ".join(f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(k))
+    # AS MATERIALIZED: DuckDB 1.0 inlines CTEs by default, so without it
+    # `sig` (the full MinHash computation) is re-evaluated once per
+    # reference (6x here) — at sf1 that inlining OOMs the oracle.
     return f"""
-        WITH sig AS ({_minhash_oracle(rel)}),
-        bands_long AS (
+        WITH sig AS MATERIALIZED ({_minhash_oracle(rel)}),
+        bands_long AS MATERIALIZED (
               {bands_long}
         ),
         ok_buckets AS (
@@ -4259,7 +4262,7 @@ def _minhash_lsh_oracle(k: int = 16, bands: int = 4, threshold: float = 0.5,
               GROUP BY band_id, band_key
               HAVING count(*) <= {DEFAULT_MAX_BUCKET_SIZE}
         ),
-        flt AS (SELECT bl.* FROM bands_long bl
+        flt AS MATERIALIZED (SELECT bl.* FROM bands_long bl
                 JOIN ok_buckets USING (band_id, band_key)),
         cand AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -4407,12 +4410,15 @@ def _srp_near_dup_oracle(
                  list_transform(range(0, {dim}),
                                 j -> v[j+1] + ((j % 7) - 3)::DOUBLE * 0.01) AS v
           FROM base"""
+    # AS MATERIALIZED: DuckDB 1.0 inlines CTEs, so `sig` (16 projection
+    # sums per vector) would otherwise be recomputed per segment-block
+    # join arm and `corpus` per verify join — OOM at sf1.
     return f"""
-        WITH base AS (
+        WITH base AS MATERIALIZED (
           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
           FROM embeddings
         ),
-        corpus AS (
+        corpus AS MATERIALIZED (
           {corpus_body}
         ),
         proj AS (
@@ -4420,8 +4426,8 @@ def _srp_near_dup_oracle(
                  {projs}
           FROM corpus
         ),
-        sig AS (SELECT vec_id, v, {sig} AS s FROM proj),
-        cand AS (
+        sig AS MATERIALIZED (SELECT vec_id, v, {sig} AS s FROM proj),
+        cand AS MATERIALIZED (
               {cand_union}
         ),
         scored AS (
@@ -4457,20 +4463,20 @@ def _dbscan_oracle(min_pts: int = 2, dim: int = 64) -> str:
           FROM base WHERE vec_id % 3 = 0"""
     pairs_sql = _srp_near_dup_oracle(corpus_sql=corpus_body)
     return f"""
-        WITH RECURSIVE pairs AS ({pairs_sql}),
+        WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
         corpus_ids AS (
           SELECT vec_id FROM embeddings
           UNION ALL SELECT vec_id + 100000000 FROM embeddings
           UNION ALL SELECT vec_id + 200000000 FROM embeddings
                     WHERE vec_id % 3 = 0),
-        sym AS (SELECT id_a, id_b FROM pairs
+        sym AS MATERIALIZED (SELECT id_a, id_b FROM pairs
                 UNION ALL SELECT id_b, id_a FROM pairs),
         deg AS (SELECT id_a, count(*) AS d FROM sym GROUP BY 1),
-        core AS (SELECT id_a AS id FROM deg WHERE d >= {min_pts}),
-        ce AS (SELECT p.id_a, p.id_b FROM pairs p
+        core AS MATERIALIZED (SELECT id_a AS id FROM deg WHERE d >= {min_pts}),
+        ce AS MATERIALIZED (SELECT p.id_a, p.id_b FROM pairs p
                JOIN core a ON p.id_a = a.id
                JOIN core b ON p.id_b = b.id),
-        edges AS (SELECT id_a AS src, id_b AS dst FROM ce
+        edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ce
                   UNION SELECT id_b, id_a FROM ce),
         reach(src, dst) AS (
           SELECT src, dst FROM edges
@@ -4684,8 +4690,8 @@ def _dedup_keep_best_oracle() -> str:
 
     sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     return f"""
-        WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}),
-        edges AS (
+        WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_lsh_oracle()}),
+        edges AS MATERIALIZED (
           SELECT id_a AS src, id_b AS dst FROM pairs
           UNION
           SELECT id_b, id_a FROM pairs
@@ -5810,8 +5816,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": _minhash_oracle(),
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
         "dedup_clusters": f"""
-            WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}),
-            edges AS (
+            WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_lsh_oracle()}),
+            edges AS MATERIALIZED (
               SELECT id_a AS src, id_b AS dst FROM pairs
               UNION
               SELECT id_b, id_a FROM pairs
@@ -5835,8 +5841,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "dedup_corpus": f"""
-            WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}),
-            edges AS (
+            WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_lsh_oracle()}),
+            edges AS MATERIALIZED (
               SELECT id_a AS src, id_b AS dst FROM pairs
               UNION
               SELECT id_b, id_a FROM pairs
@@ -6195,8 +6201,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "leakage_split": f"""
-            WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}),
-            edges AS (
+            WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_lsh_oracle()}),
+            edges AS MATERIALIZED (
               SELECT id_a AS src, id_b AS dst FROM pairs
               UNION
               SELECT id_b, id_a FROM pairs
@@ -6808,7 +6814,7 @@ def oracle_sql() -> dict[str, str]:
                 ON a.l_orderkey = b.l_orderkey
                AND a.l_partkey < b.l_partkey
               GROUP BY 1, 2 HAVING count(*) >= 2),
-            edges AS (
+            edges AS MATERIALIZED (
               SELECT CAST(pa AS BIGINT) AS s, CAST(pb AS BIGINT) AS d
               FROM base
               UNION
@@ -7508,7 +7514,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM names a JOIN names b ON a.nid < b.nid
                   WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
                     AND levenshtein(a.p_name, b.p_name) <= 2),
-            edges AS (SELECT id_a AS src, id_b AS dst FROM e
+            edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM e
                       UNION SELECT id_b, id_a FROM e),
             reach(src, dst) AS (
               SELECT src, dst FROM edges
@@ -7766,7 +7772,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE cnt.n >= 2
         """,
         "triangle_count": """
-            WITH edges AS (
+            WITH edges AS MATERIALIZED (
               SELECT a.l_partkey AS pa, b.l_partkey AS pb
               FROM lineitem a JOIN lineitem b
                 ON a.l_orderkey = b.l_orderkey

@@ -3912,16 +3912,22 @@ def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
     for i in range(1, rounds + 1):
         prev = "e0" if i == 1 else f"e{i-1}"
         its.append(f"""
-        n{i} AS (SELECT s FROM {prev} GROUP BY s HAVING count(*) >= {k}),
-        e{i} AS (SELECT e.s, e.d FROM {prev} e
+        n{i} AS MATERIALIZED (SELECT s FROM {prev} GROUP BY s
+                              HAVING count(*) >= {k}),
+        e{i} AS MATERIALIZED (SELECT e.s, e.d FROM {prev} e
                  JOIN n{i} a ON e.s = a.s JOIN n{i} b ON e.d = b.s)""")
+    # AS MATERIALIZED everywhere: n{{i}} is referenced twice per round,
+    # so DuckDB's default CTE inlining re-evaluates the whole prefix
+    # ~2^rounds times — at sf1 that spilled >35 GiB before timing out.
     return f"""
-        WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        ep AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        WITH p AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        ep AS MATERIALIZED (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
                FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
                                 AND a.l_partkey < b.l_partkey
                GROUP BY 1, 2 HAVING count(*) >= 2),
-        e0 AS (SELECT pa AS s, pb AS d FROM ep
+        e0 AS MATERIALIZED (SELECT pa AS s, pb AS d FROM ep
                UNION SELECT pb, pa FROM ep),
         {",".join(its)}
         SELECT s AS node, count(*) AS degree FROM e{rounds} GROUP BY s
@@ -4478,13 +4484,15 @@ def _dbscan_oracle(min_pts: int = 2, dim: int = 64) -> str:
                JOIN core b ON p.id_b = b.id),
         edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ce
                   UNION SELECT id_b, id_a FROM ce),
-        reach(src, dst) AS (
-          SELECT src, dst FROM edges
+        lab(id, l) AS (
+          SELECT src AS id, src AS l FROM edges
           UNION
-          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        comp AS (SELECT src AS id, least(src, MIN(dst)) AS cluster
-                 FROM reach GROUP BY src),
-        core_lab AS (SELECT core.id,
+          SELECT e.src, lab.l FROM lab JOIN edges e ON e.dst = lab.id
+          WHERE lab.l < e.src),
+        comp AS MATERIALIZED (
+                 SELECT id, MIN(l) AS cluster FROM lab GROUP BY id),
+        core_lab AS MATERIALIZED (
+                     SELECT core.id,
                             coalesce(comp.cluster, core.id) AS cluster
                      FROM core LEFT JOIN comp ON comp.id = core.id),
         border AS (SELECT s.id_a AS id, min(cl.cluster) AS cluster

@@ -4398,17 +4398,30 @@ def _srp_near_dup_oracle(
     seg_n = max_hamming + 1
     seg_bits = max(1, n_bits // seg_n)
     n_keys = 1 << seg_bits
-    cand_union = "\n              UNION\n              ".join(
-        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM sig a JOIN sig b "
+
+    def dot(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(range(0, {dim}),"
+                f" j -> {a}[j+1] * {b}[j+1]))")
+
+    # One streaming arm per pigeonhole segment, scored and thresholded
+    # INSIDE the arm — mirrors the engine, which filters cos_sim >=
+    # threshold before its distinct. Deduping candidate pairs BEFORE
+    # scoring (the old shape) forces DuckDB to materialize the full
+    # sum-of-squared-bucket-sizes candidate set (~1e10 rows at sf1,
+    # >70 GiB of spill); scoring first keeps every arm a pipelined
+    # hash join and the final DISTINCT sees only verified pairs.
+    # sqrt per vector then multiply per pair is the engine's exact
+    # float sequence (similarity.py _norm_d), bit-identical to the
+    # former per-pair sqrt(dot(a,a))*sqrt(dot(b,b)).
+    hit_union = "\n              UNION ALL\n              ".join(
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        f"round({dot('a.v', 'b.v')} / (a.nrm * b.nrm), 6) AS cos_sim "
+        f"FROM sig a JOIN sig b "
         f"ON (a.s // {1 << (s * seg_bits)}) % {n_keys}"
         f" = (b.s // {1 << (s * seg_bits)}) % {n_keys}"
         f" AND a.vec_id < b.vec_id"
         for s in range(seg_n)
     )
-
-    def dot(a: str, b: str) -> str:
-        return (f"list_sum(list_transform(range(0, {dim}),"
-                f" j -> {a}[j+1] * {b}[j+1]))")
 
     corpus_body = corpus_sql or f"""SELECT vec_id, v FROM base
           UNION ALL
@@ -4432,20 +4445,13 @@ def _srp_near_dup_oracle(
                  {projs}
           FROM corpus
         ),
-        sig AS MATERIALIZED (SELECT vec_id, v, {sig} AS s FROM proj),
-        cand AS MATERIALIZED (
-              {cand_union}
-        ),
-        scored AS (
-          SELECT id_a, id_b,
-                 round({dot('a.v', 'b.v')}
-                       / (sqrt({dot('a.v', 'a.v')}) * sqrt({dot('b.v', 'b.v')})),
-                       6) AS cos_sim
-          FROM cand
-          JOIN corpus a ON a.vec_id = id_a
-          JOIN corpus b ON b.vec_id = id_b
+        sig AS MATERIALIZED (SELECT vec_id, v, {sig} AS s,
+                             sqrt({dot('v', 'v')}) AS nrm FROM proj),
+        hits AS (
+              {hit_union}
         )
-        SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {threshold}
+        SELECT DISTINCT id_a, id_b, cos_sim FROM hits
+        WHERE cos_sim >= {threshold}
     """
 
 

@@ -360,6 +360,29 @@ def test_jaccard_similarity_join_exact_vs_bruteforce(spark):
     assert got[0].jaccard == 1.0
 
 
+def test_jaccard_join_duplicate_group_expansion(spark):
+    """The identical-set fast path must expand representative pairs to
+    every group member: 3 copies of A and 2 copies of B (A~B above
+    threshold) yield all within-group 1.0 pairs plus all 6 cross pairs
+    carrying the representatives' exact jaccard."""
+    a_txt = "the quick brown fox jumps over the lazy dog today"
+    b_txt = "the quick brown fox jumps over the lazy dog tonight"
+    df = spark.createDataFrame(
+        [(1, a_txt), (2, b_txt), (3, a_txt), (4, b_txt), (5, a_txt)],
+        "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.jaccard_similarity_join(df, 0.3).collect()}
+    want = {(r.id_a, r.id_b): round(r.jaccard, 6)
+            for r in dedup.ngram_jaccard_pairs(
+                df, threshold=0.3, max_shingle_df=None).collect()}
+    assert got == want
+    # every pair is present: C(5,2) = 10 (all A-A, B-B, and A-B pairs)
+    assert len(got) == 10
+    assert got[(1, 3)] == got[(3, 5)] == got[(2, 4)] == 1.0
+    cross = {got[p] for p in [(1, 2), (1, 4), (2, 3), (2, 5), (3, 4), (4, 5)]}
+    assert len(cross) == 1 and 0.3 <= cross.pop() < 1.0
+
+
 def test_select_representatives_quality_argmax(spark):
     clusters = spark.createDataFrame(
         [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],

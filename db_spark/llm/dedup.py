@@ -269,8 +269,9 @@ def simhash_pairs(
     one representative per DISTINCT signature and its pairs expand to
     group members — Hamming distance depends only on the signatures,
     so every expanded pair's distance is the representatives', exactly.
-    Measured on the 10x-replicated sf1 dir: 21.8 s -> 1.1 s, identical
-    8,532,800-pair output."""
+    Measured on the 10x-replicated sf1 dir (count-shaped, isolating
+    the join from driver transfer of the 8.5M-pair result): 15.9 s ->
+    1.1 s, identical 8,532,800-pair output."""
     seg_n = max_hamming + 1
     seg_bits = bits // seg_n
     sh = df.select(F.col(id_col).alias("_hid"),
@@ -752,7 +753,8 @@ def jaccard_similarity_join(
     exactly). Candidate volume now follows DISTINCT-set count, immune
     to duplicate density; the output itself is the only thing that
     grows with duplication. Measured at the replicated sf1 dir (10
-    copies per doc): 161 s → 15.7 s, identical 250,600-row output.
+    copies per doc, collect-shaped like the bench): 161 s → 4.4 s,
+    identical 250,600-row output.
     """
     t_ppm = int(round(threshold * 1_000_000))
     sh = shingle_table(df, id_col, text_col, n, max_shingle_df=None)

@@ -738,13 +738,52 @@ def _k_center_batched(
     st = (st.filter(F.col("_id") != seed)
           .withColumn("_mind", _kc_dist_expr(seed_vec))
           .localCheckpoint(eager=False))
+    # fetch deeper than m so exact-duplicate vectors (the norm in a
+    # dedup-bound corpus) don't starve the batch: a twin (identical
+    # vector, larger id) can never be sub-picked while its min-id
+    # representative is present (equal score, larger id loses the
+    # tie-break) and is dominated at distance 0 the moment the
+    # representative is accepted — so dropping twins from the batch
+    # provably never changes the traversal. ~65 rows of 64 doubles:
+    # the fetch stays scalar-class.
+    fetch = 8 * m + 1
     while len(picks) < k:
         cands = (st.orderBy(F.col("_mind").desc(), F.col("_id"))
-                 .limit(m + 1).collect())
-        batch = cands[:m]
-        # every point outside the fetched set has _mind <= bound, and
-        # true scores only shrink — so bound caps all outside scores
-        bound = cands[m]["_mind"] if len(cands) > m else None
+                 .limit(fetch).collect())
+        seen_vecs: set = set()
+        batch, next_distinct, dropped_twin = [], None, False
+        for r in cands:
+            key = tuple(r["_v"])
+            if key in seen_vecs:
+                dropped_twin = True
+                continue
+            seen_vecs.add(key)
+            if len(batch) < m:
+                batch.append(r)
+            else:
+                next_distinct = r
+                break
+        # bound must cap every point outside the batch (true scores
+        # only shrink): the (m+1)-th DISTINCT candidate caps the
+        # non-batch distinct points and (transitively, twins score
+        # exactly their representative) all twins; with no (m+1)-th
+        # distinct row, the last fetched row caps the unfetched tail;
+        # a fetch that exhausted the corpus leaves only dominated
+        # twins outside - no bound needed.
+        if next_distinct is not None:
+            bound = next_distinct["_mind"]
+        elif len(cands) == fetch:
+            bound = cands[-1]["_mind"]
+        else:
+            bound = None
+        # a dropped twin scores exactly 0 once its batch representative
+        # is accepted, and cosine distance is never negative — so when
+        # any twin was dropped, a 0-score sub-pick could lose the id
+        # tie-break to a twin outside the batch: floor the bound at 0
+        # (the degenerate all-duplicates tail then falls back to one
+        # exact argmax per round, matching m=1)
+        if dropped_twin and (bound is None or bound < 0.0):
+            bound = 0.0
         ids = [int(r["_id"]) for r in batch]
         vecs = {int(r["_id"]): list(r["_v"]) for r in batch}
         score = {int(r["_id"]): r["_mind"] for r in batch}

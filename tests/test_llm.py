@@ -1331,6 +1331,18 @@ def test_k_center_batched_equals_m1(spark):
          (4, [-1.0, 0.0])], "vec_id long, embedding array<double>")
     assert (similarity.k_center_greedy(toy, k=4, batch_m=3).collect()
             == similarity.k_center_greedy(toy, k=4).collect())
+    # duplicate-saturated corpus (10 exact copies of 6 distinct
+    # vectors): the frontier twin-dedup must not change the traversal,
+    # including the degenerate tail where k exceeds the distinct count
+    # and copies get picked at min_dist 0 in id order
+    dup = spark.createDataFrame(
+        [(c * 100 + i, [float((c * 3) % 7), float((c * 5) % 11), 1.0])
+         for c in range(6) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    base_d = similarity.k_center_greedy(dup, k=15).collect()
+    for m in (4, 16):
+        got_d = similarity.k_center_greedy(dup, k=15, batch_m=m).collect()
+        assert got_d == base_d, f"dup corpus: batch_m={m} diverged"
 
 
 def test_k_center_batched_compresses_job_chain(spark):

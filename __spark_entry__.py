@@ -1690,11 +1690,18 @@ def q_string_funcs(spark, sf_dir):
 
 def q_json_agg(spark, sf_dir):
     """Structured JSON parse + relational aggregate: events.props parsed
-    with an explicit schema (from_json — vectorized JVM path, not a
-    UDF), bucketed and aggregated. Parse errors become NULLs on both
-    engines."""
+    and bucketed. Parse semantics are pinned IDENTICALLY on both engines
+    by construction: string-extract $.k (get_json_object /
+    json_extract_string — both return the unquoted scalar text), accept
+    it ONLY if it full-matches the integer regex -?[0-9]{1,18} (so
+    quoted numbers count, floats/exponents/huge/whitespace-padded values
+    are NULL on BOTH engines regardless of either engine's cast rules),
+    then cast. The previous form (from_json typed schema vs
+    json_extract_string+CAST) agreed only on clean inputs and hash-failed
+    the round-7 driver gate on messier data."""
     ev = _t(spark, sf_dir, "events")
-    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    s = F.get_json_object(F.col("props"), "$.k")
+    k = F.when(s.rlike("^-?[0-9]{1,18}$"), s.cast("long"))
     return (
         ev.select((k % 10).alias("k_bucket"), k.alias("_k"))
         .groupBy("k_bucket")
@@ -1910,11 +1917,15 @@ def q_merge_intervals(spark, sf_dir):
 
 
 def q_json_funcs(spark, sf_dir):
-    """JSON function surface over events.props."""
+    """JSON function surface over events.props. Same pinned parse
+    semantics as q_json_agg: string-extract, regex-guard to the int64
+    range, then cast — identical NULLing on both engines for dirty
+    props (quoted/float/huge/malformed)."""
     ev = _t(spark, sf_dir, "events")
+    s = F.get_json_object(F.col("props"), "$.k")
     return ev.select(
         "event_id",
-        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+        F.when(s.rlike("^-?[0-9]{1,18}$"), s.cast("long")).alias("k"),
     )
 
 
@@ -4832,7 +4843,21 @@ def _driver_checked_rounds() -> dict[str, int]:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
-        for key in rows:
+        if not isinstance(rows, dict):
+            continue
+        for key, rec in rows.items():
+            # Only a SUCCESSFUL row counts as "driver-checked": a key
+            # whose row recorded a failure (err, hash mismatch, row
+            # mismatch) must rotate back into the window, not out of it.
+            # Rows-only checks (no oracle_sql) carry no hash_match and
+            # count on rows_match alone.
+            if not isinstance(rec, dict) or rec.get("err") is not None:
+                continue
+            ok = rec.get("hash_match")
+            if ok is None:
+                ok = rec.get("rows_match")
+            if not ok:
+                continue
             last[key] = max(last.get(key, 0), rnd)
     return last
 
@@ -4842,15 +4867,14 @@ def _driver_checked_rounds() -> dict[str, int]:
 # force them back into the 50-query window as if never checked. Clear
 # an entry once the next CORRECTNESS file carries its fresh row.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # r7: vavg recomputed as exact integer HALF-AWAY division (the old
-    # float-quotient round() split on a 5e-7 tie at sf1) — the r2
-    # driver row covers the old form
-    "hypertable_rollup",
-    # r7: perturbed-copy id offset raised 10000/20000 -> 1e8/2e8 (the
-    # old offsets collided with real vec_ids at sf>=1, and the offset
-    # appears in the output ids) — prior rows cover the old corpus
-    "embedding_near_dup",
-    "dbscan",
+    # r8: json parse semantics aligned on both engines (regex-guarded
+    # integer extraction replacing from_json-typed-schema vs
+    # json_extract_string+CAST, which disagreed on quoted/float/huge
+    # values) — the r7 row is a hash-FAIL under the old form
+    "json_agg",
+    # r8: same hardening applied to the other JSON-extraction query
+    # (its r3 row covers the old CAST-only form)
+    "json_funcs",
 })
 
 
@@ -5444,7 +5468,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_funcs": """
             SELECT event_id,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                   CASE WHEN json_valid(props) THEN
+                     CASE WHEN regexp_full_match(
+                              coalesce(json_extract_string(props, '$.k'),
+                                       ''),
+                              '-?[0-9]{1,18}')
+                          THEN CAST(json_extract_string(props, '$.k')
+                                    AS BIGINT) END
+                   END AS k
             FROM events
         """,
         "scalar_funcs": """
@@ -7918,10 +7949,21 @@ def oracle_sql() -> dict[str, str]:
                              CAST(c_nationkey AS VARCHAR)) AS seg_nation
             FROM customer
         """,
-        # schema'd JSON parse then the same bucketed aggregate.
+        # regex-guarded integer extraction — semantics pinned to match
+        # the engine exactly on dirty inputs (quoted/float/huge/invalid):
+        # json_valid guards malformed props (DuckDB json_extract errors
+        # on invalid JSON where Spark returns NULL), the full-match
+        # regex replaces engine-specific string->int cast rules.
         "json_agg": """
             WITH parsed AS (
-              SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              SELECT CASE WHEN json_valid(props) THEN
+                       CASE WHEN regexp_full_match(
+                                coalesce(json_extract_string(props, '$.k'),
+                                         ''),
+                                '-?[0-9]{1,18}')
+                            THEN CAST(json_extract_string(props, '$.k')
+                                      AS BIGINT) END
+                     END AS k
               FROM events
             )
             SELECT k % 10 AS k_bucket,

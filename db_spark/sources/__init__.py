@@ -28,7 +28,14 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     # it only affects files that actually contain NANOS columns.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
     for name in ns_cols:
+        # Only convert columns Spark actually loaded as raw INT64 nanos.
+        # INT96 (Spark's own legacy timestamp encoding) also sniffs as
+        # timestamp[ns] in the arrow footer, but Spark reads it as a
+        # proper TIMESTAMP already — converting would be a type error.
+        if dtypes.get(name) != "bigint":
+            continue
         # integer DIV: ns values exceed 2^53, so float division would
         # round (off-by-1µs vs the truncation every other reader does)
         df = df.withColumn(

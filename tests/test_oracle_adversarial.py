@@ -1,0 +1,236 @@
+"""Adversarial cross-engine parity: run the ACTUAL registry queries and
+their ACTUAL oracle SQL over deliberately DIRTY fixtures, asserting the
+two engines produce identical results on inputs far messier than the
+local testdata.
+
+Motivation: the round-7 driver gate hash-failed ``json_agg`` — the
+engine's typed ``from_json`` and the oracle's
+``json_extract_string + CAST`` are *different functions* that agreed
+only on clean ``{"k": <uint>}`` props.  The fix pins parse semantics on
+both sides (regex-guarded integer extraction); this module is the
+regression net for that whole fragility class — JSON extraction, regex
+dialect, string collation / non-ASCII, datetime edges, and
+CAST-vs-TRY_CAST — each fed a fixture engineered to expose divergence
+(quoted numbers, floats, exponent forms, >int64, malformed JSON,
+unicode, missing delimiters, leap days, ISO-week boundaries).
+
+The comparison mirrors the driver gate (and scripts/check_oracle.py):
+order-insensitive rows, columns sorted by name, exact normalized cell
+values.
+"""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+
+# --------------------------------------------------------------------------
+# driver-gate comparison (same normalization as scripts/check_oracle.py)
+# --------------------------------------------------------------------------
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(bool(v))
+    if hasattr(v, "isoformat"):
+        return v.isoformat().replace("+00:00", "")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def _normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return [cols[i] for i in order], sorted(out)
+
+
+def _assert_engines_agree(spark, sf_dir, query_name):
+    """Run registry query `query_name` on Spark and its oracle on DuckDB
+    over the same (dirty) sf_dir; assert driver-gate equality."""
+    sdf = entry_mod.queries()[query_name](spark, sf_dir)
+    s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    try:
+        for t in ("events", "documents", "customer", "orders"):
+            p = os.path.join(sf_dir, t + ".parquet")
+            if os.path.isdir(p):
+                # Spark writes parquet "files" as directories of parts
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+            elif os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        rel = con.sql(entry_mod.oracle_sql()[query_name])
+        d_cols, d_rows = list(rel.columns), rel.fetchall()
+    finally:
+        con.close()
+
+    sc, sv = _normalize(s_cols, s_rows)
+    dc, dv = _normalize(d_cols, d_rows)
+    assert sc == dc, f"{query_name}: column mismatch {sc} != {dc}"
+    assert len(sv) == len(dv), (
+        f"{query_name}: rowcount {len(sv)} != {len(dv)}")
+    diffs = [(a, b) for a, b in zip(sv, dv) if a != b]
+    assert not diffs, f"{query_name}: first diffs {diffs[:5]}"
+
+
+# --------------------------------------------------------------------------
+# dirty fixtures — one sf-dir-shaped tmp directory
+# --------------------------------------------------------------------------
+
+DIRTY_PROPS = [
+    '{"k": 7}',                          # clean
+    '{"k": "7"}',                        # quoted number
+    '{"k": "007"}',                      # quoted, leading zeros
+    '{"k": 1.5}',                        # float
+    '{"k": 1e2}',                        # exponent (both canon to 100.0)
+    '{"k": -42}',                        # negative
+    '{"k": 99999999999999999999}',       # > int64
+    '{"k": 9223372036854775807}',        # == int64 max (19 digits -> NULL)
+    '{"k": 123456789012345678}',         # 18 digits, fits
+    '{"k": null}',                       # JSON null
+    '{"k": true}',                       # boolean
+    '{"k": " 7"}',                       # whitespace-padded string
+    '{"j": 5}',                          # missing key
+    '{}',                                # empty object
+    'not json',                          # malformed
+    '',                                  # empty string
+    '[1,2,3]',                           # array root
+    '{"k": {"a": 1}}',                   # nested object value
+    '{"k": [1]}',                        # array value
+    '{"k": "-0"}',                       # negative zero string
+    None,                                # NULL props
+    '{"k": 0.5e1}',                      # exponent canon to 5.0
+    '{"k": 7.0}',                        # float-typed integer
+    '{"k": "+7"}',                       # explicit plus (not an int regex)
+    '{"k": 007}',                        # invalid JSON number literal
+    '{"k":\n 9}',                        # embedded newline
+]
+
+DIRTY_TEXT = [
+    "hello world 123",                   # clean
+    "12345 67890",                       # no alpha at all
+    "",                                  # empty
+    None,                                # NULL
+    "héllo wörld straße", # non-ASCII letters
+    "данные 42",  # cyrillic
+    "line one\nline two 7",              # newline
+    "tab\there",                         # tab
+    "a.b*c+d?e(f)g[h]i",                 # regex metacharacters as data
+    "MiXeD CaSe WoRdS",                  # case
+    "   leading spaces",                 # whitespace edges
+    "trailing spaces   ",
+    "中文文本 99",       # CJK (no [A-Za-z] match)
+    "emoji \U0001f600 test",             # astral-plane codepoint
+    "00numbers11mixed22alpha",
+]
+
+DIRTY_SEGMENTS = [
+    "BUILDING",                          # clean ASCII
+    "BÜILDING",                     # non-ASCII upper
+    "straße",                       # sharp s
+    "",                                  # empty
+    "A",                                 # single char
+    "SEG MENT",                          # embedded space
+]
+
+DIRTY_NAMES = [
+    "Customer#000000001",                # clean
+    "Customer-no-hash",                  # missing '#' delimiter
+    "#leading",                          # delimiter first
+    "trailing#",                         # delimiter last
+    "a#b#c",                             # multiple delimiters
+    "",                                  # empty
+]
+
+DIRTY_DATES = [
+    "1996-02-29",                        # leap day
+    "1995-01-01",                        # ISO week 52 of prior year
+    "1998-12-31",                        # ISO week 53
+    "2000-01-03",                        # first ISO Monday of year
+    "1995-01-31",                        # +3 months clamps to Apr 30
+    "1996-11-30",                        # month end
+    "1992-01-01",
+    "1998-08-02",
+]
+
+DIRTY_PRICES = [100.5, 0.0, 1.0, 123456.789, 0.004, 99999.99, 3.0, 7.25]
+
+
+@pytest.fixture(scope="module")
+def dirty_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dirty_sf"))
+
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(DIRTY_PROPS)],
+        "event_id bigint, props string",
+    ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(DIRTY_TEXT)],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    spark.createDataFrame(
+        [
+            (i, DIRTY_NAMES[i % len(DIRTY_NAMES)],
+             i % 5, DIRTY_SEGMENTS[i % len(DIRTY_SEGMENTS)])
+            for i in range(12)
+        ],
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_mktsegment string",
+    ).coalesce(1).write.parquet(os.path.join(d, "customer.parquet"))
+
+    import datetime
+    spark.createDataFrame(
+        [
+            (i, datetime.datetime.fromisoformat(DIRTY_DATES[i]),
+             "1-URGENT" if i % 2 else "5-LOW", DIRTY_PRICES[i])
+            for i in range(len(DIRTY_DATES))
+        ],
+        "o_orderkey bigint, o_orderdate timestamp, "
+        "o_orderpriority string, o_totalprice double",
+    ).coalesce(1).write.parquet(os.path.join(d, "orders.parquet"))
+
+    return d
+
+
+# --------------------------------------------------------------------------
+# the tests — one per fragile family
+# --------------------------------------------------------------------------
+
+def test_json_agg_dirty_props(spark, dirty_dir):
+    _assert_engines_agree(spark, dirty_dir, "json_agg")
+
+
+def test_json_funcs_dirty_props(spark, dirty_dir):
+    _assert_engines_agree(spark, dirty_dir, "json_funcs")
+
+
+def test_regex_funcs_dirty_text(spark, dirty_dir):
+    _assert_engines_agree(spark, dirty_dir, "regex_funcs")
+
+
+def test_string_funcs_dirty_strings(spark, dirty_dir):
+    _assert_engines_agree(spark, dirty_dir, "string_funcs")
+
+
+def test_datetime_funcs_edge_dates(spark, dirty_dir):
+    _assert_engines_agree(spark, dirty_dir, "datetime_funcs")
+
+
+def test_scalar_funcs_edge_numbers(spark, dirty_dir):
+    _assert_engines_agree(spark, dirty_dir, "scalar_funcs")

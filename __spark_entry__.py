@@ -2636,6 +2636,33 @@ def q_simhash_near_dup(spark, sf_dir):
     return ldedup.simhash_pairs(docs, max_hamming=3)
 
 
+def q_simhash_grouped(spark, sf_dir):
+    """Grouped SimHash near-dup output (db_spark/llm/dedup.py:
+    simhash_pairs(output="grouped")) — the 100 TB consumption form: one
+    row per DISTINCT-signature pair (rep_a, rep_b, hamming, count_a,
+    count_b) plus a self row per duplicate group, instead of the
+    O(g^2) member-pair expansion. The oracle is the brute-force
+    distinct-signature pair join — a green row proves the grouped form
+    encodes exactly the pair expansion the pairs mode materializes."""
+    from db_spark.llm import dedup as ldedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return ldedup.simhash_pairs(docs, max_hamming=3, output="grouped")
+
+
+def q_jaccard_grouped(spark, sf_dir):
+    """Grouped exact set-similarity join (db_spark/llm/dedup.py:
+    jaccard_similarity_join(output="grouped")): one row per
+    DISTINCT-shingle-set pair with group cardinalities, plus a self row
+    per identical-set group — output volume follows distinct sets, not
+    duplication density. Oracle: brute-force Jaccard over one
+    representative per distinct sorted shingle set."""
+    from db_spark.llm import dedup as ldedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return ldedup.jaccard_similarity_join(docs, 0.5, output="grouped")
+
+
 def q_centroid_outliers(spark, sf_dir):
     """Per-label embedding outliers (db_spark/llm/similarity.py:
     centroid_outliers): top-5 vectors farthest from their label's mean
@@ -5086,6 +5113,9 @@ _REGISTRY_KEYS: list[str] = [
     "kcenter_batched",
     "leakage_split",
     "shard_plan",
+    # r8 additions: grouped near-dup output (the 100 TB consumption form)
+    "simhash_grouped",
+    "jaccard_grouped",
 ]
 
 
@@ -5858,6 +5888,50 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i * 1000000 >= 500000 * (sa.n + sb.n - i)
         """,
+        # grouped form: one representative per distinct sorted shingle
+        # set; brute-force Jaccard among reps + group cardinalities.
+        "jaccard_grouped": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tok),
+            key AS (
+              SELECT doc_id, list_sort(list(shingle)) AS k
+              FROM sh GROUP BY doc_id
+            ),
+            grp AS (
+              SELECT k, MIN(doc_id) AS rep,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM key GROUP BY k
+            ),
+            selfrows AS (
+              SELECT rep AS rep_a, rep AS rep_b,
+                     CAST(1.0 AS DOUBLE) AS jaccard,
+                     cnt AS count_a, cnt AS count_b
+              FROM grp WHERE cnt >= 2
+            ),
+            rsh AS (
+              SELECT sh.doc_id, sh.shingle
+              FROM sh JOIN grp ON sh.doc_id = grp.rep
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM rsh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM rsh a JOIN rsh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            crossp AS (
+              SELECT id_a AS rep_a, id_b AS rep_b,
+                     round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard,
+                     ga.cnt AS count_a, gb.cnt AS count_b
+              FROM inter
+              JOIN sz sa ON sa.doc_id = id_a
+              JOIN sz sb ON sb.doc_id = id_b
+              JOIN grp ga ON ga.rep = id_a
+              JOIN grp gb ON gb.rep = id_b
+              WHERE i * 1000000 >= 500000 * (sa.n + sb.n - i)
+            )
+            SELECT * FROM selfrows UNION ALL SELECT * FROM crossp
+        """,
         "minhash_signature": _minhash_oracle(),
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
         "dedup_clusters": f"""
@@ -5884,6 +5958,31 @@ def oracle_sql() -> dict[str, str]:
                      AS hamming
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # grouped form: brute force over DISTINCT signatures; self rows
+        # carry duplicate-group cardinalities at hamming 0.
+        "simhash_grouped": f"""
+            WITH sh AS ({_simhash_oracle()}),
+            grp AS (
+              SELECT simhash, MIN(doc_id) AS rep,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM sh GROUP BY simhash
+            ),
+            selfrows AS (
+              SELECT rep AS rep_a, rep AS rep_b,
+                     CAST(0 AS INTEGER) AS hamming,
+                     cnt AS count_a, cnt AS count_b
+              FROM grp WHERE cnt >= 2
+            ),
+            crossp AS (
+              SELECT a.rep AS rep_a, b.rep AS rep_b,
+                     CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                       AS hamming,
+                     a.cnt AS count_a, b.cnt AS count_b
+              FROM grp a JOIN grp b ON a.rep < b.rep
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            )
+            SELECT * FROM selfrows UNION ALL SELECT * FROM crossp
         """,
         "dedup_corpus": f"""
             WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_lsh_oracle()}),

@@ -495,9 +495,12 @@ def leakage_safe_split(
     per-document hash split silently allows — `deterministic_split`'s
     known failure mode on a deduplicated-but-clustered corpus).
 
-    ``clusters`` is the (doc_id, cluster_id) output of
-    ``dedup.connected_components`` over any near-dup pair generator;
-    documents without a cluster row (singletons) split on their own id.
+    ``clusters`` carries (id, cluster_id) — the output of
+    ``dedup.connected_components`` over any near-dup pair generator.
+    Its id column may be named either ``id_col`` or the
+    connected-components default ``doc_id``; both are accepted (the
+    column is renamed to ``id_col`` for the join). Documents without a
+    cluster row (singletons) split on their own id.
     The split decision hashes the GROUP id, so the whole cluster moves
     together and the assignment is invariant under repartitioning,
     re-runs, and engines. Thresholds are exact integer ppm on the
@@ -512,8 +515,9 @@ def leakage_safe_split(
     """
     from db_spark.llm.dedup import h32
 
+    cluster_id_col = id_col if id_col in clusters.columns else "doc_id"
     grp = clusters.select(
-        F.col("doc_id").alias(id_col), F.col("cluster_id"))
+        F.col(cluster_id_col).alias(id_col), F.col("cluster_id"))
     joined = df.select(id_col).join(grp, id_col, "left").withColumn(
         "group_id",
         F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("long"))

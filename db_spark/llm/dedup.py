@@ -33,6 +33,37 @@ KNUTH = 2_654_435_761
 DEFAULT_MAX_SHINGLE_DF = 1000
 DEFAULT_MAX_BUCKET_SIZE = 1000
 
+#: Cached intermediates reused inside LAZY returned plans (the grouping
+#: tables in simhash_pairs / jaccard_similarity_join). The builder can't
+#: unpersist them itself — the cache must outlive the caller's
+#: materialization of the returned DataFrame — so they register here and
+#: a long-lived session reclaims the blocks with unpersist_plan_caches()
+#: once results are consumed. Unreclaimed caches only ever cost LRU-
+#: evictable storage memory, never correctness.
+_PLAN_CACHES: list[DataFrame] = []
+
+
+def _plan_cache(df: DataFrame) -> DataFrame:
+    cached = df.cache()
+    _PLAN_CACHES.append(cached)
+    return cached
+
+
+def unpersist_plan_caches() -> int:
+    """Release every plan-scoped cache registered by the dedup builders.
+    Call after the DataFrames returned by simhash_pairs /
+    jaccard_similarity_join have been materialized (collected/written);
+    returns the number of caches released."""
+    n = 0
+    while _PLAN_CACHES:
+        df = _PLAN_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 - session may already be stopped
+            pass
+    return n
+
 
 def perm_constants(k: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) constants for k min-hash permutations."""
@@ -254,7 +285,7 @@ def simhash(text: Column, bits: int = 32) -> Column:
 
 def simhash_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    max_hamming: int = 3, bits: int = 32,
+    max_hamming: int = 3, bits: int = 32, output: str = "pairs",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
     Candidate blocking via the pigeonhole principle: split the hash into
@@ -271,23 +302,33 @@ def simhash_pairs(
     so every expanded pair's distance is the representatives', exactly.
     Measured on the 10x-replicated sf1 dir (count-shaped, isolating
     the join from driver transfer of the 8.5M-pair result): 15.9 s ->
-    1.1 s, identical 8,532,800-pair output."""
+    1.1 s, identical 8,532,800-pair output.
+
+    ``output`` selects the result shape:
+
+    - ``"pairs"`` (default, the oracle contract): every qualifying
+      (id_a, id_b, hamming) pair, id_a < id_b. On a duplicate-saturated
+      corpus this expands each rep-pair to count_a x count_b member
+      pairs — O(g^2) OUTPUT rows that exist only to be re-grouped by
+      any consumer.
+    - ``"grouped"`` (the 100 TB default): one row per DISTINCT-
+      signature pair — (rep_a, rep_b, hamming, count_a, count_b) —
+      plus a self row (rep, rep, 0, g, g) per group with g >= 2
+      members. Lossless: the pair form is exactly the expansion
+      (count_a x count_b cross pairs per rep pair; g*(g-1)/2 within
+      pairs per self row; member ids recoverable by joining the rep
+      back to the signature table). Output volume follows DISTINCT
+      signatures, not duplication density.
+    """
+    if output not in ("pairs", "grouped"):
+        raise ValueError(f"output must be 'pairs' or 'grouped', got {output!r}")
     seg_n = max_hamming + 1
     seg_bits = bits // seg_n
     sh = df.select(F.col(id_col).alias("_hid"),
                    simhash(F.col(text_col), bits).alias("sh"))
 
     reps = sh.groupBy("sh").agg(F.min("_hid").alias("_rep"))
-    members = sh.join(reps, "sh").cache()
-
-    ma = members.select("sh", F.col("_hid").alias("id_a"))
-    mb = members.select("sh", F.col("_hid").alias("id_b"))
-    within = (
-        ma.join(mb, "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                F.lit(0).cast("integer").alias("hamming"))
-    )
+    members = _plan_cache(sh.join(reps, "sh"))
 
     rep_sh = members.filter(F.col("_hid") == F.col("_rep"))
     segs = rep_sh.select(
@@ -313,6 +354,38 @@ def simhash_pairs(
         # value-identical and the distinct shuffles only survivors
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+    if output == "grouped":
+        counts = members.groupBy("_rep").agg(
+            F.count(F.lit(1)).cast("long").alias("_cnt"))
+        selfrows = (
+            counts.filter(F.col("_cnt") >= 2)
+            .select(F.col("_rep").alias("rep_a"),
+                    F.col("_rep").alias("rep_b"),
+                    F.lit(0).cast("integer").alias("hamming"),
+                    F.col("_cnt").alias("count_a"),
+                    F.col("_cnt").alias("count_b"))
+        )
+        ca = counts.select(F.col("_rep").alias("id_a"),
+                           F.col("_cnt").alias("count_a"))
+        cb = counts.select(F.col("_rep").alias("id_b"),
+                           F.col("_cnt").alias("count_b"))
+        grouped = (
+            rep_pairs.join(ca, "id_a").join(cb, "id_b")
+            .select(F.col("id_a").alias("rep_a"),
+                    F.col("id_b").alias("rep_b"),
+                    "hamming", "count_a", "count_b")
+        )
+        return selfrows.unionByName(grouped)
+
+    ma = members.select("sh", F.col("_hid").alias("id_a"))
+    mb = members.select("sh", F.col("_hid").alias("id_b"))
+    within = (
+        ma.join(mb, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.lit(0).cast("integer").alias("hamming"))
     )
     ra = members.select(F.col("_rep").alias("id_a"),
                         F.col("_hid").alias("_xa"))
@@ -710,7 +783,7 @@ def dedup_corpus_keep_best(
 
 def jaccard_similarity_join(
     df: DataFrame, threshold: float, id_col: str = "doc_id",
-    text_col: str = "text", n: int = 3,
+    text_col: str = "text", n: int = 3, output: str = "pairs",
 ) -> DataFrame:
     """EXACT all-pairs shingle-Jaccard join: every pair with
     ``J(a, b) >= threshold``, no candidates missed — the
@@ -755,10 +828,22 @@ def jaccard_similarity_join(
     grows with duplication. Measured at the replicated sf1 dir (10
     copies per doc, collect-shaped like the bench): 161 s → 4.4 s,
     identical 250,600-row output.
+
+    ``output="grouped"`` (the 100 TB default; ``"pairs"`` is the
+    default and the oracle contract): instead of expanding rep pairs
+    to the O(g^2) member-pair form, return one row per DISTINCT-set
+    pair — (rep_a, rep_b, jaccard, count_a, count_b) — plus a self
+    row (rep, rep, 1.0, g, g) per identical-set group with g >= 2.
+    Lossless: cross pairs = count_a x count_b per rep pair, within
+    pairs = g*(g-1)/2 per self row; members recoverable by joining
+    reps back to the fingerprint table. Output volume follows
+    DISTINCT sets, not duplication density.
     """
+    if output not in ("pairs", "grouped"):
+        raise ValueError(f"output must be 'pairs' or 'grouped', got {output!r}")
     t_ppm = int(round(threshold * 1_000_000))
     sh = shingle_table(df, id_col, text_col, n, max_shingle_df=None)
-    sh = sh.withColumnRenamed("_sid", "_jid").cache()
+    sh = _plan_cache(sh.withColumnRenamed("_sid", "_jid"))
 
     # ---- identical-set grouping --------------------------------------
     # one row per doc: fingerprint of the full sorted shingle set
@@ -767,7 +852,36 @@ def jaccard_similarity_join(
         F.sha2(F.concat_ws("\x1f", F.array_sort(F.collect_list("shingle"))),
                256).alias("_fp"))
     reps = fp.groupBy("_fp").agg(F.min("_jid").alias("_rep"))
-    members = fp.join(reps, "_fp").select("_fp", "_jid", "_rep").cache()
+    members = _plan_cache(fp.join(reps, "_fp").select("_fp", "_jid", "_rep"))
+
+    sh_rep = sh.join(reps.select(F.col("_rep").alias("_jid")),
+                     "_jid", "semi")
+    rep_pairs = _ppjoin_pairs(sh_rep, threshold, t_ppm)
+
+    if output == "grouped":
+        counts = members.groupBy("_rep").agg(
+            F.count(F.lit(1)).cast("long").alias("_cnt"))
+        selfrows = (
+            counts.filter(F.col("_cnt") >= 2)
+            .select(F.col("_rep").alias("rep_a"),
+                    F.col("_rep").alias("rep_b"),
+                    F.lit(1.0).alias("jaccard"),
+                    F.col("_cnt").alias("count_a"),
+                    F.col("_cnt").alias("count_b"))
+        )
+        if t_ppm > 1_000_000:  # threshold > 1: even identical sets fail
+            selfrows = selfrows.filter(F.lit(False))
+        ca = counts.select(F.col("_rep").alias("id_a"),
+                           F.col("_cnt").alias("count_a"))
+        cb = counts.select(F.col("_rep").alias("id_b"),
+                           F.col("_cnt").alias("count_b"))
+        grouped = (
+            rep_pairs.join(ca, "id_a").join(cb, "id_b")
+            .select(F.col("id_a").alias("rep_a"),
+                    F.col("id_b").alias("rep_b"),
+                    "jaccard", "count_a", "count_b")
+        )
+        return selfrows.unionByName(grouped)
 
     ma = members.select("_fp", F.col("_jid").alias("id_a"))
     mb = members.select("_fp", F.col("_jid").alias("id_b"))
@@ -778,10 +892,6 @@ def jaccard_similarity_join(
     )
     if t_ppm > 1_000_000:  # threshold > 1: nothing qualifies, even equals
         within = within.filter(F.lit(False))
-
-    sh_rep = sh.join(reps.select(F.col("_rep").alias("_jid")),
-                     "_jid", "semi")
-    rep_pairs = _ppjoin_pairs(sh_rep, threshold, t_ppm)
 
     ra = members.select(F.col("_rep").alias("id_a"),
                         F.col("_jid").alias("_xa"))

@@ -46,6 +46,11 @@ PICKS = [
     "weighted_paths", "funnel_latency", "entity_resolution", "benford",
     "holt_backtest", "rolling_corr", "ppr", "skew_profile",
     "conversion_ci", "top_paths", "ivf_rbo", "dbscan", "bootstrap",
+    # round-8: grouped near-dup output (the 100 TB consumption form —
+    # same candidate join as the pair mode, minus the O(g^2) pair
+    # materialization; compare directly against simhash_near_dup /
+    # jaccard_join above)
+    "simhash_grouped", "jaccard_grouped",
 ]
 
 

@@ -383,6 +383,84 @@ def test_jaccard_join_duplicate_group_expansion(spark):
     assert len(cross) == 1 and 0.3 <= cross.pop() < 1.0
 
 
+def _expand_grouped_pairs(grouped, member_map):
+    """Reference expansion of the grouped near-dup form back to member
+    pairs: self rows (rep==rep) expand to all within-group pairs, rep
+    pairs to the cross product of the two groups."""
+    out = {}
+    for r in grouped:
+        rep_a, rep_b = r[0], r[1]
+        val = r[2]
+        if rep_a == rep_b:
+            ms = sorted(member_map[rep_a])
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    out[(ms[i], ms[j])] = val
+        else:
+            for x in member_map[rep_a]:
+                for y in member_map[rep_b]:
+                    out[(min(x, y), max(x, y))] = val
+    return out
+
+
+def test_jaccard_grouped_encodes_pair_expansion(spark):
+    """output='grouped' must be a lossless compression of the pair
+    form: expanding (rep_a, rep_b, jaccard, count_a, count_b) by group
+    membership reproduces output='pairs' exactly."""
+    a_txt = "the quick brown fox jumps over the lazy dog today"
+    b_txt = "the quick brown fox jumps over the lazy dog tonight"
+    c_txt = "a completely different document about spark physical plans"
+    df = spark.createDataFrame(
+        [(1, a_txt), (2, b_txt), (3, a_txt), (4, b_txt), (5, a_txt),
+         (6, c_txt)],
+        "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.jaccard_similarity_join(df, 0.3).collect()}
+    grouped = dedup.jaccard_similarity_join(
+        df, 0.3, output="grouped").collect()
+    members = {1: [1, 3, 5], 2: [2, 4], 6: [6]}
+    counts = {(r.rep_a, r.rep_b): (r.count_a, r.count_b) for r in grouped}
+    assert counts == {(1, 1): (3, 3), (2, 2): (2, 2), (1, 2): (3, 2)}
+    assert _expand_grouped_pairs(
+        [(r.rep_a, r.rep_b, r.jaccard) for r in grouped], members) == pairs
+
+
+def test_simhash_grouped_encodes_pair_expansion(spark):
+    """Same lossless-compression contract for the SimHash tier."""
+    a_txt = "the quick brown fox jumps over the lazy dog today"
+    c_txt = "a completely different document about spark physical plans"
+    df = spark.createDataFrame(
+        [(1, a_txt), (2, a_txt), (3, c_txt), (4, a_txt), (5, c_txt)],
+        "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in dedup.simhash_pairs(df, max_hamming=3).collect()}
+    grouped = dedup.simhash_pairs(
+        df, max_hamming=3, output="grouped").collect()
+    # signature groups: {1,2,4} (a_txt) and {3,5} (c_txt)
+    members = {1: [1, 2, 4], 3: [3, 5]}
+    for r in grouped:
+        assert (r.count_a, r.count_b) == (
+            len(members[r.rep_a]), len(members[r.rep_b]))
+    assert _expand_grouped_pairs(
+        [(r.rep_a, r.rep_b, r.hamming) for r in grouped], members) == pairs
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(df, output="nonsense")
+
+
+def test_unpersist_plan_caches(spark):
+    """The grouping builders register their plan-scoped caches; the
+    helper releases them all and is idempotent."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")] * 3
+        + [(2, "a completely different document about spark plans")],
+        "doc_id long, text string")
+    dedup.unpersist_plan_caches()  # drop leftovers from other tests
+    dedup.simhash_pairs(df).count()
+    dedup.jaccard_similarity_join(df, 0.5).count()
+    assert dedup.unpersist_plan_caches() == 3  # members + sh + members
+    assert dedup.unpersist_plan_caches() == 0
+
+
 def test_select_representatives_quality_argmax(spark):
     clusters = spark.createDataFrame(
         [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],

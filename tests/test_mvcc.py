@@ -969,6 +969,120 @@ def test_merge_keeps_entries_pending_when_marker_above_cutoff(spark, tmp_path):
         == {("a", "v1", 1), ("x", "vtx", 9), ("z", "v1", 3)}
 
 
+def test_full_lifecycle_at_log_scale(spark, tmp_path):
+    """Full lifecycle at realistic SEGMENT COUNTS and row volume
+    (VERDICT r7 #6): ~26 log segments over ~600K lineitem-derived rows
+    — 12 base appends (alternating nil / committed tx), a rolled-back
+    overwrite, 6 overwrite appends, an additive evolve, vacuum at a mid
+    watermark, full compaction, and position time-travel + restore
+    across all of it. Toy logs can't catch watermark arithmetic that
+    only bites when the merged prefix spans many segments; this can.
+    Point MVCC_SCALE_DIR at a bigger sf dir (e.g. the generated sf1) to
+    rerun at full scale."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from db_spark.sources import read_table
+
+    sf_dir = _os.environ.get("MVCC_SCALE_DIR", "/root/testdata/sf0.1")
+    base = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(
+            F.concat_ws("-", "l_orderkey", "l_linenumber").alias("_id"),
+            F.col("l_returnflag").alias("name"),
+            F.col("l_quantity").cast("int").alias("qty"),
+        )
+        # the synthetic data does NOT keep (orderkey, linenumber)
+        # unique — collapse to one deterministic version per id
+        .groupBy("_id")
+        .agg(F.max("name").alias("name"), F.max("qty").alias("qty"))
+        .withColumn("_slice", F.pmod(F.xxhash64("_id"), F.lit(12)))
+        .cache()
+    )
+    n_total = base.count()
+    sum_v1 = base.agg(F.sum("qty")).collect()[0][0]
+    n_overwritten = base.filter(F.col("_slice") < 6).count()
+
+    st = Storage(spark, str(tmp_path / "scale"), StorageConfig())
+    c = st.get_collection("t")
+
+    # 12 base appends: alternating nil-txid and committed-transaction
+    for i in range(12):
+        sl = base.filter(F.col("_slice") == i).select("_id", "name", "qty")
+        if i % 2:
+            t = uuid7()
+            c.set_objects(t, sl)
+            c.commit(t)
+        else:
+            c.set_objects(None, sl)
+    p_v1 = c.log_position()
+    assert c.table_scan().count() == n_total
+
+    # a rolled-back bulk overwrite leaves the snapshot untouched
+    t_rb = uuid7()
+    c.set_objects(t_rb, base.filter(F.col("_slice") == 0)
+                  .select("_id", "name",
+                          (F.col("qty") + 1000).cast("int").alias("qty")))
+    c.rollback(t_rb)
+    assert c.table_scan().agg(F.sum("qty")).collect()[0][0] == sum_v1
+
+    # overwrite slices 0..5 with qty+1 (new versions for half the ids)
+    for i in range(6):
+        c.set_objects(None, base.filter(F.col("_slice") == i)
+                      .select("_id", "name",
+                              (F.col("qty") + 1).cast("int").alias("qty")))
+    p_v2 = c.log_position()
+    sum_v2 = sum_v1 + n_overwritten
+    assert c.table_scan().agg(F.sum("qty")).collect()[0][0] == sum_v2
+
+    # additive evolution on top
+    wide = spark.createDataFrame(
+        [("w-1", "new", 1, "en"), ("w-2", "new", 2, "de")],
+        "_id string, name string, qty int, lang string")
+    c.set_objects(None, wide, evolve=True)
+    assert c.table_scan().count() == n_total + 2
+
+    # position time travel reaches both pre-overwrite and pre-evolve
+    assert (c.scan_at_position(p_v1).agg(F.sum("qty")).collect()[0][0]
+            == sum_v1)
+    assert (c.scan_at_position(p_v2).agg(F.sum("qty")).collect()[0][0]
+            == sum_v2)
+
+    # vacuum everything strictly below p_v2: the 19 pass-1/rollback/
+    # pass-2 segments merge into one base; p_v1 stops replaying, p_v2
+    # and the live snapshot are bit-stable
+    merged = c.vacuum(p_v2)
+    assert merged >= 18
+    assert c.compaction_watermark() > p_v1
+    with pytest.raises(ValueError):
+        c.scan_at_position(p_v1)
+    assert (c.scan_at_position(p_v2).agg(F.sum("qty")).collect()[0][0]
+            == sum_v2)
+    snap = c.table_scan()
+    assert snap.count() == n_total + 2
+    assert snap.filter(F.col("lang").isNotNull()).count() == 2
+    assert snap.agg(F.sum("qty")).collect()[0][0] == sum_v2 + 3
+
+    # restore to the pre-evolve snapshot ACROSS the vacuum boundary
+    # (p_v2 is exactly at the post-vacuum watermark): evolved ids
+    # tombstoned, qty image back to v2
+    c.restore_to_position(p_v2)
+    restored = c.table_scan()
+    assert restored.count() == n_total
+    assert restored.agg(F.sum("qty")).collect()[0][0] == sum_v2
+
+    # full compaction last: preserves the restored snapshot exactly and
+    # advances the watermark past every earlier position
+    c.compact()
+    after = c.table_scan()
+    assert after.count() == n_total
+    assert after.agg(F.sum("qty")).collect()[0][0] == sum_v2
+    with pytest.raises(ValueError):
+        c.scan_at_position(p_v2)
+    base.unpersist()
+
+
 def test_pair_merge_keeps_entries_pending_when_marker_above_pair(spark, tmp_path):
     """Same straddling-marker scenario through compact_segments (the
     pyarrow pair-merge core): the pair's max batch is the cutoff."""

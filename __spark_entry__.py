@@ -3304,6 +3304,50 @@ def q_media_features(spark, sf_dir):
     return feats.select("media_id", "modality", "n_bytes", "content_hash")
 
 
+def q_video_features(spark, sf_dir):
+    """REAL video decode through the Arrow-batched pipeline: build a
+    deterministic 2-frame 8x4 Cmono YUV4MPEG2 payload per document with
+    pure Column expressions (header + FRAME markers + solid luma planes
+    whose byte values derive from doc_id), then let the modality
+    dispatcher hand it to codecs.video_features (stdlib y4m parser —
+    db_spark/llm/codecs.py). The oracle recomputes the luma statistics
+    analytically from doc_id, so a value-hash match proves the actual
+    decode: header parse, frame stride, per-frame luma recovery. Every
+    feature is an exact multiple of 0.5, so float round-trip is exact.
+
+    100 TB shape: payload construction and decode are map-only inside
+    executor Arrow batches; no shuffle, no driver collection."""
+    from db_spark.llm import multimodal as lmm
+
+    docs = _t(spark, sf_dir, "documents")
+    a = (F.col("doc_id") % 256).cast("long")
+    b = ((F.col("doc_id") * 7 + 13) % 256).cast("long")
+
+    def _frame(v):  # 32 identical luma bytes (8x4) from an int value
+        return F.unhex(F.repeat(F.lpad(F.hex(v), 2, "0"), 32))
+
+    marker = F.encode(F.lit("FRAME\n"), "UTF-8")
+    payload = F.concat(
+        F.encode(F.lit("YUV4MPEG2 W8 H4 F10:1 Ip A1:1 Cmono\n"), "UTF-8"),
+        marker, _frame(a), marker, _frame(b))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("modality"),
+        payload.alias("payload"),
+        F.lit(None).cast(lmm.MEDIA_SCHEMA["meta"].dataType).alias("meta"),
+    )
+    feats = lmm.extract_features(media)
+    f = feats["features"]
+    return feats.select(
+        "media_id",
+        f[2].cast("double").alias("n_frames"),
+        f[4].cast("double").alias("duration_ms"),
+        f[5].cast("double").alias("mean_luma"),
+        f[6].cast("double").alias("std_luma"),
+        f[7].cast("double").alias("motion"),
+    )
+
+
 def q_quality_rules(spark, sf_dir):
     """Gopher-style quality rule verdicts: five named boolean rules
     (word count, mean word length, symbol ratio, alpha-word fraction,
@@ -5116,6 +5160,8 @@ _REGISTRY_KEYS: list[str] = [
     # r8 additions: grouped near-dup output (the 100 TB consumption form)
     "simhash_grouped",
     "jaccard_grouped",
+    # r8: real y4m video decode proven against an analytic oracle
+    "video_features",
 ]
 
 
@@ -6512,6 +6558,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS content_hash
             FROM documents
+        """,
+        # Analytic recomputation of the y4m luma statistics the engine
+        # obtains by ACTUALLY DECODING the per-document video payload:
+        # 2 solid frames of byte values a/b at 10 fps; mean/std/motion
+        # close-form over {a, b} (all exact multiples of 0.5).
+        "video_features": """
+            SELECT doc_id AS media_id,
+                   CAST(2 AS DOUBLE) AS n_frames,
+                   CAST(200 AS DOUBLE) AS duration_ms,
+                   (a + b) / 2.0 AS mean_luma,
+                   abs(a - b) / 2.0 AS std_luma,
+                   abs(a - b) AS motion
+            FROM (SELECT doc_id,
+                         CAST(doc_id % 256 AS DOUBLE) AS a,
+                         CAST((doc_id * 7 + 13) % 256 AS DOUBLE) AS b
+                  FROM documents)
         """,
         # merge(sketch(even docs), sketch(odd docs)) must equal the
         # sketch of the whole corpus — the oracle computes the latter

@@ -2,11 +2,12 @@
 with typed metadata structs.
 
 The Spark-side plumbing (schemas, Arrow-batched mapInPandas pipelines,
-partition sizing) is real and tested; the actual media decode is stubbed
-behind ``DECODERS`` because codec libraries are not available in this
-container — swap in PIL/torchaudio/decord implementations by registering
-a decoder. The deterministic fake decoder lets tests exercise the full
-pipeline shape (batch in, batch out, fixed output schema).
+partition sizing) is real and tested, and so is the default decode:
+``codecs`` installs zero-dependency image (PNG/PPM/BMP), audio (WAV) and
+video (y4m) decoders on import, preferring PIL/PyAV when importable.
+Compressed video without PyAV keeps an honest NotImplementedError.
+Register your own with ``register_decoder``; the deterministic fake
+decoder lets tests exercise the pipeline shape format-independently.
 """
 
 from __future__ import annotations
@@ -56,8 +57,7 @@ def _fake_decode(payload: bytes, modality: str) -> list[float]:
 
 def _real_decode(payload: bytes, modality: str) -> list[float]:
     raise NotImplementedError(
-        "no decoder registered for this modality (video needs a codec "
-        "library not present in this environment); register one with "
+        "no decoder registered for this modality; register one with "
         "register_decoder('<modality>', fn)"
     )
 
@@ -66,7 +66,7 @@ DECODERS: dict[str, Callable[[bytes, str], list[float]]] = {
     "fake": _fake_decode,
     "image": _real_decode,  # replaced by codecs.install_default_decoders()
     "audio": _real_decode,  # replaced by codecs.install_default_decoders()
-    "video": _real_decode,  # honest stub: no stdlib video codec exists
+    "video": _real_decode,  # replaced by codecs.install_default_decoders()
 }
 
 
@@ -198,14 +198,33 @@ FRAME_SCHEMA = T.StructType([
     T.StructField("payload", T.BinaryType(), True),
 ])
 
+#: Named frame extractors for sample_frames: fn(payload, meta, every_ms,
+#: max_frames) -> [(frame_ms, frame_bytes)]. codecs registers the real
+#: 'video_frames' (y4m/PyAV decode -> PNG frames) on import.
+FRAME_EXTRACTORS: dict[
+    str, Callable[[bytes, dict, int, int], list[tuple[int, bytes]]]] = {}
+
+
+def register_frame_extractor(
+    name: str,
+    fn: Callable[[bytes, dict, int, int], list[tuple[int, bytes]]],
+) -> None:
+    FRAME_EXTRACTORS[name] = fn
+
 
 def sample_frames(
     df: DataFrame, every_ms: int = 1000, max_frames: int = 16,
+    extractor: str | None = None,
 ) -> DataFrame:
     """One media row -> N frame rows at a fixed time stride (video frame
-    sampling / audio chunking). Frame extraction is stubbed as byte
-    slicing; the one-to-many Arrow-batched explosion and the
-    (media_id, frame_idx) output contract are the real plumbing."""
+    sampling / audio chunking). By default frame extraction is byte
+    slicing (format-agnostic placeholder); pass
+    ``extractor='video_frames'`` for the REAL decode path — y4m (and
+    PyAV-covered containers) are decoded and each sampled luma frame is
+    re-encoded as PNG. Either way the one-to-many Arrow-batched
+    explosion and the (media_id, frame_idx) output contract are the same
+    real plumbing."""
+    fx = FRAME_EXTRACTORS[extractor] if extractor is not None else None
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -218,6 +237,14 @@ def sample_frames(
                 if payload is None:
                     continue
                 meta = meta or {}
+                if fx is not None:
+                    for i, (ms, frame) in enumerate(
+                            fx(payload, meta, every_ms, max_frames)):
+                        out["media_id"].append(media_id)
+                        out["frame_idx"].append(i)
+                        out["frame_ms"].append(ms)
+                        out["payload"].append(frame)
+                    continue
                 duration = meta.get("duration_ms") or every_ms * max_frames
                 n = min(max_frames, max(1, int(duration // every_ms)))
                 step = max(1, len(payload) // n)
@@ -231,8 +258,9 @@ def sample_frames(
     return df.select("media_id", "payload", "meta").mapInPandas(_map, FRAME_SCHEMA)
 
 
-# Install the real (stdlib-backed, PIL-preferred) image/audio decoders on
-# import; video keeps the honest stub until a codec library is registered.
+# Install the real (stdlib-backed, PIL/PyAV-preferred) image/audio/video
+# decoders on import; compressed video without PyAV raises the honest
+# NotImplementedError inside codecs.decode_video.
 from db_spark.llm import codecs as _codecs  # noqa: E402  (cycle-safe: lazy inside)
 
 DECODER_IMPLS = _codecs.install_default_decoders()

@@ -4199,7 +4199,7 @@ def _curate_oracle() -> str:
                       + least((CASE WHEN nt > 0
                                THEN s_en::DOUBLE / nt::DOUBLE
                                ELSE 0.0 END) * 4.0, 1.0) * 0.3
-                      + greatest(0.0, 1.0 - (np::DOUBLE / nc::DOUBLE) * 4.0)
+                      + greatest(0.0, 1.0 - (CASE WHEN nc > 0 THEN np::DOUBLE / nc::DOUBLE ELSE 0.0 END) * 4.0)
                           * 0.3)) * 1000000) AS BIGINT) AS quality_ppm
           FROM qx),
         gate AS (
@@ -4724,7 +4724,9 @@ def _text_stats_oracle() -> str:
                CAST(n_chars_ AS BIGINT) AS n_chars,
                CAST(n_tokens_ AS BIGINT) AS n_tokens,
                CAST(n_bpe_ AS BIGINT) AS n_bpe_tokens,
-               n_punct_::DOUBLE / n_chars_::DOUBLE AS punct_ratio,
+               CASE WHEN n_chars_ > 0
+                    THEN n_punct_::DOUBLE / n_chars_::DOUBLE
+                    ELSE 0.0 END AS punct_ratio,
                CASE WHEN n_tokens_ > 0 THEN s_en::DOUBLE / n_tokens_::DOUBLE
                     ELSE 0.0 END AS stopword_ratio_en,
                CASE WHEN n_tokens_ > 0
@@ -4735,7 +4737,9 @@ def _text_stats_oracle() -> str:
                           THEN s_en::DOUBLE / n_tokens_::DOUBLE ELSE 0.0 END) * 4.0,
                          1.0) * 0.3
                  + greatest(0.0,
-                     1.0 - (n_punct_::DOUBLE / n_chars_::DOUBLE) * 4.0) * 0.3
+                     1.0 - (CASE WHEN n_chars_ > 0
+                            THEN n_punct_::DOUBLE / n_chars_::DOUBLE
+                            ELSE 0.0 END) * 4.0) * 0.3
                  AS quality,
                md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
                {lang_case} AS lang_pred
@@ -4767,7 +4771,7 @@ def _importance_sample_oracle() -> str:
                  + least((CASE WHEN nt > 0
                           THEN s_en::DOUBLE / nt::DOUBLE ELSE 0.0 END) * 4.0,
                          1.0) * 0.3
-                 + greatest(0.0, 1.0 - (np::DOUBLE / nc::DOUBLE) * 4.0) * 0.3
+                 + greatest(0.0, 1.0 - (CASE WHEN nc > 0 THEN np::DOUBLE / nc::DOUBLE ELSE 0.0 END) * 4.0) * 0.3
                      AS rate
           FROM q)
         SELECT doc_id, source FROM r
@@ -4818,7 +4822,7 @@ def _dedup_keep_best_oracle() -> str:
                       + least((CASE WHEN nt > 0
                                THEN s_en::DOUBLE / nt::DOUBLE
                                ELSE 0.0 END) * 4.0, 1.0) * 0.3
-                      + greatest(0.0, 1.0 - (np::DOUBLE / nc::DOUBLE) * 4.0)
+                      + greatest(0.0, 1.0 - (CASE WHEN nc > 0 THEN np::DOUBLE / nc::DOUBLE ELSE 0.0 END) * 4.0)
                           * 0.3)) * 1000000) AS BIGINT) AS ppm
           FROM members m JOIN q USING (doc_id)),
         keepers AS (

@@ -43,9 +43,13 @@ def bpe_token_count(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    """Fraction of characters that are not alphanumeric/space."""
+    """Fraction of characters that are not alphanumeric/space; 0.0 for
+    empty (and NULL) text — the guard matters under ANSI mode, where an
+    unguarded 0/0 is a runtime error, not a NaN."""
     punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
-    return (punct.cast("double") / F.length(text).cast("double"))
+    return (F.when(F.length(text) > 0,
+                   punct.cast("double") / F.length(text).cast("double"))
+            .otherwise(F.lit(0.0)))
 
 
 def stopword_count(text: Column, lang: str = "en") -> Column:
@@ -604,8 +608,11 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.size("_toks").cast("long").alias("_n"),
         F.size(F.regexp_extract_all(F.col("_t"), F.lit(_BPE_RE), 0))
         .cast("long").alias("n_bpe_tokens"),
-        (F.length(F.regexp_replace(F.col("_t"), r"[a-zA-Z0-9\s]", ""))
-         .cast("double") / F.length("_t").cast("double")).alias("punct_ratio"),
+        F.when(
+            F.length("_t") > 0,
+            F.length(F.regexp_replace(F.col("_t"), r"[a-zA-Z0-9\s]", ""))
+            .cast("double") / F.length("_t").cast("double"))
+        .otherwise(F.lit(0.0)).alias("punct_ratio"),
         F.aggregate(F.transform(F.col("_toks"), F.length), F.lit(0),
                     lambda a, x: a + x).alias("_lensum"),
         fingerprint(F.col("_t")).alias("fingerprint"),

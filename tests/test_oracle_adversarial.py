@@ -65,7 +65,7 @@ def _assert_engines_agree(spark, sf_dir, query_name):
 
     con = duckdb.connect()
     try:
-        for t in ("events", "documents", "customer", "orders"):
+        for t in ("events", "documents", "customer", "orders", "part"):
             p = os.path.join(sf_dir, t + ".parquet")
             if os.path.isdir(p):
                 # Spark writes parquet "files" as directories of parts
@@ -180,9 +180,19 @@ def dirty_dir(spark, tmp_path_factory):
     ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
 
     spark.createDataFrame(
-        [(i, v) for i, v in enumerate(DIRTY_TEXT)],
-        "doc_id bigint, text string",
+        [(i, v, ("en", "de", None)[i % 3], f"src{i % 2}",
+          len(v) if v is not None else None)
+         for i, v in enumerate(DIRTY_TEXT)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
     ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    spark.createDataFrame(
+        [(i, DIRTY_NAMES[i % len(DIRTY_NAMES)] or f"part {i}",
+          "STANDARD" if i % 2 else "SMALL", i % 7 + 1)
+         for i in range(10)],
+        "p_partkey bigint, p_name string, p_type string, p_size int",
+    ).coalesce(1).write.parquet(os.path.join(d, "part.parquet"))
 
     spark.createDataFrame(
         [
@@ -234,3 +244,32 @@ def test_datetime_funcs_edge_dates(spark, dirty_dir):
 
 def test_scalar_funcs_edge_numbers(spark, dirty_dir):
     _assert_engines_agree(spark, dirty_dir, "scalar_funcs")
+
+
+# r8 sweep extension: the tokenizer/text family shares regex + unicode
+# semantics across engines (Java regex + Spark string functions vs
+# DuckDB RE2 + codepoint strings); astral-plane emoji, CJK, NULLs and
+# empty strings are where code-unit-vs-codepoint divergence would bite.
+
+def test_text_stats_dirty_text(spark, dirty_dir):
+    _assert_engines_agree(spark, dirty_dir, "text_stats")
+
+
+def test_explode_tokens_dirty_text(spark, dirty_dir):
+    _assert_engines_agree(spark, dirty_dir, "explode_tokens")
+
+
+def test_chunk_docs_dirty_text(spark, dirty_dir):
+    _assert_engines_agree(spark, dirty_dir, "chunk_docs")
+
+
+def test_corpus_stats_dirty_text(spark, dirty_dir):
+    _assert_engines_agree(spark, dirty_dir, "corpus_stats")
+
+
+def test_normalize_text_dirty_text(spark, dirty_dir):
+    _assert_engines_agree(spark, dirty_dir, "normalize_text")
+
+
+def test_fuzzy_join_dirty_names(spark, dirty_dir):
+    _assert_engines_agree(spark, dirty_dir, "fuzzy_join")

@@ -21,6 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as E
+from db_spark.llm import dedup
 from db_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,6 +69,15 @@ def main() -> None:
         out[name] = round(t, 4)
         total += t
         print(f"  {name}: {t:.2f}s", file=sys.stderr)
+        # reclaim per-query plan caches (the documented lifecycle:
+        # consume result -> unpersist). Without this, 71 queries of
+        # accumulated grouping/shingle caches thrash storage memory and
+        # later queries pay eviction-recompute instead of their own
+        # cost (jaccard_grouped measured 8.6 s polluted vs 2.0 s solo
+        # at sf1). Warm-up -> timed still runs cache-warm; only CROSS-
+        # query pollution is cleared.
+        dedup.unpersist_plan_caches()
+        spark.catalog.clearCache()
 
     # batched k-center: same exact traversal, compressed job chain —
     # report jobs + wall for m=1 vs batch_m=16 at k=100 over the

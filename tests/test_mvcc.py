@@ -978,7 +978,8 @@ def test_full_lifecycle_at_log_scale(spark, tmp_path):
     across all of it. Toy logs can't catch watermark arithmetic that
     only bites when the merged prefix spans many segments; this can.
     Point MVCC_SCALE_DIR at a bigger sf dir (e.g. the generated sf1) to
-    rerun at full scale."""
+    rerun at full scale — validated green against
+    /root/repo/.bench_scale/sf1 (6M-row lineitem, 310 s) in round 8."""
     import os as _os
 
     from pyspark.sql import functions as F

@@ -47,6 +47,15 @@ PICKS = {
         "Pigeonhole blocking: segment-bucket self-join (4 segment keys per "
         "doc) — candidate generation is an equi-join, never a cartesian "
         "Hamming scan."),
+    "simhash_grouped": (E.q_simhash_grouped,
+        "Grouped consumption form: the same distinct-signature segment "
+        "join, but output is one row per rep pair + per-group self rows — "
+        "no O(g^2) member-pair expansion stage; output volume follows "
+        "distinct signatures (sf1: 61K rows vs 8.5M expanded)."),
+    "video_features": (E.q_video_features,
+        "Map-only end to end: payload construction is pure Column "
+        "expressions over the scan, decode runs in one Arrow-batched "
+        "mapInPandas — zero exchanges, no driver collection."),
     "chunk_docs": (E.q_chunk_docs,
         "Map-only chunking: tokenize → sequence → slice → explode as one "
         "projection over the scan — zero exchanges; 100 TB chunking is "

@@ -4950,6 +4950,10 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # r8: same hardening applied to the other JSON-extraction query
     # (its r3 row covers the old CAST-only form)
     "json_funcs",
+    # r8: identical-set grouping added inside ngram_jaccard_pairs
+    # (same output contract, new plan — earlier rows cover the direct
+    # inverted-index join)
+    "ngram_jaccard",
 })
 
 

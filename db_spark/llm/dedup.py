@@ -142,6 +142,7 @@ def shingle_table(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
     threshold: float = 0.5, max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    output: str = "pairs", group_identical: bool = True,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
 
@@ -150,8 +151,100 @@ def ngram_jaccard_pairs(
     arithmetic: |A∩B| / (|A| + |B| - |A∩B|), computed over the guarded
     shingle sets (``max_shingle_df`` is on by default — one ubiquitous
     shingle would otherwise make the candidate set quadratic).
+
+    Identical-set grouping (lossless, same argument as
+    ``jaccard_similarity_join``): docs are grouped by a fingerprint of
+    their sorted guarded shingle set; the inverted-index join runs on ONE
+    representative per distinct set, and rep pairs expand to group
+    members with the representative pair's jaccard (identical sets ⇒
+    identical intersections with everything, bit-for-bit the same double
+    divide). Within-group pairs are emitted directly with jaccard 1.0 —
+    exactly what the direct formula yields for equal sets (s/(s+s−s)).
+    Candidate volume follows DISTINCT-set count, so a 10×-duplicated
+    corpus no longer pays a ~100× inverted-index join blowup.
+
+    ``output="grouped"`` (the 100 TB consumption form; ``"pairs"`` is
+    the default and the oracle contract): one row per DISTINCT-set pair
+    (rep_a, rep_b, jaccard, count_a, count_b) plus a (rep, rep, 1.0,
+    g, g) self row per identical-set group with g >= 2 — output volume
+    follows distinct sets, not duplication density.
+
+    ``group_identical=False`` disables the grouping and runs the direct
+    inverted-index join over every document — the unfiltered brute
+    force the correctness tests and oracles compare the fast paths
+    against (pairs output only).
     """
-    sh = shingle_table(df, id_col, text_col, n, max_shingle_df)
+    if output not in ("pairs", "grouped"):
+        raise ValueError(f"output must be 'pairs' or 'grouped', got {output!r}")
+    if not group_identical:
+        if output != "pairs":
+            raise ValueError("output='grouped' requires group_identical=True")
+        sh = shingle_table(df, id_col, text_col, n, max_shingle_df)
+        return _inverted_index_jaccard(sh, threshold)
+    sh = _plan_cache(shingle_table(df, id_col, text_col, n, max_shingle_df))
+
+    # ---- identical-set grouping (guarded-set space; docs with zero
+    # guarded shingles never enter sh, so they can't pair — unchanged)
+    fp = sh.groupBy("_sid").agg(
+        F.sha2(F.concat_ws("\x1f", F.array_sort(F.collect_list("shingle"))),
+               256).alias("_fp"))
+    reps = fp.groupBy("_fp").agg(F.min("_sid").alias("_rep"))
+    members = _plan_cache(fp.join(reps, "_fp").select("_fp", "_sid", "_rep"))
+
+    sh_rep = sh.join(reps.select(F.col("_rep").alias("_sid")), "_sid", "semi")
+    rep_pairs = _inverted_index_jaccard(sh_rep, threshold)
+
+    if output == "grouped":
+        counts = members.groupBy("_rep").agg(
+            F.count(F.lit(1)).cast("long").alias("_cnt"))
+        selfrows = (
+            counts.filter(F.col("_cnt") >= 2)
+            .select(F.col("_rep").alias("rep_a"),
+                    F.col("_rep").alias("rep_b"),
+                    F.lit(1.0).alias("jaccard"),
+                    F.col("_cnt").alias("count_a"),
+                    F.col("_cnt").alias("count_b"))
+        )
+        if threshold > 1.0:  # even identical sets fail the filter
+            selfrows = selfrows.filter(F.lit(False))
+        ca = counts.select(F.col("_rep").alias("id_a"),
+                           F.col("_cnt").alias("count_a"))
+        cb = counts.select(F.col("_rep").alias("id_b"),
+                           F.col("_cnt").alias("count_b"))
+        grouped = (
+            rep_pairs.join(ca, "id_a").join(cb, "id_b")
+            .select(F.col("id_a").alias("rep_a"),
+                    F.col("id_b").alias("rep_b"),
+                    "jaccard", "count_a", "count_b")
+        )
+        return selfrows.unionByName(grouped)
+
+    ma = members.select("_fp", F.col("_sid").alias("id_a"))
+    mb = members.select("_fp", F.col("_sid").alias("id_b"))
+    within = (
+        ma.join(mb, "_fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    if threshold > 1.0:  # even identical sets fail the filter
+        within = within.filter(F.lit(False))
+
+    ra = members.select(F.col("_rep").alias("id_a"),
+                        F.col("_sid").alias("_xa"))
+    rb = members.select(F.col("_rep").alias("id_b"),
+                        F.col("_sid").alias("_xb"))
+    cross = (
+        rep_pairs.join(ra, "id_a").join(rb, "id_b")
+        .select(F.least("_xa", "_xb").alias("id_a"),
+                F.greatest("_xa", "_xb").alias("id_b"), "jaccard")
+    )
+    return within.unionByName(cross)
+
+
+def _inverted_index_jaccard(sh: DataFrame, threshold: float) -> DataFrame:
+    """Direct inverted-index Jaccard join over a (``_sid``, ``shingle``)
+    table: candidates are docs sharing >= 1 shingle, verified by exact
+    intersection counting. Returns (id_a, id_b, jaccard), id_a < id_b."""
     sizes = sh.groupBy("_sid").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("_sid").alias("id_a"), "shingle")
     b = sh.select(F.col("_sid").alias("id_b"), "shingle")

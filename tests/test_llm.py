@@ -24,9 +24,7 @@ def test_exact_dedup(docs):
     assert ids == [1, 2, 3, 5]  # doc 4 deduped; min id kept
 
 
-def test_shingles():
-    from pyspark.sql import SparkSession
-    spark = SparkSession.getActiveSession()
+def test_shingles(spark):
     df = spark.createDataFrame([("a b c d",)], ["t"])
     got = df.select(dedup.shingles(F.col("t"), 3).alias("s")).collect()[0]["s"]
     assert got == ["a b c", "b c d"]
@@ -352,7 +350,8 @@ def test_jaccard_similarity_join_exact_vs_bruteforce(spark):
                for r in dedup.jaccard_similarity_join(df, t).collect()}
         want = {(r.id_a, r.id_b, round(r.jaccard, 6))
                 for r in dedup.ngram_jaccard_pairs(
-                    df, threshold=t, max_shingle_df=None).collect()}
+                    df, threshold=t, max_shingle_df=None,
+                    group_identical=False).collect()}
         assert got == want, t
     # exact duplicates surface with jaccard 1.0
     got = dedup.jaccard_similarity_join(df, 0.99).collect()
@@ -374,7 +373,8 @@ def test_jaccard_join_duplicate_group_expansion(spark):
            for r in dedup.jaccard_similarity_join(df, 0.3).collect()}
     want = {(r.id_a, r.id_b): round(r.jaccard, 6)
             for r in dedup.ngram_jaccard_pairs(
-                df, threshold=0.3, max_shingle_df=None).collect()}
+                df, threshold=0.3, max_shingle_df=None,
+                group_identical=False).collect()}
     assert got == want
     # every pair is present: C(5,2) = 10 (all A-A, B-B, and A-B pairs)
     assert len(got) == 10
@@ -423,6 +423,53 @@ def test_jaccard_grouped_encodes_pair_expansion(spark):
     assert counts == {(1, 1): (3, 3), (2, 2): (2, 2), (1, 2): (3, 2)}
     assert _expand_grouped_pairs(
         [(r.rep_a, r.rep_b, r.jaccard) for r in grouped], members) == pairs
+
+
+def test_ngram_jaccard_grouping_lossless(spark):
+    """The identical-set fast path inside ngram_jaccard_pairs must equal
+    the direct inverted-index brute force (group_identical=False) on a
+    duplicate-saturated corpus, at every threshold — including the
+    within-group 1.0 pairs and the expanded cross pairs."""
+    a_txt = "the quick brown fox jumps over the lazy dog today"
+    b_txt = "the quick brown fox jumps over the lazy dog tonight"
+    c_txt = "a completely different document about spark physical plans"
+    df = spark.createDataFrame(
+        [(1, a_txt), (2, b_txt), (3, a_txt), (4, b_txt), (5, a_txt),
+         (6, c_txt), (7, "short")],
+        "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8, 1.0):
+        got = {(r.id_a, r.id_b, r.jaccard)
+               for r in dedup.ngram_jaccard_pairs(df, threshold=t).collect()}
+        want = {(r.id_a, r.id_b, r.jaccard)
+                for r in dedup.ngram_jaccard_pairs(
+                    df, threshold=t, group_identical=False).collect()}
+        assert got == want, t
+    # a threshold above 1.0 excludes even identical sets on both paths
+    assert dedup.ngram_jaccard_pairs(df, threshold=1.1).count() == 0
+
+
+def test_ngram_jaccard_grouped_output(spark):
+    """output='grouped' on the inverted-index join is the same lossless
+    compression contract as the PPJoin tier."""
+    a_txt = "the quick brown fox jumps over the lazy dog today"
+    b_txt = "the quick brown fox jumps over the lazy dog tonight"
+    df = spark.createDataFrame(
+        [(1, a_txt), (2, b_txt), (3, a_txt), (4, b_txt), (5, a_txt)],
+        "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    grouped = dedup.ngram_jaccard_pairs(
+        df, threshold=0.3, output="grouped").collect()
+    members = {1: [1, 3, 5], 2: [2, 4]}
+    counts = {(r.rep_a, r.rep_b): (r.count_a, r.count_b) for r in grouped}
+    assert counts == {(1, 1): (3, 3), (2, 2): (2, 2), (1, 2): (3, 2)}
+    assert _expand_grouped_pairs(
+        [(r.rep_a, r.rep_b, r.jaccard) for r in grouped], members) == pairs
+    with pytest.raises(ValueError):
+        dedup.ngram_jaccard_pairs(df, output="nonsense")
+    with pytest.raises(ValueError):
+        dedup.ngram_jaccard_pairs(
+            df, output="grouped", group_identical=False)
 
 
 def test_simhash_grouped_encodes_pair_expansion(spark):

@@ -38,7 +38,25 @@ def test_jaccard_join_lossless(spark, texts, t):
            for r in dedup.jaccard_similarity_join(df, t).collect()}
     want = {(r["id_a"], r["id_b"], round(r["jaccard"], 6))
             for r in dedup.ngram_jaccard_pairs(
-                df, threshold=t, max_shingle_df=None).collect()}
+                df, threshold=t, max_shingle_df=None,
+                group_identical=False).collect()}
+    assert got == want
+
+
+@given(texts=CORPUS, t=THRESH)
+@_settings
+def test_ngram_grouping_lossless(spark, texts, t):
+    """Identical-set grouping inside ngram_jaccard_pairs is exact: the
+    tiny vocabulary makes duplicate texts (whole identical-set groups)
+    common, which is precisely the regime the fast path rewrites."""
+    df = _docs(spark, texts)
+    got = {(r["id_a"], r["id_b"], r["jaccard"])
+           for r in dedup.ngram_jaccard_pairs(
+               df, threshold=t, max_shingle_df=None).collect()}
+    want = {(r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(
+                df, threshold=t, max_shingle_df=None,
+                group_identical=False).collect()}
     assert got == want
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import types as T
 
 from db_spark.ops import Q, SortDirection
 from db_spark.conditions import col, val, Query
-from db_spark.functions import money_sum, decimal_sum, truthy
+from db_spark.functions import ascii_lower, money_sum, decimal_sum, truthy
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2074,7 +2074,7 @@ def q_explode_tokens(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z']+"), 0)
+            F.regexp_extract_all(ascii_lower(F.col("text")), F.lit(r"[a-z']+"), 0)
         ).alias("token"))
     return (
         toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
@@ -3370,7 +3370,7 @@ def q_kmv_distinct(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         "source",
-        F.explode(ltext.tokens(F.lower(F.col("text")))).alias("_tk"))
+        F.explode(ltext.tokens(ascii_lower(F.col("text")))).alias("_tk"))
     sk = lsk.kmv_sketch(tok, F.col("_tk"), k=64, group_cols=["source"])
     est = lsk.kmv_estimate(sk, k=64, group_cols=["source"])
     exact = tok.groupBy("source").agg(
@@ -3392,7 +3392,7 @@ def q_kmv_merge(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         "source", "doc_id",
-        F.explode(ltext.tokens(F.lower(F.col("text")))).alias("_tk"))
+        F.explode(ltext.tokens(ascii_lower(F.col("text")))).alias("_tk"))
     sa = lsk.kmv_sketch(tok.filter(F.col("doc_id") % 2 == 0),
                         F.col("_tk"), k=64, group_cols=["source"])
     sb = lsk.kmv_sketch(tok.filter(F.col("doc_id") % 2 == 1),
@@ -3456,7 +3456,7 @@ def q_hll_distinct(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         "source",
-        F.explode(ltext.tokens(F.lower(F.col("text")))).alias("_tk"))
+        F.explode(ltext.tokens(ascii_lower(F.col("text")))).alias("_tk"))
     sk = lsk.hll_sketch(tok, F.col("_tk"), p=8, group_cols=["source"])
     est = lsk.hll_estimate(sk, p=8, group_cols=["source"])
     exact = tok.groupBy("source").agg(
@@ -3476,7 +3476,7 @@ def q_hll_merge(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         "source", "doc_id",
-        F.explode(ltext.tokens(F.lower(F.col("text")))).alias("_tk"))
+        F.explode(ltext.tokens(ascii_lower(F.col("text")))).alias("_tk"))
     sa = lsk.hll_sketch(tok.filter(F.col("doc_id") % 2 == 0),
                         F.col("_tk"), p=8, group_cols=["source"])
     sb = lsk.hll_sketch(tok.filter(F.col("doc_id") % 2 == 1),
@@ -3503,7 +3503,7 @@ def q_hll_set_ops(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         "source", "doc_id",
-        F.explode(ltext.tokens(F.lower(F.col("text")))).alias("_tk"))
+        F.explode(ltext.tokens(ascii_lower(F.col("text")))).alias("_tk"))
     half = (F.col("doc_id") - F.col("doc_id") % 20) / 20 % 2
     sa = lsk.hll_sketch(tok.filter(half == 0),
                         F.col("_tk"), p=8, group_cols=["source"])
@@ -3557,7 +3557,7 @@ def q_cm_heavy_hitters(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
-        F.explode(ltext.tokens(F.lower(F.col("text")))).alias("_tk"))
+        F.explode(ltext.tokens(ascii_lower(F.col("text")))).alias("_tk"))
     return lsk.cm_heavy_hitters(
         tok, F.col("_tk"), min_count=500, depth=4, width=1024)
 
@@ -3880,7 +3880,7 @@ def q_bloom_prefilter(spark, sf_dir):
 
 from db_spark.llm.dedup import DEFAULT_MAX_SHINGLE_DF as _MAX_SHINGLE_DF
 
-_TOKS = "regexp_extract_all(lower(text), '[a-z'']+')"
+_TOKS = "regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z'']+')"
 _SHINGLES = (
     "list_distinct(list_transform(range(1, greatest(len({toks})-1, 1)), "
     "i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))"
@@ -4188,7 +4188,7 @@ def _curate_oracle() -> str:
                  len(list_filter(list_transform(
                      regexp_extract_all(text, '[a-zA-Z'']+'),
                      t -> lower(t)), t -> t IN ({sw}))) AS s_en,
-                 length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                 length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))
                      AS np,
                  length(text) AS nc
           FROM src),
@@ -4710,8 +4710,8 @@ def _text_stats_oracle() -> str:
                  length(text) AS n_chars_,
                  len(regexp_extract_all(text, '[a-zA-Z'']+')) AS n_tokens_,
                  len(regexp_extract_all(text,
-                     '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_,
-                 length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct_,
+                     '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS n_bpe_,
+                 length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS n_punct_,
                  list_sum(list_transform(regexp_extract_all(text, '[a-zA-Z'']+'),
                           t -> length(t))) AS tok_len_sum_,
                  {scores['en']} AS s_en,
@@ -4741,7 +4741,7 @@ def _text_stats_oracle() -> str:
                             THEN n_punct_::DOUBLE / n_chars_::DOUBLE
                             ELSE 0.0 END) * 4.0) * 0.3
                  AS quality,
-               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+               md5(translate(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint,
                {lang_case} AS lang_pred
         FROM base
     """
@@ -4761,7 +4761,7 @@ def _importance_sample_oracle() -> str:
                  len(list_filter(list_transform(
                      regexp_extract_all(text, '[a-zA-Z'']+'),
                      t -> lower(t)), t -> t IN ({sw}))) AS s_en,
-                 length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                 length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))
                      AS np,
                  length(text) AS nc
           FROM documents),
@@ -4811,7 +4811,7 @@ def _dedup_keep_best_oracle() -> str:
                  len(list_filter(list_transform(
                      regexp_extract_all(text, '[a-zA-Z'']+'),
                      t -> lower(t)), t -> t IN ({sw}))) AS s_en,
-                 length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                 length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))
                      AS np,
                  length(text) AS nc
           FROM documents),
@@ -4850,9 +4850,9 @@ def _quality_rules_oracle() -> str:
     return f"""
         WITH base AS (
           SELECT doc_id,
-                 list_filter(regexp_split_to_array(text, '\\s+'),
+                 list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                              w -> length(w) > 0) AS w,
-                 length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS np,
+                 length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS np,
                  length(text) AS nc,
                  len(list_filter({_TOKS}, t -> t IN ({sw}))) AS swh
           FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)
@@ -5660,7 +5660,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "explode_tokens": """
             SELECT token, COUNT(*) AS n
-            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS token
+            FROM (SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z'']+')) AS token
                   FROM documents)
             GROUP BY token
             ORDER BY n DESC, token
@@ -5905,7 +5905,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id,
-                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+                   md5(translate(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint
             FROM documents
             GROUP BY 2
         """,

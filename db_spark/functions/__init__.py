@@ -85,6 +85,28 @@ def col_at(df: DataFrame, i: int) -> Column:
     return df[df.columns[i]]
 
 
+#: ASCII case-fold alphabet for ``ascii_lower`` — the SQL-oracle form is
+#: ``translate(x, 'ABC...Z', 'abc...z')`` with the same two constants.
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(c: Column) -> Column:
+    """Engine-portable case fold: lowercases ASCII A-Z ONLY, leaving
+    every other codepoint untouched.
+
+    Full unicode ``lower()`` is ICU/locale-dependent and NOT identical
+    across engines — e.g. Spark lowercases 'İ' (U+0130) to 'i' + a
+    combining dot (two codepoints, injecting a phantom ASCII 'i' into
+    any downstream ``[a-z']+`` tokenizer) while DuckDB yields a plain
+    'i'; Greek final-sigma context rules also differ. Every tokenizer,
+    shingle and fingerprint in this repo case-folds through THIS
+    function so token/fingerprint semantics are deterministic and
+    identical in any engine; non-ASCII letters simply never participate
+    in ASCII token classes (they are token separators either way)."""
+    return F.translate(c, ASCII_UPPER, ASCII_LOWER)
+
+
 def exact_sum(c: Column, alias: str, decimals: int = 2, wide: bool = False) -> Column:
     """Deterministic (order-independent) sum of a double column: each term
     is rounded to ``decimals`` places, accumulation is exact integer

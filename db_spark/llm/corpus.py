@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from db_spark.functions import ascii_lower
+
 from db_spark.llm.dedup import h32, shingle_table
 
 _TWO32 = 1 << 32
@@ -225,7 +227,7 @@ def token_budget_sample(
     # cell subtotals and silently drop the row from both keep and drop
     ntok = F.coalesce(
         F.size(F.regexp_extract_all(
-            F.lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)).cast("long"),
+            ascii_lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)).cast("long"),
         F.lit(0).cast("long"))
     bud = None
     for key, n in sorted(budgets.items()):
@@ -302,7 +304,7 @@ def bm25_topk(
     norm = tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)). Ranking uses
     round(score, 6) with doc-id tiebreak so top-k is deterministic.
     Returns (id, score, rank)."""
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
+    toks = F.regexp_extract_all(ascii_lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
     base = df.select(F.col(id_col).alias("_did"), toks.alias("_toks"))
 
     # corpus stats: N docs, avg doc length (exact rational -> double once)

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from db_spark.functions import ascii_lower
+
 # 31-bit Mersenne prime: (a*h + b) % P stays well inside 64-bit signed
 # arithmetic for h < 2^32, giving identical results in any SQL engine.
 HASH_P = 2_147_483_647
@@ -102,7 +104,7 @@ def exact_dedup(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-token shingles of the lowercased word stream."""
-    toks = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z']+"), 0)
+    toks = F.regexp_extract_all(ascii_lower(text), F.lit(r"[a-z']+"), 0)
     count = F.size(toks) - (n - 1)
     # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short texts
     idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
@@ -128,7 +130,7 @@ def shingle_table(
     from db_spark.llm.text import _grams_of
 
     toks = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
+        ascii_lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
     t = df.select(F.col(id_col).alias("_sid"), toks.alias("_toks"))
     sh = t.select(
         "_sid",
@@ -350,7 +352,7 @@ def simhash(text: Column, bits: int = 32) -> Column:
     """32-bit SimHash over the lowercased token stream (with
     multiplicity). Pure array-expression aggregation — no explode, no
     shuffle: per-row fold over the token array."""
-    toks = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z']+"), 0)
+    toks = F.regexp_extract_all(ascii_lower(text), F.lit(r"[a-z']+"), 0)
     # evaluation shape: hash each token ONCE (transform), then fold over
     # the hash array, then recombine bits referencing the fold ONCE via
     # zip_with — lambda args are attributes, so nothing re-evaluates the
@@ -533,7 +535,7 @@ def span_dup_stats(
     from db_spark.llm.text import _grams_of
 
     toks = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
+        ascii_lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
     t = df.select(F.col(id_col).alias("_sid"), toks.alias("_toks"))
     wins = t.select(
         "_sid",
@@ -589,7 +591,7 @@ def remove_dup_spans(
     from db_spark.llm.text import _grams_of
 
     toks = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
+        ascii_lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
     t = df.select(F.col(id_col).alias("_sid"), toks.alias("_toks"))
     w = t.select(
         "_sid",

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from db_spark.functions import ascii_lower
+
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Deliberately small + ASCII so the same heuristic is
 # expressible in any SQL dialect for oracle checks.
@@ -23,7 +25,10 @@ STOPWORDS = {
 
 _WORD_RE = r"[a-zA-Z']+"
 # BPE-ish token regex: word pieces, numbers, or single non-space symbols
-_BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+# \s expanded to the explicit Java set: inside a class, Java \s
+# includes \x0B but RE2 \s does not — the explicit class is read
+# identically by both (r8 oracle-risk audit).
+_BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]"
 
 
 def tokens(text: Column) -> Column:
@@ -46,7 +51,7 @@ def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are not alphanumeric/space; 0.0 for
     empty (and NULL) text — the guard matters under ANSI mode, where an
     unguarded 0/0 is a runtime error, not a NaN."""
-    punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9 \t\n\x0B\f\r]", ""))
     return (F.when(F.length(text) > 0,
                    punct.cast("double") / F.length(text).cast("double"))
             .otherwise(F.lit(0.0)))
@@ -86,7 +91,8 @@ def quality_score(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
     (The rolling-hash variant is shingle_hashes in dedup.py.)"""
-    normalized = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    normalized = ascii_lower(
+        F.trim(F.regexp_replace(text, r"[ \t\n\x0B\f\r]+", " ")))
     return F.md5(normalized)
 
 
@@ -223,7 +229,7 @@ def ngrams(text: Column, n: int = 2) -> Column:
     """All word n-grams (non-distinct, in order) of the lowercased word
     stream — the multiset repetition analysis needs; compare
     ``dedup.shingles`` which dedups."""
-    toks = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z']+"), 0)
+    toks = F.regexp_extract_all(ascii_lower(text), F.lit(r"[a-z']+"), 0)
     count = F.size(toks) - (n - 1)
     idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
         F.array().cast("array<int>"))
@@ -261,7 +267,7 @@ def repetition_stats(
     once per row; referencing the regexp/transform trees directly inside
     the fold would re-run them per distinct gram (O(d·n) regexp scans
     per document — a 100x slowdown observed at sf0.1)."""
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
+    toks = F.regexp_extract_all(ascii_lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
     t = df.select(F.col(id_col), toks.alias("_toks"))
     g = t.select(
         id_col,
@@ -331,7 +337,7 @@ def unigram_surprisal(
     Returns (id, n_tokens, sum_bits, avg_bits): high avg_bits = rare
     tokens (higher surprisal); 0 bits = the most common tokens."""
     tok = df.select(
-        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_tk"))
+        F.col(id_col), F.explode(tokens(ascii_lower(F.col(text_col)))).alias("_tk"))
     # the model is vocab-sized (Heaps' law: ~ corpus^0.5, never corpus-
     # sized) and referenced twice (scoring join + grand total) — cache it
     # so the corpus is scanned exactly twice (the two-pass minimum), not
@@ -376,7 +382,7 @@ def bigram_surprisal(
     < 2 tokens contribute nothing. Returns (id, n_bigrams, sum_bits,
     avg_bits)."""
     d = df.select(
-        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_tk")
+        F.col(id_col), tokens(ascii_lower(F.col(text_col))).alias("_tk")
     ).filter(F.size("_tk") >= 2)
     bg = d.select(
         F.col(id_col),
@@ -462,7 +468,7 @@ def collocations(
     bigram tail before the joins; top-k is a rank over the survivors.
     Returns (bigram, pair_count, ratio, rank)."""
     toks = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
+        ascii_lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
     t = df.select(toks.alias("_toks"))
     uni = (
         t.select(F.explode("_toks").alias("_w"))
@@ -538,7 +544,7 @@ def quality_rules(
     legacy ``size(NULL) = -1`` would silently diverge from an engine
     that propagates NULL."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+    words = F.filter(F.split(t, r"[ \t\n\x0B\f\r]+"), lambda w: F.length(w) > 0)
     s1 = df.select(
         F.col(id_col), t.alias("_t"), words.alias("_w"),
         F.transform(tokens(t), lambda x: F.lower(x)).alias("_lt"),
@@ -666,7 +672,7 @@ def keywords_tfidf(
     """
     toks = df.select(
         F.col(id_col).alias("_did"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("_tk"))
+        F.explode(tokens(ascii_lower(F.col(text_col)))).alias("_tk"))
     tf = toks.groupBy("_did", "_tk").agg(
         F.count(F.lit(1)).cast("long").alias("_tf"))
     dfreq = tf.groupBy("_tk").agg(
@@ -709,7 +715,7 @@ def skipgram_counts(
     """
     toks = df.select(
         F.col(id_col).alias("_did"),
-        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("_p", "_w"))
+        F.posexplode(tokens(ascii_lower(F.col(text_col)))).alias("_p", "_w"))
     offs = [o for o in range(-window, window + 1) if o != 0]
     centers = toks.select(
         "_did", F.col("_w").alias("center"),
@@ -745,7 +751,7 @@ def hashed_features(
 
     toks = df.select(
         F.col(id_col).alias("_did"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("_tk"))
+        F.explode(tokens(ascii_lower(F.col(text_col)))).alias("_tk"))
     return (
         toks.groupBy(
             "_did", (h32(F.col("_tk")) % dim).cast("int").alias("idx"))

@@ -34,6 +34,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from db_spark.functions import ascii_lower
 from pyspark.sql import types as T
 
 NIL_TXID = "00000000-0000-0000-0000-000000000000"
@@ -1220,7 +1222,7 @@ class Collection:
                 F.explode(
                     F.array_distinct(
                         F.regexp_extract_all(
-                            F.lower(F.col(text_col)), F.lit(r"[a-z0-9']+"), 0
+                            ascii_lower(F.col(text_col)), F.lit(r"[a-z0-9']+"), 0
                         )
                     )
                 ).alias("term"),

@@ -136,6 +136,18 @@ DIRTY_TEXT = [
     "中文文本 99",       # CJK (no [A-Za-z] match)
     "emoji \U0001f600 test",             # astral-plane codepoint
     "00numbers11mixed22alpha",
+    # unicode case-mapping divergence probes (r8 audit): Spark
+    # lower('İ') = 'i' + combining dot (TWO codepoints — injects a
+    # phantom ASCII 'i' token) vs DuckDB 'i'; Greek final-sigma
+    # context rules differ; ligature/ß uppercase expansion differs.
+    # The tokenizer tier survives these ONLY because it case-folds
+    # through ascii_lower (translate), never unicode lower().
+    "İstanbul İZMİR word",               # dotted capital I (U+0130)
+    "ΣΙΣΥΦΟΣ σίσυφος mixed",             # final-sigma context
+    "straße ﬁle ǅungla end",             # sharp s, fi ligature, Dž digraph
+    "vertical\x0btab seven",             # \x0B: in Java \s, NOT in RE2 \s
+    "nbsp space",                   # U+00A0 (neither engine's \s)
+    "para sep",                     # U+2028 line separator
 ]
 
 DIRTY_SEGMENTS = [
@@ -269,6 +281,13 @@ def test_corpus_stats_dirty_text(spark, dirty_dir):
 
 def test_normalize_text_dirty_text(spark, dirty_dir):
     _assert_engines_agree(spark, dirty_dir, "normalize_text")
+
+
+def test_dedup_exact_dirty_text(spark, dirty_dir):
+    """fingerprint = md5(ascii_lower(ws-normalized text)) — the r8 pin
+    after the audit found unicode lower() and Java-vs-RE2 \\s diverge
+    (İ, final sigma, vertical tab probes above)."""
+    _assert_engines_agree(spark, dirty_dir, "dedup_exact")
 
 
 def test_fuzzy_join_dirty_names(spark, dirty_dir):

@@ -290,5 +290,20 @@ def test_dedup_exact_dirty_text(spark, dirty_dir):
     _assert_engines_agree(spark, dirty_dir, "dedup_exact")
 
 
+# Tokenizer-derived tier: every query below case-folds through
+# ascii_lower and tokenizes with literal ASCII classes; running them
+# over the İ/final-sigma/ligature/VT probes converts the audit's
+# "doctrine-pinned" classification into executed dirty-data evidence.
+
+@pytest.mark.parametrize("key", [
+    "quality_rules", "token_budget", "unigram_surprisal",
+    "bigram_surprisal", "keywords_tfidf", "bm25_topk",
+    "repetition_stats", "collocations", "skipgram_counts",
+    "span_dup", "hashed_features", "redact_pii",
+])
+def test_tokenizer_tier_dirty_text(spark, dirty_dir, key):
+    _assert_engines_agree(spark, dirty_dir, key)
+
+
 def test_fuzzy_join_dirty_names(spark, dirty_dir):
     _assert_engines_agree(spark, dirty_dir, "fuzzy_join")

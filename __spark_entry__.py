@@ -2619,11 +2619,15 @@ def q_dedup_keep_best(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """32-bit SimHash per document (fold over token array, no shuffle)."""
+    """32-bit SimHash per document (fold over token array, no shuffle).
+    Token-less docs have no signature (NULL, dropped) — matching the
+    oracle's unnest-based fold, which naturally has no rows for them."""
     from db_spark.llm import dedup as ldedup
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", ldedup.simhash(F.col("text")).alias("simhash"))
+    return docs.select(
+        "doc_id", ldedup.simhash(F.col("text")).alias("simhash")
+    ).filter(F.col("simhash").isNotNull())
 
 
 def q_simhash_near_dup(spark, sf_dir):
@@ -4954,6 +4958,11 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # (same output contract, new plan — earlier rows cover the direct
     # inverted-index join)
     "ngram_jaccard",
+    # r8: token-less docs now carry NULL signatures and are excluded
+    # from the signature query and pairing (testdata has zero such
+    # docs at every scale, so clean-data outputs are unchanged — but
+    # the contract changed, so the rows re-earn their green)
+    "simhash", "simhash_near_dup", "simhash_grouped",
 })
 
 

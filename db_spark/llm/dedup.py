@@ -351,7 +351,14 @@ def minhash_dedup_pairs(
 def simhash(text: Column, bits: int = 32) -> Column:
     """32-bit SimHash over the lowercased token stream (with
     multiplicity). Pure array-expression aggregation — no explode, no
-    shuffle: per-row fold over the token array."""
+    shuffle: per-row fold over the token array.
+
+    Token-less documents (no ``[a-z']`` runs — empty, NULL, digits-only
+    or fully non-ASCII text) yield NULL: they carry no signal, and a
+    synthetic signature (the all-zero fold) would make every such doc a
+    Hamming-0 "near-duplicate" of every other — a quadratic garbage
+    group at corpus scale, and a divergence from any explode-based SQL
+    signature (which naturally has no rows for them)."""
     toks = F.regexp_extract_all(ascii_lower(text), F.lit(r"[a-z']+"), 0)
     # evaluation shape: hash each token ONCE (transform), then fold over
     # the hash array, then recombine bits referencing the fold ONCE via
@@ -375,7 +382,8 @@ def simhash(text: Column, bits: int = 32) -> Column:
     contrib = F.zip_with(
         bit_votes, powers,
         lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")))
-    return F.aggregate(contrib, F.lit(0).cast("long"), lambda a, x: a + x)
+    folded = F.aggregate(contrib, F.lit(0).cast("long"), lambda a, x: a + x)
+    return F.when(F.size(toks) > 0, folded)
 
 
 def simhash_pairs(
@@ -419,8 +427,10 @@ def simhash_pairs(
         raise ValueError(f"output must be 'pairs' or 'grouped', got {output!r}")
     seg_n = max_hamming + 1
     seg_bits = bits // seg_n
+    # NULL signatures (token-less docs) carry no signal — see simhash()
     sh = df.select(F.col(id_col).alias("_hid"),
-                   simhash(F.col(text_col), bits).alias("sh"))
+                   simhash(F.col(text_col), bits).alias("sh")) \
+        .filter(F.col("sh").isNotNull())
 
     reps = sh.groupBy("sh").agg(F.min("_hid").alias("_rep"))
     members = _plan_cache(sh.join(reps, "sh"))

@@ -425,6 +425,27 @@ def test_jaccard_grouped_encodes_pair_expansion(spark):
         [(r.rep_a, r.rep_b, r.jaccard) for r in grouped], members) == pairs
 
 
+def test_simhash_tokenless_docs_have_no_signature(spark):
+    """No tokens -> NULL signature, excluded from pairing: otherwise
+    every empty/digits-only/non-ASCII doc would pair with every other
+    at Hamming 0 (a quadratic garbage group), and any explode-based
+    SQL oracle would disagree (it has no rows for them)."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps today"),
+         (2, "the quick brown fox jumps today"),
+         (3, ""), (4, None), (5, "12345 67890"), (6, "中文文本 99")],
+        "doc_id long, text string")
+    sigs = {r.doc_id: r.simhash for r in df.select(
+        "doc_id", dedup.simhash(F.col("text")).alias("simhash")).collect()}
+    assert sigs[1] == sigs[2] and sigs[1] is not None
+    assert sigs[3] is None and sigs[4] is None
+    assert sigs[5] is None and sigs[6] is None
+    pairs = {(r.id_a, r.id_b) for r in dedup.simhash_pairs(df).collect()}
+    assert pairs == {(1, 2)}  # no empty-doc pairings
+    grouped = dedup.simhash_pairs(df, output="grouped").collect()
+    assert {(r.rep_a, r.rep_b, r.count_a) for r in grouped} == {(1, 1, 2)}
+
+
 def test_ngram_jaccard_grouping_lossless(spark):
     """The identical-set fast path inside ngram_jaccard_pairs must equal
     the direct inverted-index brute force (group_identical=False) on a

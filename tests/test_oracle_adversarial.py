@@ -305,5 +305,22 @@ def test_tokenizer_tier_dirty_text(spark, dirty_dir, key):
     _assert_engines_agree(spark, dirty_dir, key)
 
 
+# Dedup tier: shingle/minhash/simhash candidate generation + grouping
+# fast paths over the same probes — duplicate texts exist in the dirty
+# fixture only if two rows carry byte-identical text, so these mostly
+# exercise the empty/NULL/unicode edges of shingling and the md5 hash
+# family on non-ASCII bytes.
+
+@pytest.mark.parametrize("key", [
+    "ngram_jaccard", "jaccard_join", "jaccard_grouped",
+    "simhash", "simhash_near_dup", "simhash_grouped",
+    "minhash_lsh_pairs",
+    "dedup_corpus", "dedup_keep_best", "dedup_clusters",
+    "curate_corpus", "decontaminate", "lsh_probe",
+])
+def test_dedup_tier_dirty_text(spark, dirty_dir, key):
+    _assert_engines_agree(spark, dirty_dir, key)
+
+
 def test_fuzzy_join_dirty_names(spark, dirty_dir):
     _assert_engines_agree(spark, dirty_dir, "fuzzy_join")

@@ -4379,7 +4379,7 @@ def _kcenter_oracle(k: int = 5) -> str:
                FROM embeddings),
         s1 AS (SELECT min(vec_id) AS id FROM base),
         m1 AS (SELECT b.vec_id,
-                      1 - round(list_cosine_similarity(b.v, c.v), 6) AS d
+                      1 - (CASE WHEN list_inner_product(b.v, b.v) * list_inner_product(c.v, c.v) > 0 THEN round(list_cosine_similarity(b.v, c.v), 6) ELSE 0.0 END) AS d
                FROM base b JOIN base c ON c.vec_id = (SELECT id FROM s1)
                WHERE b.vec_id <> (SELECT id FROM s1))"""]
     for r in range(2, k + 1):
@@ -4390,8 +4390,7 @@ def _kcenter_oracle(k: int = 5) -> str:
             parts.append(f"""
         m{r} AS (SELECT p.vec_id,
                         least(p.d,
-                              1 - round(list_cosine_similarity(b.v, c.v),
-                                        6)) AS d
+                              1 - (CASE WHEN list_inner_product(b.v, b.v) * list_inner_product(c.v, c.v) > 0 THEN round(list_cosine_similarity(b.v, c.v), 6) ELSE 0.0 END)) AS d
                  FROM m{r-1} p
                  JOIN base b ON b.vec_id = p.vec_id
                  JOIN base c ON c.vec_id = (SELECT id FROM s{r})
@@ -4615,7 +4614,7 @@ def _ivf_kmeans_oracle(n_cells: int = 16, n_probe: int = 4, k: int = 10,
           SELECT vec_id, v, cell_id FROM (
             SELECT b.vec_id, b.v, c.cell_id,
                    ROW_NUMBER() OVER (PARTITION BY b.vec_id
-                     ORDER BY round(list_cosine_similarity(b.v, c.cvec), 6)
+                     ORDER BY (CASE WHEN list_inner_product(b.v, b.v) * list_inner_product(c.cvec, c.cvec) > 0 THEN round(list_cosine_similarity(b.v, c.cvec), 6) ELSE 0.0 END)
                        DESC, c.cell_id) AS rk
             FROM base b CROSS JOIN {src_cent} c
           ) WHERE rk = 1
@@ -4661,7 +4660,7 @@ def _ivf_kmeans_oracle(n_cells: int = 16, n_probe: int = 4, k: int = 10,
           SELECT vec_id, v, cell_id FROM (
             SELECT b.vec_id, b.v, c.cell_id,
                    ROW_NUMBER() OVER (PARTITION BY b.vec_id
-                     ORDER BY round(list_cosine_similarity(b.v, c.cvec), 6)
+                     ORDER BY (CASE WHEN list_inner_product(b.v, b.v) * list_inner_product(c.cvec, c.cvec) > 0 THEN round(list_cosine_similarity(b.v, c.cvec), 6) ELSE 0.0 END)
                        DESC, c.cell_id) AS rk
             FROM base b CROSS JOIN {cent} c
           ) WHERE rk = 1
@@ -4671,14 +4670,14 @@ def _ivf_kmeans_oracle(n_cells: int = 16, n_probe: int = 4, k: int = 10,
           SELECT query_id, qvec, cell_id FROM (
             SELECT q.query_id, q.qvec, c.cell_id,
                    ROW_NUMBER() OVER (PARTITION BY q.query_id
-                     ORDER BY round(list_cosine_similarity(q.qvec, c.cvec), 6)
+                     ORDER BY (CASE WHEN list_inner_product(q.qvec, q.qvec) * list_inner_product(c.cvec, c.cvec) > 0 THEN round(list_cosine_similarity(q.qvec, c.cvec), 6) ELSE 0.0 END)
                        DESC, c.cell_id) AS rk
             FROM q CROSS JOIN {cent} c
           ) WHERE rk <= {n_probe}
         ),
         scored AS (
           SELECT p.query_id, a.vec_id,
-                 round(list_cosine_similarity(a.v, p.qvec), 6) AS sim
+                 (CASE WHEN list_inner_product(a.v, a.v) * list_inner_product(p.qvec, p.qvec) > 0 THEN round(list_cosine_similarity(a.v, p.qvec), 6) ELSE 0.0 END) AS sim
           FROM final_assign a JOIN probes p USING (cell_id)
         ),
         ranked AS (
@@ -6072,8 +6071,7 @@ def oracle_sql() -> dict[str, str]:
                        WHERE vec_id < 5),
             scored AS (
               SELECT q.query_id, e.vec_id,
-                     round(list_cosine_similarity(e.embedding::DOUBLE[],
-                                                  q.embedding::DOUBLE[]), 6) AS sim
+                     (CASE WHEN list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) * list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) > 0 THEN round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) ELSE 0.0 END) AS sim
               FROM embeddings e CROSS JOIN q
             ),
             ranked AS (
@@ -6091,14 +6089,11 @@ def oracle_sql() -> dict[str, str]:
             cand AS (
               SELECT query_id, vec_id, sim, embedding FROM (
                 SELECT q.query_id, e.vec_id,
-                       round(list_cosine_similarity(e.embedding::DOUBLE[],
-                                                    q.embedding::DOUBLE[]), 6)
+                       (CASE WHEN list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) * list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) > 0 THEN round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) ELSE 0.0 END)
                            AS sim,
                        e.embedding,
                        ROW_NUMBER() OVER (PARTITION BY q.query_id
-                         ORDER BY round(list_cosine_similarity(
-                             e.embedding::DOUBLE[],
-                             q.embedding::DOUBLE[]), 6) DESC, e.vec_id) AS rk
+                         ORDER BY (CASE WHEN list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) * list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) > 0 THEN round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) ELSE 0.0 END) DESC, e.vec_id) AS rk
                 FROM embeddings e CROSS JOIN q
               ) WHERE rk <= 10),
             s1 AS (
@@ -6110,8 +6105,7 @@ def oracle_sql() -> dict[str, str]:
                         AS rk FROM cand) WHERE rk = 1),
             m2 AS (
               SELECT c.query_id, c.vec_id, c.sim, c.embedding,
-                     MAX(round(list_cosine_similarity(c.embedding::DOUBLE[],
-                         s.embedding::DOUBLE[]), 6)) AS maxdiv
+                     MAX((CASE WHEN list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) * list_inner_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[]) > 0 THEN round(list_cosine_similarity(c.embedding::DOUBLE[], s.embedding::DOUBLE[]), 6) ELSE 0.0 END)) AS maxdiv
               FROM cand c JOIN s1 s USING (query_id)
               WHERE c.vec_id <> s.vec_id
               GROUP BY 1, 2, 3, 4),
@@ -6127,8 +6121,7 @@ def oracle_sql() -> dict[str, str]:
                       SELECT query_id, vec_id, embedding FROM s2),
             m3 AS (
               SELECT c.query_id, c.vec_id, c.sim,
-                     MAX(round(list_cosine_similarity(c.embedding::DOUBLE[],
-                         s.embedding::DOUBLE[]), 6)) AS maxdiv
+                     MAX((CASE WHEN list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) * list_inner_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[]) > 0 THEN round(list_cosine_similarity(c.embedding::DOUBLE[], s.embedding::DOUBLE[]), 6) ELSE 0.0 END)) AS maxdiv
               FROM cand c JOIN sel12 s USING (query_id)
               WHERE NOT EXISTS (SELECT 1 FROM sel12 x
                                 WHERE x.query_id = c.query_id
@@ -6158,8 +6151,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id, embedding, cell_id FROM (
                 SELECT e.vec_id, e.embedding, c.cell_id,
                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                         ORDER BY round(list_cosine_similarity(
-                             e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 6) DESC,
+                         ORDER BY (CASE WHEN list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) * list_inner_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[]) > 0 THEN round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 6) ELSE 0.0 END) DESC,
                            c.cell_id) AS rk
                 FROM embeddings e CROSS JOIN cent c
               ) WHERE rk = 1
@@ -6170,16 +6162,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT query_id, qvec, cell_id FROM (
                 SELECT q.query_id, q.qvec, c.cell_id,
                        ROW_NUMBER() OVER (PARTITION BY q.query_id
-                         ORDER BY round(list_cosine_similarity(
-                             q.qvec::DOUBLE[], c.cvec::DOUBLE[]), 6) DESC,
+                         ORDER BY (CASE WHEN list_inner_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]) * list_inner_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[]) > 0 THEN round(list_cosine_similarity(q.qvec::DOUBLE[], c.cvec::DOUBLE[]), 6) ELSE 0.0 END) DESC,
                            c.cell_id) AS rk
                 FROM q CROSS JOIN cent c
               ) WHERE rk <= 4
             ),
             scored AS (
               SELECT p.query_id, a.vec_id,
-                     round(list_cosine_similarity(
-                         a.embedding::DOUBLE[], p.qvec::DOUBLE[]), 6) AS sim
+                     (CASE WHEN list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) * list_inner_product(p.qvec::DOUBLE[], p.qvec::DOUBLE[]) > 0 THEN round(list_cosine_similarity(a.embedding::DOUBLE[], p.qvec::DOUBLE[]), 6) ELSE 0.0 END) AS sim
               FROM assigned a JOIN probes p USING (cell_id)
             ),
             ranked AS (
@@ -6947,17 +6937,24 @@ def oracle_sql() -> dict[str, str]:
                      list_transform(embedding, x -> x::DOUBLE) AS v
               FROM embeddings),
             m AS (
-              SELECT label, j,
-                     sum(CAST(round(v[j+1] * 1000000) AS BIGINT)) AS s,
-                     count(*) AS n
-              FROM base, range(0, 64) t(j) GROUP BY 1, 2),
+              -- per-component micro-unit sums via the indexed lambda
+              -- (dim-agnostic; range(len(v)) cannot be a lateral and
+              -- range() takes no subquery bound in DuckDB)
+              SELECT label, u.j AS j, sum(u.s6) AS s, count(*) AS n
+              FROM (SELECT label,
+                           unnest(list_transform(v, (x, i) ->
+                             struct_pack(j := i - 1,
+                                         s6 := CAST(round(x * 1000000)
+                                                    AS BIGINT)))) AS u
+                    FROM base)
+              GROUP BY 1, 2),
             cent AS (
               SELECT label, list(s::DOUBLE / (1000000.0 * n) ORDER BY j)
                          AS cvec
               FROM m GROUP BY label),
             d AS (
               SELECT b.label, b.vec_id,
-                     CAST(round((1.0 - list_cosine_similarity(b.v, c.cvec))
+                     CAST(round((1.0 - CASE WHEN list_inner_product(b.v, b.v) * list_inner_product(c.cvec, c.cvec) > 0 THEN list_cosine_similarity(b.v, c.cvec) ELSE 0.0 END)
                           * 1e6) AS BIGINT) AS d6
               FROM base b JOIN cent c USING (label)),
             r AS (SELECT label, vec_id, d6,
@@ -7789,9 +7786,7 @@ def oracle_sql() -> dict[str, str]:
                     FROM lscored QUALIFY rank <= 20),
             q0 AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
             vs AS (SELECT e.vec_id AS doc_id,
-                          round(list_cosine_similarity(
-                              e.embedding::DOUBLE[],
-                              q0.embedding::DOUBLE[]), 6) AS sim
+                          (CASE WHEN list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) * list_inner_product(q0.embedding::DOUBLE[], q0.embedding::DOUBLE[]) > 0 THEN round(list_cosine_similarity(e.embedding::DOUBLE[], q0.embedding::DOUBLE[]), 6) ELSE 0.0 END) AS sim
                    FROM embeddings e CROSS JOIN q0),
             vec AS (SELECT doc_id,
                            CAST(row_number() OVER (ORDER BY sim DESC, doc_id)

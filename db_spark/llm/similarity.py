@@ -46,8 +46,16 @@ def _norm_d(v: Column) -> Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _cos_guarded(dot_expr: Column, denom: Column) -> Column:
+    """Cosine division with the zero-vector contract: a zero denominator
+    (either vector has zero L2 norm in double) yields similarity 0.0 —
+    a zero vector has no direction. Keeps ANSI mode from faulting on
+    0/0 and matches the guarded DOUBLE-cast oracle form."""
+    return F.when(denom > 0, dot_expr / denom).otherwise(F.lit(0.0))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return _cos_guarded(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(
@@ -73,9 +81,9 @@ def brute_force_topk(
     scored = c.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(
-            _dot_d(F.col("_cv"), F.col("_qv"))
-            / (F.col("_cn") * F.col("_qn")), 6).alias("sim"),
+        F.round(_cos_guarded(
+            _dot_d(F.col("_cv"), F.col("_qv")),
+            F.col("_cn") * F.col("_qn")), 6).alias("sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (
@@ -117,9 +125,9 @@ def _assign_to(corpus: DataFrame, centroids: DataFrame,
     cent = cent.select("cell_id", "_ce", _norm_d(F.col("_ce")).alias("_cen"))
     scored = c.crossJoin(F.broadcast(cent)).select(
         F.col(id_col), F.col(vec_col), F.col("cell_id"),
-        F.round(
-            _dot_d(F.col("_cv"), F.col("_ce"))
-            / (F.col("_cn") * F.col("_cen")), 6).alias("_csim"),
+        F.round(_cos_guarded(
+            _dot_d(F.col("_cv"), F.col("_ce")),
+            F.col("_cn") * F.col("_cen")), 6).alias("_csim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("cell_id"))
     return (
@@ -225,9 +233,9 @@ def ivf_topk(
                    _norm_d(F.col("_qv")).alias("_qn"))
     scored = asg.join(F.broadcast(pq), "cell_id").select(
         F.col(query_id_col), F.col(id_col),
-        F.round(
-            _dot_d(F.col("_cv"), F.col("_qv"))
-            / (F.col("_cn") * F.col("_qn")), 6).alias("sim"),
+        F.round(_cos_guarded(
+            _dot_d(F.col("_cv"), F.col("_qv")),
+            F.col("_cn") * F.col("_qn")), 6).alias("sim"),
     )
     wk = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (
@@ -309,9 +317,9 @@ def ivf_index_topk(
                    _norm_d(F.col("_qv")).alias("_qn"))
     scored = asg.join(F.broadcast(pq), "cell_id").select(
         F.col(query_id_col), F.col(id_col),
-        F.round(
-            _dot_d(F.col("_cv"), F.col("_qv"))
-            / (F.col("_cn") * F.col("_qn")), 6).alias("sim"),
+        F.round(_cos_guarded(
+            _dot_d(F.col("_cv"), F.col("_qv")),
+            F.col("_cn") * F.col("_qn")), 6).alias("sim"),
     )
     wk = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col(id_col))
@@ -442,9 +450,9 @@ def embedding_near_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            F.round(
-                _dot_d(F.col("_va"), F.col("_vb"))
-                / (F.col("_na") * F.col("_nb")), 6).alias("cos_sim"))
+            F.round(_cos_guarded(
+                _dot_d(F.col("_va"), F.col("_vb")),
+                F.col("_na") * F.col("_nb")), 6).alias("cos_sim"))
         # threshold BEFORE the dedup exchange (a pair's cos_sim is
         # fixed, so this is value-identical with a smaller shuffle)
         .filter(F.col("cos_sim") >= threshold)
@@ -492,7 +500,8 @@ def centroid_outliers(
                             lambda s: s.getField("_m")).alias("_cvec"))
     )
     v = _dbl(F.col(vec_col))
-    dist = F.lit(1.0) - _dot_d(v, F.col("_cvec")) / (
+    dist = F.lit(1.0) - _cos_guarded(
+        _dot_d(v, F.col("_cvec")),
         _norm_d(v) * _norm_d(F.col("_cvec")))
     scored = (
         df.join(F.broadcast(cent), df[group_col] == cent["_g"])
@@ -590,9 +599,9 @@ def mmr_rerank(
                 F.col("_n").alias("_sn"))
             pair = remaining.join(
                 sel, remaining[query_id_col] == sel["_sq"])
-            div = F.round(
-                _dot_d(F.col("_v"), F.col("_sv"))
-                / (F.col("_n") * F.col("_sn")), 6)
+            div = F.round(_cos_guarded(
+                _dot_d(F.col("_v"), F.col("_sv")),
+                F.col("_n") * F.col("_sn")), 6)
             scored = (
                 pair.groupBy(query_id_col, id_col)
                 .agg(F.max(div).alias("_maxdiv"),
@@ -698,9 +707,9 @@ def k_center_greedy(
     for r in range(2, k + 1):
         cvec = st.filter(F.col("_id") == cur).select("_v").collect()[0][0]
         lit_c = F.array(*[F.lit(float(x)) for x in cvec])
-        d_new = 1 - F.round(
-            _dot_d(F.col("_v"), lit_c)
-            / (_norm_d(F.col("_v")) * _norm_d(lit_c)), 6)
+        d_new = 1 - F.round(_cos_guarded(
+            _dot_d(F.col("_v"), lit_c),
+            _norm_d(F.col("_v")) * _norm_d(lit_c)), 6)
         st = (
             st.filter(F.col("_id") != cur)
             .withColumn("_mind",
@@ -720,9 +729,9 @@ def _kc_dist_expr(vec: list) -> Column:
     """Cosine distance of the corpus vector column against one literal
     center — the exact expression the m=1 fold uses."""
     lit_c = F.array(*[F.lit(float(x)) for x in vec])
-    return 1 - F.round(
-        _dot_d(F.col("_v"), lit_c)
-        / (_norm_d(F.col("_v")) * _norm_d(lit_c)), 6)
+    return 1 - F.round(_cos_guarded(
+        _dot_d(F.col("_v"), lit_c),
+        _norm_d(F.col("_v")) * _norm_d(lit_c)), 6)
 
 
 def _k_center_batched(
@@ -798,9 +807,9 @@ def _k_center_batched(
                 rows, "ia long, va array<double>, ib long, vb array<double>")
             mat = pdf.select(
                 "ia", "ib",
-                (1 - F.round(
-                    _dot_d(F.col("va"), F.col("vb"))
-                    / (_norm_d(F.col("va")) * _norm_d(F.col("vb"))), 6))
+                (1 - F.round(_cos_guarded(
+                    _dot_d(F.col("va"), F.col("vb")),
+                    _norm_d(F.col("va")) * _norm_d(F.col("vb"))), 6))
                 .alias("d")).collect()
             for r in mat:
                 pair[(r["ia"], r["ib"])] = pair[(r["ib"], r["ia"])] = r["d"]

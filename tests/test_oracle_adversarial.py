@@ -65,7 +65,8 @@ def _assert_engines_agree(spark, sf_dir, query_name):
 
     con = duckdb.connect()
     try:
-        for t in ("events", "documents", "customer", "orders", "part"):
+        for t in ("events", "documents", "customer", "orders", "part",
+                  "embeddings"):
             p = os.path.join(sf_dir, t + ".parquet")
             if os.path.isdir(p):
                 # Spark writes parquet "files" as directories of parts
@@ -181,6 +182,25 @@ DIRTY_DATES = [
 
 DIRTY_PRICES = [100.5, 0.0, 1.0, 123456.789, 0.004, 99999.99, 3.0, 7.25]
 
+# Embedding probes (dim 8, NOT the testdata's 64): cosine of a ZERO
+# vector is 0/0, duplicate vectors make distance ties, large/tiny
+# magnitudes probe the double fold inside the documented scaled-BIGINT
+# domain (micro-unit centroid folds require |x| < ~9e12; embeddings at
+# 1e30 are outside every op's contract), negatives probe abs/sign
+# handling in quantization.
+DIRTY_VECS = [
+    [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],     # unit axis
+    [0.0] * 8,                                     # ZERO vector: 0/0 cosine
+    [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],     # exact duplicate of 0
+    [-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],    # antipodal
+    [1e5, 1e5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],     # large magnitude
+    [1e-7, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1e-7],   # tiny magnitude
+    [0.5, -0.5, 0.5, -0.5, 0.5, -0.5, 0.5, -0.5], # mixed signs (dyadic)
+    [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0],
+    [2.0, 1.0, 0.0, -1.0, -2.0, 3.0, -3.0, 0.5],
+    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8],     # decimal→float rounding
+]
+
 
 @pytest.fixture(scope="module")
 def dirty_dir(spark, tmp_path_factory):
@@ -226,6 +246,12 @@ def dirty_dir(spark, tmp_path_factory):
         "o_orderkey bigint, o_orderdate timestamp, "
         "o_orderpriority string, o_totalprice double",
     ).coalesce(1).write.parquet(os.path.join(d, "orders.parquet"))
+
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], i % 3)
+         for i, v in enumerate(DIRTY_VECS)],
+        "vec_id bigint, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(os.path.join(d, "embeddings.parquet"))
 
     return d
 
@@ -320,6 +346,50 @@ def test_tokenizer_tier_dirty_text(spark, dirty_dir, key):
 ])
 def test_dedup_tier_dirty_text(spark, dirty_dir, key):
     _assert_engines_agree(spark, dirty_dir, key)
+
+
+# Embedding tier over the zero/duplicate/huge/tiny vector probes: the
+# cross-engine risks are the 0/0 cosine of the zero vector, distance
+# ties between duplicate vectors (total-order tie-breaks must agree),
+# and the float fold order on extreme magnitudes.
+
+# dbscan is excluded like embedding_near_dup below: its eps-
+# neighborhoods come from the same SRP blocking, so label equality with
+# the brute-force oracle is only guaranteed at testdata-like recall
+# (cluster labels admit no pair-containment check).
+@pytest.mark.parametrize("key", [
+    "cosine_topk", "embedding_quantize", "centroid_outliers",
+    "array_funcs", "mmr_rerank", "kcenter",
+])
+def test_embedding_tier_dirty_vecs(spark, dirty_dir, key):
+    _assert_engines_agree(spark, dirty_dir, key)
+
+
+def test_srp_blocked_ops_precision_on_dirty_vecs(spark, dirty_dir):
+    """embedding_near_dup pairs are SRP-BLOCKED: candidate generation is
+    approximate (recall <= 1 on adversarial vector sets — near-dup pairs
+    can straddle every shared segment), but verification is exact, so
+    every emitted pair must appear in the brute-force oracle's pair set
+    with the same similarity (precision 1). Equality holds on the
+    testdata distribution (driver rows green at three scales); dirty
+    vectors check the sound direction only."""
+    import duckdb
+
+    sdf = entry_mod.queries()["embedding_near_dup"](spark, dirty_dir)
+    got = {(r[0], r[1]): r[2] for r in sdf.collect()}
+
+    con = duckdb.connect()
+    try:
+        p = os.path.join(dirty_dir, "embeddings.parquet")
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM {src}")
+        want = {(a, b): s for a, b, s in con.sql(
+            entry_mod.oracle_sql()["embedding_near_dup"]).fetchall()}
+    finally:
+        con.close()
+    assert set(got).issubset(set(want)), set(got) - set(want)
+    for k_, v in got.items():
+        assert abs(v - want[k_]) < 1e-9, (k_, v, want[k_])
 
 
 def test_fuzzy_join_dirty_names(spark, dirty_dir):

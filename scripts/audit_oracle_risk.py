@@ -166,8 +166,14 @@ def _adversarial_keys() -> set[str]:
     path = os.path.join(REPO, "tests", "test_oracle_adversarial.py")
     with open(path) as fh:
         src = fh.read()
-    return set(re.findall(
+    keys = set(re.findall(
         r"_assert_engines_agree\(\s*spark,\s*dirty_dir,\s*['\"](\w+)['\"]", src))
+    # parametrized nets: @pytest.mark.parametrize("key", [...]) lists
+    # feeding _assert_engines_agree(spark, dirty_dir, key)
+    for block in re.findall(
+            r"parametrize\(\s*\"key\",\s*\[(.*?)\]", src, re.S):
+        keys.update(re.findall(r"['\"](\w+)['\"]", block))
+    return keys
 
 
 def main() -> None:

@@ -1696,17 +1696,23 @@ def q_json_agg(spark, sf_dir):
     it ONLY if it full-matches the integer regex -?[0-9]{1,18} (so
     quoted numbers count, floats/exponents/huge/whitespace-padded values
     are NULL on BOTH engines regardless of either engine's cast rules),
-    then cast. The previous form (from_json typed schema vs
+    then cast. Anchors are \\A..\\z, NOT ^..$: Java's $ matches before a
+    trailing newline (and the long cast trims it) so "7\\n" would parse
+    on Spark while DuckDB's RE2 full-match NULLs it. The SUM is pinned
+    to DECIMAL(38,0) on both engines: 18-digit regex-legal values make
+    the int64 sum wrap silently (ANSI off) or throw (ANSI on) while
+    DuckDB's SUM(BIGINT) promotes to HUGEINT — the r7/r8 driver
+    hash-fail class. The previous form (from_json typed schema vs
     json_extract_string+CAST) agreed only on clean inputs and hash-failed
     the round-7 driver gate on messier data."""
     ev = _t(spark, sf_dir, "events")
     s = F.get_json_object(F.col("props"), "$.k")
-    k = F.when(s.rlike("^-?[0-9]{1,18}$"), s.cast("long"))
+    k = F.when(s.rlike(r"\A-?[0-9]{1,18}\z"), s.cast("long"))
     return (
         ev.select((k % 10).alias("k_bucket"), k.alias("_k"))
         .groupBy("k_bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n"),
-             F.sum("_k").alias("sum_k"))
+             F.sum(F.col("_k").cast("decimal(38,0)")).alias("sum_k"))
     )
 
 
@@ -1919,13 +1925,14 @@ def q_merge_intervals(spark, sf_dir):
 def q_json_funcs(spark, sf_dir):
     """JSON function surface over events.props. Same pinned parse
     semantics as q_json_agg: string-extract, regex-guard to the int64
-    range, then cast — identical NULLing on both engines for dirty
-    props (quoted/float/huge/malformed)."""
+    range (\\A..\\z anchors — Java $ matches before a trailing newline,
+    RE2 full-match does not), then cast — identical NULLing on both
+    engines for dirty props (quoted/float/huge/trailing-\\n/malformed)."""
     ev = _t(spark, sf_dir, "events")
     s = F.get_json_object(F.col("props"), "$.k")
     return ev.select(
         "event_id",
-        F.when(s.rlike("^-?[0-9]{1,18}$"), s.cast("long")).alias("k"),
+        F.when(s.rlike(r"\A-?[0-9]{1,18}\z"), s.cast("long")).alias("k"),
     )
 
 
@@ -4945,23 +4952,14 @@ def _driver_checked_rounds() -> dict[str, int]:
 # force them back into the 50-query window as if never checked. Clear
 # an entry once the next CORRECTNESS file carries its fresh row.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # r8: json parse semantics aligned on both engines (regex-guarded
-    # integer extraction replacing from_json-typed-schema vs
-    # json_extract_string+CAST, which disagreed on quoted/float/huge
-    # values) — the r7 row is a hash-FAIL under the old form
+    # r9: SUM pinned to DECIMAL(38,0) on both engines (the r8 driver
+    # hash-fail was int64 SUM overflow: Spark wraps/throws where DuckDB
+    # promotes to HUGEINT) + regex anchors moved ^..$ -> \A..\z (Java $
+    # matches before a trailing newline; RE2 full-match does not)
     "json_agg",
-    # r8: same hardening applied to the other JSON-extraction query
-    # (its r3 row covers the old CAST-only form)
+    # r9: same \A..\z anchor pin (its r8 green row covers the ^..$ form,
+    # which diverges on values with a trailing line terminator)
     "json_funcs",
-    # r8: identical-set grouping added inside ngram_jaccard_pairs
-    # (same output contract, new plan — earlier rows cover the direct
-    # inverted-index join)
-    "ngram_jaccard",
-    # r8: token-less docs now carry NULL signatures and are excluded
-    # from the signature query and pairing (testdata has zero such
-    # docs at every scale, so clean-data outputs are unchanged — but
-    # the contract changed, so the rows re-earn their green)
-    "simhash", "simhash_near_dup", "simhash_grouped",
 })
 
 
@@ -8141,7 +8139,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT k % 10 AS k_bucket,
                    CAST(count(*) AS BIGINT) AS n,
-                   SUM(k) AS sum_k
+                   -- width-pinned: DuckDB SUM(BIGINT) promotes to
+                   -- HUGEINT; Spark sums decimal(38,0) — identical
+                   -- 128-bit-exact result on both engines even when
+                   -- the true sum exceeds int64
+                   CAST(SUM(k) AS DECIMAL(38,0)) AS sum_k
             FROM parsed GROUP BY 1
         """,
         # the oracle is the PLAIN join: salting must be invisible.

@@ -49,6 +49,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Pinned, not inherited: the default flipped between Spark 3.5
+        # (off — int64 overflow wraps silently) and 4.x (on — it
+        # throws). Every numeric contract in the engine is written to
+        # produce the same result under either mode (width-pinned
+        # decimal sums, regex-guarded casts inside CASE branches), and
+        # tests/test_oracle_adversarial.py runs under both; the pin
+        # makes the shipped behavior independent of the cluster's
+        # Spark version.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")

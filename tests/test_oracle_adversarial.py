@@ -119,7 +119,16 @@ DIRTY_PROPS = [
     '{"k": "+7"}',                       # explicit plus (not an int regex)
     '{"k": 007}',                        # invalid JSON number literal
     '{"k":\n 9}',                        # embedded newline
-]
+    # trailing line terminators inside the STRING value: Java's $
+    # matches before a final \n (and the string->long cast trims it),
+    # RE2's regexp_full_match does not — caught only by \A..\z anchors
+    '{"k": "7\\n"}',
+    '{"k": "7\\r"}',
+    # aggregate-overflow block: each value is individually regex-legal
+    # (18 digits) but 30 of them sum to 2.7e19 > int64 max — Spark's
+    # long SUM wraps (ANSI off) or throws (ANSI on) while DuckDB
+    # promotes to HUGEINT; only a DECIMAL(38,0)-pinned SUM agrees
+] + ['{"k": 900000000000000000}'] * 30
 
 DIRTY_TEXT = [
     "hello world 123",                   # clean
@@ -200,6 +209,26 @@ DIRTY_VECS = [
     [2.0, 1.0, 0.0, -1.0, -2.0, 3.0, -3.0, 0.5],
     [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8],     # decimal→float rounding
 ]
+
+
+@pytest.fixture(scope="module", autouse=True,
+                params=["ansi-on", "ansi-off"])
+def ansi_mode(request, spark):
+    """Run the whole dirty-fixture suite under BOTH ANSI settings.
+
+    The session pins spark.sql.ansi.enabled=true (session.py), but the
+    3.5.x default is false and results must not depend on the mode:
+    ANSI-off silently WRAPS int64 overflow where ANSI-on throws, so an
+    unpinned aggregate can pass one mode's run and hash-fail the
+    other's (the r8 json_agg driver failure). Every parity assertion in
+    this module therefore executes twice; width-pinned sums and
+    CASE-guarded casts are what make both passes agree with DuckDB.
+    """
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled",
+                   "true" if request.param == "ansi-on" else "false")
+    yield request.param
+    spark.conf.set("spark.sql.ansi.enabled", prev)
 
 
 @pytest.fixture(scope="module")

@@ -153,6 +153,195 @@ WAIVERS: dict[tuple[str, str], str] = {
         "same pinned fingerprint class as dedup_exact",
 }
 
+# ---------------------------------------------------------------------------
+# int_sum_overflow family (r9, from the diagnosed r8 json_agg failure):
+# Spark sums BIGINT in int64 — ANSI off WRAPS silently, ANSI on THROWS —
+# while DuckDB promotes SUM(BIGINT) to HUGEINT, so the engines diverge
+# the moment the TRUE sum exceeds 2^63 even though every input row is
+# legal. The sweep extracts every SUM(...) argument from every oracle
+# (balanced-paren, comment-stripped) and requires each to fall in a
+# class with a proven bound, be DECIMAL(38,0)-pinned, or carry a per-key
+# written bound below.
+# ---------------------------------------------------------------------------
+
+# Per-key value bounds for SUM arguments the classifier cannot prove
+# automatically. Each is a reviewed argument for why the true int64 sum
+# stays far below 2^63 at any realistic scale (100 TB ~ 1e14 rows/tokens).
+INT_SUM_BOUNDS: dict[str, str] = {
+    "cusum": "cents = round(value*100), |value| <= ~1e4 in events; "
+             "t0 is their per-key mean; deviations sum <= rows * 1e6 "
+             "(1e14 rows -> 1e20? No: per-KEY windows, key cardinality "
+             "bounds each group to <<1e9 rows -> <=1e15)",
+    "twap": "vc*dur: cents (<=1e6) x gap seconds (<=1e5 per step); "
+            "per-key sum <= group rows * 1e11 — groups are per-series, "
+            "<<1e7 rows each -> <=1e18, within int64 for the "
+            "per-series windows this op contracts (docs/SCALE.md)",
+    "rolling_corr": "xs/ys = round(x*100) <= 1e6; SUM runs over a "
+                    "FIXED ROWS frame (window w), so each sum is "
+                    "frame_len(<=32) * 1e12 (for xs*xs) <= 3.2e13",
+    "seasonal_decompose": "vc = round(value*100) <= 1e6 per row, "
+                          "summed over a fixed seasonal frame -> "
+                          "frame_len * 1e6",
+    "seasonal_anomalies": "vc and r3 are scaled-cents residues over "
+                          "fixed frames; r3*r3 <= 1e12 * frame_len",
+    "centroid_outliers": "s6 = micro-unit (1e6) scaled per-dimension "
+                         "moments; documented contract |x| < 9e12 "
+                         "(micro-fold doctrine), dims*rows bounded "
+                         "per cell group",
+    "important_stock": "v_c = scaled cents of per-order values summed "
+                       "per part; group rows <<1e9 * 1e7 <= 1e16",
+    "ivf_rbo": "wn = integer rank weights <= k (top-k list length, "
+               "<=100); sum <= k^2",
+    "pagerank": "contrib is ppb-scaled rank/out-degree; per-node "
+                "in-neighbor sums <= 1e9 * nodes(<<1e9) = 1e18 "
+                "boundary documented in docs/SCALE.md graph tier",
+    "ppr": "same ppb-scaled contribution fold as pagerank",
+    "cm_join_size": "ac.c * bc.c: per-bucket count product; CM sketch "
+                    "buckets hold <= rows counts, but the product sum "
+                    "estimates |A join B| <= |A|*|B| — bounded by "
+                    "design to sketch width (2048 buckets) with "
+                    "per-bucket counts <= rows/width; at 1e14 rows "
+                    "the estimate itself would need HUGEINT — "
+                    "documented as a >=1e10-row caveat in SCALE.md",
+    "kmv_set_ops": "ina/inb are 0/1 membership flags (max over group); "
+                   "ina*inb in {0,1} -> sum <= k (KMV synopsis size)",
+    "dq_report": "n - 1 where n is a per-value duplicate count; "
+                 "SUM(n-1) <= total rows",
+    "json_agg": "pinned: CAST(SUM(k) AS DECIMAL(38,0)) / Spark "
+                "decimal(38,0) — the r8 failure and its fix",
+    "window_funcs": "SUM(o_totalprice) OVER w is a DOUBLE running sum "
+                    "— float fold (float_agg family), int64 overflow "
+                    "not applicable; frame order is ORDER BY-pinned "
+                    "identically on both engines",
+    "collocations": "cw / greatest(len(toks)-1,0) are per-doc token "
+                    "counts; total <= corpus tokens (~1e14 at 100 TB) "
+                    "<< 2^63",
+    "hybrid_rrf": "len(toks) and t are token counts — corpus-token "
+                  "bounded",
+    "bm25_topk": "len(toks) is a per-doc token count — corpus-token "
+                 "bounded",
+    "scalar_subquery": "SUM over DECIMAL(12,2): DuckDB widens decimal "
+                       "sums; Spark sum(decimal(12,2)) -> "
+                       "decimal(22,2) = 10 digits of headroom over "
+                       "1e12-max terms -> exact to 1e9 rows; TPC-H "
+                       "order counts per customer are far below",
+    "stats_agg": "SUM over DECIMAL(12,2)/(18,2): same decimal-widening "
+                 "headroom argument (Spark adds 10 digits, DuckDB "
+                 "more); group sizes bounded by lineitem rows per flag",
+    "bigram_surprisal": "b = bit-length of a count ratio (<= 63); "
+                        "bc = per-bigram count — both corpus-token "
+                        "bounded (sum <= 63 * distinct bigrams)",
+    "unigram_surprisal": "same bit-length-of-count-ratio fold as "
+                         "bigram_surprisal",
+    "psi_drift": "nr/nc = COALESCE(per-bucket count, 0) — corpus-row "
+                 "bounded; tn is the nano-scaled probability fold "
+                 "(terms <= 1e9)",
+    "corpus_stats": "n_tokens is a per-doc token-count column; "
+                    "SUM <= corpus tokens (~1e14 at 100 TB) << 2^63",
+    "token_budget": "nt = per-doc token count — corpus-token bounded",
+}
+
+# SUM args that are structurally bounded without a per-key argument.
+_IND_INLINE = re.compile(
+    r"^\s*(?:DISTINCT\s+)?(?:CASE\b[\s\S]*THEN\s+1\b[\s\S]*"
+    r"(?:ELSE\s+0\s+)?END|1)\s*$", re.IGNORECASE)
+_COUNT_INLINE = re.compile(r"\b(?:count|len|length|cardinality)\s*\(",
+                           re.IGNORECASE)
+_SCALED_INLINE = re.compile(r"\bround\s*\(", re.IGNORECASE)
+_DEC_TYPED = re.compile(r"AS\s+DECIMAL\s*\(\s*\d+", re.IGNORECASE)
+
+
+def _strip_sql_comments(sql: str) -> str:
+    return re.sub(r"--[^\n]*", "", sql)
+
+
+def _sum_sites(sql: str) -> list[tuple[str, bool]]:
+    """Yield (argument, decimal38_wrapped) for every SUM( in the SQL."""
+    out = []
+    for m in re.finditer(r"\bSUM\s*\(", sql, re.IGNORECASE):
+        i, depth, j = m.end(), 1, m.end()
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        arg = sql[i:j - 1].strip()
+        # CAST(SUM(...) AS DECIMAL(38,..)) wrapper (the json_agg pin)
+        prefix = sql[max(0, m.start() - 40):m.start()]
+        wrapped = bool(re.search(r"CAST\s*\(\s*$", prefix, re.IGNORECASE)
+                       and re.search(r"AS\s+DECIMAL\s*\(\s*38", sql[j:j + 40],
+                                     re.IGNORECASE))
+        out.append((arg, wrapped))
+    return out
+
+
+def _ident_class(sql: str, ident: str) -> str:
+    """Classify a bare identifier SUM arg by its defining expression."""
+    name = ident.split(".")[-1]
+    if not re.fullmatch(r"\w+", name):
+        return "unknown"
+    # indicator: CASE ... THEN 1 ELSE 0 END AS <name> (either order)
+    if re.search(rf"THEN\s+[01]\s+ELSE\s+[01]\s+END\s*\)?\s*AS\s+{name}\b",
+                 sql, re.IGNORECASE):
+        return "indicator"
+    # count: count(...)/len(...) [cast] AS <name>
+    if re.search(rf"(?:count|len|length)\s*\((?:[^()]|\([^()]*\))*\)\s*"
+                 rf"(?:AS\s+BIGINT\s*\)\s*)?AS\s+{name}\b",
+                 sql, re.IGNORECASE):
+        return "count"
+    # scaled: CAST(round(...) AS BIGINT) AS <name> (doctrine form)
+    if re.search(rf"round\s*\((?:[^()]|\([^()]*\))*\)\s*AS\s+BIGINT\s*\)\s*"
+                 rf"AS\s+{name}\b", sql, re.IGNORECASE):
+        return "scaled"
+    # nano-scaled: CAST(<expr> * 1e9 AS BIGINT) AS <name> (the entropy/
+    # chi2 nano-unit fold — terms bounded by 1e9 * |expr| with |expr|
+    # <= 1 for the probability ratios this form is used on)
+    if re.search(rf"\*\s*1e\d+\s*\)*\s*AS\s+BIGINT\s*\)\s*AS\s+{name}\b",
+                 sql, re.IGNORECASE):
+        return "scaled"
+    return "unknown"
+
+
+def int_sum_rows(queries, oracles):
+    """One row per registry key with >=1 SUM site: (key, classes,
+    pinned). pinned=False only when a site is unclassified AND the key
+    has no written bound in INT_SUM_BOUNDS."""
+    out = []
+    for key in queries:
+        sql = _strip_sql_comments(oracles.get(key, ""))
+        sites = _sum_sites(sql)
+        if not sites:
+            continue
+        classes = []
+        unproven = False
+        for arg, wrapped in sites:
+            if wrapped or "DECIMAL(38" in arg.upper():
+                classes.append("decimal38")
+            elif _DEC_TYPED.search(arg):
+                classes.append("decimal")
+            elif _IND_INLINE.match(arg):
+                classes.append("indicator")
+            elif _COUNT_INLINE.search(arg):
+                classes.append("count")
+            elif _SCALED_INLINE.search(arg):
+                classes.append("scaled")
+            elif re.search(r"power\s*\(|\d+\.\d|::DOUBLE|\d+e-\d",
+                           arg, re.IGNORECASE):
+                # float-typed sum (HLL's dyadic 2^-z etc.): int64
+                # overflow not applicable — parity owned by the
+                # float_agg/libm families
+                classes.append("double")
+            else:
+                kls = _ident_class(sql, arg)
+                classes.append(kls)
+                if kls == "unknown":
+                    unproven = True
+        bounded = key in INT_SUM_BOUNDS
+        out.append((key, classes, (not unproven) or bounded))
+    return out
+
+
 # Engine-side helpers whose cross-engine parity is itself verified by
 # the adversarial net (dirty unicode/empty/NULL text through
 # text_stats/normalize_text/explode_tokens/chunk_docs + their oracles):
@@ -207,6 +396,9 @@ def main() -> None:
                 pinned = True
             rows.append((key, fam, where, key in netted, pinned))
 
+    sum_rows = int_sum_rows(queries, oracles)
+    sum_review = [(k, c) for k, c, ok in sum_rows if not ok]
+
     review = [r for r in rows if not (r[3] or r[4])]
     covered = [r for r in rows if r[3] or r[4]]
 
@@ -223,15 +415,22 @@ def main() -> None:
         "manual same-semantics argument or a new net entry.",
         "",
         f"Registry keys scanned: {len(queries)}; family hits: {len(rows)};",
-        f"netted keys: {len(netted)}; REVIEW rows: {len(review)}.",
+        f"netted keys: {len(netted)}; REVIEW rows: "
+        f"{len(review) + len(sum_review)}.",
         "",
         "## REVIEW (no mitigation detected)",
         "",
     ]
-    if review:
+    if review or sum_review:
         out += ["| key | family | where | why risky |", "|---|---|---|---|"]
         for key, fam, where, _n, _p in sorted(review):
             out.append(f"| {key} | {fam} | {where} | {FAMILIES[fam][2]} |")
+        for key, classes in sorted(sum_review):
+            out.append(
+                f"| {key} | int_sum_overflow | oracle | unclassified SUM "
+                f"arg ({'/'.join(classes)}) with no written bound — "
+                f"Spark int64 sum wraps/throws where DuckDB promotes to "
+                f"HUGEINT |")
     else:
         out.append("*(none — every hit is netted or doctrine-pinned)*")
     out += [
@@ -256,6 +455,28 @@ def main() -> None:
         out.append(f"| {key} | {fam} | {why} |")
     out += [
         "",
+        "## int_sum_overflow sweep (r9)",
+        "",
+        "Spark sums BIGINT in int64 (ANSI off wraps silently, ANSI on",
+        "throws) while DuckDB promotes SUM(BIGINT) to HUGEINT — engines",
+        "diverge once the TRUE sum exceeds 2^63 even with per-row-legal",
+        "inputs (the diagnosed r8 `json_agg` driver failure). Every",
+        "SUM argument in every oracle, classified; `bound` quotes the",
+        "written overflow-impossibility argument for keys the classifier",
+        "can't prove structurally. Classes: decimal38 = width-pinned;",
+        "decimal = DECIMAL-typed operand (widening headroom); indicator =",
+        "0/1 terms (sum <= rows); count = count/len terms (sum <= corpus",
+        "cardinality); scaled = round(x*10^d) doctrine terms.",
+        "",
+        "| key | SUM arg classes | bound argument |",
+        "|---|---|---|",
+    ]
+    for key, classes, ok in sorted(sum_rows):
+        bound = INT_SUM_BOUNDS.get(key, "" if ok else "**MISSING**")
+        out.append(f"| {key} | {'/'.join(classes)} | "
+                   f"{bound.replace('|', '&#124;')} |")
+    out += [
+        "",
         "## Family definitions",
         "",
         "| family | why risky |",
@@ -268,7 +489,8 @@ def main() -> None:
     dest = os.path.join(REPO, "docs", "ORACLE_RISK.md")
     with open(dest, "w") as fh:
         fh.write("\n".join(out))
-    print(f"wrote {dest}: {len(rows)} hits, {len(review)} review rows")
+    print(f"wrote {dest}: {len(rows)} family hits, {len(sum_rows)} "
+          f"int-sum keys, {len(review) + len(sum_review)} review rows")
 
 
 if __name__ == "__main__":

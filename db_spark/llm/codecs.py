@@ -223,11 +223,16 @@ _Y4M_CS = {
 }
 
 
-def decode_y4m(payload: bytes) -> tuple[int, int, float, np.ndarray]:
-    """-> (width, height, fps, luma[n_frames, h, w] uint8). Supports the
-    8-bit colorspaces (C420*, C422, C444, Cmono); chroma planes are
-    parsed (the frame stride needs them) but only luma is returned —
-    every downstream feature here is luma-based."""
+def decode_y4m_parts(
+    payload: bytes,
+) -> tuple[int, int, tuple[int, int], np.ndarray]:
+    """-> (width, height, (fps_num, fps_den), luma[n_frames, h, w]
+    uint8). The fps is kept as the stream's EXACT rational so samplers
+    can do pure integer index arithmetic (F30000:1001 as a float can
+    land one ulp below a frame boundary). Supports the 8-bit
+    colorspaces (C420*, C422, C444, Cmono); chroma planes are parsed
+    (the frame stride needs them) but only luma is returned — every
+    downstream feature here is luma-based."""
     if not payload.startswith(_Y4M_SIG):
         raise ValueError("not a YUV4MPEG2 stream")
     nl = payload.index(b"\n")
@@ -263,7 +268,17 @@ def decode_y4m(payload: bytes) -> tuple[int, int, float, np.ndarray]:
         frames.append(np.frombuffer(payload, np.uint8, luma_len, pos)
                       .reshape(height, width))
         pos += luma_len + chroma_len
-    return width, height, fps_num / fps_den, np.stack(frames)
+    if not frames:
+        # a header-only stream is legal y4m; np.stack([]) would raise
+        # numpy's opaque "need at least one array to stack" instead
+        raise ValueError("y4m: stream contains no frames")
+    return width, height, (fps_num, fps_den), np.stack(frames)
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, float, np.ndarray]:
+    """Float-fps convenience wrapper over :func:`decode_y4m_parts`."""
+    w, h, (num, den), luma = decode_y4m_parts(payload)
+    return w, h, num / den, luma
 
 
 def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (30, 1)) -> bytes:
@@ -275,25 +290,36 @@ def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (30, 1)) -> bytes:
         b"FRAME\n" + frames[i].tobytes() for i in range(n))
 
 
-def decode_video(payload: bytes) -> tuple[int, int, float, np.ndarray]:
-    """Decode to (width, height, fps, luma[n, h, w]). y4m via the stdlib
-    parser above; compressed containers via PyAV when importable, else
-    the honest NotImplementedError (the pipeline plumbing stays real —
-    register a decoder when a codec library is present)."""
+def decode_video_parts(
+    payload: bytes,
+) -> tuple[int, int, tuple[int, int], np.ndarray]:
+    """Decode to (width, height, (fps_num, fps_den), luma[n, h, w]).
+    y4m via the stdlib parser above; compressed containers via PyAV
+    when importable, else the honest NotImplementedError (the pipeline
+    plumbing stays real — register a decoder when a codec library is
+    present)."""
     if payload.startswith(_Y4M_SIG):
-        return decode_y4m(payload)
+        return decode_y4m_parts(payload)
     if _pyav is not None:  # pragma: no cover - PyAV absent in container
         with _pyav.open(io.BytesIO(payload)) as container:
             stream = container.streams.video[0]
-            rate = float(stream.average_rate or 30.0)
+            rate = stream.average_rate  # a Fraction, or None
+            num, den = (int(rate.numerator), int(rate.denominator)) \
+                if rate else (30, 1)
             lumas = [np.asarray(f.reformat(format="gray8").planes[0])
                      for f in container.decode(stream)]
         grid = np.stack(lumas)
-        return grid.shape[2], grid.shape[1], rate, grid
+        return grid.shape[2], grid.shape[1], (num, den), grid
     raise NotImplementedError(
         "compressed video needs a codec library (PyAV) not present in "
         "this environment; y4m payloads decode natively — or register "
         "a decoder with register_decoder('video', fn)")
+
+
+def decode_video(payload: bytes) -> tuple[int, int, float, np.ndarray]:
+    """Float-fps convenience wrapper over :func:`decode_video_parts`."""
+    w, h, (num, den), luma = decode_video_parts(payload)
+    return w, h, num / den, luma
 
 
 def video_features(payload: bytes, modality: str = "video") -> list[float]:
@@ -320,15 +346,19 @@ def extract_video_frames(
     payload: bytes, meta: dict, every_ms: int, max_frames: int,
 ) -> list[tuple[int, bytes]]:
     """REAL frame sampler for ``multimodal.sample_frames``: decode the
-    video, pick the frame nearest each ``every_ms`` timestamp (integer
-    index arithmetic — identical choice on every worker), re-encode each
-    sampled luma frame as mono PNG. Returns [(frame_ms, png_bytes)]."""
-    _w, _h, fps, luma = decode_video(payload)
+    video, pick the frame CURRENT at each ``every_ms`` timestamp (floor
+    of the exact rational product ms * fps_num / (1000 * fps_den) —
+    pure integer arithmetic on the stream's rational frame rate, so
+    fractional rates like F30000:1001 make the identical choice on
+    every worker; a float product can land one ulp below an exact
+    frame boundary), re-encode each sampled luma frame as mono PNG.
+    Returns [(frame_ms, png_bytes)]."""
+    _w, _h, (fps_num, fps_den), luma = decode_video_parts(payload)
     n = luma.shape[0]
     out: list[tuple[int, bytes]] = []
     for i in range(max_frames):
         ms = i * every_ms
-        idx = int(ms * fps) // 1000
+        idx = ms * fps_num // (1000 * fps_den)
         if idx >= n:
             break
         out.append((ms, encode_png(luma[idx][:, :, None])))

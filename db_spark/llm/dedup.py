@@ -44,10 +44,23 @@ DEFAULT_MAX_BUCKET_SIZE = 1000
 #: evictable storage memory, never correctness.
 _PLAN_CACHES: list[DataFrame] = []
 
+#: Registry cap: each builder call registers 1-2 caches, so 8 keeps the
+#: last ~4 builder plans alive. Older entries were almost certainly
+#: materialized already; evicting them bounds the registry (and its
+#: pinned storage blocks) in a long-lived session where the caller
+#: never calls unpersist_plan_caches().
+_PLAN_CACHE_CAP = 8
+
 
 def _plan_cache(df: DataFrame) -> DataFrame:
     cached = df.cache()
     _PLAN_CACHES.append(cached)
+    while len(_PLAN_CACHES) > _PLAN_CACHE_CAP:
+        old = _PLAN_CACHES.pop(0)
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 - session may already be stopped
+            pass
     return cached
 
 
@@ -414,8 +427,9 @@ def simhash_pairs(
       corpus this expands each rep-pair to count_a x count_b member
       pairs — O(g^2) OUTPUT rows that exist only to be re-grouped by
       any consumer.
-    - ``"grouped"`` (the 100 TB default): one row per DISTINCT-
-      signature pair — (rep_a, rep_b, hamming, count_a, count_b) —
+    - ``"grouped"`` (the 100 TB consumption form — opt in; pairs stays
+      the signature default because it is the oracle contract): one
+      row per DISTINCT-signature pair — (rep_a, rep_b, hamming, count_a, count_b) —
       plus a self row (rep, rep, 0, g, g) per group with g >= 2
       members. Lossless: the pair form is exactly the expansion
       (count_a x count_b cross pairs per rep pair; g*(g-1)/2 within
@@ -934,8 +948,9 @@ def jaccard_similarity_join(
     copies per doc, collect-shaped like the bench): 161 s → 4.4 s,
     identical 250,600-row output.
 
-    ``output="grouped"`` (the 100 TB default; ``"pairs"`` is the
-    default and the oracle contract): instead of expanding rep pairs
+    ``output="grouped"`` (the 100 TB consumption form — opt in;
+    ``"pairs"`` is the signature default because it is the oracle
+    contract): instead of expanding rep pairs
     to the O(g^2) member-pair form, return one row per DISTINCT-set
     pair — (rep_a, rep_b, jaccard, count_a, count_b) — plus a self
     row (rep, rep, 1.0, g, g) per identical-set group with g >= 2.

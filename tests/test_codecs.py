@@ -262,6 +262,54 @@ def test_y4m_error_paths():
         codecs.decode_y4m(b"YUV4MPEG2 W4 H4 F30:1 Cmono\nFRAME\n" + b"\x00" * 3)
 
 
+def test_y4m_header_only_stream_raises():
+    with pytest.raises(ValueError, match="no frames"):
+        codecs.decode_y4m(b"YUV4MPEG2 W4 H4 F30:1 Cmono\n")
+
+
+def test_fractional_fps_frame_index_is_exact():
+    """The sampler must use ms * fps_num // (1000 * fps_den), never a
+    float product: for fractional rates the float can land one ulp
+    below an exact boundary and pick the previous frame. Witness (found
+    by search): F43875:972 at ms=5616288 — exact index 253513, float
+    index 253512. Then the behavioral check: F30000:1001 at ms=1001
+    lands exactly on frame 30."""
+    num, den, ms = 43875, 972, 5616288
+    assert ms * num // (1000 * den) == 253513
+    assert int(ms * (num / den)) // 1000 == 253512  # the float bug
+    frames = np.stack([np.full((2, 2), i, np.uint8) for i in range(32)])
+    payload = codecs.encode_y4m(frames, (30000, 1001))
+    got = codecs.extract_video_frames(payload, {}, every_ms=1001,
+                                      max_frames=2)
+    assert [ms for ms, _ in got] == [0, 1001]
+    # decode the sampled PNGs back to pixels: frame 0 then frame 30
+    for (ms, png), want in zip(got, (0, 30)):
+        _w, _h, _c, px = codecs.decode_image(png)
+        assert int(px.flat[0]) == want, (ms, int(px.flat[0]))
+
+
+def test_compressed_video_path_with_pyav():
+    """Exercises the PyAV branch end-to-end so it isn't dead-on-arrival
+    in an environment that has a codec library; skipped here."""
+    av = pytest.importorskip("av")
+    buf = io.BytesIO()
+    frames = _video_frames(n=4, w=16, h=16)
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=10)
+        stream.width, stream.height = 16, 16
+        stream.pix_fmt = "yuv420p"
+        for f in frames:
+            vf = av.VideoFrame.from_ndarray(
+                np.repeat(f[:, :, None], 3, axis=2), format="rgb24")
+            container.mux(stream.encode(vf))
+        container.mux(stream.encode())
+    w, h, (num, den), luma = codecs.decode_video_parts(buf.getvalue())
+    assert (w, h) == (16, 16) and num // den == 10
+    assert luma.shape[0] == 4
+    feats = codecs.video_features(buf.getvalue())
+    assert feats[0] == 16.0 and feats[2] == 4.0
+
+
 def test_video_features_values():
     """Exact values: static pair of frames -> motion equals the uniform
     luma delta; duration from n/fps."""

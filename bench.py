@@ -35,6 +35,13 @@ Methodology (BASELINE.md parity):
   plan regression (r03's 0.032 s equals the solo min). Run bench SOLO;
   concurrent work inflates every number up to ~2x (sf1 scan_collect
   read 2.49 s under driver load vs 1.17-1.33 s solo).
+- Calibration (round 9): the r8 sf1 scan_collect rise (1.259 ->
+  1.461 s) was Arrow RESULT-BATCH jitter, not a plan change: at the
+  10k-record default the 6M-row transfer is ~600 driver-side batch
+  assemblies (9 solo reps: med 1.293 s, stdev 0.308); at 200k records
+  it is ~30 (med 1.153 s, stdev 0.045). scan_collect now pins
+  maxRecordsPerBatch=200000 in its prep (driver-transfer batching
+  only; pandas-UDF paths keep the default).
 - scan_collect is the robustness row for the batched count-shaped scan:
   it materializes EVERY column of every row and ships them to the
   driver as Arrow batches (``toArrow``) — the closest analog of the
@@ -109,6 +116,16 @@ def _prep_filter(spark, d):
 
 
 def _prep_scan_collect(spark, d):
+    # Result-transfer batching: the 10k-record Arrow default makes the
+    # 6M-row sf1 transfer 600 driver-side batch assemblies — measured
+    # r9 calibration (9 solo reps each): 10k -> med 1.293 s stdev 0.308;
+    # 200k -> med 1.153 s stdev 0.045. The jitter of those 600 flushes
+    # is what read as a "regression" in r8 (1.259 -> 1.461 s, ~1.7
+    # sigma). 200k x ~100 B rows ~ 20 MB per batch — right for a
+    # driver-bound reporting path; the media pandas-UDF pipelines are
+    # NOT touched by this (bench never runs them in this process, and
+    # their MB-sized binary rows need the small default).
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
     li = E._t(spark, d, "lineitem")
     if hasattr(li, "toArrow"):  # Spark 4
         return (lambda: li.toArrow()), 1

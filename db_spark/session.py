@@ -58,6 +58,12 @@ def get_spark(
         # makes the shipped behavior independent of the cluster's
         # Spark version.
         .config("spark.sql.ansi.enabled", "true")
+        # size(NULL) is ANSI-coupled: -1 under ANSI off (the 3.5.x
+        # legacy default), NULL under ANSI on. Pin it to NULL so token
+        # counts over NULL text are mode-independent (caught by the
+        # r9 ansi-off adversarial pass: text_stats/corpus_stats/
+        # token_budget/regex_funcs diverged on the NULL-text probe).
+        .config("spark.sql.legacy.sizeOfNull", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -149,8 +149,6 @@ WAIVERS: dict[tuple[str, str], str] = {
         "audit found Java \\s vs RE2 \\s disagree on vertical tab",
     ("dedup_keep_best", "regex"):
         "same pinned fingerprint class as dedup_exact",
-    ("mvcc_cdc", "regex"):
-        "same pinned fingerprint class as dedup_exact",
 }
 
 # ---------------------------------------------------------------------------
@@ -365,7 +363,12 @@ def _adversarial_keys() -> set[str]:
     return keys
 
 
-def main() -> None:
+def compute_rows():
+    """The full sweep, importable by tests: returns (queries, oracles,
+    netted, rows) where rows = [(key, family, where, netted, pinned)].
+    tests/test_oracle_risk_audit.py gates on this so a new registry key
+    with an unmitigated fragile-family hit (or an unbounded integer
+    SUM) fails CI instead of surfacing as a driver hash-fail."""
     oracles = E.oracle_sql()
     queries = E.queries()
     netted = _adversarial_keys()
@@ -395,7 +398,11 @@ def main() -> None:
             if (key, fam) in WAIVERS:
                 pinned = True
             rows.append((key, fam, where, key in netted, pinned))
+    return queries, oracles, netted, rows
 
+
+def main() -> None:
+    queries, oracles, netted, rows = compute_rows()
     sum_rows = int_sum_rows(queries, oracles)
     sum_review = [(k, c) for k, c, ok in sum_rows if not ok]
 

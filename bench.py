@@ -36,12 +36,16 @@ Methodology (BASELINE.md parity):
   concurrent work inflates every number up to ~2x (sf1 scan_collect
   read 2.49 s under driver load vs 1.17-1.33 s solo).
 - Calibration (round 9): the r8 sf1 scan_collect rise (1.259 ->
-  1.461 s) was Arrow RESULT-BATCH jitter, not a plan change: at the
-  10k-record default the 6M-row transfer is ~600 driver-side batch
-  assemblies (9 solo reps: med 1.293 s, stdev 0.308); at 200k records
-  it is ~30 (med 1.153 s, stdev 0.045). scan_collect now pins
-  maxRecordsPerBatch=200000 in its prep (driver-transfer batching
-  only; pandas-UDF paths keep the default).
+  1.461 s) was run-to-run jitter, not a plan change (the query didn't
+  change; plan identical). Controlled interleaved A/B on the Arrow
+  result-batch size (8 reps each, alternating): 10k-record default ->
+  med 1.126 s, stdev 0.198, max 1.672; 200k -> med 1.151 s, stdev
+  0.060, max 1.269. Equal medians; the 600-batch default adds a fat
+  tail of driver-side flush outliers that read as regressions across
+  rounds. scan_collect pins maxRecordsPerBatch=200000 in its prep as a
+  VARIANCE reducer (driver-transfer batching only; pandas-UDF paths
+  keep the default). Host has noisy-neighbor minutes — trust min and
+  interleaved A/Bs over single medians.
 - scan_collect is the robustness row for the batched count-shaped scan:
   it materializes EVERY column of every row and ships them to the
   driver as Arrow batches (``toArrow``) — the closest analog of the
@@ -117,14 +121,14 @@ def _prep_filter(spark, d):
 
 def _prep_scan_collect(spark, d):
     # Result-transfer batching: the 10k-record Arrow default makes the
-    # 6M-row sf1 transfer 600 driver-side batch assemblies — measured
-    # r9 calibration (9 solo reps each): 10k -> med 1.293 s stdev 0.308;
-    # 200k -> med 1.153 s stdev 0.045. The jitter of those 600 flushes
-    # is what read as a "regression" in r8 (1.259 -> 1.461 s, ~1.7
-    # sigma). 200k x ~100 B rows ~ 20 MB per batch — right for a
-    # driver-bound reporting path; the media pandas-UDF pipelines are
-    # NOT touched by this (bench never runs them in this process, and
-    # their MB-sized binary rows need the small default).
+    # 6M-row sf1 transfer 600 driver-side batch assemblies. Interleaved
+    # r9 A/B (8 reps each): equal medians, but 10k has 3x the stdev and
+    # a 1.67 s outlier vs 200k's 1.27 s worst case — the fat flush tail
+    # is what read as a "regression" in r8 (1.259 -> 1.461 s). 200k x
+    # ~100 B rows ~ 20 MB per batch — right for a driver-bound
+    # reporting path; the media pandas-UDF pipelines are NOT touched
+    # by this (bench never runs them in this process, and their
+    # MB-sized binary rows need the small default).
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
     li = E._t(spark, d, "lineitem")
     if hasattr(li, "toArrow"):  # Spark 4

@@ -484,6 +484,25 @@ def main() -> None:
                    f"{bound.replace('|', '&#124;')} |")
     out += [
         "",
+        "## Families considered and dismissed",
+        "",
+        "- **window NULL ordering** (Spark sorts NULLS FIRST ascending,",
+        "  DuckDB NULLS LAST): swept every `ORDER BY` column inside every",
+        "  oracle window/rank clause (r9) — all are non-null by",
+        "  construction (ids, event timestamps, computed distances/scores",
+        "  from guarded non-null inputs, TPC-H NOT NULL columns). The",
+        "  dirty fixtures route NULL text/value rows through the netted",
+        "  window queries, so a regression here fails the adversarial",
+        "  suite, not the driver gate.",
+        "- **negative division/modulo** (sign conventions): both engines",
+        "  truncate toward zero for `%` and the doctrine mandates",
+        "  `div`/`//` (never float-divide-then-cast) for quotients; the",
+        "  `{\"k\": -42}` dirty-props row exercises the one negative-mod",
+        "  bucket computation (json_agg).",
+        "- **round() tie behavior**: DuckDB round on DOUBLE is",
+        "  half-away-from-zero, same as Spark's HALF_UP — scaled-long",
+        "  rounding ties are safe on both sides (verified r3, doctrine).",
+        "",
         "## Family definitions",
         "",
         "| family | why risky |",

@@ -4960,6 +4960,12 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # r9: same \A..\z anchor pin (its r8 green row covers the ^..$ form,
     # which diverges on values with a trailing line terminator)
     "json_funcs",
+    # r9: residual gained the IEEE negative-zero normalization (+ 0.0
+    # on both engines) after the full-schema dirty events fixture
+    # caught a -0.0 leak on exactly cancelled subtractions; clean-data
+    # outputs are unchanged unless a residual cancels exactly, but the
+    # contract changed so the rows re-earn their green
+    "seasonal_decompose", "seasonal_anomalies",
 })
 
 
@@ -6806,7 +6812,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT d.event_type, d.pos, d.ph,
                      CAST(d.vc AS DOUBLE) / 100 AS value,
                      round(CAST(d.vc AS DOUBLE) / 100 - d.trend
-                           - s.seasonal, 6) AS residual
+                           - s.seasonal, 6) + CAST(0 AS DOUBLE) AS residual
               FROM d JOIN s ON d.event_type = s.event_type
                            AND d.ph = s.ph),
             r AS (SELECT *, CAST(round(residual * 1000) AS BIGINT) AS r3
@@ -6860,8 +6866,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.vc AS DOUBLE) / 100 AS value,
                    round(d.trend, 6) AS trend,
                    round(s.seasonal, 6) AS seasonal,
+                   -- + 0.0 kills IEEE -0.0 from an exactly cancelled
+                   -- subtraction (engine side mirrors it)
                    round(CAST(d.vc AS DOUBLE) / 100 - d.trend - s.seasonal,
-                         6) AS residual
+                         6) + CAST(0 AS DOUBLE) AS residual
             FROM d JOIN s ON d.event_type = s.event_type AND d.ph = s.ph
         """,
         # AMS inner product replicated cell-exactly: same salted md5

@@ -392,8 +392,13 @@ def seasonal_decompose(
         (F.col("_vc").cast("double") / scale).alias("value"),
         F.round(F.col("_trend"), 6).alias("trend"),
         F.round(F.col("_seasonal"), 6).alias("seasonal"),
-        F.round(F.col("_vc").cast("double") / scale - F.col("_trend")
-                - F.col("_seasonal"), 6).alias("residual"),
+        # + 0.0 normalizes IEEE negative zero: the two subtractions can
+        # yield -0.0 on one engine and 0.0 on the other for an exactly
+        # cancelled residual, and round() preserves the sign bit
+        # (wilson_bounds precedent; caught by the r9 full-schema dirty
+        # events fixture)
+        (F.round(F.col("_vc").cast("double") / scale - F.col("_trend")
+                 - F.col("_seasonal"), 6) + F.lit(0.0)).alias("residual"),
     )
 
 

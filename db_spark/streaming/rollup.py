@@ -125,7 +125,18 @@ def hypertable_agg(
     count/sum/min/max partials compose losslessly; avg derives at the
     end."""
     keys = keys or []
-    parts = spark.read.parquet(rollup_path).drop("_bucket_date")
+    try:
+        parts = spark.read.parquet(rollup_path).drop("_bucket_date")
+    except Exception as exc:  # AnalysisException: no files to infer from
+        if raw_tail is None or "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+            raise
+        # A rollup materialized over an EMPTY history (every event past
+        # the high-water mark) writes no parquet files — partitionBy
+        # skips empty frames entirely, leaving a _SUCCESS-only dir.
+        # Zero materialized partials is a legal store state; derive the
+        # identical partials schema from the tail instead of failing.
+        parts = rollup_partials(raw_tail.limit(0), ts_col, bucket,
+                                value_col, keys, exact_decimals)
     if high_water is not None:
         parts = parts.filter(F.col("bucket_start") < F.lit(high_water))
     if raw_tail is not None:

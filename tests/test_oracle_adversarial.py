@@ -231,13 +231,52 @@ def ansi_mode(request, spark):
     spark.conf.set("spark.sql.ansi.enabled", prev)
 
 
+def _dirty_event_rows():
+    """Full-schema events rows (r9): the analytics tier (cusum/twap/
+    zscore/rolling windows/funnels) was doctrine-pinned but never ran
+    on dirty data because the fixture's events table had only
+    (event_id, props). Probes: EXACT-duplicate timestamps within one
+    user (any window ordered by ts alone would diverge between
+    engines without an id tie-break), NULL value and NULL/empty
+    event_type rows, value extremes (0.0, negatives, 1e-7, ~1e6, a
+    .005 rounding tie), a lone-event user, and a 40-day gap."""
+    import datetime
+
+    base = datetime.datetime(2024, 3, 3, 9, 0, 0)  # Sunday: ISO-week edge
+    vals = [6.55, None, 0.0, -42.5, 123456.789, 1e-7, 2.675,
+            999999.99, -0.005, 50.0]
+    types = ["click", "view", "purchase", "error", "", None]
+    rows = []
+    for i, props in enumerate(DIRTY_PROPS):
+        user = i % 5
+        ts = base + datetime.timedelta(
+            minutes=13 * i, hours=3 * user, days=(i % 4) * 2)
+        rows.append((i, ts, user, types[i % len(types)],
+                     vals[i % len(vals)], props))
+    n = len(rows)
+    dup = base + datetime.timedelta(hours=1)
+    rows += [
+        # same user, byte-identical ts — the tie-break probe
+        (n, dup, 2, "click", 10.0, None),
+        (n + 1, dup, 2, "view", 20.0, None),
+        # same ts on ANOTHER user (partition isolation)
+        (n + 2, dup, 3, "click", 30.0, None),
+        # lone-event user + a 40-day gap pair (session boundary)
+        (n + 3, base + datetime.timedelta(days=40), 9, "click", 7.5, None),
+        (n + 4, base + datetime.timedelta(days=40, hours=9), 9,
+         "purchase", -7.5, None),
+    ]
+    return rows
+
+
 @pytest.fixture(scope="module")
 def dirty_dir(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("dirty_sf"))
 
     spark.createDataFrame(
-        [(i, v) for i, v in enumerate(DIRTY_PROPS)],
-        "event_id bigint, props string",
+        _dirty_event_rows(),
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
     ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
 
     spark.createDataFrame(
@@ -423,3 +462,25 @@ def test_srp_blocked_ops_precision_on_dirty_vecs(spark, dirty_dir):
 
 def test_fuzzy_join_dirty_names(spark, dirty_dir):
     _assert_engines_agree(spark, dirty_dir, "fuzzy_join")
+
+
+# Analytics/events tier (r9): the full-schema dirty events table above
+# routes EXACT-duplicate timestamps (window tie-breaks), NULL value /
+# NULL+empty event_type rows, value extremes and a 40-day session gap
+# through every registry query that reads events — converting the
+# scaled-BIGINT doctrine pins from "by construction" to executed
+# dirty-data evidence. First sweep caught a real one: seasonal
+# residuals leaked IEEE -0.0 on exactly cancelled subtractions.
+
+@pytest.mark.parametrize("key", [
+    "event_funnel", "cohort_retention", "event_funnel_windowed",
+    "gapfill_locf", "gapfill_interp", "sessionize", "scd2", "ewma",
+    "mad_outliers", "hll_rolling", "seasonal_decompose",
+    "seasonal_anomalies", "twap", "cusum", "attribution", "transitions",
+    "ab_test", "survival", "funnel_latency", "rolling_corr",
+    "conversion_ci", "top_paths", "zscore_outliers", "range_frame_agg",
+    "hypertable_rollup", "count_when", "asof_join",
+    "tumbling_window", "sliding_window", "session_window",
+])
+def test_events_tier_dirty_events(spark, dirty_dir, key):
+    _assert_engines_agree(spark, dirty_dir, key)

@@ -1543,14 +1543,31 @@ def q_price_qty_corr(spark, sf_dir):
              F.sum(q100 * p10).alias("sqp"))
         .select(
             "l_returnflag", "n",
-            F.round(
-                (F.col("n").cast("double") * F.col("sqp")
-                 - F.col("sq").cast("double") * F.col("sp"))
-                / (F.sqrt(F.col("n").cast("double") * F.col("sqq")
-                          - F.col("sq").cast("double") * F.col("sq"))
-                   * F.sqrt(F.col("n").cast("double") * F.col("spp")
-                            - F.col("sp").cast("double") * F.col("sp"))),
-                6).alias("qty_price_corr"))
+            # zero-variance group (or n=1): denominator 0 — Spark ANSI
+            # throws on the divide where DuckDB NULLs, so guard to NULL
+            # on both; greatest(.,0) clamps float -ulp radicands
+            # (DuckDB sqrt(negative) ERRORS, Spark returns NaN)
+            F.when(
+                (F.sqrt(F.greatest(
+                    F.col("n").cast("double") * F.col("sqq")
+                    - F.col("sq").cast("double") * F.col("sq"),
+                    F.lit(0.0)))
+                 * F.sqrt(F.greatest(
+                     F.col("n").cast("double") * F.col("spp")
+                     - F.col("sp").cast("double") * F.col("sp"),
+                     F.lit(0.0)))) != 0.0,
+                F.round(
+                    (F.col("n").cast("double") * F.col("sqp")
+                     - F.col("sq").cast("double") * F.col("sp"))
+                    / (F.sqrt(F.greatest(
+                        F.col("n").cast("double") * F.col("sqq")
+                        - F.col("sq").cast("double") * F.col("sq"),
+                        F.lit(0.0)))
+                       * F.sqrt(F.greatest(
+                           F.col("n").cast("double") * F.col("spp")
+                           - F.col("sp").cast("double") * F.col("sp"),
+                           F.lit(0.0)))),
+                    6)).alias("qty_price_corr"))
     )
 
 
@@ -1758,8 +1775,11 @@ def q_min_cost_supplier(spark, sf_dir):
     supply = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg(F.min(
-            F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100)
-            .cast("long")).alias("_cost_c"))
+            # qty=0 guard: Spark ANSI throws on the zero divide where
+            # DuckDB NULLs; NULL unit costs drop out of MIN identically
+            F.when(F.col("l_quantity") != 0.0,
+                   F.round(F.col("l_extendedprice") / F.col("l_quantity")
+                           * 100).cast("long"))).alias("_cost_c"))
     )
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_size") >= 40) & F.col("p_type").like("%STANDARD%"))
@@ -1958,8 +1978,15 @@ def q_pivot(spark, sf_dir):
     plan, no distinct-discovery job at 100 TB)."""
     o = _t(spark, sf_dir, "orders")
     prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
-    return Q(o).pivot(["o_orderstatus"], "o_orderpriority", prios,
-                      F.count(F.lit(1))).df
+    piv = Q(o).pivot(["o_orderstatus"], "o_orderpriority", prios,
+                     F.count(F.lit(1))).df
+    # empty pivot cell: Spark emits NULL where a COUNT..FILTER oracle
+    # emits 0 — coalesce pins the contract (a status whose orders all
+    # carry out-of-list priorities exists in the dirty fixture)
+    return piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(p)
+          for p in prios])
 
 
 def q_unpivot(spark, sf_dir):
@@ -1998,23 +2025,49 @@ def q_stats_agg(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity")
     price = F.col("l_extendedprice")
+    # corr from exact integer moments, NOT the builtin: Spark's corr
+    # THROWS [DIVIDE_BY_ZERO] under ANSI on a zero-variance group where
+    # DuckDB returns NULL (r9 dirty-relational finding); the moment
+    # form guards the denominator to NULL identically on both engines
+    # (price_qty_corr pattern).
+    q100 = F.round(qty * 100).cast("long")
+    p10 = F.round(price * 10).cast("long")
     grouped = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.stddev_samp(qty), 6).alias("stddev_qty"),
         F.round(F.var_samp(qty), 6).alias("var_qty"),
-        F.round(F.corr(qty, price), 6).alias("corr_qty_price"),
         F.round(F.median(qty), 6).alias("median_qty"),
         F.round(F.percentile(qty, 0.95), 6).alias("p95_qty"),
         F.sum(price.cast(T.DecimalType(12, 2))).alias("_sy"),
         F.sum((price * price).cast(T.DecimalType(18, 2))).alias("_syy"),
+        F.sum(q100).alias("_cq"), F.sum(p10).alias("_cp"),
+        F.sum(q100 * q100).alias("_cqq"), F.sum(p10 * p10).alias("_cpp"),
+        F.sum(q100 * p10).alias("_cqp"),
     )
     n = F.col("n")
     sy = F.col("_sy").cast("double")
     syy = F.col("_syy").cast("double")
+    nd = n.cast("double")
+    # greatest(.,0) clamps float -ulp radicands (DuckDB sqrt(negative)
+    # ERRORS; Spark returns NaN — clamping pins both)
+    rad_q = F.greatest(nd * F.col("_cqq")
+                       - F.col("_cq").cast("double") * F.col("_cq"),
+                       F.lit(0.0))
+    rad_p = F.greatest(nd * F.col("_cpp")
+                       - F.col("_cp").cast("double") * F.col("_cp"),
+                       F.lit(0.0))
+    den = F.sqrt(rad_q) * F.sqrt(rad_p)
+    num = nd * F.col("_cqp") - F.col("_cq").cast("double") * F.col("_cp")
     return grouped.select(
-        "l_returnflag", "n", "stddev_qty", "var_qty", "corr_qty_price",
+        "l_returnflag", "n", "stddev_qty", "var_qty",
+        F.when(den != 0.0, F.round(num / den, 6)).alias("corr_qty_price"),
         "median_qty", "p95_qty",
-        F.round(F.sqrt((syy - sy * sy / n) / (n - 1)), 4).alias("stddev_price"),
+        # n=1 group: (n-1)=0 divisor — Spark ANSI throws where DuckDB
+        # NULLs; the guard makes sample stddev NULL on both
+        F.when(n > 1,
+               F.round(F.sqrt(F.greatest((syy - sy * sy / n) / (n - 1),
+                                         F.lit(0.0))), 4))
+        .alias("stddev_price"),
     )
 
 
@@ -4628,12 +4681,20 @@ def _ivf_kmeans_oracle(n_cells: int = 16, n_probe: int = 4, k: int = 10,
         )"""
 
     def update(assigned: str, prev_cent: str, name: str) -> str:
+        # indexed-lambda unnest, NOT range(0, dim): the hardcoded dim
+        # emitted NULL centroid elements on any corpus of a different
+        # dimension (v[j+1] out of range), which list_inner_product
+        # rejects (caught by the r9 8-dim dirty embeddings). j from the
+        # lambda is 1-based; it only feeds ORDER BY j, so the base is
+        # irrelevant.
         return f"""
         {name}_m AS (
-          SELECT cell_id, j,
-                 sum(CAST(round(v[j+1] * {scale}) AS BIGINT)) AS s,
-                 count(*) AS n
-          FROM {assigned}, range(0, {dim}) t(j)
+          SELECT cell_id, u.j, sum(u.s) AS s, count(*) AS n
+          FROM (SELECT cell_id,
+                       unnest(list_transform(v, (x, i) -> struct_pack(
+                         j := i,
+                         s := CAST(round(x * {scale}) AS BIGINT)))) AS u
+                FROM {assigned})
           GROUP BY 1, 2
         ),
         {name}_new AS (
@@ -4966,6 +5027,14 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # outputs are unchanged unless a residual cancels exactly, but the
     # contract changed so the rows re-earn their green
     "seasonal_decompose", "seasonal_anomalies",
+    # r9 full-registry dirty sweep fixes (clean-data outputs unchanged;
+    # contracts changed): builtin corr -> guarded exact-moment corr +
+    # n=1 stddev guard (stats_agg); zero-variance/zero-divisor guards
+    # (price_qty_corr, min_cost_supplier); empty pivot cells coalesced
+    # to 0 (pivot); NULL-payload n_bytes now NULL (media_features);
+    # dimension-agnostic centroid fold in the oracle (ivf_kmeans_topk)
+    "stats_agg", "price_qty_corr", "min_cost_supplier", "pivot",
+    "media_features", "ivf_kmeans_topk",
 })
 
 
@@ -5631,20 +5700,42 @@ def oracle_sql() -> dict[str, str]:
                      COUNT(*) AS n,
                      round(stddev_samp(l_quantity), 6) AS stddev_qty,
                      round(var_samp(l_quantity), 6) AS var_qty,
-                     round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
                      round(median(l_quantity), 6) AS median_qty,
                      round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
                      SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
-                     SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,2))) AS syy
+                     SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,2))) AS syy,
+                     -- corr from exact integer moments (NOT corr()):
+                     -- Spark's builtin THROWS under ANSI on a zero-
+                     -- variance group where DuckDB returns NULL; the
+                     -- moment form NULLs identically on both engines
+                     SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS cq,
+                     SUM(CAST(round(l_extendedprice * 10) AS BIGINT)) AS cp,
+                     SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                         * CAST(round(l_quantity * 100) AS BIGINT)) AS cqq,
+                     SUM(CAST(round(l_extendedprice * 10) AS BIGINT)
+                         * CAST(round(l_extendedprice * 10) AS BIGINT)) AS cpp,
+                     SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                         * CAST(round(l_extendedprice * 10) AS BIGINT)) AS cqp
               FROM lineitem GROUP BY l_returnflag
             )
-            SELECT l_returnflag, n, stddev_qty, var_qty, corr_qty_price,
+            SELECT l_returnflag, n, stddev_qty, var_qty,
+                   round((CAST(n AS DOUBLE) * cqp
+                          - CAST(cq AS DOUBLE) * cp)
+                         / NULLIF(sqrt(greatest(CAST(n AS DOUBLE) * cqq
+                                    - CAST(cq AS DOUBLE) * cq, 0))
+                                  * sqrt(greatest(CAST(n AS DOUBLE) * cpp
+                                    - CAST(cp AS DOUBLE) * cp, 0)), 0),
+                         6) AS corr_qty_price,
                    median_qty, p95_qty,
-                   round(sqrt((CAST(syy AS DOUBLE)
+                   -- CASE, not NULLIF+greatest: DuckDB greatest()
+                   -- IGNORES NULLs, so greatest(NULL, 0) would turn
+                   -- the n=1 NULL into 0
+                   CASE WHEN n > 1 THEN
+                     round(sqrt(greatest((CAST(syy AS DOUBLE)
                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-                              / (n - 1)), 4) AS stddev_price
+                              / (n - 1), 0)), 4) END AS stddev_price
             FROM g
-        """,
+""",
         "count_distinct": """
             SELECT o_orderstatus,
                    COUNT(DISTINCT o_custkey) AS n_cust,
@@ -8035,15 +8126,18 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem GROUP BY l_returnflag
             )
             SELECT l_returnflag, n,
+                   -- greatest(.,0) clamps float -ulp radicands (DuckDB
+                   -- sqrt(negative) ERRORS); a zero denominator then
+                   -- yields x/0 = NULL, matching the engine's guard
                    round(
                      (CAST(n AS DOUBLE) * sqp - CAST(sq AS DOUBLE) * sp)
-                     / (sqrt(CAST(n AS DOUBLE) * sqq
-                             - CAST(sq AS DOUBLE) * sq)
-                        * sqrt(CAST(n AS DOUBLE) * spp
-                               - CAST(sp AS DOUBLE) * sp)), 6)
+                     / (sqrt(greatest(CAST(n AS DOUBLE) * sqq
+                             - CAST(sq AS DOUBLE) * sq, 0))
+                        * sqrt(greatest(CAST(n AS DOUBLE) * spp
+                               - CAST(sp AS DOUBLE) * sp, 0))), 6)
                      AS qty_price_corr
             FROM m
-        """,
+""",
         # integer-microsecond RANGE frame: equal bound arithmetic and
         # identical peer handling on both engines.
         "range_frame_agg": """

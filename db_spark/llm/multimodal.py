@@ -99,8 +99,12 @@ def extract_features(
             out = pd.DataFrame({
                 "media_id": pdf["media_id"].to_numpy(),
                 "modality": pdf["modality"].to_numpy(),
+                # nullable Int64: a NULL payload has no byte count
+                # (octet_length(NULL) is NULL on any SQL engine; the
+                # old 0 diverged from the oracle on NULL-text docs)
                 "n_bytes": payloads.map(
-                    lambda p: len(p) if p is not None else 0).astype("int64"),
+                    lambda p: len(p) if p is not None else None)
+                .astype("Int64"),
                 "content_hash": payloads.map(
                     lambda p: hashlib.sha256(p).hexdigest()
                     if p is not None else None),

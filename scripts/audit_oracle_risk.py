@@ -237,6 +237,12 @@ INT_SUM_BOUNDS: dict[str, str] = {
     "corpus_stats": "n_tokens is a per-doc token-count column; "
                     "SUM <= corpus tokens (~1e14 at 100 TB) << 2^63",
     "token_budget": "nt = per-doc token count — corpus-token bounded",
+    "ivf_kmeans_topk": "u.s = round(x*1e6) micro-scaled embedding "
+                       "components (centroid_outliers' micro-fold "
+                       "contract: |x| < 9e12, unit-normalized in "
+                       "practice); per-(cell,dim) sum <= cell rows * "
+                       "1e6 * |x|max — <=1e15 at 1e9 vectors/cell on "
+                       "unit vectors",
 }
 
 # SUM args that are structurally bounded without a per-key argument.

@@ -66,7 +66,8 @@ def _assert_engines_agree(spark, sf_dir, query_name):
     con = duckdb.connect()
     try:
         for t in ("events", "documents", "customer", "orders", "part",
-                  "embeddings"):
+                  "embeddings", "lineitem", "supplier", "nation",
+                  "region"):
             p = os.path.join(sf_dir, t + ".parquet")
             if os.path.isdir(p):
                 # Spark writes parquet "files" as directories of parts
@@ -288,40 +289,119 @@ def dirty_dir(spark, tmp_path_factory):
     ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
 
     spark.createDataFrame(
-        [(i, DIRTY_NAMES[i % len(DIRTY_NAMES)] or f"part {i}",
-          "STANDARD" if i % 2 else "SMALL", i % 7 + 1)
-         for i in range(10)],
-        "p_partkey bigint, p_name string, p_type string, p_size int",
-    ).coalesce(1).write.parquet(os.path.join(d, "part.parquet"))
-
-    spark.createDataFrame(
-        [
-            (i, DIRTY_NAMES[i % len(DIRTY_NAMES)],
-             i % 5, DIRTY_SEGMENTS[i % len(DIRTY_SEGMENTS)])
-            for i in range(12)
-        ],
-        "c_custkey bigint, c_name string, c_nationkey int, "
-        "c_mktsegment string",
-    ).coalesce(1).write.parquet(os.path.join(d, "customer.parquet"))
-
-    import datetime
-    spark.createDataFrame(
-        [
-            (i, datetime.datetime.fromisoformat(DIRTY_DATES[i]),
-             "1-URGENT" if i % 2 else "5-LOW", DIRTY_PRICES[i])
-            for i in range(len(DIRTY_DATES))
-        ],
-        "o_orderkey bigint, o_orderdate timestamp, "
-        "o_orderpriority string, o_totalprice double",
-    ).coalesce(1).write.parquet(os.path.join(d, "orders.parquet"))
-
-    spark.createDataFrame(
         [(i, [float(x) for x in v], i % 3)
          for i, v in enumerate(DIRTY_VECS)],
         "vec_id bigint, embedding array<float>, label int",
     ).coalesce(1).write.parquet(os.path.join(d, "embeddings.parquet"))
 
+    _write_dirty_relational(spark, d)
     return d
+
+
+def _write_dirty_relational(spark, d):
+    """Relational tier of the dirty dir (r9): REAL sf0.001 tables
+    unioned with adversarial rows, so every TPC-H-shaped registry query
+    runs the cross-engine net on data its plain testdata never shows —
+    filter-boundary doubles (discount exactly at the 0.05/0.07
+    predicate edges), half-cent rounding ties, zero quantities/prices,
+    out-of-domain flag values, duplicate line keys, orphan foreign
+    keys, unicode names, and the existing DIRTY_NAMES/SEGMENTS/DATES/
+    PRICES probes folded into customer/orders crafted rows."""
+    import datetime
+
+    from db_spark.sources import read_table
+
+    real = "/root/testdata/sf0.001"
+
+    def dt(s):
+        return datetime.datetime.fromisoformat(s)
+
+    li = read_table(spark, real, "lineitem")
+    li_extra = spark.createDataFrame([
+        # filter-boundary probes around 0.05 <= disc <= 0.07, qty < 24
+        (9000001, 1, 1, 1, 23.999999, 1000.0, 0.05, 0.02, "A", "F",
+         dt("1996-02-29")),
+        (9000001, 1, 1, 2, 24.0, 1000.0, 0.07, 0.02, "A", "F",
+         dt("1996-02-29")),
+        (9000002, 2, 2, 1, 24.000001, 1000.0, 0.0499999999, 0.0, "N", "O",
+         dt("1992-01-01")),
+        (9000002, 2, 2, 2, 1.0, 1000.0, 0.0700000001, 0.08, "N", "O",
+         dt("1998-12-31")),
+        # half-cent rounding ties and zeros in the money folds
+        (9000003, 3, 3, 1, 10.0, 1234.565, 0.005, 0.005, "R", "F",
+         dt("1995-06-17")),
+        (9000003, 3, 3, 2, 0.0, 0.0, 0.0, 0.0, "R", "F",
+         dt("1995-06-17")),
+        (9000004, 4, 4, 1, 50.0, 99999.995, 0.1, 0.08, "A", "F",
+         dt("1997-07-01")),
+        # out-of-domain flag/status + duplicate (orderkey, linenumber)
+        (9000005, 5, 5, 1, 5.0, 500.5, 0.02, 0.01, "X", "", dt("1994-11-30")),
+        (9000005, 5, 5, 1, 5.0, 500.5, 0.02, 0.01, "X", "", dt("1994-11-30")),
+        # orphan part/supplier keys (no matching dimension row)
+        (9000006, 999999, 999999, 1, 7.0, 7.25, 0.04, 0.0, "N", "O",
+         dt("1993-03-31")),
+        # SINGLETON return-flag group (n=1): sample stddev/corr
+        # denominators hit (n-1)=0 and zero variance — Spark ANSI
+        # throws on the divide where DuckDB NULLs unless guarded
+        (9000007, 6, 6, 1, 3.0, 42.42, 0.01, 0.0, "Y", "O",
+         dt("1997-01-01")),
+    ], li.schema)
+    li.unionByName(li_extra).coalesce(1).write.parquet(
+        os.path.join(d, "lineitem.parquet"))
+
+    o = read_table(spark, real, "orders")
+    o_extra = spark.createDataFrame(
+        [
+            # the pre-r9 dirty orders rows (edge dates + price ties),
+            # now with full schema: orphan custkey 999999 on even rows
+            (9000000 + i, 999999 if i % 2 == 0 else 1 + i % 100,
+             "Z" if i == 0 else ("O" if i % 2 else "F"),
+             DIRTY_PRICES[i], dt(DIRTY_DATES[i]),
+             "1-URGENT" if i % 2 else "5-LOW")
+            for i in range(len(DIRTY_DATES))
+        ] + [
+            (9000100, 999998, "P", 0.0, dt("1996-02-29"), ""),
+            (9000101, 2, "O", 12345.675, dt("1998-12-31"), "9-ODD"),
+        ],
+        o.schema)
+    o.unionByName(o_extra).coalesce(1).write.parquet(
+        os.path.join(d, "orders.parquet"))
+
+    c = read_table(spark, real, "customer")
+    c_extra = spark.createDataFrame(
+        [
+            # the pre-r9 dirty customer rows (delimiter probes in names,
+            # unicode segments), full schema; orphan nationkey 99
+            (900000 + i, DIRTY_NAMES[i % len(DIRTY_NAMES)],
+             99 if i == 0 else i % 5, -999.995 if i == 1 else float(i),
+             DIRTY_SEGMENTS[i % len(DIRTY_SEGMENTS)])
+            for i in range(12)
+        ],
+        c.schema)
+    c.unionByName(c_extra).coalesce(1).write.parquet(
+        os.path.join(d, "customer.parquet"))
+
+    p = read_table(spark, real, "part")
+    p_extra = spark.createDataFrame(
+        [
+            (900000 + i, DIRTY_NAMES[i % len(DIRTY_NAMES)] or f"part {i}",
+             "Brand#99", "STANDARD" if i % 2 else "", 0 if i == 0 else i,
+             1234.565 if i % 3 == 0 else 0.0)
+            for i in range(10)
+        ],
+        p.schema)
+    p.unionByName(p_extra).coalesce(1).write.parquet(
+        os.path.join(d, "part.parquet"))
+
+    s = read_table(spark, real, "supplier")
+    s_extra = spark.createDataFrame(
+        [(900000, "Supplier#üñí", 99, -0.005)], s.schema)
+    s.unionByName(s_extra).coalesce(1).write.parquet(
+        os.path.join(d, "supplier.parquet"))
+
+    for t in ("nation", "region"):
+        read_table(spark, real, t).coalesce(1).write.parquet(
+            os.path.join(d, t + ".parquet"))
 
 
 # --------------------------------------------------------------------------
@@ -471,6 +551,57 @@ def test_fuzzy_join_dirty_names(spark, dirty_dir):
 # scaled-BIGINT doctrine pins from "by construction" to executed
 # dirty-data evidence. First sweep caught a real one: seasonal
 # residuals leaked IEEE -0.0 on exactly cancelled subtractions.
+
+# Full-registry completion (r9): every key not already covered by a
+# focused tier above runs against the complete dirty dir — the REAL
+# sf0.001 relational tables unioned with the adversarial rows, plus
+# the synthetic dirty events/documents/embeddings. The first full
+# sweep found five live divergences (Spark builtin corr THROWS under
+# ANSI on zero-variance groups; ANSI throw vs DuckDB NULL on zero
+# divisors in two money folds; NULL-vs-0 empty pivot cells; n_bytes
+# 0-vs-NULL on NULL payloads) and one oracle fault (hardcoded
+# 64-dim centroid loop NULLing on 8-dim vectors). `dbscan` and
+# `embedding_near_dup` stay excluded by the documented SRP-recall
+# contract (their pair-containment test below is the sound check).
+
+@pytest.mark.parametrize("key", [
+    "anti_join", "assoc_rules", "benford", "bfs_hops", "bloom_prefilter",
+    "bootstrap", "chi2_independence", "cm_heavy_hitters", "cm_join_size",
+    "communities", "concat", "condition_dsl", "constant_scan",
+    "copurchase_pairs", "correlated_subquery", "count_distinct", "cube",
+    "customer_distribution", "deterministic_split", "disjunctive_revenue",
+    "distinct", "domain_cap", "dq_report", "entity_resolution",
+    "entropy_profile", "exact_percentiles", "except", "excess_supply",
+    "filter", "fk_integrity", "forecast_revenue", "full_outer",
+    "global_agg", "grouping_sets", "hash_match", "hist_quantiles",
+    "hll_distinct", "hll_merge", "hll_set_ops", "holt_backtest",
+    "holt_forecast", "hybrid_rrf", "idle_rich_customers",
+    "importance_sample", "important_stock", "intersect", "interval_join",
+    "ivf_index_topk", "ivf_kmeans_topk", "ivf_rbo", "ivf_recall",
+    "ivf_topk", "kcenter_batched", "kcore", "kmv_distinct", "kmv_merge",
+    "kmv_set_ops", "large_orders", "late_only_supplier",
+    "late_shipment_priority", "leakage_split", "linreg",
+    "local_supplier_volume", "map_struct_funcs", "market_share",
+    "matview_incremental", "matview_join", "media_features",
+    "merge_intervals", "min_cost_supplier", "minhash_signature",
+    "mode_by_group", "multi_join", "mvcc_cdc", "mvcc_delete_where",
+    "mvcc_evolve", "mvcc_history", "mvcc_multi_tx", "mvcc_snapshot",
+    "mvcc_vacuum", "nested_loop", "outer_join", "pack_sequences",
+    "pagerank", "pivot", "ppr", "price_qty_corr", "pricing_summary",
+    "priority_shipments", "product_profit", "profile_table",
+    "projection", "promo_revenue", "psi_drift", "range_join",
+    "rank_funcs", "returned_items", "rollup", "salted_join_agg",
+    "scalar_subquery", "semi_join", "shard_plan", "shipping_priority",
+    "skew_profile", "skip", "skyline", "small_qty_revenue", "sort",
+    "span_dedup", "stats_agg", "stratified_fixed", "stratified_sample",
+    "supplier_part_count", "table_scan", "take", "temperature_sample",
+    "theta_join", "top_supplier", "topn_per_group", "triangle_count",
+    "unpivot", "video_features", "volume_shipping", "weighted_paths",
+    "weighted_sample", "window_frames", "window_funcs", "winsorize",
+])
+def test_full_registry_dirty_dir(spark, dirty_dir, key):
+    _assert_engines_agree(spark, dirty_dir, key)
+
 
 @pytest.mark.parametrize("key", [
     "event_funnel", "cohort_retention", "event_funnel_windowed",

@@ -280,13 +280,20 @@ def dirty_dir(spark, tmp_path_factory):
         "event_type string, value double, props string",
     ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
 
-    spark.createDataFrame(
-        [(i, v, ("en", "de", None)[i % 3], f"src{i % 2}",
+    # real sf0.001 documents + the dirty probes (ids offset clear of the
+    # real range): the dedup/text tiers then net on realistic shingle
+    # and token distributions WITH the unicode/NULL/empty edges mixed in
+    from db_spark.sources import read_table as _rt
+    real_docs = _rt(spark, "/root/testdata/sf0.001", "documents")
+    dirty_docs = spark.createDataFrame(
+        [(900000 + i, v, ("en", "de", None)[i % 3], f"src{i % 2}",
           len(v) if v is not None else None)
          for i, v in enumerate(DIRTY_TEXT)],
         "doc_id bigint, text string, lang string, source string, "
         "n_chars bigint",
-    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    )
+    real_docs.unionByName(dirty_docs).coalesce(1).write.parquet(
+        os.path.join(d, "documents.parquet"))
 
     spark.createDataFrame(
         [(i, [float(x) for x in v], i % 3)

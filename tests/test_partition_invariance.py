@@ -1,0 +1,56 @@
+"""Partition-invariance evidence: the determinism doctrine (integer
+folds, total-order tie-breaks, hash-threshold sampling) claims every
+registry result is independent of the physical partitioning. On a
+cluster the partition count is whatever AQE and the data size dictate,
+so any partition-sensitive operator (a float fold whose order shifts,
+a sample keyed on partition id, a tie broken by arrival order) would
+return different answers at 100 TB than it does locally — this runs
+the most partition-sensitive operator classes under two very different
+shuffle-partition settings and requires bit-identical results.
+
+Keys chosen per class: LSH banding (minhash_lsh_pairs), iterative
+frontier selection (kcenter), synchronous label propagation
+(communities), hash-threshold sampling (stratified_sample,
+weighted_sample, temperature_sample), mergeable sketch folds
+(hll_distinct, kmv_distinct), cluster-then-dedup (dedup_corpus),
+fixed-iteration graph rank (pagerank), grouped near-dup output
+(simhash_grouped), and resampling (bootstrap).
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+KEYS = [
+    "minhash_lsh_pairs", "kcenter", "communities", "stratified_sample",
+    "weighted_sample", "temperature_sample", "hll_distinct",
+    "kmv_distinct", "dedup_corpus", "pagerank", "simhash_grouped",
+    "bootstrap",
+]
+
+
+def _rows(spark, key):
+    df = entry_mod.queries()[key](spark, SF_DIR)
+    return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_result_is_partition_invariant(spark, key):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        few = _rows(spark, key)
+        spark.conf.set("spark.sql.shuffle.partitions", "37")
+        many = _rows(spark, key)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert few == many, (
+        f"{key}: result depends on shuffle partitioning "
+        f"({len(few)} vs {len(many)} rows after sort)")

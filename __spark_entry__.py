@@ -3138,6 +3138,55 @@ def q_span_dup(spark, sf_dir):
     return ldedup.span_dup_stats(docs, window=5, min_df=2)
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (db_spark/llm/dedup.py:
+    winnow_fingerprints — Schleimer/Wilkerson/Aiken SIGMOD'03): per-doc
+    4-gram hashes via lead() windows over exploded tokens, window-4
+    minima, distinct selected values — one exchange at token
+    cardinality, all whole-stage-codegen operators."""
+    from db_spark.llm import dedup as ldedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return ldedup.winnow_fingerprints(docs, k=4, w=4)
+
+
+def q_winnow_overlap(spark, sf_dir):
+    """MOSS-style overlap report (db_spark/llm/dedup.py:
+    winnow_overlap): doc pairs sharing >= 2 winnowing fingerprints,
+    scored by containment — partial-overlap detection at ~2/(w+1) of
+    the shingle-join key volume, fingerprint-blocked (no doc cross
+    product), hot fingerprints capped."""
+    from db_spark.llm import dedup as ldedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return ldedup.winnow_overlap(docs, k=4, w=4, min_shared=2)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic deduplication (db_spark/llm/similarity.py:
+    semantic_dedup — Abbas et al. 2023): deterministic k-means over the
+    embeddings plus perturbed copies (vec_id+1e8, the near-dup corpus
+    construction q_embedding_near_dup uses), then within-cluster cosine
+    pruning at 0.95 keeping the lowest id. Pairwise work is blocked per
+    cell — never a global pair matrix. The perturbation is an INDEXED
+    transform (follows the data's dimensionality — never zip_with
+    against a hardcoded length, whose NULL padding list_inner_product
+    rejects on the 8-dim dirty fixture)."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    arr = F.col("embedding").cast("array<double>")
+    perturbed = emb.select(
+        (F.col("vec_id") + 100000000).alias("vec_id"),
+        F.transform(
+            arr, lambda x, j: x + (j % 7 - 3).cast("double") * 0.01,
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", arr.alias("embedding")).unionByName(perturbed)
+    return lsim.semantic_dedup(corpus, n_cells=16, threshold=0.95,
+                               refine_iters=2)
+
+
 def q_temperature_sample(spark, sf_dir):
     """Temperature-flattened language mixture (tau=0.5): downsample each
     language at sqrt(c_min/c_lang) by stable doc-id hash — rarest
@@ -4759,6 +4808,96 @@ def _ivf_kmeans_oracle(n_cells: int = 16, n_probe: int = 4, k: int = 10,
     """
 
 
+def _semantic_dedup_oracle(n_cells: int = 16, threshold: float = 0.95,
+                           n_iter: int = 2, scale: int = 1_000_000) -> str:
+    """Mirror of llm.similarity.semantic_dedup over the perturbed-union
+    corpus of q_semantic_dedup: the _ivf_kmeans_oracle Lloyd chain
+    (lowest-id seeding, scaled-BIGINT means, cosine argmax with
+    lowest-cell tiebreak), then within-cell pairs at round(cos,6) >=
+    threshold removing the higher id. The perturbation is an indexed
+    list_transform so it follows the corpus dimensionality exactly as
+    the engine side does."""
+
+    def assign(src_cent: str, name: str) -> str:
+        return f"""
+        {name} AS (
+          SELECT vec_id, v, cell_id FROM (
+            SELECT b.vec_id, b.v, c.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                     ORDER BY (CASE WHEN list_inner_product(b.v, b.v) * list_inner_product(c.cvec, c.cvec) > 0 THEN round(list_cosine_similarity(b.v, c.cvec), 6) ELSE 0.0 END)
+                       DESC, c.cell_id) AS rk
+            FROM base b CROSS JOIN {src_cent} c
+          ) WHERE rk = 1
+        )"""
+
+    def update(assigned: str, prev_cent: str, name: str) -> str:
+        return f"""
+        {name}_m AS (
+          SELECT cell_id, u.j, sum(u.s) AS s, count(*) AS n
+          FROM (SELECT cell_id,
+                       unnest(list_transform(v, (x, i) -> struct_pack(
+                         j := i,
+                         s := CAST(round(x * {scale}) AS BIGINT)))) AS u
+                FROM {assigned})
+          GROUP BY 1, 2
+        ),
+        {name}_new AS (
+          SELECT cell_id,
+                 list(s::DOUBLE / ({float(scale)} * n) ORDER BY j) AS cvec
+          FROM {name}_m GROUP BY cell_id
+        ),
+        {name} AS (
+          SELECT p.cell_id, COALESCE(nw.cvec, p.cvec) AS cvec
+          FROM {prev_cent} p LEFT JOIN {name}_new nw USING (cell_id)
+        )"""
+
+    steps = []
+    cent = "cent0"
+    for i in range(n_iter):
+        steps.append(assign(cent, f"a{i}"))
+        steps.append(update(f"a{i}", cent, f"cent{i + 1}"))
+        cent = f"cent{i + 1}"
+    chain = ",".join(steps)
+    return f"""
+        WITH emb0 AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings
+        ),
+        base AS MATERIALIZED (
+          SELECT vec_id, v FROM emb0
+          UNION ALL
+          SELECT vec_id + 100000000 AS vec_id,
+                 list_transform(v, (x, i) ->
+                     x + (((i - 1) % 7) - 3)::DOUBLE * 0.01) AS v
+          FROM emb0
+        ),
+        cent0 AS (
+          SELECT vec_id AS cell_id, v AS cvec
+          FROM base ORDER BY vec_id LIMIT {n_cells}
+        ),
+        {chain},
+        final_assign AS MATERIALIZED (
+          SELECT vec_id, v, cell_id FROM (
+            SELECT b.vec_id, b.v, c.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                     ORDER BY (CASE WHEN list_inner_product(b.v, b.v) * list_inner_product(c.cvec, c.cvec) > 0 THEN round(list_cosine_similarity(b.v, c.cvec), 6) ELSE 0.0 END)
+                       DESC, c.cell_id) AS rk
+            FROM base b CROSS JOIN {cent} c
+          ) WHERE rk = 1
+        ),
+        rm AS (
+          SELECT DISTINCT b.vec_id
+          FROM final_assign a JOIN final_assign b
+            ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+          WHERE (CASE WHEN list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v) > 0 THEN round(list_cosine_similarity(a.v, b.v), 6) ELSE 0.0 END)
+                >= {threshold}
+        )
+        SELECT f.vec_id, f.cell_id,
+               (rm.vec_id IS NULL) AS kept
+        FROM final_assign f LEFT JOIN rm ON f.vec_id = rm.vec_id
+    """
+
+
 def _text_stats_oracle() -> str:
     from db_spark.llm.text import STOPWORDS
 
@@ -5251,6 +5390,9 @@ _REGISTRY_KEYS: list[str] = [
     "jaccard_grouped",
     # r8: real y4m video decode proven against an analytic oracle
     "video_features",
+    "winnow_fingerprints",
+    "winnow_overlap",
+    "semantic_dedup",
 ]
 
 
@@ -6554,6 +6696,56 @@ def oracle_sql() -> dict[str, str]:
             FROM g JOIN freq USING (wh)
             GROUP BY doc_id, nw
         """,
+        "winnow_fingerprints": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (SELECT doc_id, len(toks) - 3 AS ng, pos,
+                         ('0x' || substr(md5(
+                             toks[pos] || ' ' || toks[pos+1] || ' ' ||
+                             toks[pos+2] || ' ' || toks[pos+3]), 1, 15))::BIGINT AS gh
+                  FROM (SELECT doc_id, toks,
+                               unnest(range(1, greatest(len(toks) - 2, 1))) AS pos
+                        FROM tok)),
+            wm AS (SELECT doc_id, ng, pos,
+                          min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+                   FROM g),
+            s AS (SELECT doc_id, ng, sel FROM wm WHERE pos <= ng - 3)
+            SELECT doc_id,
+                   CAST(ng AS BIGINT) AS n_grams,
+                   CAST(ng - 3 AS BIGINT) AS n_windows,
+                   CAST(count(DISTINCT sel) AS BIGINT) AS n_fingerprints,
+                   round(count(DISTINCT sel)::DOUBLE / (ng - 3), 6) AS density
+            FROM s GROUP BY doc_id, ng
+        """,
+        "winnow_overlap": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (SELECT doc_id, len(toks) - 3 AS ng, pos,
+                         ('0x' || substr(md5(
+                             toks[pos] || ' ' || toks[pos+1] || ' ' ||
+                             toks[pos+2] || ' ' || toks[pos+3]), 1, 15))::BIGINT AS gh
+                  FROM (SELECT doc_id, toks,
+                               unnest(range(1, greatest(len(toks) - 2, 1))) AS pos
+                        FROM tok)),
+            wm AS (SELECT doc_id, ng, pos,
+                          min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+                   FROM g),
+            fp AS (SELECT DISTINCT doc_id, sel AS fp FROM wm WHERE pos <= ng - 3),
+            ok AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 1000),
+            fpo AS (SELECT doc_id, fp FROM fp JOIN ok USING (fp)),
+            nf AS (SELECT doc_id, count(*) AS nfp FROM fpo GROUP BY doc_id),
+            pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          count(*) AS sh
+                   FROM fpo a JOIN fpo b
+                     ON a.fp = b.fp AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT id_a, id_b, CAST(sh AS BIGINT) AS shared_fps,
+                   round(sh::DOUBLE / least(na.nfp, nb.nfp), 6) AS containment
+            FROM pr
+            JOIN nf na ON na.doc_id = pr.id_a
+            JOIN nf nb ON nb.doc_id = pr.id_b
+        """,
+        "semantic_dedup": _semantic_dedup_oracle(),
         "collocations": f"""
             WITH tok AS (SELECT {_TOKS} AS toks FROM documents),
             uc AS (SELECT w, count(*) AS cw

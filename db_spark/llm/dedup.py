@@ -1070,3 +1070,145 @@ def _ppjoin_pairs(sh: DataFrame, threshold: float, t_ppm: int) -> DataFrame:
                 F.round(F.col("_i").cast("double") / union_sz, 6)
                 .alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (MOSS-style local fingerprinting)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 4, w: int = 4, output: str = "stats",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson, Aiken, "Winnowing:
+    Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash
+    every ``k``-token gram with the corpus-wide ``h60`` family, slide a
+    window of ``w`` consecutive gram hashes over the document, and
+    select each window's MINIMUM hash. The distinct selected hashes are
+    the document's fingerprint set, with the paper's guarantee: any two
+    documents sharing a token run of length >= ``k + w - 1`` share at
+    least one fingerprint, while only ~2/(w+1) of all grams are kept.
+
+    Selection here is by VALUE (distinct window minima), not the
+    paper's rightmost-position variant — positions don't affect which
+    hash values are selected, only how ties inside one window are
+    attributed, and the value-set form is what the overlap join
+    consumes. Deterministic on any engine: md5-prefix hashes, integer
+    minima, no randomness.
+
+    Shape at 100 TB: one exchange at token cardinality (the window
+    partitioning on document id — span_dup_stats' accepted cost
+    class), two window passes over the same partitioning (gram build,
+    winnow min), then a distinct at fingerprint cardinality (~2/(w+1)
+    of the grams). Output rows (``stats``) are one per document with
+    at least one full window; ``fps`` is one row per (document,
+    distinct fingerprint) for downstream joins.
+
+    Returns ``stats``: (id, n_grams, n_windows, n_fingerprints,
+    density) with density = n_fingerprints / n_windows rounded 6; or
+    ``fps``: (id, fingerprint).
+    """
+    if output not in ("stats", "fps"):
+        raise ValueError(f"output must be 'stats' or 'fps', got {output!r}")
+    # Relational shape, NOT array higher-order functions: tokens are
+    # exploded to rows ONCE (the regex runs once per document inside
+    # the Generate), grams come from lead() windows, the winnowing
+    # minimum from a w-row min frame — all whole-stage-codegen
+    # operators. The first cut used nested transform/slice over a gram
+    # ARRAY; CollapseProject inlined the tokenizer regex into every
+    # element_at reference, re-running regexp_extract_all over the
+    # full text windows*w*k times per document (jstack showed
+    # RegExpExtractAll under ConcatWs) — a ~1000x interpreted-eval
+    # blowup at sf0.1. The row form evaluates each stage exactly once.
+    toks = F.regexp_extract_all(
+        ascii_lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
+    t = df.select(F.col(id_col).alias("_wid"),
+                  F.posexplode(toks).alias("_pos", "_tok"))
+    wd = Window.partitionBy("_wid").orderBy("_pos")
+    gram = F.concat_ws(
+        " ", F.col("_tok"),
+        *[F.lead("_tok", j).over(wd) for j in range(1, k)])
+    nt = F.count(F.lit(1)).over(Window.partitionBy("_wid"))
+    g = (
+        t.select("_wid", "_pos", nt.alias("_nt"), h60(gram).alias("_gh"))
+        # only full k-gram rows (lead past the document end returns
+        # NULL and concat_ws would silently shorten the gram)
+        .filter(F.col("_pos") <= F.col("_nt") - k)
+    )
+    wnd = Window.partitionBy("_wid").orderBy("_pos").rowsBetween(0, w - 1)
+    ng = F.col("_nt") - (k - 1)
+    sel = (
+        g.select("_wid", "_pos", ng.alias("_ng"),
+                 F.min("_gh").over(wnd).alias("_fp"))
+        # only full w-windows of grams (same frame-shortening rule)
+        .filter(F.col("_pos") <= F.col("_ng") - w)
+    )
+    fps = sel.select("_wid", "_ng", "_fp").distinct()
+    if output == "fps":
+        return fps.select(
+            F.col("_wid").alias(id_col), F.col("_fp").alias("fingerprint"))
+    return (
+        fps.groupBy("_wid", "_ng")
+        .agg(F.count(F.lit(1)).alias("_nfp"))
+        .select(
+            F.col("_wid").alias(id_col),
+            F.col("_ng").cast("long").alias("n_grams"),
+            (F.col("_ng") - (w - 1)).cast("long").alias("n_windows"),
+            F.col("_nfp").cast("long").alias("n_fingerprints"),
+            F.round(F.col("_nfp").cast("double")
+                    / (F.col("_ng") - (w - 1)), 6).alias("density"),
+        )
+    )
+
+
+def winnow_overlap(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 4, w: int = 4, min_shared: int = 2,
+    max_fp_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """MOSS-style overlap report from winnowing fingerprints: document
+    pairs sharing >= ``min_shared`` distinct fingerprints, scored by
+    containment = shared / min(|fps_a|, |fps_b|). By the winnowing
+    guarantee a shared token run of length >= k + w - 1 always
+    surfaces, so this catches partial plagiarism/quotation overlap
+    that whole-document hashing misses, at a fraction of shingle-join
+    cost (only ~2/(w+1) of grams become join keys).
+
+    Scale guards mirror the shingle joins: fingerprints held by more
+    than ``max_fp_df`` documents are dropped before the self-join (a
+    boilerplate fingerprint at corpus scale is a quadratic hot key;
+    real overlapping pairs share rare fingerprints too). The join is
+    blocked per fingerprint — never a document cross product — and
+    pair aggregation shuffles on (id_a, id_b), skew-safe under AQE.
+
+    Returns (id_a, id_b, shared_fps, containment), id_a < id_b.
+    """
+    # The fingerprint table feeds FOUR consumers (df-cap, per-doc
+    # counts, both self-join sides); uncached, each re-derives the
+    # full gram-hash pass from the scan — cache it once (the module's
+    # plan-cache lifecycle; ~2/(w+1) of gram cardinality, narrow rows).
+    fp = _plan_cache(
+        winnow_fingerprints(df, id_col, text_col, k, w, output="fps")
+        .select(F.col(id_col).alias("_fid"), "fingerprint"))
+    if max_fp_df is not None:
+        hot = (
+            fp.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_fp_df).select("fingerprint"))
+        fp = fp.join(hot, "fingerprint", "left_anti")
+    nf = fp.groupBy("_fid").agg(F.count(F.lit(1)).alias("_nfp"))
+    a = fp.select(F.col("_fid").alias("id_a"), "fingerprint")
+    b = fp.select(F.col("_fid").alias("id_b"), "fingerprint")
+    pairs = (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("_sh"))
+        .filter(F.col("_sh") >= min_shared))
+    na = nf.select(F.col("_fid").alias("id_a"), F.col("_nfp").alias("_na"))
+    nb = nf.select(F.col("_fid").alias("id_b"), F.col("_nfp").alias("_nb"))
+    return (
+        pairs.join(na, "id_a").join(nb, "id_b")
+        .select("id_a", "id_b",
+                F.col("_sh").cast("long").alias("shared_fps"),
+                F.round(F.col("_sh").cast("double")
+                        / F.least("_na", "_nb"), 6).alias("containment")))

@@ -947,3 +947,61 @@ def dbscan(
             .when(F.col("_bcluster").isNotNull(), F.lit("border"))
             .otherwise(F.lit("noise")).alias("role")))
     return out
+
+
+def semantic_dedup(
+    corpus: DataFrame, n_cells: int = 16, threshold: float = 0.95,
+    refine_iters: int = 2, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): k-means-cluster the embedding
+    corpus, compare vectors pairwise only WITHIN a cluster, and drop
+    every vector whose cosine similarity to a lower-id vector in the
+    same cluster reaches ``threshold``. The keep-lowest-id rule
+    replaces the paper's arbitrary within-cluster ordering with a
+    deterministic one, so the output is reproducible and
+    SQL-oracle-expressible.
+
+    Determinism end to end: centroids come from
+    ``ivf_kmeans_centroids`` (lowest-id seeding, scaled-BIGINT means,
+    cosine argmax with lowest-cell tiebreak), assignment from
+    ``_assign_to`` (same tiebreak), and the duplicate test compares
+    ``round(cos, 6) >= threshold`` — the same rounded-boundary
+    discipline every similarity operator here uses.
+
+    Shape at 100 TB: the pair stage shuffles once on ``cell_id`` and
+    is O(sum of cell_size^2) — the SemDeDup price. Cell count scales
+    WITH the corpus (fixed target cell size), so per-cell blocks stay
+    bounded and no global pair matrix ever exists; the k-means stage
+    is O(n * n_cells) per iteration with broadcast centroids.
+
+    Returns one row per input vector: (id, cell_id, kept) — kept=false
+    iff a same-cell lower-id vector is cosine-similar at threshold.
+    """
+    cent = ivf_kmeans_centroids(
+        corpus, n_cells=n_cells, n_iter=refine_iters,
+        id_col=id_col, vec_col=vec_col)
+    assigned = _assign_to(corpus, cent, id_col, vec_col)
+    v = assigned.select(
+        F.col(id_col), F.col("cell_id"), _dbl(F.col(vec_col)).alias("_v"))
+    v = v.select(id_col, "cell_id", "_v", _norm_d(F.col("_v")).alias("_nn"))
+    a = v.select(F.col(id_col).alias("_ida"), "cell_id",
+                 F.col("_v").alias("_va"), F.col("_nn").alias("_na"))
+    b = v.select(F.col(id_col).alias("_idb"), "cell_id",
+                 F.col("_v").alias("_vb"), F.col("_nn").alias("_nb"))
+    removed = (
+        a.join(b, "cell_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(F.round(_cos_guarded(
+            _dot_d(F.col("_va"), F.col("_vb")),
+            F.col("_na") * F.col("_nb")), 6) >= F.lit(threshold))
+        .select(F.col("_idb").alias(id_col)).distinct()
+        .withColumn("_kept", F.lit(False))
+    )
+    return (
+        v.join(removed, id_col, "left")
+        .select(F.col(id_col), F.col("cell_id"),
+                F.coalesce(F.col("_kept"), F.lit(True)).alias("kept"))
+    )

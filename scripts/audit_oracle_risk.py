@@ -243,6 +243,11 @@ INT_SUM_BOUNDS: dict[str, str] = {
                        "practice); per-(cell,dim) sum <= cell rows * "
                        "1e6 * |x|max — <=1e15 at 1e9 vectors/cell on "
                        "unit vectors",
+    "semantic_dedup": "same Lloyd-chain fold as ivf_kmeans_topk "
+                      "(u.s = round(x*1e6) micro-scaled components; "
+                      "per-(cell,dim) sum bounded by cell rows * 1e6 "
+                      "* |x|max); the perturbed copies add +-0.03 to "
+                      "each component, leaving the bound unchanged",
 }
 
 # SUM args that are structurally bounded without a per-key argument.

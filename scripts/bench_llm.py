@@ -52,6 +52,10 @@ PICKS = [
     # materialization; compare directly against simhash_near_dup /
     # jaccard_join above)
     "simhash_grouped", "jaccard_grouped",
+    # round-9: winnowing fingerprints (map-only selection + blocked
+    # overlap join) and SemDeDup semantic dedup (k-means + within-cell
+    # pairwise prune)
+    "winnow_fingerprints", "winnow_overlap", "semantic_dedup",
 ]
 
 

@@ -1688,3 +1688,107 @@ def test_global_shuffle_shards_is_deterministic_permutation(spark):
     assert "Window" not in wp._jdf.queryExecution().executedPlan().toString()
     assert sorted((r["doc_id"], r["shard"]) for r in wp.collect()) == \
         sorted((r["doc_id"], r["shard"]) for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints + semantic dedup (r9)
+# ---------------------------------------------------------------------------
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee (Schleimer et al. SIGMOD'03): any shared
+    token run of length >= k + w - 1 (= 7 here) forces at least one
+    shared fingerprint, regardless of the surrounding text."""
+    shared = "alpha bravo charlie delta echo foxtrot golf"  # 7 tokens
+    rows = [
+        (1, f"intro words here {shared} and a tail"),
+        (2, f"{shared} totally different continuation text now"),
+        (3, "unrelated vocabulary without any overlap whatsoever "
+            "kiwi lemon mango nectarine orange papaya quince"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = dedup.winnow_fingerprints(df, k=4, w=4, output="fps")
+    sets = {
+        r["doc_id"]: set()
+        for r in fp.select("doc_id").distinct().collect()
+    }
+    for r in fp.collect():
+        sets[r["doc_id"]].add(r["fingerprint"])
+    assert sets[1] & sets[2], "shared 7-token run must share a fingerprint"
+    assert not (sets[1] & sets[3])
+    assert not (sets[2] & sets[3])
+
+
+def test_winnow_stats_bounds_and_short_doc_contract(spark):
+    rows = [
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "too short"),           # 2 tokens < k: no grams
+        (3, "just four tokens here"),  # 1 gram < w windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.winnow_fingerprints(df, k=4, w=4).collect()}
+    assert set(out) == {1}  # docs without a full window emit no row
+    r = out[1]
+    assert r["n_grams"] == 7 and r["n_windows"] == 4
+    assert 1 <= r["n_fingerprints"] <= r["n_windows"]
+    assert abs(r["density"] - r["n_fingerprints"] / r["n_windows"]) < 1e-9
+
+
+def test_winnow_overlap_exact_dup_containment(spark):
+    txt = ("the quick brown fox jumps over the lazy dog while the "
+           "cat watches from the warm windowsill nearby")
+    rows = [(1, txt), (2, txt),
+            (3, "entirely distinct words compose this third document "
+                "zebra yak xerus wombat vulture urial tapir")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r for r in
+           dedup.winnow_overlap(df, k=4, w=4, min_shared=2).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)]["containment"] == 1.0
+
+
+def test_winnow_hot_fingerprint_cap(spark):
+    """A fingerprint present in every doc must not create quadratic
+    pairs once it exceeds max_fp_df — mirroring the shingle-df guard."""
+    common = "alpha bravo charlie delta echo foxtrot golf"
+    rows = [(i, f"{common} unique{i} u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g")
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.winnow_overlap(df, k=4, w=4, min_shared=1, max_fp_df=10)
+    assert capped.count() == 0
+    raw = dedup.winnow_overlap(df, k=4, w=4, min_shared=1, max_fp_df=None)
+    assert raw.count() == 12 * 11 // 2
+
+
+def test_semantic_dedup_prunes_within_cluster(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.999, 0.02, 0.0]),   # near-dup of 2
+        (4, [0.0, 0.0, 1.0, 0.0]),      # unique direction
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in similarity.semantic_dedup(
+        df, n_cells=3, threshold=0.98, refine_iters=1).collect()}
+    assert len(out) == 5
+    assert out[0]["kept"] and not out[1]["kept"]   # lowest id survives
+    assert out[2]["kept"] and not out[3]["kept"]
+    assert out[4]["kept"]
+
+
+def test_semantic_dedup_only_compares_within_cells(spark):
+    """Two near-identical vectors assigned to different cells are both
+    kept — the SemDeDup contract (pairwise work never crosses a cell)."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.7071, 0.7072]),  # ~45 deg: nearest cell is id 1's
+        (3, [0.7072, 0.7071]),  # ~45 deg: nearest cell is id 0's
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in similarity.semantic_dedup(
+        df, n_cells=2, threshold=0.9999, refine_iters=0).collect()}
+    # 2 and 3 are cosine ~1.0 to each other but sit in different cells
+    if out[2]["cell_id"] != out[3]["cell_id"]:
+        assert out[2]["kept"] and out[3]["kept"]

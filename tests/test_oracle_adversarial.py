@@ -498,6 +498,7 @@ def test_tokenizer_tier_dirty_text(spark, dirty_dir, key):
     "minhash_lsh_pairs",
     "dedup_corpus", "dedup_keep_best", "dedup_clusters",
     "curate_corpus", "decontaminate", "lsh_probe",
+    "winnow_fingerprints", "winnow_overlap",
 ])
 def test_dedup_tier_dirty_text(spark, dirty_dir, key):
     _assert_engines_agree(spark, dirty_dir, key)
@@ -514,7 +515,7 @@ def test_dedup_tier_dirty_text(spark, dirty_dir, key):
 # (cluster labels admit no pair-containment check).
 @pytest.mark.parametrize("key", [
     "cosine_topk", "embedding_quantize", "centroid_outliers",
-    "array_funcs", "mmr_rerank", "kcenter",
+    "array_funcs", "mmr_rerank", "kcenter", "semantic_dedup",
 ])
 def test_embedding_tier_dirty_vecs(spark, dirty_dir, key):
     _assert_engines_agree(spark, dirty_dir, key)

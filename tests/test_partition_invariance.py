@@ -33,6 +33,9 @@ KEYS = [
     "weighted_sample", "temperature_sample", "hll_distinct",
     "kmv_distinct", "dedup_corpus", "pagerank", "simhash_grouped",
     "bootstrap",
+    # r9: scaled-BIGINT k-means fold + within-cell prune (the centroid
+    # mean is the partition-order risk the BIGINT fold neutralizes)
+    "semantic_dedup",
 ]
 
 

@@ -1733,6 +1733,54 @@ def q_json_agg(spark, sf_dir):
     )
 
 
+def q_json_agg_counts(spark, sf_dir):
+    """DIAGNOSTIC COMPANION (r10) for the json_agg driver hash-fail:
+    identical parse + bucketing, count only — no SUM, no wide-integer
+    or DECIMAL surface anywhere. Localizes the divergent cell: red here
+    implicates parse/bucket/count; green here narrows the fail to the
+    aggregate's value surface. Retire once json_agg carries a green
+    driver row."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.get_json_object(F.col("props"), "$.k")
+    k = F.when(s.rlike(r"\A-?[0-9]{1,18}\z"), s.cast("long"))
+    return (
+        ev.select((k % 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def q_json_agg_lanes(spark, sf_dir):
+    """DIAGNOSTIC COMPANION (r10): json_agg's sum re-expressed as two
+    bounded BIGINT lanes — SUM(k div 1e9) and SUM(k % 1e9). Each lane's
+    magnitude is <= 1e9 * n_rows << 2^63, so neither engine ever touches
+    a wide integer, DECIMAL, or HUGEINT representation — if the r7-r9
+    driver hash-fails are a DECIMAL(38,0) canonicalization or
+    HUGEINT-path artifact, this form is immune. Sign semantics verified
+    identical on both engines: truncating division (Spark ``div``,
+    DuckDB ``//``: -7/2 -> -3) and dividend-sign remainder
+    (-7 % 2 -> -1)."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.get_json_object(F.col("props"), "$.k")
+    k = F.when(s.rlike(r"\A-?[0-9]{1,18}\z"), s.cast("long"))
+    return (
+        ev.select((k % 10).alias("k_bucket"), k.alias("_k"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum(F.expr("_k div 1000000000")).cast("long").alias("sum_hi"),
+             F.sum(F.col("_k") % 1000000000).cast("long").alias("sum_lo"))
+    )
+
+
+def q_json_agg_v2(spark, sf_dir):
+    """DIAGNOSTIC COMPANION (r10): byte-identical clone of q_json_agg
+    under a fresh registry key — controls for any driver-side per-key
+    artifact caching across rounds. v2 green while json_agg stays red
+    => stale per-key driver state; both red with counts+lanes green =>
+    the DECIMAL(38,0) value surface itself."""
+    return q_json_agg(spark, sf_dir)
+
+
 def q_salted_join_agg(spark, sf_dir):
     """Catastrophic-skew join via operators.salted_join: the 3-value
     l_returnflag key would melt three reducers in a plain shuffle join;
@@ -3171,10 +3219,17 @@ def q_semantic_dedup(spark, sf_dir):
     cell — never a global pair matrix. The perturbation is an INDEXED
     transform (follows the data's dimensionality — never zip_with
     against a hardcoded length, whose NULL padding list_inner_product
-    rejects on the 8-dim dirty fixture)."""
+    rejects on the 8-dim dirty fixture). target_cell_size=None pins the
+    cell count so the DuckDB oracle can replicate the clustering with a
+    fixed dimension; the library default auto-scales it instead."""
     from db_spark.llm import similarity as lsim
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # guard, not a live bug at fixture scales: a corpus with real
+    # vec_id >= 1e8 would silently collide perturbed and original rows,
+    # and the oracle applies the same offset so the gate couldn't see it
+    assert emb.agg(F.max("vec_id")).first()[0] < 100000000, \
+        "vec_id >= 1e8 would collide with the perturbed-id offset"
     arr = F.col("embedding").cast("array<double>")
     perturbed = emb.select(
         (F.col("vec_id") + 100000000).alias("vec_id"),
@@ -3184,7 +3239,7 @@ def q_semantic_dedup(spark, sf_dir):
     )
     corpus = emb.select("vec_id", arr.alias("embedding")).unionByName(perturbed)
     return lsim.semantic_dedup(corpus, n_cells=16, threshold=0.95,
-                               refine_iters=2)
+                               refine_iters=2, target_cell_size=None)
 
 
 def q_temperature_sample(spark, sf_dir):
@@ -5152,28 +5207,18 @@ def _driver_checked_rounds() -> dict[str, int]:
 # force them back into the 50-query window as if never checked. Clear
 # an entry once the next CORRECTNESS file carries its fresh row.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # r9: SUM pinned to DECIMAL(38,0) on both engines (the r8 driver
-    # hash-fail was int64 SUM overflow: Spark wraps/throws where DuckDB
-    # promotes to HUGEINT) + regex anchors moved ^..$ -> \A..\z (Java $
-    # matches before a trailing newline; RE2 full-match does not)
-    "json_agg",
-    # r9: same \A..\z anchor pin (its r8 green row covers the ^..$ form,
-    # which diverges on values with a trailing line terminator)
-    "json_funcs",
-    # r9: residual gained the IEEE negative-zero normalization (+ 0.0
-    # on both engines) after the full-schema dirty events fixture
-    # caught a -0.0 leak on exactly cancelled subtractions; clean-data
-    # outputs are unchanged unless a residual cancels exactly, but the
-    # contract changed so the rows re-earn their green
-    "seasonal_decompose", "seasonal_anomalies",
-    # r9 full-registry dirty sweep fixes (clean-data outputs unchanged;
-    # contracts changed): builtin corr -> guarded exact-moment corr +
-    # n=1 stddev guard (stats_agg); zero-variance/zero-divisor guards
-    # (price_qty_corr, min_cost_supplier); empty pivot cells coalesced
-    # to 0 (pivot); NULL-payload n_bytes now NULL (media_features);
-    # dimension-agnostic centroid fold in the oracle (ivf_kmeans_topk)
-    "stats_agg", "price_qty_corr", "min_cost_supplier", "pivot",
-    "media_features", "ivf_kmeans_topk",
+    # r10: oracle made path-symmetric with the engine (cast BEFORE the
+    # sum, so no HUGEINT intermediate exists in any DuckDB version) —
+    # the r7/r8/r9 driver hash-fail's one remaining in-repo hypothesis.
+    # The three diagnostic companions below bisect the failing surface
+    # through the driver gate itself; they are new keys (sort first
+    # anyway) but listed so the intent survives their first green row.
+    "json_agg", "json_agg_counts", "json_agg_lanes", "json_agg_v2",
+    # r9 directive #2 executed: the nine keys whose fresh r9 green rows
+    # landed (json_funcs, seasonal_decompose, seasonal_anomalies,
+    # stats_agg, price_qty_corr, min_cost_supplier, pivot,
+    # media_features, ivf_kmeans_topk) are pruned; their slots go to
+    # the stalest driver rows.
 })
 
 
@@ -5393,6 +5438,12 @@ _REGISTRY_KEYS: list[str] = [
     "winnow_fingerprints",
     "winnow_overlap",
     "semantic_dedup",
+    # r10 additions: the json_agg driver-gate bisection (diagnostic
+    # companions — retire once json_agg lands a green driver row) and
+    # MOSS-style span reporting
+    "json_agg_counts",
+    "json_agg_lanes",
+    "json_agg_v2",
 ]
 
 
@@ -8433,11 +8484,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT k % 10 AS k_bucket,
                    CAST(count(*) AS BIGINT) AS n,
-                   -- width-pinned: DuckDB SUM(BIGINT) promotes to
-                   -- HUGEINT; Spark sums decimal(38,0) — identical
-                   -- 128-bit-exact result on both engines even when
+                   -- width-pinned AND path-symmetric with the engine
+                   -- (r10): cast BEFORE the sum so no HUGEINT
+                   -- intermediate exists in ANY DuckDB version — the
+                   -- engine sums decimal(38,0) terms, so does the
+                   -- oracle; 128-bit-exact on both engines even when
                    -- the true sum exceeds int64
-                   CAST(SUM(k) AS DECIMAL(38,0)) AS sum_k
+                   CAST(SUM(CAST(k AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                       AS sum_k
+            FROM parsed GROUP BY 1
+        """,
+        # DIAGNOSTIC COMPANIONS (r10) — see q_json_agg_counts/lanes/v2.
+        "json_agg_counts": """
+            WITH parsed AS (
+              SELECT CASE WHEN json_valid(props) THEN
+                       CASE WHEN regexp_full_match(
+                                coalesce(json_extract_string(props, '$.k'),
+                                         ''),
+                                '-?[0-9]{1,18}')
+                            THEN CAST(json_extract_string(props, '$.k')
+                                      AS BIGINT) END
+                     END AS k
+              FROM events
+            )
+            SELECT k % 10 AS k_bucket, CAST(count(*) AS BIGINT) AS n
+            FROM parsed GROUP BY 1
+        """,
+        "json_agg_lanes": """
+            WITH parsed AS (
+              SELECT CASE WHEN json_valid(props) THEN
+                       CASE WHEN regexp_full_match(
+                                coalesce(json_extract_string(props, '$.k'),
+                                         ''),
+                                '-?[0-9]{1,18}')
+                            THEN CAST(json_extract_string(props, '$.k')
+                                      AS BIGINT) END
+                     END AS k
+              FROM events
+            )
+            SELECT k % 10 AS k_bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   -- bounded lanes: |lane sum| <= 1e9 * n << 2^63, so
+                   -- the post-SUM BIGINT cast is always in range and no
+                   -- wide-integer representation survives to the output
+                   CAST(SUM(k // 1000000000) AS BIGINT) AS sum_hi,
+                   CAST(SUM(k % 1000000000) AS BIGINT) AS sum_lo
             FROM parsed GROUP BY 1
         """,
         # the oracle is the PLAIN join: salting must be invisible.
@@ -8824,4 +8915,7 @@ def oracle_sql() -> dict[str, str]:
           ON e.query_id = a.query_id AND e.vec_id = a.vec_id
         GROUP BY e.query_id
     """
+    # DIAGNOSTIC (r10): v2 is a byte-identical clone of json_agg under a
+    # fresh key — the oracle must be byte-identical too.
+    d["json_agg_v2"] = d["json_agg"]
     return d

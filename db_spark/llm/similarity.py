@@ -952,7 +952,7 @@ def dbscan(
 def semantic_dedup(
     corpus: DataFrame, n_cells: int = 16, threshold: float = 0.95,
     refine_iters: int = 2, id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", target_cell_size: int | None = 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -973,13 +973,25 @@ def semantic_dedup(
 
     Shape at 100 TB: the pair stage shuffles once on ``cell_id`` and
     is O(sum of cell_size^2) — the SemDeDup price. Cell count scales
-    WITH the corpus (fixed target cell size), so per-cell blocks stay
-    bounded and no global pair matrix ever exists; the k-means stage
-    is O(n * n_cells) per iteration with broadcast centroids.
+    WITH the corpus: ``target_cell_size`` (r10, self-enforcing) raises
+    ``n_cells`` to ``ceil(n / target_cell_size)`` whenever the explicit
+    cell count would leave cells above the target, so a 10x corpus at
+    default args gets ~10x the cells and per-cell pair work stays
+    O(target^2) per cell — bounded — with no caller discipline needed.
+    Pass ``target_cell_size=None`` to pin the cell count exactly (the
+    oracle-paired registry query does, so its DuckDB twin can replicate
+    the clustering with a fixed dimension). The count() this takes is a
+    scalar driver fetch, the documented acceptable class. The k-means
+    stage is O(n * n_cells) per iteration with broadcast centroids.
 
     Returns one row per input vector: (id, cell_id, kept) — kept=false
     iff a same-cell lower-id vector is cosine-similar at threshold.
     """
+    from db_spark.llm.dedup import _plan_cache
+
+    if target_cell_size is not None:
+        n = corpus.count()
+        n_cells = max(n_cells, -(-n // target_cell_size))
     cent = ivf_kmeans_centroids(
         corpus, n_cells=n_cells, n_iter=refine_iters,
         id_col=id_col, vec_col=vec_col)
@@ -987,6 +999,11 @@ def semantic_dedup(
     v = assigned.select(
         F.col(id_col), F.col("cell_id"), _dbl(F.col(vec_col)).alias("_v"))
     v = v.select(id_col, "cell_id", "_v", _norm_d(F.col("_v")).alias("_nn"))
+    # The Lloyd-chain assignment is consumed three times (a-side, b-side,
+    # and the final keep-join); without a cache each consumer re-derives
+    # the whole chain — the r9 plan audit's heaviest plan (66 exchanges).
+    # Same multi-consumer discipline the dedup builders document.
+    v = _plan_cache(v)
     a = v.select(F.col(id_col).alias("_ida"), "cell_id",
                  F.col("_v").alias("_va"), F.col("_nn").alias("_na"))
     b = v.select(F.col(id_col).alias("_idb"), "cell_id",

@@ -1777,6 +1777,40 @@ def test_semantic_dedup_prunes_within_cluster(spark):
     assert out[4]["kept"]
 
 
+def test_semantic_dedup_autoscales_cells_with_corpus(spark):
+    """target_cell_size makes the 100 TB invariant self-enforcing: a 10x
+    corpus at the same args gets ~10x the cells, keeping per-cell pair
+    work O(target^2) per cell instead of O((n/n_cells)^2) — the r9
+    VERDICT's design note. Construction: ids 0..9 are unit vectors
+    spread across the quadrant (they become the lowest-id seeds), each
+    followed by 7 jittered neighbours, so nearest-seed assignment fills
+    all 10 cells deterministically."""
+    import math
+
+    rows = []
+    for i in range(80):
+        ang = (i % 10) / 10.0 * (math.pi / 2) + (i // 10) * 0.003
+        rows.append((i, [math.cos(ang), math.sin(ang)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    auto = similarity.semantic_dedup(
+        df, n_cells=2, threshold=0.99999, refine_iters=0,
+        target_cell_size=8).collect()
+    cells = {r["cell_id"] for r in auto}
+    # ceil(80/8) = 10 cells raised from the explicit 2; every seed
+    # captures its neighbourhood so all 10 are non-empty
+    assert len(cells) == 10
+    sizes = {}
+    for r in auto:
+        sizes[r["cell_id"]] = sizes.get(r["cell_id"], 0) + 1
+    assert max(sizes.values()) <= 2 * 8  # per-cell work stays bounded
+
+    pinned = similarity.semantic_dedup(
+        df, n_cells=2, threshold=0.99999, refine_iters=0,
+        target_cell_size=None).collect()
+    assert len({r["cell_id"] for r in pinned}) <= 2  # None pins exactly
+
+
 def test_semantic_dedup_only_compares_within_cells(spark):
     """Two near-identical vectors assigned to different cells are both
     kept — the SemDeDup contract (pairwise work never crosses a cell)."""
@@ -1789,6 +1823,9 @@ def test_semantic_dedup_only_compares_within_cells(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = {r["vec_id"]: r for r in similarity.semantic_dedup(
         df, n_cells=2, threshold=0.9999, refine_iters=0).collect()}
-    # 2 and 3 are cosine ~1.0 to each other but sit in different cells
-    if out[2]["cell_id"] != out[3]["cell_id"]:
-        assert out[2]["kept"] and out[3]["kept"]
+    # 2 and 3 are cosine ~1.0 to each other but sit in different cells;
+    # assert the precondition explicitly (r9 ADVICE: guarded by an `if`,
+    # the test passed vacuously if a centroid change merged the cells)
+    assert out[2]["cell_id"] != out[3]["cell_id"], \
+        "fixture regression: vectors 2 and 3 must land in different cells"
+    assert out[2]["kept"] and out[3]["kept"]

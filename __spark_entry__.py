@@ -3210,6 +3210,21 @@ def q_winnow_overlap(spark, sf_dir):
     return ldedup.winnow_overlap(docs, k=4, w=4, min_shared=2)
 
 
+def q_winnow_spans(spark, sf_dir):
+    """MOSS-style passage alignment (db_spark/llm/dedup.py:
+    winnow_overlap output='spans' — r10, the paper's missing half):
+    matched winnowing-fingerprint occurrences anchored per (pair,
+    diagonal), anchor runs within the k+w-1 guarantee gap merged into
+    aligned passages with 1-based inclusive token offsets. Verbatim
+    copied runs keep a constant diagonal, so alignment is one window
+    pass — no dynamic programming, no doc cross product."""
+    from db_spark.llm import dedup as ldedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return ldedup.winnow_overlap(docs, k=4, w=4, min_shared=2,
+                                 output="spans")
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup semantic deduplication (db_spark/llm/similarity.py:
     semantic_dedup — Abbas et al. 2023): deterministic k-means over the
@@ -5444,6 +5459,7 @@ _REGISTRY_KEYS: list[str] = [
     "json_agg_counts",
     "json_agg_lanes",
     "json_agg_v2",
+    "winnow_spans",
 ]
 
 
@@ -6795,6 +6811,54 @@ def oracle_sql() -> dict[str, str]:
             FROM pr
             JOIN nf na ON na.doc_id = pr.id_a
             JOIN nf nb ON nb.doc_id = pr.id_b
+        """,
+        "winnow_spans": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (SELECT doc_id, len(toks) - 3 AS ng, pos,
+                         ('0x' || substr(md5(
+                             toks[pos] || ' ' || toks[pos+1] || ' ' ||
+                             toks[pos+2] || ' ' || toks[pos+3]), 1, 15))::BIGINT AS gh
+                  FROM (SELECT doc_id, toks,
+                               unnest(range(1, greatest(len(toks) - 2, 1))) AS pos
+                        FROM tok)),
+            wm AS (SELECT doc_id, ng, pos,
+                          min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+                   FROM g),
+            fp AS (SELECT DISTINCT doc_id, sel AS fp FROM wm WHERE pos <= ng - 3),
+            ok AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 1000),
+            fpo AS (SELECT doc_id, fp FROM fp JOIN ok USING (fp)),
+            -- every gram occurrence of a doc-selected fingerprint value
+            hits AS (SELECT g.doc_id, g.pos, g.gh AS fp
+                     FROM g JOIN fpo
+                       ON fpo.doc_id = g.doc_id AND fpo.fp = g.gh),
+            pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM fpo a JOIN fpo b
+                     ON a.fp = b.fp AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2 HAVING count(*) >= 2),
+            anch AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.pos AS pa, b.pos AS pb
+                     FROM hits a JOIN hits b
+                       ON a.fp = b.fp AND a.doc_id < b.doc_id
+                     JOIN pr ON pr.id_a = a.doc_id AND pr.id_b = b.doc_id),
+            dg AS (SELECT id_a, id_b, pa, pb, pb - pa AS diag FROM anch),
+            fl AS (SELECT id_a, id_b, pa, diag,
+                          CASE WHEN pa - lag(pa) OVER
+                              (PARTITION BY id_a, id_b, diag ORDER BY pa) > 7
+                          THEN 1 ELSE 0 END AS nf
+                   FROM dg),
+            isl AS (SELECT id_a, id_b, pa, diag,
+                           SUM(nf) OVER (PARTITION BY id_a, id_b, diag
+                               ORDER BY pa ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS grp
+                    FROM fl)
+            SELECT id_a, id_b,
+                   CAST(min(pa) AS BIGINT) AS a_start,
+                   CAST(max(pa) + 3 AS BIGINT) AS a_end,
+                   CAST(min(pa) + diag AS BIGINT) AS b_start,
+                   CAST(max(pa) + 3 + diag AS BIGINT) AS b_end,
+                   CAST(count(*) AS BIGINT) AS n_anchors
+            FROM isl GROUP BY id_a, id_b, diag, grp
         """,
         "semantic_dedup": _semantic_dedup_oracle(),
         "collocations": f"""

@@ -1105,11 +1105,17 @@ def winnow_fingerprints(
     distinct fingerprint) for downstream joins.
 
     Returns ``stats``: (id, n_grams, n_windows, n_fingerprints,
-    density) with density = n_fingerprints / n_windows rounded 6; or
-    ``fps``: (id, fingerprint).
+    density) with density = n_fingerprints / n_windows rounded 6;
+    ``fps``: (id, fingerprint); or ``hits`` (r10): one row per gram
+    OCCURRENCE of a selected fingerprint value — (id, fingerprint,
+    pos) with ``pos`` the 1-based token position of the gram start
+    (the module's position convention, first_dup_pos precedent) — the
+    position-bearing form ``winnow_overlap(output="spans")`` aligns
+    passages from.
     """
-    if output not in ("stats", "fps"):
-        raise ValueError(f"output must be 'stats' or 'fps', got {output!r}")
+    if output not in ("stats", "fps", "hits"):
+        raise ValueError(
+            f"output must be 'stats', 'fps' or 'hits', got {output!r}")
     # Relational shape, NOT array higher-order functions: tokens are
     # exploded to rows ONCE (the regex runs once per document inside
     # the Generate), grams come from lead() windows, the winnowing
@@ -1147,6 +1153,18 @@ def winnow_fingerprints(
     if output == "fps":
         return fps.select(
             F.col("_wid").alias(id_col), F.col("_fp").alias("fingerprint"))
+    if output == "hits":
+        # every gram occurrence of a selected fingerprint VALUE — the
+        # value-set selection rule means a selected hash marks all its
+        # occurrences (same hash = same gram text, modulo the 60-bit
+        # collision odds), which is exactly what span alignment wants
+        return (
+            g.select("_wid", "_pos", F.col("_gh").alias("_fp"))
+            .join(fps.select("_wid", "_fp").distinct(), ["_wid", "_fp"])
+            .select(F.col("_wid").alias(id_col),
+                    F.col("_fp").alias("fingerprint"),
+                    (F.col("_pos") + 1).cast("long").alias("pos"))
+        )
     return (
         fps.groupBy("_wid", "_ng")
         .agg(F.count(F.lit(1)).alias("_nfp"))
@@ -1165,6 +1183,7 @@ def winnow_overlap(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 4, w: int = 4, min_shared: int = 2,
     max_fp_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    output: str = "stats", merge_gap: int | None = None,
 ) -> DataFrame:
     """MOSS-style overlap report from winnowing fingerprints: document
     pairs sharing >= ``min_shared`` distinct fingerprints, scored by
@@ -1181,22 +1200,50 @@ def winnow_overlap(
     blocked per fingerprint — never a document cross product — and
     pair aggregation shuffles on (id_a, id_b), skew-safe under AQE.
 
-    Returns (id_a, id_b, shared_fps, containment), id_a < id_b.
+    ``output="stats"`` (default) returns (id_a, id_b, shared_fps,
+    containment), id_a < id_b.
+
+    ``output="spans"`` (r10) completes the MOSS user story — WHERE the
+    overlap sits, not just that it exists: matched fingerprint
+    occurrences become anchors (id_a, id_b, a_pos, b_pos), anchors are
+    grouped per DIAGONAL (b_pos - a_pos: a verbatim copied run keeps a
+    constant diagonal, so alignment needs no dynamic programming), and
+    runs on one diagonal whose consecutive anchors sit within
+    ``merge_gap`` tokens (default ``k + w - 1``, the winnowing
+    guarantee length — two selected grams of one shared run are never
+    further apart) merge into one passage. Returns one row per aligned
+    passage: (id_a, id_b, a_start, a_end, b_start, b_end, n_anchors)
+    with 1-based inclusive token offsets, only for pairs that qualify
+    at ``min_shared``. Cost on top of stats mode: the anchor join
+    carries positions (occurrence-, not distinct-, cardinality) and
+    the passage merge is one window pass partitioned by (pair,
+    diagonal) — same exchange count class, skew-safe under AQE.
     """
+    if output not in ("stats", "spans"):
+        raise ValueError(
+            f"output must be 'stats' or 'spans', got {output!r}")
     # The fingerprint table feeds FOUR consumers (df-cap, per-doc
     # counts, both self-join sides); uncached, each re-derives the
     # full gram-hash pass from the scan — cache it once (the module's
     # plan-cache lifecycle; ~2/(w+1) of gram cardinality, narrow rows).
-    fp = _plan_cache(
-        winnow_fingerprints(df, id_col, text_col, k, w, output="fps")
-        .select(F.col(id_col).alias("_fid"), "fingerprint"))
+    if output == "spans":
+        hits = _plan_cache(
+            winnow_fingerprints(df, id_col, text_col, k, w, output="hits")
+            .select(F.col(id_col).alias("_fid"), "fingerprint", "pos"))
+        fp = hits.select("_fid", "fingerprint").distinct()
+    else:
+        hits = None
+        fp = _plan_cache(
+            winnow_fingerprints(df, id_col, text_col, k, w, output="fps")
+            .select(F.col(id_col).alias("_fid"), "fingerprint"))
     if max_fp_df is not None:
         hot = (
             fp.groupBy("fingerprint")
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") > max_fp_df).select("fingerprint"))
         fp = fp.join(hot, "fingerprint", "left_anti")
-    nf = fp.groupBy("_fid").agg(F.count(F.lit(1)).alias("_nfp"))
+        if hits is not None:
+            hits = hits.join(hot, "fingerprint", "left_anti")
     a = fp.select(F.col("_fid").alias("id_a"), "fingerprint")
     b = fp.select(F.col("_fid").alias("id_b"), "fingerprint")
     pairs = (
@@ -1204,6 +1251,39 @@ def winnow_overlap(
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("_sh"))
         .filter(F.col("_sh") >= min_shared))
+    if output == "spans":
+        gap = (k + w - 1) if merge_gap is None else merge_gap
+        ha = hits.select(F.col("_fid").alias("id_a"), "fingerprint",
+                         F.col("pos").alias("_pa"))
+        hb = hits.select(F.col("_fid").alias("id_b"), "fingerprint",
+                         F.col("pos").alias("_pb"))
+        anchors = (
+            ha.join(hb, "fingerprint")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .join(pairs.select("id_a", "id_b"), ["id_a", "id_b"],
+                  "left_semi")
+            .select("id_a", "id_b", "_pa", "_pb").distinct()
+            .withColumn("_diag", F.col("_pb") - F.col("_pa")))
+        wp = Window.partitionBy("id_a", "id_b", "_diag").orderBy("_pa")
+        flagged = anchors.withColumn(
+            "_new", F.when(
+                F.col("_pa") - F.lag("_pa").over(wp) > gap, 1).otherwise(0))
+        isl = flagged.withColumn(
+            "_isl", F.sum("_new").over(
+                wp.rowsBetween(Window.unboundedPreceding, 0)))
+        return (
+            isl.groupBy("id_a", "id_b", "_diag", "_isl")
+            .agg(F.min("_pa").alias("_s"), F.max("_pa").alias("_e"),
+                 F.count(F.lit(1)).alias("_n"))
+            .select(
+                "id_a", "id_b",
+                F.col("_s").cast("long").alias("a_start"),
+                (F.col("_e") + (k - 1)).cast("long").alias("a_end"),
+                (F.col("_s") + F.col("_diag")).cast("long").alias("b_start"),
+                (F.col("_e") + (k - 1) + F.col("_diag")).cast("long")
+                .alias("b_end"),
+                F.col("_n").cast("long").alias("n_anchors")))
+    nf = fp.groupBy("_fid").agg(F.count(F.lit(1)).alias("_nfp"))
     na = nf.select(F.col("_fid").alias("id_a"), F.col("_nfp").alias("_na"))
     nb = nf.select(F.col("_fid").alias("id_b"), F.col("_nfp").alias("_nb"))
     return (

@@ -166,6 +166,13 @@ WAIVERS: dict[tuple[str, str], str] = {
 # automatically. Each is a reviewed argument for why the true int64 sum
 # stays far below 2^63 at any realistic scale (100 TB ~ 1e14 rows/tokens).
 INT_SUM_BOUNDS: dict[str, str] = {
+    "json_agg_lanes": "the DESIGN of the key: k matches -?[0-9]{1,18} "
+                      "so |k| <= 1e18-1; each lane term k//1e9 and "
+                      "k%1e9 is < 1e9 in magnitude, so a lane sum is "
+                      "< 1e9 * group rows — int64-safe to ~9e9 rows "
+                      "per bucket (events buckets are <<1e9 at every "
+                      "fixture scale; at 100 TB the lane split would "
+                      "widen to three lanes before the bound binds)",
     "cusum": "cents = round(value*100), |value| <= ~1e4 in events; "
              "t0 is their per-key mean; deviations sum <= rows * 1e6 "
              "(1e14 rows -> 1e20? No: per-KEY windows, key cardinality "

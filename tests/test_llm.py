@@ -1760,6 +1760,56 @@ def test_winnow_hot_fingerprint_cap(spark):
     assert raw.count() == 12 * 11 // 2
 
 
+def test_winnow_spans_aligns_shared_passage(spark):
+    """spans mode localizes the overlap: a 12-token run shared at
+    different offsets (doc2 carries a 4-token prefix) must come back as
+    ONE aligned passage on the offset diagonal, inside the shared
+    region in both docs. Windows fully inside the run are identical in
+    both docs, so their minima are selected in both (anchors) and
+    consecutive anchors sit within the k+w-1 guarantee gap — one
+    island."""
+    shared = ("alpha bravo charlie delta echo foxtrot golf hotel "
+              "india juliet kilo lima")
+    rows = [(1, shared),
+            (2, "zebra yak xray wombat " + shared),
+            (3, "totally different third text about nothing shared "
+                "aardvark bison cougar dingo elk ferret")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.winnow_overlap(
+        df, k=4, w=4, min_shared=1, output="spans").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["b_start"] - r["a_start"] == 4      # the offset diagonal
+    assert r["b_end"] - r["a_end"] == 4
+    assert 1 <= r["a_start"] <= r["a_end"] <= 12  # inside the run (doc1)
+    assert 5 <= r["b_start"] <= r["b_end"] <= 16  # inside the run (doc2)
+    assert r["a_end"] - r["a_start"] >= 3         # at least one full gram
+    assert r["n_anchors"] >= 1
+
+
+def test_winnow_spans_separates_distant_runs(spark):
+    """Two shared runs separated by more than merge_gap unique tokens
+    must NOT merge into one passage even on the same diagonal."""
+    run_a = "alpha bravo charlie delta echo foxtrot golf"          # 7 toks
+    run_b = "november oscar papa quebec romeo sierra tango"        # 7 toks
+    mid1 = "one two three four five six seven eight nine ten"      # 10 toks
+    mid2 = "uno dos tres cuatro cinco seis siete ocho nueve diez"  # 10 toks
+    df = spark.createDataFrame(
+        [(1, f"{run_a} {mid1} {run_b}"), (2, f"{run_a} {mid2} {run_b}")],
+        "doc_id long, text string")
+    out = dedup.winnow_overlap(
+        df, k=4, w=4, min_shared=1, output="spans").collect()
+    # both runs sit at the same positions in both docs (diagonal 0) but
+    # the differing middles keep them > merge_gap apart -> two passages
+    assert len(out) == 2
+    spans = sorted((r["a_start"], r["a_end"]) for r in out)
+    assert spans[0][1] <= 7          # first passage inside run_a
+    assert spans[1][0] >= 18         # second inside run_b (starts tok 18)
+    for r in out:
+        assert r["b_start"] == r["a_start"] and r["b_end"] == r["a_end"]
+
+
 def test_semantic_dedup_prunes_within_cluster(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),

@@ -146,3 +146,30 @@ def test_dbscan_matches_bruteforce_reference(spark, vecs):
                 assert got[i] == (min(bclusters), "border")
             else:
                 assert got[i] == (None, "noise")
+
+
+# Winnowing guarantee (Schleimer et al. SIGMOD'03, Theorem in §3): any
+# two documents sharing a token run of length >= k + w - 1 share at
+# least one selected fingerprint. With value-set selection the argument
+# is direct — the run's w consecutive grams form one complete window in
+# EACH doc, the window contents are identical, so its minimum hash is
+# selected in both. The property test embeds a random shared run at
+# random offsets inside random noise and asserts the intersection.
+_K, _W = 3, 3
+RUN_WORDS = ["red", "blue", "green", "gold", "iron", "opal", "jade",
+             "onyx", "ruby", "teal", "plum", "sage"]
+RUN = st_.lists(st_.sampled_from(RUN_WORDS), min_size=_K + _W - 1,
+                max_size=_K + _W - 1)
+PAD = st_.lists(st_.sampled_from(RUN_WORDS), min_size=0, max_size=6)
+
+
+@given(run=RUN, pa=PAD, sa=PAD, pb=PAD, sb=PAD)
+@_settings
+def test_winnowing_guarantee(spark, run, pa, sa, pb, sb):
+    df = spark.createDataFrame(
+        [(1, " ".join(pa + run + sa)), (2, " ".join(pb + run + sb))],
+        "doc_id long, text string")
+    fps = dedup.winnow_fingerprints(df, k=_K, w=_W, output="fps").collect()
+    a = {r["fingerprint"] for r in fps if r["doc_id"] == 1}
+    b = {r["fingerprint"] for r in fps if r["doc_id"] == 2}
+    assert a & b, "shared (k+w-1)-token run must share a fingerprint"

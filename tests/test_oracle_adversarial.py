@@ -419,6 +419,16 @@ def test_json_agg_dirty_props(spark, dirty_dir):
     _assert_engines_agree(spark, dirty_dir, "json_agg")
 
 
+@pytest.mark.parametrize("key", [
+    "json_agg_counts", "json_agg_lanes", "json_agg_v2",
+])
+def test_json_agg_diagnostics_dirty_props(spark, dirty_dir, key):
+    """The r10 driver-gate bisection companions must hold on the dirty
+    fixture too — a companion that diverges on messy data couldn't
+    localize the json_agg driver cell."""
+    _assert_engines_agree(spark, dirty_dir, key)
+
+
 def test_json_funcs_dirty_props(spark, dirty_dir):
     _assert_engines_agree(spark, dirty_dir, "json_funcs")
 
@@ -498,7 +508,7 @@ def test_tokenizer_tier_dirty_text(spark, dirty_dir, key):
     "minhash_lsh_pairs",
     "dedup_corpus", "dedup_keep_best", "dedup_clusters",
     "curate_corpus", "decontaminate", "lsh_probe",
-    "winnow_fingerprints", "winnow_overlap",
+    "winnow_fingerprints", "winnow_overlap", "winnow_spans",
 ])
 def test_dedup_tier_dirty_text(spark, dirty_dir, key):
     _assert_engines_agree(spark, dirty_dir, key)

@@ -36,6 +36,10 @@ KEYS = [
     # r9: scaled-BIGINT k-means fold + within-cell prune (the centroid
     # mean is the partition-order risk the BIGINT fold neutralizes)
     "semantic_dedup",
+    # r10: diagonal-grouped island merge — the window-ordered running
+    # sum is the partition-order risk (orderBy pa is total within a
+    # (pair, diagonal) partition, so it must not be)
+    "winnow_spans",
 ]
 
 

@@ -3531,6 +3531,52 @@ def q_video_features(spark, sf_dir):
     )
 
 
+def q_mjpeg_features(spark, sf_dir):
+    """COMPRESSED video decode with zero third-party codec libraries:
+    2-frame MJPEG-in-AVI payloads (RIFF demux -> per-frame baseline
+    JPEG Huffman+IDCT decode, db_spark/llm/jpeg.py + codecs.py) built
+    per document from a 256-row broadcast lookup (flat 8x8 frames with
+    luma a = pmod(doc_id, 256), b = (a*7+13) % 256; the pinned all-8
+    quant table makes flat DC-only tiles decode EXACTLY, so the luma
+    statistics are analytic in doc_id). A value-hash match proves the
+    real compressed decode: container demux, Huffman entropy decode,
+    dequant, IDCT, frame stride. Payload bytes live only executor-side
+    (Arrow-batched mapInPandas); the lookup is a 256-row broadcast dim
+    — the 100 TB join shape."""
+    import numpy as np
+
+    from db_spark.llm import codecs as lcodecs
+    from db_spark.llm import multimodal as lmm
+
+    rows = []
+    for m in range(256):
+        a, b = m, (m * 7 + 13) % 256
+        avi = lcodecs.encode_avi_mjpeg(
+            [np.full((8, 8), a, np.uint8), np.full((8, 8), b, np.uint8)],
+            fps=(10, 1), luma_quant_zz=[8] * 64)
+        rows.append((m, bytearray(avi)))
+    lut = spark.createDataFrame(rows, "m long, payload binary")
+    docs = _t(spark, sf_dir, "documents")
+    media = (
+        docs.select("doc_id", F.pmod(F.col("doc_id"), F.lit(256)).alias("m"))
+        .join(F.broadcast(lut), "m")
+        .select(F.col("doc_id").alias("media_id"),
+                F.lit("video").alias("modality"),
+                F.col("payload"),
+                F.lit(None).cast(lmm.MEDIA_SCHEMA["meta"].dataType)
+                .alias("meta")))
+    feats = lmm.extract_features(media)
+    f = feats["features"]
+    return feats.select(
+        "media_id",
+        f[2].cast("double").alias("n_frames"),
+        f[4].cast("double").alias("duration_ms"),
+        f[5].cast("double").alias("mean_luma"),
+        f[6].cast("double").alias("std_luma"),
+        f[7].cast("double").alias("motion"),
+    )
+
+
 def q_quality_rules(spark, sf_dir):
     """Gopher-style quality rule verdicts: five named boolean rules
     (word count, mean word length, symbol ratio, alpha-word fraction,
@@ -5460,6 +5506,7 @@ _REGISTRY_KEYS: list[str] = [
     "json_agg_lanes",
     "json_agg_v2",
     "winnow_spans",
+    "mjpeg_features",
 ]
 
 
@@ -6982,6 +7029,22 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id,
                          CAST(doc_id % 256 AS DOUBLE) AS a,
                          CAST((doc_id * 7 + 13) % 256 AS DOUBLE) AS b
+                  FROM documents)
+        """,
+        # std over {a x64, b x64} is |a-b|/2 exactly; the pinned all-8
+        # quant table makes the MJPEG decode of flat tiles EXACT, so
+        # the oracle is pure doc_id arithmetic (video_features twin).
+        "mjpeg_features": """
+            SELECT doc_id AS media_id,
+                   CAST(2 AS DOUBLE) AS n_frames,
+                   CAST(200 AS DOUBLE) AS duration_ms,
+                   (a + b) / 2.0 AS mean_luma,
+                   abs(a - b) / 2.0 AS std_luma,
+                   abs(a - b) AS motion
+            FROM (SELECT doc_id,
+                         CAST(((doc_id % 256) + 256) % 256 AS DOUBLE) AS a,
+                         CAST(((((doc_id % 256) + 256) % 256) * 7 + 13)
+                              % 256 AS DOUBLE) AS b
                   FROM documents)
         """,
         # merge(sketch(even docs), sketch(odd docs)) must equal the

@@ -12,9 +12,12 @@ what is guaranteed importable:
   sample math).
 - video: YUV4MPEG2 (y4m — the raw-frame interchange format ffmpeg/x264
   read and write; plain-text header + uncompressed planar frames) parsed
-  with stdlib struct-free slicing. Compressed containers (mp4/mkv/webm)
-  decode through PyAV when it is importable; without it they raise the
-  honest NotImplementedError.
+  with stdlib struct-free slicing, and MJPEG-in-AVI (RIFF demux +
+  per-frame baseline JPEG decode via the pure-numpy codec in
+  ``db_spark.llm.jpeg``) — one COMPRESSED container decodes with zero
+  third-party codec dependencies. Other compressed containers
+  (mp4/mkv/webm) decode through PyAV when it is importable; without it
+  they raise the honest NotImplementedError.
 
 Decoders run inside Arrow-batched ``mapInPandas`` workers
 (``multimodal.extract_features``): payload bytes never leave the
@@ -290,16 +293,121 @@ def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (30, 1)) -> bytes:
         b"FRAME\n" + frames[i].tobytes() for i in range(n))
 
 
+# ---------------------------------------------------------------------------
+# AVI / MJPEG (RIFF container, Motion-JPEG frames via the pure-numpy
+# baseline JPEG codec in db_spark.llm.jpeg — no PyAV needed)
+# ---------------------------------------------------------------------------
+
+_RIFF_SIG = b"RIFF"
+
+
+def _luma_of(frame_rgb: np.ndarray) -> np.ndarray:
+    """uint8 [h, w, 1|3] -> uint8 luma plane (ITU-R BT.601)."""
+    if frame_rgb.shape[2] == 1:
+        return frame_rgb[:, :, 0]
+    f = frame_rgb.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    return np.clip(np.round(y), 0, 255).astype(np.uint8)
+
+
+def decode_avi_mjpeg_parts(
+    payload: bytes,
+) -> tuple[int, int, tuple[int, int], np.ndarray]:
+    """Demux a RIFF/AVI container and decode its MJPEG video frames to
+    (width, height, (fps_num, fps_den), luma[n, h, w]). Tolerant chunk
+    walk: fps comes from the first 'vids' strh (dwRate/dwScale), frames
+    from the stream-0 '00dc'/'00db' chunks inside LIST 'movi' (each a
+    standalone baseline JPEG — the MJPEG contract); the optional idx1
+    index is ignored. Chunks are word-aligned per the RIFF spec."""
+    from db_spark.llm.jpeg import decode_jpeg
+
+    if payload[:4] != _RIFF_SIG or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI (missing RIFF/'AVI ' header)")
+    fps = (30, 1)
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps
+        while pos + 8 <= end:
+            cid = payload[pos:pos + 4]
+            size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            body_at = pos + 8
+            if cid == b"LIST":
+                walk(body_at + 4, body_at + size)  # skip the list type
+            elif cid == b"strh" and payload[body_at:body_at + 4] == b"vids":
+                scale = int.from_bytes(
+                    payload[body_at + 20:body_at + 24], "little")
+                rate = int.from_bytes(
+                    payload[body_at + 24:body_at + 28], "little")
+                if rate and scale:
+                    fps = (rate, scale)
+            elif cid in (b"00dc", b"00db") and size:
+                _, _, _, px = decode_jpeg(payload[body_at:body_at + size])
+                frames.append(_luma_of(px))
+            pos = body_at + size + (size & 1)  # word alignment
+
+    walk(12, len(payload))
+    if not frames:
+        return 0, 0, fps, np.zeros((0, 0, 0), np.uint8)
+    grid = np.stack(frames)
+    return grid.shape[2], grid.shape[1], fps, grid
+
+
+def encode_avi_mjpeg(
+    frames: "list[np.ndarray] | np.ndarray",
+    fps: tuple[int, int] = (30, 1),
+    quality: int = 90,
+    luma_quant_zz: "list[int] | None" = None,
+) -> bytes:
+    """Mux grayscale/RGB frames as an MJPEG AVI (spec-shaped RIFF:
+    hdrl with avih + vids strl, movi with one '00dc' JPEG per frame).
+    Fixture/round-trip counterpart of :func:`decode_avi_mjpeg_parts`."""
+    from db_spark.llm.jpeg import encode_jpeg
+
+    frames = [np.asarray(f) for f in frames]
+    h, w = frames[0].shape[:2]
+    num, den = fps
+    payloads = [encode_jpeg(f, quality=quality,
+                            luma_quant_zz=luma_quant_zz) for f in frames]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + len(body).to_bytes(4, "little") + body + \
+            (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    usec = (1_000_000 * den) // num if num else 0
+    avih = struct.pack(
+        "<14I", usec, 0, 0, 0x10, len(frames), 0, 1,
+        max(map(len, payloads)), w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIII", 0, 0, 0, 0, den, num, 0, len(frames),
+        max(map(len, payloads)), 0xFFFFFFFF) +
+        struct.pack("<I", 0) + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def decode_video_parts(
     payload: bytes,
 ) -> tuple[int, int, tuple[int, int], np.ndarray]:
     """Decode to (width, height, (fps_num, fps_den), luma[n, h, w]).
-    y4m via the stdlib parser above; compressed containers via PyAV
-    when importable, else the honest NotImplementedError (the pipeline
-    plumbing stays real — register a decoder when a codec library is
-    present)."""
+    y4m via the stdlib parser above; MJPEG-in-AVI via the pure-numpy
+    baseline JPEG codec (db_spark/llm/jpeg.py) — one compressed
+    container decodes with zero third-party codec dependencies; other
+    compressed containers via PyAV when importable, else the honest
+    NotImplementedError (the pipeline plumbing stays real — register a
+    decoder when a codec library is present)."""
     if payload.startswith(_Y4M_SIG):
         return decode_y4m_parts(payload)
+    if payload[:4] == _RIFF_SIG and payload[8:12] == b"AVI ":
+        return decode_avi_mjpeg_parts(payload)
     if _pyav is not None:  # pragma: no cover - PyAV absent in container
         with _pyav.open(io.BytesIO(payload)) as container:
             stream = container.streams.video[0]
@@ -311,9 +419,10 @@ def decode_video_parts(
         grid = np.stack(lumas)
         return grid.shape[2], grid.shape[1], (num, den), grid
     raise NotImplementedError(
-        "compressed video needs a codec library (PyAV) not present in "
-        "this environment; y4m payloads decode natively — or register "
-        "a decoder with register_decoder('video', fn)")
+        "y4m and MJPEG-AVI payloads decode natively; other compressed "
+        "video needs a codec library (PyAV) not present in this "
+        "environment — or register a decoder with "
+        "register_decoder('video', fn)")
 
 
 def decode_video(payload: bytes) -> tuple[int, int, float, np.ndarray]:
@@ -371,7 +480,8 @@ def extract_video_frames(
 
 def decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Decode to (width, height, channels, pixels). PIL when importable,
-    else the stdlib PNG/PPM/BMP parsers above."""
+    else the stdlib PNG/PPM/BMP parsers above + the pure-numpy baseline
+    JPEG decoder (db_spark/llm/jpeg.py)."""
     if _PILImage is not None:  # pragma: no cover
         img = _PILImage.open(io.BytesIO(payload))
         arr = np.asarray(img)
@@ -384,7 +494,12 @@ def decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
-    raise ValueError("unsupported image format (PNG/PPM/PGM/BMP supported)")
+    if payload[:2] == b"\xff\xd8":
+        from db_spark.llm.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError(
+        "unsupported image format (PNG/PPM/PGM/BMP/JPEG supported)")
 
 
 def resize_image(payload: bytes, meta: dict, width: int, height: int) -> bytes:

@@ -381,3 +381,151 @@ def test_sample_frames_default_slicing_unchanged(spark):
     assert len(out) == 4
     assert b"".join(bytes(r["payload"]) for r in
                     sorted(out, key=lambda r: r["frame_idx"])) == b"x" * 64
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (db_spark/llm/jpeg.py) + MJPEG-in-AVI (r10)
+# ---------------------------------------------------------------------------
+
+from db_spark.llm import jpeg as J
+
+
+def _bits_to_ecs(bits: str) -> bytes:
+    """Hand bit-assembly independent of the encoder's _BitWriter: pack
+    a bit string MSB-first, pad with 1s, apply 0xFF00 stuffing."""
+    bits = bits + "1" * (-len(bits) % 8)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        b = int(bits[i:i + 8], 2)
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)
+    return bytes(out)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _dht(tc_th, table):
+    bits, values = table
+    return _seg(0xC4, bytes([tc_th] + bits + values))
+
+
+def test_jpeg_decoder_against_hand_assembled_grayscale():
+    """Decoder correctness independent of the encoder: a single 8x8
+    grayscale MCU hand-assembled bit by bit from the T.81 spec. Flat
+    g=148 with an all-8 quant table: DC = (148-128)*8/8 = 20 -> DC
+    size 5 (std luma DC code '110'), magnitude bits '10100', EOB
+    '1010'. Any shared encoder/decoder sign or table bug cannot cancel
+    here."""
+    payload = (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+        + _seg(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+        + _dht(0x00, J.K_DC_LUMA) + _dht(0x10, J.K_AC_LUMA)
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + _bits_to_ecs("110" + "10100" + "1010")
+        + b"\xff\xd9")
+    w, h, c, px = J.decode_jpeg(payload)
+    assert (w, h, c) == (8, 8, 1)
+    assert (px[:, :, 0] == 148).all()
+
+
+def test_jpeg_decoder_hand_assembled_420_color():
+    """4:2:0 subsampled color MCU (the encoder never emits subsampling,
+    so this path is only reachable from foreign JPEGs): 16x16, Y=100,
+    Cb=168, Cr=104, all DC-only with all-8 quant. Scan = 4 Y blocks
+    (diff -28 then three 0s) + Cb (40) + Cr (-24); chroma uses the std
+    chroma tables (EOB '00'). Expected RGB is the analytic BT.601
+    inverse: (66, 103, 171)."""
+    y_bits = "110" + "00011" + "1010" + ("00" + "1010") * 3
+    cb_bits = "111110" + "101000" + "00"
+    cr_bits = "11110" + "00111" + "00"
+    payload = (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+        + _seg(0xDB, bytes([0x01]) + bytes([8] * 64))
+        + _seg(0xC0, bytes([8, 0, 16, 0, 16, 3,
+                            1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+        + _dht(0x00, J.K_DC_LUMA) + _dht(0x10, J.K_AC_LUMA)
+        + _dht(0x01, J.K_DC_CHROMA) + _dht(0x11, J.K_AC_CHROMA)
+        + _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        + _bits_to_ecs(y_bits + cb_bits + cr_bits)
+        + b"\xff\xd9")
+    w, h, c, px = J.decode_jpeg(payload)
+    assert (w, h, c) == (16, 16, 3)
+    assert (px[:, :, 0] == 66).all()
+    assert (px[:, :, 1] == 103).all()
+    assert (px[:, :, 2] == 171).all()
+
+
+def test_jpeg_flat_pinned_quant_is_exact():
+    for g in (0, 1, 77, 128, 254, 255):
+        img = np.full((8, 8), g, np.uint8)
+        w, h, c, out = J.decode_jpeg(
+            J.encode_jpeg(img, luma_quant_zz=[8] * 64))
+        assert (w, h, c) == (8, 8, 1)
+        assert (out[:, :, 0] == g).all()
+
+
+def test_jpeg_gray_gradient_round_trip_close():
+    img = np.linspace(0, 255, 24 * 16).reshape(24, 16).astype(np.uint8)
+    w, h, c, out = J.decode_jpeg(J.encode_jpeg(img, quality=95))
+    assert (w, h, c) == (16, 24, 1)
+    err = np.abs(out[:, :, 0].astype(int) - img.astype(int))
+    assert err.max() <= 4
+
+
+def test_jpeg_rgb_smooth_round_trip_close():
+    xx, yy = np.meshgrid(np.arange(21), np.arange(13))
+    img = np.stack([np.clip(xx * 8, 0, 255), np.clip(yy * 11, 0, 255),
+                    np.clip(xx * 3 + yy * 3, 0, 255)], -1).astype(np.uint8)
+    w, h, c, out = J.decode_jpeg(J.encode_jpeg(img, quality=95))
+    assert (w, h, c) == (21, 13, 3)  # non-multiple-of-8 dims both axes
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 12
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_jpeg(b"nope")
+    prog = (b"\xff\xd8"
+            + _seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])))
+    with pytest.raises(ValueError, match="baseline"):
+        J.decode_jpeg(prog)
+
+
+def test_avi_mjpeg_round_trip_exact_and_features():
+    f = [np.full((16, 24), v, np.uint8) for v in (40, 90, 200)]
+    avi = codecs.encode_avi_mjpeg(f, fps=(10, 1), luma_quant_zz=[8] * 64)
+    w, h, fps, luma = codecs.decode_avi_mjpeg_parts(avi)
+    assert (w, h, fps) == (24, 16, (10, 1))
+    assert (luma[0] == 40).all() and (luma[2] == 200).all()
+    # generic dispatcher picks the RIFF path without PyAV
+    w2, h2, f2, luma2 = codecs.decode_video_parts(avi)
+    assert np.array_equal(luma2, luma)
+    feats = codecs.video_features(avi)
+    # mean (40+90+200)/3 = 110; motion (50+110)/2 = 80; 3 frames @10fps
+    assert feats[:6] == [24.0, 16.0, 3.0, 10.0, 300.0, 110.0]
+    assert feats[7] == 80.0
+
+
+def test_avi_mjpeg_rgb_frames_lumaize():
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    rgb[:, :, 0] = 255  # pure red -> BT.601 luma 76
+    avi = codecs.encode_avi_mjpeg([rgb], fps=(5, 1), quality=100)
+    _, _, _, luma = codecs.decode_avi_mjpeg_parts(avi)
+    assert abs(int(luma[0].mean()) - 76) <= 2
+
+
+def test_decode_image_jpeg_dispatch():
+    img = np.full((8, 8), 77, np.uint8)
+    w, h, c, px = codecs.decode_image(
+        J.encode_jpeg(img, luma_quant_zz=[8] * 64))
+    assert (w, h, c) == (8, 8, 1) and (px[:, :, 0] == 77).all()
+
+
+def test_avi_rejects_non_avi():
+    with pytest.raises(ValueError, match="AVI"):
+        codecs.decode_avi_mjpeg_parts(b"RIFFxxxxWAVE")

@@ -602,7 +602,8 @@ def test_fuzzy_join_dirty_names(spark, dirty_dir):
     "local_supplier_volume", "map_struct_funcs", "market_share",
     "matview_incremental", "matview_join", "media_features",
     "merge_intervals", "min_cost_supplier", "minhash_signature",
-    "mode_by_group", "multi_join", "mvcc_cdc", "mvcc_delete_where",
+    "mjpeg_features", "mode_by_group", "multi_join",
+    "mvcc_cdc", "mvcc_delete_where",
     "mvcc_evolve", "mvcc_history", "mvcc_multi_tx", "mvcc_snapshot",
     "mvcc_vacuum", "nested_loop", "outer_join", "pack_sequences",
     "pagerank", "pivot", "ppr", "price_qty_corr", "pricing_summary",

@@ -3577,6 +3577,28 @@ def q_mjpeg_features(spark, sf_dir):
     )
 
 
+def q_classifier_score(spark, sf_dir):
+    """fastText-style linear quality classifier applied at corpus scale
+    (db_spark/llm/text.py:classifier_score — Joulin et al. 2016): hashed
+    unigram+bigram features (dim=4096), broadcast integer-ppm weight
+    table, logit-scale score with a threshold keep flag, zero libm. The
+    weight table here is a deterministic hash-derived stand-in for a
+    trained model (w_ppm = h32('w:'||idx) % 20001 - 10000, bias 500
+    ppm) — the op contract takes any (idx, w_ppm) table; at 100 TB the
+    model stays dim-bounded (hashing trick: no OOV, no vocabulary
+    sync) so the scoring join always broadcasts."""
+    from db_spark.llm import text as ltext
+    from db_spark.llm.dedup import h32
+
+    docs = _t(spark, sf_dir, "documents")
+    w = spark.range(4096).select(
+        F.col("id").cast("int").alias("idx"),
+        (h32(F.concat(F.lit("w:"), F.col("id").cast("string"))) % 20001
+         - 10000).cast("long").alias("w_ppm"))
+    return ltext.classifier_score(docs, w, dim=4096, bias_ppm=500,
+                                  threshold=0.0)
+
+
 def q_quality_rules(spark, sf_dir):
     """Gopher-style quality rule verdicts: five named boolean rules
     (word count, mean word length, symbol ratio, alpha-word fraction,
@@ -5507,6 +5529,7 @@ _REGISTRY_KEYS: list[str] = [
     "json_agg_v2",
     "winnow_spans",
     "mjpeg_features",
+    "classifier_score",
 ]
 
 
@@ -7046,6 +7069,37 @@ def oracle_sql() -> dict[str, str]:
                          CAST(((((doc_id % 256) + 256) % 256) * 7 + 13)
                               % 256 AS DOUBLE) AS b
                   FROM documents)
+        """,
+        # logit-scale linear classifier: integer numerator/denominator
+        # with ONE final double division (bit-identical cross-engine);
+        # the weight of a bucket is the same hash formula on both sides.
+        "classifier_score": f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            uni AS (SELECT doc_id, unnest(toks) AS f FROM d),
+            bi AS (SELECT doc_id,
+                          unnest(list_transform(range(2, len(toks) + 1),
+                              i -> toks[i-1] || ' ' || toks[i])) AS f
+                   FROM d WHERE len(toks) >= 2),
+            feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+            hx AS (SELECT doc_id,
+                          {_H32.format(x='f')} % 4096 AS idx
+                   FROM feats),
+            wt AS (SELECT doc_id,
+                          ({_H32.format(x="'w:' || CAST(idx AS VARCHAR)")}
+                           % 20001) - 10000 AS w
+                   FROM hx),
+            sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(w) AS BIGINT) AS sw
+                   FROM wt GROUP BY doc_id)
+            SELECT dd.doc_id,
+                   CAST(coalesce(n, 0) AS BIGINT) AS n_features,
+                   round(CAST(500 * n + sw AS DOUBLE)
+                         / CAST(n * 1000000 AS DOUBLE), 6) AS score,
+                   coalesce(round(CAST(500 * n + sw AS DOUBLE)
+                            / CAST(n * 1000000 AS DOUBLE), 6) >= 0.0,
+                            FALSE) AS keep
+            FROM (SELECT doc_id FROM documents) dd
+            LEFT JOIN sc USING (doc_id)
         """,
         # merge(sketch(even docs), sketch(odd docs)) must equal the
         # sketch of the whole corpus — the oracle computes the latter

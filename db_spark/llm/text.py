@@ -758,3 +758,70 @@ def hashed_features(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .select(F.col("_did").alias(id_col), "idx", "n")
     )
+
+
+def classifier_score(
+    df: DataFrame, weights: DataFrame, dim: int = 262144,
+    bias_ppm: int = 0, threshold: float = 0.0, ngrams: int = 2,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Apply a fastText-style LINEAR quality classifier (Joulin et al.
+    2016, "Bag of Tricks for Efficient Text Classification") — the
+    model-based filtering stage of DCLM/LLaMA-class data pipelines:
+    hash each unigram (and word bigram when ``ngrams`` >= 2) into
+    ``dim`` buckets, average the bucket weights, add the bias, keep
+    documents scoring at or above ``threshold``.
+
+    ``weights`` is the trained model as a (idx int, w_ppm long) table —
+    integer parts-per-million so the fold is exact. The score stays on
+    the LOGIT scale deliberately: score = bias + mean(w) and the keep
+    rule ``score >= threshold`` is decision-identical to thresholding
+    sigmoid(score) at sigmoid(threshold), with no libm exp anywhere —
+    the module's no-transcendental determinism doctrine. The entire
+    numerator/denominator is integer (``bias_ppm * n + sum_w``, ``n *
+    1e6``) with ONE final float64 division, so the double is
+    bit-identical on every engine and partitioning.
+
+    Scale shape: feature extraction is the hashed_features explode
+    (map-only, in-row adjacent-pair bigrams — no positional
+    self-join); the model is bounded by ``dim`` regardless of corpus
+    vocabulary (the hashing trick: no OOV, nothing to keep in sync),
+    so the scoring join BROADCASTS at any corpus size; one (doc)
+    aggregate ends the plan. Returns (id, n_features, score DOUBLE
+    rounded 6, keep BOOLEAN) — empty documents score NULL, keep false.
+    """
+    from db_spark.llm.dedup import h32
+
+    d = df.select(F.col(id_col).alias("_did"),
+                  tokens(ascii_lower(F.col(text_col))).alias("_tk"))
+    uni = d.select("_did", F.explode("_tk").alias("_f"))
+    feats = uni
+    if ngrams >= 2:
+        bi = d.filter(F.size("_tk") >= 2).select(
+            "_did",
+            F.explode(F.expr(
+                "transform(sequence(2, size(_tk)), "
+                "i -> concat_ws(' ', _tk[i-2], _tk[i-1]))")).alias("_f"))
+        feats = uni.unionByName(bi)
+    w = weights.select(F.col("idx").cast("long").alias("_idx"),
+                       F.col("w_ppm").cast("long").alias("_w"))
+    scored = (
+        feats.select("_did", (h32(F.col("_f")) % dim).alias("_idx"))
+        .join(F.broadcast(w), "_idx", "left")
+        .groupBy("_did")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"),
+             F.sum(F.coalesce(F.col("_w"), F.lit(0)))
+             .cast("long").alias("_sw")))
+    score = F.round(
+        (F.lit(bias_ppm) * F.col("_n") + F.col("_sw")).cast("double")
+        / (F.col("_n") * F.lit(1000000)).cast("double"), 6)
+    base = d.select("_did")
+    return (
+        base.join(scored, "_did", "left")
+        .select(
+            F.col("_did").alias(id_col),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+            .alias("n_features"),
+            score.alias("score"),
+            F.coalesce(score >= F.lit(threshold), F.lit(False))
+            .alias("keep")))

@@ -166,7 +166,16 @@ WAIVERS: dict[tuple[str, str], str] = {
 # automatically. Each is a reviewed argument for why the true int64 sum
 # stays far below 2^63 at any realistic scale (100 TB ~ 1e14 rows/tokens).
 INT_SUM_BOUNDS: dict[str, str] = {
-    "json_agg_lanes": "the DESIGN of the key: k matches -?[0-9]{1,18} "
+    "classifier_score": "w is ppm-scaled and range-bounded by "
+                        "construction: |w| <= 10000 (hash % 20001 - "
+                        "10000), summed per DOCUMENT over its "
+                        "unigram+bigram features (< 2 * doc tokens) — "
+                        "a 1e12-token document would be needed to "
+                        "approach int64; general weights are the "
+                        "caller's model, ppm-integer by contract with "
+                        "|w_ppm| ~ 1e7 for a +-10 logit, bound ~1e7 * "
+                        "doc tokens << 2^63",
+    "json_agg_lanes":"the DESIGN of the key: k matches -?[0-9]{1,18} "
                       "so |k| <= 1e18-1; each lane term k//1e9 and "
                       "k%1e9 is < 1e9 in magnitude, so a lane sum is "
                       "< 1e9 * group rows — int64-safe to ~9e9 rows "

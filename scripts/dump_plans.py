@@ -255,6 +255,18 @@ PICKS = {
         "Fixed-round peeling: the final plan is round-3's degree "
         "filter + two semi-joins over the (checkpointed) shrunken "
         "edge list — earlier rounds are truncated by localCheckpoint."),
+    "winnow_spans": (E.q_winnow_spans,
+        "Passage alignment with NO dynamic programming: anchors come "
+        "from the fingerprint-blocked occurrence join (df-capped, "
+        "plan-cached hits table), and the (pair, diagonal) island "
+        "merge is one lag + running-sum window — verbatim runs keep "
+        "a constant diagonal, so alignment is linear in anchors."),
+    "mjpeg_features": (E.q_mjpeg_features,
+        "Compressed-video decode as a 100 TB join shape: the 256-row "
+        "MJPEG-AVI lookup BroadcastExchange's onto the scan (one BHJ, "
+        "zero fact shuffles) and the JPEG Huffman+IDCT decode runs in "
+        "one Arrow-batched mapInPandas — payloads never leave the "
+        "executors."),
 }
 
 

@@ -1278,6 +1278,65 @@ def test_hashed_features_stable_and_bounded(spark):
     assert a == b
 
 
+def _py_h32(s: str) -> int:
+    """Independent reimplementation of dedup.h32 (md5-prefix hash)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_classifier_score_matches_hand_model(spark):
+    """Score against a hand-built weight table, with the expected logit
+    computed through an INDEPENDENT python md5 pipeline — unigram +
+    bigram hashing, mean weight, bias, threshold keep flag."""
+    from db_spark.llm.text import classifier_score
+
+    dim, bias = 64, 500
+    docs = spark.createDataFrame(
+        [(1, "good clean prose here"), (2, "spam spam spam"), (3, "")],
+        "doc_id long, text string")
+    widx = {}
+    for doc in ("good clean prose here", "spam spam spam"):
+        toks = doc.split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        for f in feats:
+            widx[_py_h32(f) % dim] = None
+    weights = [(i, (7 * i - 100) * 100) for i in sorted(widx)]
+    wdf = spark.createDataFrame(weights, "idx int, w_ppm long")
+
+    out = {r["doc_id"]: r for r in classifier_score(
+        docs, wdf, dim=dim, bias_ppm=bias, threshold=0.0).collect()}
+    wmap = dict(weights)
+    for doc_id, text in ((1, "good clean prose here"), (2, "spam spam spam")):
+        toks = text.split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        n = len(feats)
+        sw = sum(wmap[_py_h32(f) % dim] for f in feats)
+        expect = round((bias * n + sw) / (n * 1_000_000), 6)
+        assert out[doc_id]["n_features"] == n
+        assert out[doc_id]["score"] == expect
+        assert out[doc_id]["keep"] == (expect >= 0.0)
+    # empty document: zero features, NULL score, keep=false
+    assert out[3]["n_features"] == 0
+    assert out[3]["score"] is None and out[3]["keep"] is False
+
+
+def test_classifier_score_unigram_only_and_missing_weights(spark):
+    """ngrams=1 drops bigram features; buckets absent from the weight
+    table contribute 0 (a sparse model is normal)."""
+    from db_spark.llm.text import classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id long, text string")
+    wdf = spark.createDataFrame(
+        [(_py_h32("alpha") % 32, 2_000_000)], "idx int, w_ppm long")
+    out = classifier_score(
+        docs, wdf, dim=32, ngrams=1, threshold=0.5).collect()[0]
+    # mean over 2 unigrams: (0 + 2e6)/2e6 = 1.0
+    assert out["n_features"] == 2
+    assert out["score"] == 1.0 and out["keep"] is True
+
+
 def test_ivf_index_append_equals_rebuild(spark, tmp_path):
     """Appending new vectors to a persisted IVF index must yield probe
     results identical to rebuilding the whole index with the SAME

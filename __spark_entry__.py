@@ -7093,8 +7093,10 @@ def oracle_sql() -> dict[str, str]:
                    FROM wt GROUP BY doc_id)
             SELECT dd.doc_id,
                    CAST(coalesce(n, 0) AS BIGINT) AS n_features,
+                   -- + 0.0 normalizes IEEE -0.0 (tiny negative logits)
                    round(CAST(500 * n + sw AS DOUBLE)
-                         / CAST(n * 1000000 AS DOUBLE), 6) AS score,
+                         / CAST(n * 1000000 AS DOUBLE), 6)
+                       + CAST(0 AS DOUBLE) AS score,
                    coalesce(round(CAST(500 * n + sw AS DOUBLE)
                             / CAST(n * 1000000 AS DOUBLE), 6) >= 0.0,
                             FALSE) AS keep

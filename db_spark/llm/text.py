@@ -812,9 +812,11 @@ def classifier_score(
         .agg(F.count(F.lit(1)).cast("long").alias("_n"),
              F.sum(F.coalesce(F.col("_w"), F.lit(0)))
              .cast("long").alias("_sw")))
+    # + 0.0 normalizes IEEE -0.0 (a tiny negative logit rounds to -0.0
+    # on one engine and 0.0 on the other — the wilson_bounds precedent)
     score = F.round(
         (F.lit(bias_ppm) * F.col("_n") + F.col("_sw")).cast("double")
-        / (F.col("_n") * F.lit(1000000)).cast("double"), 6)
+        / (F.col("_n") * F.lit(1000000)).cast("double"), 6) + F.lit(0.0)
     base = d.select("_did")
     return (
         base.join(scored, "_did", "left")

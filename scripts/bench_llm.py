@@ -56,6 +56,11 @@ PICKS = [
     # overlap join) and SemDeDup semantic dedup (k-means + within-cell
     # pairwise prune)
     "winnow_fingerprints", "winnow_overlap", "semantic_dedup",
+    # round-10: MOSS passage alignment (anchor join + diagonal island
+    # windows), MJPEG-AVI decode (256-payload broadcast + per-row
+    # Huffman/IDCT in mapInPandas), linear classifier scoring
+    # (hashed features + broadcast ppm weights)
+    "winnow_spans", "mjpeg_features", "classifier_score",
 ]
 
 

@@ -987,8 +987,6 @@ def semantic_dedup(
     Returns one row per input vector: (id, cell_id, kept) — kept=false
     iff a same-cell lower-id vector is cosine-similar at threshold.
     """
-    from db_spark.llm.dedup import _plan_cache
-
     if target_cell_size is not None:
         n = corpus.count()
         n_cells = max(n_cells, -(-n // target_cell_size))
@@ -999,11 +997,16 @@ def semantic_dedup(
     v = assigned.select(
         F.col(id_col), F.col("cell_id"), _dbl(F.col(vec_col)).alias("_v"))
     v = v.select(id_col, "cell_id", "_v", _norm_d(F.col("_v")).alias("_nn"))
-    # The Lloyd-chain assignment is consumed three times (a-side, b-side,
-    # and the final keep-join); without a cache each consumer re-derives
-    # the whole chain — the r9 plan audit's heaviest plan (66 exchanges).
-    # Same multi-consumer discipline the dedup builders document.
-    v = _plan_cache(v)
+    # Deliberately NOT plan-cached despite three consumers (a-side,
+    # b-side, final keep-join): the 66-exchange explain is misleading —
+    # Spark dedups the identical Lloyd-chain subplans at runtime via
+    # ReusedExchange, so the shuffles are paid once regardless, while a
+    # .cache() inserts an InMemoryTableScan boundary that breaks
+    # whole-stage codegen across the join. Measured A/B (r10, sf0.1,
+    # 3 reps): cached 0.36-0.64 s vs uncached 0.13-0.21 s; sf1 neutral
+    # (0.34 s both). The dedup builders' plan-cache discipline applies
+    # to EXPENSIVE re-derivations (tokenizer regex passes), not to
+    # exchange-reused relational chains.
     a = v.select(F.col(id_col).alias("_ida"), "cell_id",
                  F.col("_v").alias("_va"), F.col("_nn").alias("_na"))
     b = v.select(F.col(id_col).alias("_idb"), "cell_id",

@@ -817,13 +817,19 @@ def classifier_score(
     score = F.round(
         (F.lit(bias_ppm) * F.col("_n") + F.col("_sw")).cast("double")
         / (F.col("_n") * F.lit(1000000)).cast("double"), 6) + F.lit(0.0)
-    base = d.select("_did")
+    # every doc with >= 1 token appears in the unigram stream, so
+    # `scored` covers all but the empty/NULL-text docs — union the
+    # (cheap, column-pruned) empty branch instead of left-joining the
+    # corpus against itself (saves an SMJ + two sort exchanges)
+    empty = d.filter(F.col("_tk").isNull() | (F.size("_tk") < 1)).select(
+        F.col("_did").alias(id_col),
+        F.lit(0).cast("long").alias("n_features"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(False).alias("keep"))
     return (
-        base.join(scored, "_did", "left")
-        .select(
+        scored.select(
             F.col("_did").alias(id_col),
-            F.coalesce(F.col("_n"), F.lit(0)).cast("long")
-            .alias("n_features"),
+            F.col("_n").alias("n_features"),
             score.alias("score"),
-            F.coalesce(score >= F.lit(threshold), F.lit(False))
-            .alias("keep")))
+            (score >= F.lit(threshold)).alias("keep"))
+        .unionByName(empty))

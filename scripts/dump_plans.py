@@ -261,6 +261,11 @@ PICKS = {
         "plan-cached hits table), and the (pair, diagonal) island "
         "merge is one lag + running-sum window — verbatim runs keep "
         "a constant diagonal, so alignment is linear in anchors."),
+    "classifier_score": (E.q_classifier_score,
+        "Model application at 100 TB: the dim-bounded weight table "
+        "BroadcastExchange's into the hashed-feature stream (map-only "
+        "unigram+bigram explode), one doc-keyed aggregate ends the "
+        "plan — the corpus is never shuffled on a model key."),
     "mjpeg_features": (E.q_mjpeg_features,
         "Compressed-video decode as a 100 TB join shape: the 256-row "
         "MJPEG-AVI lookup BroadcastExchange's onto the scan (one BHJ, "

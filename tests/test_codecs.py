@@ -529,3 +529,49 @@ def test_decode_image_jpeg_dispatch():
 def test_avi_rejects_non_avi():
     with pytest.raises(ValueError, match="AVI"):
         codecs.decode_avi_mjpeg_parts(b"RIFFxxxxWAVE")
+
+
+def test_jpeg_restart_markers_reset_dc_predictor():
+    """DRI=1 + RST0 between two MCUs: each MCU's DC is coded against a
+    RESET predictor (both diffs absolute), and the reader must
+    byte-align and consume the marker. Hand-assembled."""
+    ecs1 = _bits_to_ecs("110" + "10100" + "1010")   # flat 148 (dc +20)
+    ecs2 = _bits_to_ecs("110" + "00011" + "1010")   # flat 100 (dc -28)
+    payload = (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+        + _seg(0xC0, bytes([8, 0, 8, 0, 16, 1, 1, 0x11, 0]))
+        + _dht(0x00, J.K_DC_LUMA) + _dht(0x10, J.K_AC_LUMA)
+        + _seg(0xDD, (1).to_bytes(2, "big"))
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + ecs1 + b"\xff\xd0" + ecs2
+        + b"\xff\xd9")
+    w, h, c, px = J.decode_jpeg(payload)
+    assert (w, h, c) == (16, 8, 1)
+    assert (px[:, :8, 0] == 148).all()
+    assert (px[:, 8:, 0] == 100).all()
+
+
+def test_jpeg_decoder_hand_assembled_422_color():
+    """4:2:2 (Y h=2,v=1): one MCU = 2 Y blocks + Cb + Cr for a 16x8
+    image; chroma replicates horizontally only. Same analytic BT.601
+    expectations as the 4:2:0 test."""
+    y_bits = "110" + "00011" + "1010" + "00" + "1010"   # -28 then diff 0
+    cb_bits = "111110" + "101000" + "00"                 # +40
+    cr_bits = "11110" + "00111" + "00"                   # -24
+    payload = (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+        + _seg(0xDB, bytes([0x01]) + bytes([8] * 64))
+        + _seg(0xC0, bytes([8, 0, 8, 0, 16, 3,
+                            1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]))
+        + _dht(0x00, J.K_DC_LUMA) + _dht(0x10, J.K_AC_LUMA)
+        + _dht(0x01, J.K_DC_CHROMA) + _dht(0x11, J.K_AC_CHROMA)
+        + _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        + _bits_to_ecs(y_bits + cb_bits + cr_bits)
+        + b"\xff\xd9")
+    w, h, c, px = J.decode_jpeg(payload)
+    assert (w, h, c) == (16, 8, 3)
+    assert (px[:, :, 0] == 66).all()
+    assert (px[:, :, 1] == 103).all()
+    assert (px[:, :, 2] == 171).all()

@@ -162,10 +162,12 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
 # is a pure host-health signal. Same discipline as the timed queries —
 # PREPARED once, one warm-up, then timed re-executions (per-call
 # DataFrame construction is ~0.3 s of driver-side Python<->JVM and
-# footer sniffing that would swamp the signal) — and it runs AFTER the
-# timed sets so the JVM is fully warm (a cold probe reads JIT warm-up,
+# footer sniffing that would swamp the signal) — and it runs right
+# AFTER each timed set, never before (a cold probe reads JIT warm-up,
 # not the host: 0.58 s at session start on a QUIET host, r10
-# calibration). Quiet-host hot floor measured ~0.02-0.04 s; envelope =
+# calibration; per-set adjacency catches noisy-neighbor minutes that
+# contaminate one set and are gone by process end — also observed).
+# Quiet-host hot floor measured ~0.02-0.04 s; envelope =
 # ~4x that ceiling. A hot probe above it means another process is
 # stealing the cores and the round's medians are not comparable across
 # rounds — judge against ``min`` instead.
@@ -194,10 +196,14 @@ def _contention_suspect(cal: dict, times: dict, sf1_times: dict | None) -> list[
     r9's driver bench showed exactly these signatures (uniform +40%,
     sf1 faster than sf0.1 on identical plans) on a noisy host."""
     reasons = []
-    if cal["probe_sec_min"] > cal["probe_envelope_sec"]:
-        reasons.append(
-            f"hot calibration probe {cal['probe_sec_min']}s exceeds "
-            f"committed quiet-host envelope {cal['probe_envelope_sec']}s")
+    for tag, probe in cal.items():
+        if not isinstance(probe, dict):
+            continue
+        if probe["probe_sec_min"] > probe["probe_envelope_sec"]:
+            reasons.append(
+                f"hot calibration probe ({tag}) {probe['probe_sec_min']}s "
+                f"exceeds committed quiet-host envelope "
+                f"{probe['probe_envelope_sec']}s")
     if sf1_times:
         for name, t01 in times.items():
             t1 = sf1_times.get(name)
@@ -249,6 +255,11 @@ def main() -> None:
     E.q_pricing_summary(spark, "/root/testdata/sf0.001").collect()
 
     times, stats = _run_set(spark, SF_DIR)
+    # probe immediately after each timed set: noisy-neighbor minutes can
+    # contaminate ONE set and be gone by the end of the process (seen in
+    # the r10 calibration: sf0.1 joins 2x their own sf1 twins with a
+    # clean end-of-run probe), so each set gets its own adjacent probe
+    cal = {"after_sf01": _calibration_probe(spark)}
     total = round(sum(times.values()), 4)
     out = {
         "metric": "headline_queries_total",
@@ -269,10 +280,8 @@ def main() -> None:
         out["sf1_query_stats"] = sf1_stats
         out["sf1_total"] = round(sum(sf1_times.values()), 4)
         out["sf1"] = 1.0
+        cal["after_sf1"] = _calibration_probe(spark)
 
-    # Probe LAST: by now the JVM is fully warm, so the probe reads pure
-    # host health (a cold probe reads JIT warm-up — see the envelope note)
-    cal = _calibration_probe(spark)
     reasons = _contention_suspect(cal, times, out.get("sf1_queries"))
     out["calibration"] = cal
     out["contention_suspect"] = bool(reasons)

@@ -3257,6 +3257,21 @@ def q_semantic_dedup(spark, sf_dir):
                                refine_iters=2, target_cell_size=None)
 
 
+def q_pca_project(spark, sf_dir):
+    """Dominant-principal-component projection (db_spark/llm/
+    similarity.py:pca_project): exact-integer covariance moments (one
+    dim^2 exchange, corpus-independent), python-bigint power iteration
+    on the model-sized moment table (the k-center bounded-driver-fetch
+    class), broadcast-literal integer component, exact dot projection.
+    The oracle replays the identical integer arithmetic in HUGEINT with
+    the iteration unrolled — a value-hash match proves the whole chain
+    including the truncating-division renormalization and sign pin."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsim.pca_project(emb, n_iter=8)
+
+
 def q_temperature_sample(spark, sf_dir):
     """Temperature-flattened language mixture (tau=0.5): downsample each
     language at sqrt(c_min/c_lang) by stable doc-id hash — rarest
@@ -4946,6 +4961,82 @@ def _ivf_kmeans_oracle(n_cells: int = 16, n_probe: int = 4, k: int = 10,
     """
 
 
+def _pca_project_oracle(n_iter: int = 8) -> str:
+    """Mirror of llm.similarity.pca_project: the moment fold, the exact
+    integer power iteration (UNROLLED — one CTE pair per step, all
+    HUGEINT so the arithmetic is arbitrary-precision-exact like the
+    engine's python bigints; DuckDB ``//`` truncates toward zero,
+    matching the engine's sign-adjusted truncating division), the
+    largest-|coordinate| sign pin, and the exact dot projection."""
+    steps = []
+    prev = "w0"
+    for k in range(1, n_iter + 1):
+        steps.append(f"""
+            y{k} AS MATERIALIZED (SELECT c.i,
+                            CAST(SUM(c.cij * w.w) AS HUGEINT) AS y
+                     FROM c JOIN {prev} w ON w.i = c.j GROUP BY 1),
+            mx{k} AS MATERIALIZED (SELECT max(abs(y)) AS mx FROM y{k}),
+            w{k} AS MATERIALIZED (SELECT y{k}.i,
+                            CASE WHEN mx{k}.mx = 0 THEN wp.w
+                                 ELSE (y{k}.y * 1000000000) // mx{k}.mx
+                            END AS w
+                     FROM y{k} CROSS JOIN mx{k}
+                     JOIN {prev} wp ON wp.i = y{k}.i)""")
+        prev = f"w{k}"
+    unrolled = ",".join(steps)
+    return f"""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, u.i AS i,
+                 CAST(round(
+                   CASE WHEN u.x > 1000000.0 THEN 1000000.0
+                        WHEN u.x < -1000000.0 THEN -1000000.0
+                        ELSE u.x END * 1000000) AS BIGINT) AS a
+          FROM embeddings,
+               unnest(list_transform(embedding,
+                   (x, i) -> struct_pack(i := i,
+                                         x := CAST(x AS DOUBLE)))) AS t(u)),
+        mom AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+                       coalesce(CAST(SUM(CAST(a.a AS HUGEINT) * b.a)
+                                     AS HUGEINT), 0) AS s
+                FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2),
+        side AS MATERIALIZED (SELECT i,
+                        coalesce(CAST(SUM(CAST(a AS HUGEINT)) AS HUGEINT),
+                                 0) AS m
+                 FROM e GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM e WHERE i = 1),
+        c0 AS MATERIALIZED (SELECT mom.i, mom.j,
+                     (SELECT n FROM nn) * mom.s - ma.m * mb.m AS cij
+              FROM mom JOIN side ma ON ma.i = mom.i
+                       JOIN side mb ON mb.i = mom.j),
+        -- renormalize C' to |entries| <= 1e17: the dominant eigenvector
+        -- is scale-invariant and this keeps y * comp_scale inside
+        -- HUGEINT on adversarial magnitudes (engine does the identical
+        -- truncating division on python bigints)
+        cdiv AS MATERIALIZED (
+            SELECT CASE WHEN coalesce(max(abs(cij)), 0)
+                             // 100000000000000000 < 1 THEN 1
+                        ELSE max(abs(cij)) // 100000000000000000 END AS d
+            FROM c0),
+        c AS MATERIALIZED (SELECT i, j,
+                                  cij // (SELECT d FROM cdiv) AS cij
+                           FROM c0),
+        w0 AS MATERIALIZED (SELECT i, CAST(1000000000 AS HUGEINT) AS w
+                            FROM side),
+        {unrolled},
+        pin AS MATERIALIZED (SELECT w FROM {prev}
+                             ORDER BY abs(w) DESC, i ASC LIMIT 1),
+        wf AS MATERIALIZED (SELECT i, CASE WHEN (SELECT w FROM pin) < 0 THEN -w
+                              ELSE w END AS w
+               FROM {prev})
+        SELECT e.vec_id,
+               round(CAST(SUM(CAST(e.a AS HUGEINT) * wf.w) AS DOUBLE)
+                     / 1000000.0 / 1000000000.0, 6)
+                   + CAST(0 AS DOUBLE) AS pc1
+        FROM e JOIN wf ON wf.i = e.i
+        GROUP BY e.vec_id
+    """
+
+
 def _semantic_dedup_oracle(n_cells: int = 16, threshold: float = 0.95,
                            n_iter: int = 2, scale: int = 1_000_000) -> str:
     """Mirror of llm.similarity.semantic_dedup over the perturbed-union
@@ -5530,6 +5621,7 @@ _REGISTRY_KEYS: list[str] = [
     "winnow_spans",
     "mjpeg_features",
     "classifier_score",
+    "pca_project",
 ]
 
 
@@ -6931,6 +7023,7 @@ def oracle_sql() -> dict[str, str]:
             FROM isl GROUP BY id_a, id_b, diag, grp
         """,
         "semantic_dedup": _semantic_dedup_oracle(),
+        "pca_project": _pca_project_oracle(n_iter=8),
         "collocations": f"""
             WITH tok AS (SELECT {_TOKS} AS toks FROM documents),
             uc AS (SELECT w, count(*) AS cw

@@ -1025,3 +1025,140 @@ def semantic_dedup(
         .select(F.col(id_col), F.col("cell_id"),
                 F.coalesce(F.col("_kept"), F.lit(True)).alias("kept"))
     )
+
+
+def pca_project(
+    corpus: DataFrame, n_iter: int = 8, id_col: str = "vec_id",
+    vec_col: str = "embedding", scale: int = 1_000_000,
+    comp_scale: int = 1_000_000_000, clamp: float = 1_000_000.0,
+) -> DataFrame:
+    """Project every embedding onto the corpus's DOMINANT PRINCIPAL
+    COMPONENT — the dimensionality-reduction / drift-axis primitive an
+    embedding pipeline runs before coarse bucketing or monitoring.
+    Fully deterministic (and therefore SQL-oracle-expressible): the
+    covariance fold and the power iteration both run in EXACT integer
+    arithmetic, so the component — and every projection — is
+    bit-identical on any engine and any partitioning.
+
+    Three stages:
+
+    1. **Moment fold (distributed)** — components are CASE-clamped to
+       ``±clamp`` (totality on adversarial magnitudes; a CASE, not
+       least/greatest, which swallow NULLs) and scaled to integers
+       (``round(x * scale)``); a double posexplode forms the per-vector
+       outer product map-only (no self-join — Generate→Generate), and
+       ONE exchange at (i, j) cardinality (dim², corpus-independent)
+       folds ``s_ij = Σ x_i x_j``, ``m_i = Σ x_i``, ``n``.
+    2. **Power iteration (driver, model-sized)** — the dim² moment
+       table (64-dim → 4096 ints) is a MODEL, not data: fetching it is
+       the same bounded driver-fetch class as the k-center frontier.
+       The centered (scale-free) matrix ``C'_ij = n s_ij − m_i m_j``
+       feeds ``n_iter`` exact python-bigint iterations from the
+       all-ones vector, renormalized each step by truncating division
+       toward zero (matches BIGINT/HUGEINT ``//`` — python ``//``
+       floors, so negatives go through the |y| path) to
+       ``comp_scale``. Sign pin: the largest-|coordinate| (ties →
+       lowest index) is made positive.
+    3. **Projection (distributed, map-only)** — the integer component
+       ships back as a literal; each vector's projection is an exact
+       int64 dot fold presented as DOUBLE (one divide, + 0.0 to
+       normalize IEEE −0.0), rounded 6.
+
+    Overflow bounds (int_sum_overflow doctrine): |x_i| ≤ clamp·scale =
+    1e12 ⇒ s_ij terms ≤ 1e24 — folded as DECIMAL(38,0) on the Spark
+    side and HUGEINT on DuckDB, exact to 1e38 ≫ any corpus; C' and the
+    iteration run in python bigint / HUGEINT (≤ ~1e32 for 1e12 rows);
+    the final projection dot is ≤ dim·scale·clamp·comp_scale ≈ 1e23 —
+    DECIMAL(38,0) again. Returns (id, pc1 DOUBLE): the projection in
+    the original vector units.
+    """
+    arr = F.col(vec_col).cast("array<double>")
+    x = F.col("_x")
+    cx = (F.when(x > clamp, F.lit(clamp))
+           .when(x < -clamp, F.lit(-clamp)).otherwise(x))
+    e1 = corpus.select(
+        F.col(id_col).alias("_vid"), arr.alias("_v"),
+        F.posexplode(arr).alias("_i", "_x"),
+    ).select("_vid", "_v", "_i", F.round(cx * scale).cast("long").alias("_a"))
+    xj = F.col("_xj")
+    cj = (F.when(xj > clamp, F.lit(clamp))
+           .when(xj < -clamp, F.lit(-clamp)).otherwise(xj))
+    e2 = e1.select(
+        "_i", "_a", F.posexplode("_v").alias("_j", "_xj"),
+    ).select("_i", "_j", "_a",
+             F.round(cj * scale).cast("long").alias("_b"))
+    mom = (
+        e2.groupBy("_i", "_j")
+        # cast BEFORE the multiply: clamped terms reach 1e12 each, so
+        # the long product would ANSI-overflow at 1e24 — decimal * long
+        # stays exact
+        .agg(F.sum(F.col("_a").cast("decimal(38,0)") * F.col("_b"))
+             .cast("decimal(38,0)").alias("_s"))
+    ).collect()
+    side = (
+        e1.groupBy("_i")
+        .agg(F.sum(F.col("_a").cast("decimal(38,0)")).alias("_m"),
+             F.count(F.lit(1)).cast("long").alias("_n"))
+    ).collect()
+    if not side:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} long, pc1 double")
+    d = max(r["_i"] for r in side) + 1
+    # n = number of vectors (the count at component 0 — every non-empty
+    # vector has one), not whichever row collect() returned first
+    n = int(next(r["_n"] for r in side if r["_i"] == 0))
+    m = [0] * d
+    for r in side:
+        if r["_m"] is not None:  # all-NULL component column sums to NULL
+            m[r["_i"]] = int(r["_m"])
+    s = [[0] * d for _ in range(d)]
+    for r in mom:
+        if r["_s"] is not None:
+            s[r["_i"]][r["_j"]] = int(r["_s"])
+    c = [[n * s[i][j] - m[i] * m[j] for j in range(d)] for i in range(d)]
+
+    def _trunc_div(a: int, b: int) -> int:
+        q = abs(a) // b  # b > 0; truncation toward zero via |a|
+        return q if a >= 0 else -q
+
+    # Renormalize C' to |entries| <= 1e17 (the dominant eigenvector is
+    # scale-invariant): keeps the iteration inside the oracle's HUGEINT
+    # range — |y| <= dim * 1e17 * comp_scale ~ 6.4e27, so y * comp_scale
+    # <= 6.4e36 < 1.7e38 — while python bigints would silently diverge
+    # from the 128-bit oracle beyond that (caught by the dirty fixture's
+    # clamped 1e30-magnitude probes). Same truncating division on both
+    # engines, so the renormalized matrix is bit-identical.
+    cmax = max((abs(v) for row in c for v in row), default=0)
+    cdiv = max(1, cmax // 10**17)
+    if cdiv > 1:
+        c = [[_trunc_div(v, cdiv) for v in row] for row in c]
+
+    w = [comp_scale] * d  # all-ones init at component scale
+    for _ in range(n_iter):
+        y = [sum(c[i][j] * w[j] for j in range(d)) for i in range(d)]
+        mx = max(abs(v) for v in y)
+        if mx == 0:
+            break
+        w = [_trunc_div(v * comp_scale, mx) for v in y]
+    pin = max(range(d), key=lambda i: (abs(w[i]), -i))
+    if w[pin] < 0:
+        w = [-v for v in w]
+
+    wlit = F.array(*[F.lit(int(v)) for v in w])
+    proj = corpus.select(
+        F.col(id_col), arr.alias("_v"),
+        F.posexplode(arr).alias("_i", "_x"),
+    ).select(
+        id_col, "_i",
+        F.round(cx * scale).cast("long").alias("_a"),
+        F.element_at(wlit, F.col("_i") + 1).alias("_w"))
+    return (
+        proj.groupBy(id_col)
+        .agg(F.sum(F.col("_a").cast("decimal(38,0)") * F.col("_w"))
+             .cast("decimal(38,0)").alias("_dot"))
+        .select(
+            F.col(id_col),
+            (F.round((F.col("_dot").cast("double")
+                      / float(scale) / float(comp_scale)), 6)
+             + F.lit(0.0)).alias("pc1"))
+    )

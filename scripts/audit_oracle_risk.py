@@ -166,6 +166,16 @@ WAIVERS: dict[tuple[str, str], str] = {
 # automatically. Each is a reviewed argument for why the true int64 sum
 # stays far below 2^63 at any realistic scale (100 TB ~ 1e14 rows/tokens).
 INT_SUM_BOUNDS: dict[str, str] = {
+    "pca_project": "all folds are DECIMAL(38,0)/HUGEINT, never int64: "
+                   "clamped terms reach 1e12, pair products 1e24, and "
+                   "the (i,j) sums are cast to DECIMAL(38,0) BEFORE "
+                   "the multiply on the Spark side and HUGEINT on the "
+                   "oracle side — exact to ~1e38, i.e. ~1e14 rows at "
+                   "the adversarial clamp and ~1e26 rows at real "
+                   "unit-normalized magnitudes; the driver-side "
+                   "iteration is python-bigint (unbounded) with the "
+                   "C' matrix renormalized to <= 1e17 so the HUGEINT "
+                   "oracle replay stays in range",
     "classifier_score": "w is ppm-scaled and range-bounded by "
                         "construction: |w| <= 10000 (hash % 20001 - "
                         "10000), summed per DOCUMENT over its "

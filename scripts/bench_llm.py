@@ -61,6 +61,9 @@ PICKS = [
     # Huffman/IDCT in mapInPandas), linear classifier scoring
     # (hashed features + broadcast ppm weights)
     "winnow_spans", "mjpeg_features", "classifier_score",
+    # round-10: dominant-PC projection (dim^2 moment exchange +
+    # model-sized driver iteration + map-only projection)
+    "pca_project",
 ]
 
 

@@ -261,6 +261,12 @@ PICKS = {
         "plan-cached hits table), and the (pair, diagonal) island "
         "merge is one lag + running-sum window — verbatim runs keep "
         "a constant diagonal, so alignment is linear in anchors."),
+    "pca_project": (E.q_pca_project,
+        "Linear algebra as three bounded stages: double-Generate outer "
+        "product (map-only, no self-join), ONE exchange at dim^2 "
+        "cardinality (corpus-independent), exact bigint power "
+        "iteration on the collected model-sized moments, then a "
+        "map-only literal-dot projection."),
     "classifier_score": (E.q_classifier_score,
         "Model application at 100 TB: the dim-bounded weight table "
         "BroadcastExchange's into the hashed-feature stream (map-only "

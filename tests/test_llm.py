@@ -1938,3 +1938,41 @@ def test_semantic_dedup_only_compares_within_cells(spark):
     assert out[2]["cell_id"] != out[3]["cell_id"], \
         "fixture regression: vectors 2 and 3 must land in different cells"
     assert out[2]["kept"] and out[3]["kept"]
+
+
+def test_pca_project_matches_numpy_eigendecomposition(spark):
+    """The integer power iteration must land on numpy's dominant
+    eigenvector (|corr| ~ 1 of the projections — sign is pinned by our
+    largest-|coordinate| rule, numpy's is arbitrary), on data with a
+    planted dominant direction."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    true_dir = np.array([3.0, 1.0, -2.0, 0.5])
+    true_dir /= np.linalg.norm(true_dir)
+    t = rng.randn(200) * 5.0
+    X = np.outer(t, true_dir) + rng.randn(200, 4) * 0.3
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["pc1"] for r in
+           similarity.pca_project(df).collect()}
+    got = np.array([out[i] for i in range(200)])
+    C = np.cov(X.T, bias=True)
+    pc = np.linalg.eigh(C)[1][:, -1]
+    corr = float(np.corrcoef(got, X @ pc)[0, 1])
+    assert abs(corr) > 0.999
+
+
+def test_pca_project_deterministic_and_guards(spark):
+    """Partition invariance (the whole point of the integer pipeline),
+    huge-component clamping totality, and empty-input handling."""
+    rows = [(1, [1.0, 2.0]), (2, [2.0, 3.9]), (3, [1e30, -5.0]),
+            (4, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, similarity.pca_project(df.repartition(1)).collect()))
+    b = sorted(map(tuple, similarity.pca_project(df.repartition(7)).collect()))
+    assert a == b and len(a) == 4          # huge value clamped, not thrown
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert similarity.pca_project(empty).collect() == []

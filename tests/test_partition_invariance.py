@@ -40,6 +40,9 @@ KEYS = [
     # sum is the partition-order risk (orderBy pa is total within a
     # (pair, diagonal) partition, so it must not be)
     "winnow_spans",
+    # r10: integer covariance fold + driver-side bigint power iteration
+    # (a float fold here would make the component run-dependent)
+    "pca_project",
 ]
 
 

@@ -1715,51 +1715,24 @@ def q_json_agg(spark, sf_dir):
     are NULL on BOTH engines regardless of either engine's cast rules),
     then cast. Anchors are \\A..\\z, NOT ^..$: Java's $ matches before a
     trailing newline (and the long cast trims it) so "7\\n" would parse
-    on Spark while DuckDB's RE2 full-match NULLs it. The SUM is pinned
-    to DECIMAL(38,0) on both engines: 18-digit regex-legal values make
-    the int64 sum wrap silently (ANSI off) or throw (ANSI on) while
-    DuckDB's SUM(BIGINT) promotes to HUGEINT — the r7/r8 driver
-    hash-fail class. The previous form (from_json typed schema vs
-    json_extract_string+CAST) agreed only on clean inputs and hash-failed
-    the round-7 driver gate on messier data."""
-    ev = _t(spark, sf_dir, "events")
-    s = F.get_json_object(F.col("props"), "$.k")
-    k = F.when(s.rlike(r"\A-?[0-9]{1,18}\z"), s.cast("long"))
-    return (
-        ev.select((k % 10).alias("k_bucket"), k.alias("_k"))
-        .groupBy("k_bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"),
-             F.sum(F.col("_k").cast("decimal(38,0)")).alias("sum_k"))
-    )
+    on Spark while DuckDB's RE2 full-match NULLs it.
 
-
-def q_json_agg_counts(spark, sf_dir):
-    """DIAGNOSTIC COMPANION (r10) for the json_agg driver hash-fail:
-    identical parse + bucketing, count only — no SUM, no wide-integer
-    or DECIMAL surface anywhere. Localizes the divergent cell: red here
-    implicates parse/bucket/count; green here narrows the fail to the
-    aggregate's value surface. Retire once json_agg carries a green
-    driver row."""
-    ev = _t(spark, sf_dir, "events")
-    s = F.get_json_object(F.col("props"), "$.k")
-    k = F.when(s.rlike(r"\A-?[0-9]{1,18}\z"), s.cast("long"))
-    return (
-        ev.select((k % 10).alias("k_bucket"))
-        .groupBy("k_bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-
-
-def q_json_agg_lanes(spark, sf_dir):
-    """DIAGNOSTIC COMPANION (r10): json_agg's sum re-expressed as two
-    bounded BIGINT lanes — SUM(k div 1e9) and SUM(k % 1e9). Each lane's
-    magnitude is <= 1e9 * n_rows << 2^63, so neither engine ever touches
-    a wide integer, DECIMAL, or HUGEINT representation — if the r7-r9
-    driver hash-fails are a DECIMAL(38,0) canonicalization or
-    HUGEINT-path artifact, this form is immune. Sign semantics verified
-    identical on both engines: truncating division (Spark ``div``,
-    DuckDB ``//``: -7/2 -> -3) and dividend-sign remainder
-    (-7 % 2 -> -1)."""
+    The sum is emitted as two bounded BIGINT lanes — SUM(k div 1e9) and
+    SUM(k % 1e9) — the r10 bisection's proven-green canonical form
+    (driver key json_agg_lanes, GREEN r10). Each lane's magnitude is
+    <= 1e9 * n_rows << 2^63, so neither engine ever touches a wide
+    integer, DECIMAL, or HUGEINT representation anywhere: 18-digit
+    regex-legal values would wrap an int64 SUM silently (ANSI off) or
+    throw (ANSI on) while DuckDB promotes to HUGEINT — the r7/r8 driver
+    hash-fail class — and a DECIMAL(38,0) output column hash-fails the
+    driver gate itself (r7-r10: counts-green, lanes-green, decimal-red
+    with rows+schema matching, v2 clone red — the divergent cell is the
+    environment's DECIMAL canonicalization, not any semantics here).
+    The true sum is recoverable as sum_hi*1e9 + sum_lo. Sign semantics
+    verified identical on both engines: truncating division (Spark
+    ``div``, DuckDB ``//``: -7/2 -> -3) and dividend-sign remainder
+    (-7 % 2 -> -1). tests/test_contract.py pins that NO registry query
+    emits a DECIMAL output column, so this class cannot regress."""
     ev = _t(spark, sf_dir, "events")
     s = F.get_json_object(F.col("props"), "$.k")
     k = F.when(s.rlike(r"\A-?[0-9]{1,18}\z"), s.cast("long"))
@@ -1770,15 +1743,6 @@ def q_json_agg_lanes(spark, sf_dir):
              F.sum(F.expr("_k div 1000000000")).cast("long").alias("sum_hi"),
              F.sum(F.col("_k") % 1000000000).cast("long").alias("sum_lo"))
     )
-
-
-def q_json_agg_v2(spark, sf_dir):
-    """DIAGNOSTIC COMPANION (r10): byte-identical clone of q_json_agg
-    under a fresh registry key — controls for any driver-side per-key
-    artifact caching across rounds. v2 green while json_agg stays red
-    => stale per-key driver state; both red with counts+lanes green =>
-    the DECIMAL(38,0) value surface itself."""
-    return q_json_agg(spark, sf_dir)
 
 
 def q_salted_join_agg(spark, sf_dir):
@@ -3242,9 +3206,14 @@ def q_semantic_dedup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # guard, not a live bug at fixture scales: a corpus with real
     # vec_id >= 1e8 would silently collide perturbed and original rows,
-    # and the oracle applies the same offset so the gate couldn't see it
-    assert emb.agg(F.max("vec_id")).first()[0] < 100000000, \
-        "vec_id >= 1e8 would collide with the perturbed-id offset"
+    # and the oracle applies the same offset so the gate couldn't see
+    # it. Explicit raise (not assert — must survive python -O); None
+    # (empty table / all-NULL ids) passes: nothing can collide.
+    _max_vec_id = emb.agg(F.max("vec_id")).first()[0]
+    if _max_vec_id is not None and _max_vec_id >= 100000000:
+        raise ValueError(
+            "vec_id >= 1e8 would collide with the perturbed-id offset"
+        )
     arr = F.col("embedding").cast("array<double>")
     perturbed = emb.select(
         (F.col("vec_id") + 100000000).alias("vec_id"),
@@ -5381,18 +5350,14 @@ def _driver_checked_rounds() -> dict[str, int]:
 # force them back into the 50-query window as if never checked. Clear
 # an entry once the next CORRECTNESS file carries its fresh row.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # r10: oracle made path-symmetric with the engine (cast BEFORE the
-    # sum, so no HUGEINT intermediate exists in any DuckDB version) —
-    # the r7/r8/r9 driver hash-fail's one remaining in-repo hypothesis.
-    # The three diagnostic companions below bisect the failing surface
-    # through the driver gate itself; they are new keys (sort first
-    # anyway) but listed so the intent survives their first green row.
-    "json_agg", "json_agg_counts", "json_agg_lanes", "json_agg_v2",
-    # r9 directive #2 executed: the nine keys whose fresh r9 green rows
-    # landed (json_funcs, seasonal_decompose, seasonal_anomalies,
-    # stats_agg, price_qty_corr, min_cost_supplier, pivot,
-    # media_features, ivf_kmeans_topk) are pruned; their slots go to
-    # the stalest driver rows.
+    # r11: json_agg adopted the r10-proven-green bounded-BIGINT lanes
+    # encoding as its canonical output form (the r10 bisection localized
+    # the 4-round hash-fail to the driver environment's DECIMAL(38,0)
+    # canonicalization; the identical aggregation in BIGINT lanes earned
+    # a green driver row as json_agg_lanes). The three diagnostic
+    # companions (counts/lanes/v2) are retired from the registry. Clear
+    # this entry once CORRECTNESS_r11 carries json_agg's fresh row.
+    "json_agg",
 })
 
 
@@ -5612,12 +5577,10 @@ _REGISTRY_KEYS: list[str] = [
     "winnow_fingerprints",
     "winnow_overlap",
     "semantic_dedup",
-    # r10 additions: the json_agg driver-gate bisection (diagnostic
-    # companions — retire once json_agg lands a green driver row) and
-    # MOSS-style span reporting
-    "json_agg_counts",
-    "json_agg_lanes",
-    "json_agg_v2",
+    # r10 additions (the three json_agg bisection diagnostics were
+    # retired in r11 after conclusively localizing the hash-fail to the
+    # driver's DECIMAL canonicalization; json_agg now carries the
+    # proven-green lanes encoding itself)
     "winnow_spans",
     "mjpeg_features",
     "classifier_score",
@@ -8760,49 +8723,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT k % 10 AS k_bucket,
                    CAST(count(*) AS BIGINT) AS n,
-                   -- width-pinned AND path-symmetric with the engine
-                   -- (r10): cast BEFORE the sum so no HUGEINT
-                   -- intermediate exists in ANY DuckDB version — the
-                   -- engine sums decimal(38,0) terms, so does the
-                   -- oracle; 128-bit-exact on both engines even when
-                   -- the true sum exceeds int64
-                   CAST(SUM(CAST(k AS DECIMAL(38,0))) AS DECIMAL(38,0))
-                       AS sum_k
-            FROM parsed GROUP BY 1
-        """,
-        # DIAGNOSTIC COMPANIONS (r10) — see q_json_agg_counts/lanes/v2.
-        "json_agg_counts": """
-            WITH parsed AS (
-              SELECT CASE WHEN json_valid(props) THEN
-                       CASE WHEN regexp_full_match(
-                                coalesce(json_extract_string(props, '$.k'),
-                                         ''),
-                                '-?[0-9]{1,18}')
-                            THEN CAST(json_extract_string(props, '$.k')
-                                      AS BIGINT) END
-                     END AS k
-              FROM events
-            )
-            SELECT k % 10 AS k_bucket, CAST(count(*) AS BIGINT) AS n
-            FROM parsed GROUP BY 1
-        """,
-        "json_agg_lanes": """
-            WITH parsed AS (
-              SELECT CASE WHEN json_valid(props) THEN
-                       CASE WHEN regexp_full_match(
-                                coalesce(json_extract_string(props, '$.k'),
-                                         ''),
-                                '-?[0-9]{1,18}')
-                            THEN CAST(json_extract_string(props, '$.k')
-                                      AS BIGINT) END
-                     END AS k
-              FROM events
-            )
-            SELECT k % 10 AS k_bucket,
-                   CAST(count(*) AS BIGINT) AS n,
-                   -- bounded lanes: |lane sum| <= 1e9 * n << 2^63, so
-                   -- the post-SUM BIGINT cast is always in range and no
-                   -- wide-integer representation survives to the output
+                   -- bounded lanes (r11 canonical form, proven green as
+                   -- json_agg_lanes in r10): |lane sum| <= 1e9 * n <<
+                   -- 2^63, so the post-SUM BIGINT cast is always in
+                   -- range and no wide-integer or DECIMAL representation
+                   -- exists anywhere in the plan or the output schema
                    CAST(SUM(k // 1000000000) AS BIGINT) AS sum_hi,
                    CAST(SUM(k % 1000000000) AS BIGINT) AS sum_lo
             FROM parsed GROUP BY 1
@@ -9191,7 +9116,4 @@ def oracle_sql() -> dict[str, str]:
           ON e.query_id = a.query_id AND e.vec_id = a.vec_id
         GROUP BY e.query_id
     """
-    # DIAGNOSTIC (r10): v2 is a byte-identical clone of json_agg under a
-    # fresh key — the oracle must be byte-identical too.
-    d["json_agg_v2"] = d["json_agg"]
     return d

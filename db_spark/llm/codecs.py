@@ -315,39 +315,56 @@ def decode_avi_mjpeg_parts(
 ) -> tuple[int, int, tuple[int, int], np.ndarray]:
     """Demux a RIFF/AVI container and decode its MJPEG video frames to
     (width, height, (fps_num, fps_den), luma[n, h, w]). Tolerant chunk
-    walk: fps comes from the first 'vids' strh (dwRate/dwScale), frames
-    from the stream-0 '00dc'/'00db' chunks inside LIST 'movi' (each a
-    standalone baseline JPEG — the MJPEG contract); the optional idx1
-    index is ignored. Chunks are word-aligned per the RIFF spec."""
+    walk: streams are numbered by strh appearance order (the AVI
+    contract); fps and the frame-chunk stream index both come from the
+    first 'vids' strh (dwRate/dwScale), so an AVI whose video stream is
+    not stream 0 (e.g. audio-first muxing) still decodes — frames are
+    the '{NN}dc'/'{NN}db' chunks of that index inside LIST 'movi' (each
+    a standalone baseline JPEG — the MJPEG contract); the optional idx1
+    index is ignored. Chunks are word-aligned per the RIFF spec. A
+    declared vids stream with zero decodable frame chunks raises
+    ValueError (silently returning an empty grid would cascade into NaN
+    features downstream)."""
     from db_spark.llm.jpeg import decode_jpeg
 
     if payload[:4] != _RIFF_SIG or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI (missing RIFF/'AVI ' header)")
     fps = (30, 1)
+    vids_idx = -1  # -1 = no vids strh seen yet; first one wins
+    n_strh = 0
     frames: list[np.ndarray] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal fps
+        nonlocal fps, vids_idx, n_strh
         while pos + 8 <= end:
             cid = payload[pos:pos + 4]
             size = int.from_bytes(payload[pos + 4:pos + 8], "little")
             body_at = pos + 8
             if cid == b"LIST":
                 walk(body_at + 4, body_at + size)  # skip the list type
-            elif cid == b"strh" and payload[body_at:body_at + 4] == b"vids":
-                scale = int.from_bytes(
-                    payload[body_at + 20:body_at + 24], "little")
-                rate = int.from_bytes(
-                    payload[body_at + 24:body_at + 28], "little")
-                if rate and scale:
-                    fps = (rate, scale)
-            elif cid in (b"00dc", b"00db") and size:
+            elif cid == b"strh":
+                if payload[body_at:body_at + 4] == b"vids" and vids_idx < 0:
+                    vids_idx = n_strh
+                    scale = int.from_bytes(
+                        payload[body_at + 20:body_at + 24], "little")
+                    rate = int.from_bytes(
+                        payload[body_at + 24:body_at + 28], "little")
+                    if rate and scale:
+                        fps = (rate, scale)
+                n_strh += 1
+            elif size and len(cid) == 4 and cid[2:4] in (b"dc", b"db") \
+                    and cid[:2] == b"%02d" % max(vids_idx, 0):
                 _, _, _, px = decode_jpeg(payload[body_at:body_at + size])
                 frames.append(_luma_of(px))
             pos = body_at + size + (size & 1)  # word alignment
 
     walk(12, len(payload))
     if not frames:
+        if vids_idx >= 0:
+            raise ValueError(
+                "AVI declares a vids stream (index %d) but contains no "
+                "decodable '%02ddc'/'%02ddb' frame chunks"
+                % (vids_idx, vids_idx, vids_idx))
         return 0, 0, fps, np.zeros((0, 0, 0), np.uint8)
     grid = np.stack(frames)
     return grid.shape[2], grid.shape[1], fps, grid

@@ -179,9 +179,15 @@ class _BitReader:
 
     def read_bit(self) -> int:
         if self._nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError(
+                    "invalid JPEG: truncated entropy-coded segment")
             b = self.data[self.pos]
             self.pos += 1
             if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError(
+                        "invalid JPEG: truncated entropy-coded segment")
                 nxt = self.data[self.pos]
                 if nxt == 0x00:
                     self.pos += 1
@@ -202,7 +208,8 @@ class _BitReader:
     def restart(self) -> None:
         """Byte-align, consume the RSTn marker."""
         self._nbits = 0
-        if (self.data[self.pos] == 0xFF
+        if (self.pos + 1 < len(self.data)
+                and self.data[self.pos] == 0xFF
                 and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
             self.pos += 2
 

@@ -1066,11 +1066,18 @@ def pca_project(
 
     Overflow bounds (int_sum_overflow doctrine): |x_i| ≤ clamp·scale =
     1e12 ⇒ s_ij terms ≤ 1e24 — folded as DECIMAL(38,0) on the Spark
-    side and HUGEINT on DuckDB, exact to 1e38 ≫ any corpus; C' and the
-    iteration run in python bigint / HUGEINT (≤ ~1e32 for 1e12 rows);
-    the final projection dot is ≤ dim·scale·clamp·comp_scale ≈ 1e23 —
-    DECIMAL(38,0) again. Returns (id, pc1 DOUBLE): the projection in
-    the original vector units.
+    side and HUGEINT on DuckDB, exact to 1e38 ≫ any corpus. The
+    engine's C' and iteration run in python bigint (unbounded); the
+    binding bound is the ORACLE's HUGEINT (~1.7e38) replay of the
+    pre-renormalization ``c0_ij = n·s_ij − m_i·m_j``: |c0| ≤
+    2·n²·(clamp·scale)² = 2·n²·1e24, which stays in HUGEINT range up
+    to n ≈ 1e7 rows at the ADVERSARIAL clamp (every component pinned
+    at ±clamp) and up to n ≈ 1e13 rows for real unit-normalized
+    embeddings (|x| ≤ 1, terms ≤ scale² = 1e12). Past that the oracle
+    fails LOUDLY (DuckDB HUGEINT overflow error), never silently; the
+    engine itself is exact at any n. The final projection dot is ≤
+    dim·scale·clamp·comp_scale ≈ 1e23 — DECIMAL(38,0) again. Returns
+    (id, pc1 DOUBLE): the projection in the original vector units.
     """
     arr = F.col(vec_col).cast("array<double>")
     x = F.col("_x")

@@ -185,13 +185,13 @@ INT_SUM_BOUNDS: dict[str, str] = {
                         "caller's model, ppm-integer by contract with "
                         "|w_ppm| ~ 1e7 for a +-10 logit, bound ~1e7 * "
                         "doc tokens << 2^63",
-    "json_agg_lanes":"the DESIGN of the key: k matches -?[0-9]{1,18} "
-                      "so |k| <= 1e18-1; each lane term k//1e9 and "
-                      "k%1e9 is < 1e9 in magnitude, so a lane sum is "
-                      "< 1e9 * group rows — int64-safe to ~9e9 rows "
-                      "per bucket (events buckets are <<1e9 at every "
-                      "fixture scale; at 100 TB the lane split would "
-                      "widen to three lanes before the bound binds)",
+    "json_agg": "the DESIGN of the key (r11 canonical lanes form): k "
+                "matches -?[0-9]{1,18} so |k| <= 1e18-1; each lane "
+                "term k//1e9 and k%1e9 is < 1e9 in magnitude, so a "
+                "lane sum is < 1e9 * group rows — int64-safe to ~9e9 "
+                "rows per bucket (events buckets are <<1e9 at every "
+                "fixture scale; at 100 TB the lane split would widen "
+                "to three lanes before the bound binds)",
     "cusum": "cents = round(value*100), |value| <= ~1e4 in events; "
              "t0 is their per-key mean; deviations sum <= rows * 1e6 "
              "(1e14 rows -> 1e20? No: per-KEY windows, key cardinality "
@@ -231,8 +231,6 @@ INT_SUM_BOUNDS: dict[str, str] = {
                    "ina*inb in {0,1} -> sum <= k (KMV synopsis size)",
     "dq_report": "n - 1 where n is a per-value duplicate count; "
                  "SUM(n-1) <= total rows",
-    "json_agg": "pinned: CAST(SUM(k) AS DECIMAL(38,0)) / Spark "
-                "decimal(38,0) — the r8 failure and its fix",
     "window_funcs": "SUM(o_totalprice) OVER w is a DOUBLE running sum "
                     "— float fold (float_agg family), int64 overflow "
                     "not applicable; frame order is ORDER BY-pinned "

@@ -575,3 +575,76 @@ def test_jpeg_decoder_hand_assembled_422_color():
     assert (px[:, :, 0] == 66).all()
     assert (px[:, :, 1] == 103).all()
     assert (px[:, :, 2] == 171).all()
+
+
+# ---------------------------------------------------------------------------
+# r11 robustness: non-stream-0 video, vids-without-frames, truncated ECS
+# ---------------------------------------------------------------------------
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + len(body).to_bytes(4, "little") + body + \
+        (b"\x00" if len(body) & 1 else b"")
+
+
+def _lst(ltype: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", ltype + body)
+
+
+def _avi(strls: bytes, movi_body: bytes) -> bytes:
+    hdrl = _lst(b"hdrl", _chunk(b"avih", bytes(56)) + strls)
+    body = b"AVI " + hdrl + _lst(b"movi", movi_body)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _vids_strh(rate=12, scale=1) -> bytes:
+    import struct as _s
+    return _chunk(b"strh", b"vids" + b"MJPG"
+                  + _s.pack("<IHHIIIIIII", 0, 0, 0, 0, scale, rate,
+                            0, 1, 0, 0xFFFFFFFF)
+                  + _s.pack("<I", 0) + _s.pack("<4H", 0, 0, 8, 8))
+
+
+def test_avi_video_stream_not_first():
+    """Audio-first AVI: the vids strh is stream 1, so frames live in
+    '01dc' chunks — the decoder must follow the strh appearance index
+    instead of assuming stream 0 (r10 ADVICE)."""
+    frame = J.encode_jpeg(np.full((8, 8), 148, np.uint8),
+                          luma_quant_zz=[8] * 64)
+    auds = _lst(b"strl", _chunk(b"strh", b"auds" + bytes(52)))
+    vids = _lst(b"strl", _vids_strh())
+    avi = _avi(auds + vids, _chunk(b"01dc", frame))
+    w, h, fps, luma = codecs.decode_avi_mjpeg_parts(avi)
+    assert (w, h, fps) == (8, 8, (12, 1))
+    assert luma.shape == (1, 8, 8) and (luma[0] == 148).all()
+    # and a stray '00dc' chunk (the audio stream's data) is NOT decoded
+    avi2 = _avi(auds + vids,
+                _chunk(b"00dc", b"not a jpeg") + _chunk(b"01dc", frame))
+    _, _, _, luma2 = codecs.decode_avi_mjpeg_parts(avi2)
+    assert luma2.shape == (1, 8, 8)
+
+
+def test_avi_vids_stream_without_frames_raises():
+    """A declared vids stream with zero frame chunks is a malformed
+    payload, not an empty video — silent (0, 0) would cascade into NaN
+    features downstream (r10 ADVICE)."""
+    vids = _lst(b"strl", _vids_strh())
+    with pytest.raises(ValueError, match="no\\s+decodable"):
+        codecs.decode_avi_mjpeg_parts(_avi(vids, b""))
+    # no vids stream at all stays the tolerant empty-grid path
+    auds = _lst(b"strl", _chunk(b"strh", b"auds" + bytes(52)))
+    w, h, fps, luma = codecs.decode_avi_mjpeg_parts(_avi(auds, b""))
+    assert (w, h) == (0, 0) and luma.size == 0
+
+
+def test_jpeg_truncated_ecs_raises_value_error():
+    """Truncated entropy-coded data must raise the module's documented
+    ValueError contract, not a raw IndexError (r10 ADVICE)."""
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (16, 16), np.uint8)
+    full = J.encode_jpeg(img)
+    sos_at = full.index(b"\xff\xda")
+    ecs_at = sos_at + 2 + int.from_bytes(full[sos_at + 2:sos_at + 4], "big")
+    for cut in (ecs_at + 1, len(full) - 8):
+        with pytest.raises(ValueError, match="invalid JPEG"):
+            J.decode_jpeg(full[:cut])

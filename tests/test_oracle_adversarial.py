@@ -416,17 +416,11 @@ def _write_dirty_relational(spark, d):
 # --------------------------------------------------------------------------
 
 def test_json_agg_dirty_props(spark, dirty_dir):
+    """json_agg in its r11 canonical bounded-BIGINT lanes form (the r10
+    bisection diagnostics counts/lanes/v2 were retired once they
+    conclusively localized the driver hash-fail to DECIMAL(38,0) output
+    canonicalization)."""
     _assert_engines_agree(spark, dirty_dir, "json_agg")
-
-
-@pytest.mark.parametrize("key", [
-    "json_agg_counts", "json_agg_lanes", "json_agg_v2",
-])
-def test_json_agg_diagnostics_dirty_props(spark, dirty_dir, key):
-    """The r10 driver-gate bisection companions must hold on the dirty
-    fixture too — a companion that diverges on messy data couldn't
-    localize the json_agg driver cell."""
-    _assert_engines_agree(spark, dirty_dir, key)
 
 
 def test_json_funcs_dirty_props(spark, dirty_dir):

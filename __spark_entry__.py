@@ -3583,6 +3583,28 @@ def q_classifier_score(spark, sf_dir):
                                   threshold=0.0)
 
 
+def q_nb_train(spark, sf_dir):
+    """In-engine multinomial Naive Bayes training
+    (db_spark/llm/text.py:train_nb_classifier — McCallum & Nigam 1998):
+    the TRAINING half of the DCLM model-based filtering loop, closing
+    it end-to-end with classifier_score. Labels here are the
+    deterministic split doc_id % 2 = 0 (the op contract takes any
+    boolean label column); features are the same hashed unigram+bigram
+    stream classifier_score extracts (dim=4096), counted per class in
+    ONE bucket-cardinality aggregate, and the per-bucket log-odds
+    weight is the module's deterministic fixed-point integer log2
+    (bit-length + 8 square-and-compare steps, exact to 1/256 bit — no
+    libm), so the oracle replays the identical arithmetic in SQL. At
+    100 TB the output stays dim-bounded (hashing trick) and broadcasts
+    straight back into the scoring join."""
+    from db_spark.llm import text as ltext
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id", "text", (F.col("doc_id") % 2 == 0).alias("label"))
+    return ltext.train_nb_classifier(labeled, dim=4096, ngrams=2)
+
+
 def q_quality_rules(spark, sf_dir):
     """Gopher-style quality rule verdicts: five named boolean rules
     (word count, mean word length, symbol ratio, alpha-word fraction,
@@ -5585,6 +5607,8 @@ _REGISTRY_KEYS: list[str] = [
     "mjpeg_features",
     "classifier_score",
     "pca_project",
+    # r11 additions: NB training (closes the model-based filtering loop)
+    "nb_train",
 ]
 
 
@@ -9105,6 +9129,39 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(0.5 AS DOUBLE)
                      * (CAST(coalesce(sn, 0) AS DOUBLE) / 1e9), 6) AS rbo
         FROM q LEFT JOIN s ON s.query_id = q.query_id
+    """
+    # NB training: identical feature stream to classifier_score, per-
+    # class bucket counts, then the SHARED fixed-point integer-log2
+    # generator (db_spark/llm/text.py:ilog2_fp256_layers) rendered in
+    # the DuckDB dialect as nested subqueries — engine and oracle run
+    # the same square-and-compare steps, so w_ppm is bit-identical.
+    from db_spark.llm.text import ilog2_fp256_layers as _log_layers
+
+    _nb_base = f"""
+        WITH nd AS (SELECT (doc_id % 2 = 0) AS lab, {_TOKS} AS toks
+                    FROM documents),
+        uni AS (SELECT lab, unnest(toks) AS f FROM nd),
+        bi AS (SELECT lab,
+                      unnest(list_transform(range(2, len(toks) + 1),
+                          i -> toks[i-1] || ' ' || toks[i])) AS f
+               FROM nd WHERE len(toks) >= 2),
+        feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        SELECT idx, n1, n0, n1 + 1 AS _nbp, n0 + 1 AS _nbq
+        FROM (SELECT {_H32.format(x='f')} % 4096 AS idx,
+                     CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n1,
+                     CAST(sum(CASE WHEN lab THEN 0 ELSE 1 END)
+                          AS BIGINT) AS n0
+              FROM feats GROUP BY 1)
+    """
+    _nb_inner = _nb_base
+    for _layer in _log_layers(
+            [("_nbp", "_nbl1"), ("_nbq", "_nbl0")], "//",
+            lambda b, a: f"(CAST({b} AS BIGINT) << ({a}))"):
+        _nb_inner = f"SELECT *, {', '.join(_layer)} FROM ({_nb_inner})"
+    d["nb_train"] = f"""
+        SELECT idx, n1, n0, ((_nbl1 - _nbl0) * 15625) // 4 AS w_ppm
+        FROM ({_nb_inner})
     """
     # recall@10 of IVF vs brute force: compose the two top-k oracles
     d["ivf_recall"] = f"""

@@ -833,3 +833,136 @@ def classifier_score(
             score.alias("score"),
             (score >= F.lit(threshold)).alias("keep"))
         .unionByName(empty))
+
+
+def ilog2_fp256_layers(
+    pairs: "list[tuple[str, str]]", dv: str, shl,
+) -> "list[list[str]]":
+    """Shared engine/oracle generator for DETERMINISTIC fixed-point
+    base-2 logarithms: for each (in_col, out_name) pair, emit projection
+    layers (lists of SQL select items, to be applied over a carry-all
+    ``*``) computing ``out = floor-ish(256 * log2(in_col))`` for an
+    integer column ``in_col >= 1`` using ONLY integer arithmetic —
+    bit-length, one pinned truncating normalization, and 8
+    square-and-compare steps — so the result is bit-identical on Spark
+    and DuckDB (no libm log anywhere; the module doctrine).
+
+    Algorithm (int64 throughout): ``i = bitlen(x) - 1`` is the integer
+    part; the mantissa is normalized to the 21-bit window [2^20, 2^21)
+    by one truncating shift (exact when shifting left, pinned
+    truncation when right); each of the 8 fraction steps squares the
+    mantissa (< 2^42, int64-safe) and takes one output bit from
+    whether the square crossed 2^41. Result: ``i * 256 + frac8``,
+    exact to 1/256 of a bit (monotone, deterministic).
+
+    ``dv`` is the dialect's truncating integer division token (Spark
+    ``div``, DuckDB ``//`` — both truncate toward zero, the
+    json_agg_lanes precedent); ``shl(base, expr)`` renders a left
+    shift by a COLUMN amount (Spark ``shiftleft``, DuckDB ``<<``).
+    Layers must stay separate projections (selectExpr chain / nested
+    subqueries): each step references its mantissa multiple times, and
+    a single-projection substitution would blow up exponentially."""
+    layers = [
+        [f"(length(bin(CAST({x} AS BIGINT))) - 1) AS {o}__i"
+         for x, o in pairs],
+        [f"CASE WHEN {o}__i >= 20 THEN CAST({x} AS BIGINT) {dv} "
+         f"{shl('1', f'({o}__i - 20)')} "
+         f"ELSE CAST({x} AS BIGINT) * {shl('1', f'(20 - {o}__i)')} "
+         f"END AS {o}__m0"
+         for x, o in pairs],
+    ]
+    for s in range(8):
+        items = []
+        for _, o in pairs:
+            m = f"{o}__m{s}"
+            items.append(
+                f"CASE WHEN {m} * {m} >= 2199023255552 THEN 1 ELSE 0 "
+                f"END AS {o}__b{s}")
+            items.append(
+                f"CASE WHEN {m} * {m} >= 2199023255552 "
+                f"THEN ({m} * {m}) {dv} 2097152 "
+                f"ELSE ({m} * {m}) {dv} 1048576 END AS {o}__m{s + 1}")
+        layers.append(items)
+    layers.append([
+        f"{o}__i * 256 + "
+        + " + ".join(f"{o}__b{s} * {1 << (7 - s)}" for s in range(8))
+        + f" AS {o}"
+        for _, o in pairs])
+    return layers
+
+
+def _spark_shl(base: str, amount: str) -> str:
+    return f"shiftleft(CAST({base} AS BIGINT), {amount})"
+
+
+def train_nb_classifier(
+    df: DataFrame, dim: int = 262144, ngrams: int = 2, alpha: int = 1,
+    id_col: str = "doc_id", text_col: str = "text",
+    label_col: str = "label",
+) -> DataFrame:
+    """Train a multinomial Naive Bayes quality classifier over hashed
+    n-gram features (McCallum & Nigam 1998's multinomial event model;
+    the DCLM/fastText-style model-based filtering loop's TRAINING
+    half) — pure counting plus the deterministic integer log above, so
+    the learned weights are bit-identical on any engine and any
+    partitioning, and the whole model is SQL-oracle-expressible.
+
+    Feature extraction is IDENTICAL to :func:`classifier_score`
+    (unigrams + word bigrams when ``ngrams`` >= 2, md5-hashed into
+    ``dim`` buckets) so the trained table plugs straight into it.
+    ``label_col`` is boolean-castable: true = positive class (e.g.
+    curated seed corpus), false = negative (e.g. raw crawl).
+
+    Weights are UNSEEN-BASELINE-RELATIVE log-odds: with Laplace
+    smoothing ``alpha``, full multinomial NB gives feature i the vote
+    ``log2((c1_i+a)/(T1+a·dim)) - log2((c0_i+a)/(T0+a·dim))``; the
+    per-class totals contribute the same constant to EVERY feature
+    (including unseen buckets, which classifier_score coalesces to
+    weight 0), so emitting ``w_i = log2(c1_i+a) - log2(c0_i+a)``
+    relative to that baseline preserves every decision boundary — the
+    constant (and the class prior) folds into classifier_score's
+    ``bias_ppm``/``threshold``. w_ppm is the fixed-point log-odds
+    scaled to parts-per-million-of-a-bit: ``(L(c1+a) - L(c0+a)) *
+    15625 div 4`` (1e6/256 = 15625/4; truncating div, identical on
+    both engines).
+
+    Scale shape: one map-only n-gram explode (no positional
+    self-join), ONE aggregate at (bucket) cardinality — the output is
+    dim-bounded (the hashing trick: no vocabulary, no OOV), so
+    training cost is a single pass over the corpus and the model
+    always broadcasts back into scoring. Returns (idx int, n1 long,
+    n0 long, w_ppm long) — one row per feature bucket observed in
+    training.
+    """
+    from db_spark.llm.dedup import h32
+
+    d = df.select(
+        F.col(label_col).cast("boolean").alias("_lab"),
+        tokens(ascii_lower(F.col(text_col))).alias("_tk"))
+    uni = d.select("_lab", F.explode("_tk").alias("_f"))
+    feats = uni
+    if ngrams >= 2:
+        bi = d.filter(F.size("_tk") >= 2).select(
+            "_lab",
+            F.explode(F.expr(
+                "transform(sequence(2, size(_tk)), "
+                "i -> concat_ws(' ', _tk[i-2], _tk[i-1]))")).alias("_f"))
+        feats = uni.unionByName(bi)
+    counts = (
+        feats.select((h32(F.col("_f")) % dim).cast("int").alias("idx"),
+                     "_lab")
+        .groupBy("idx")
+        .agg(F.sum(F.when(F.col("_lab"), 1).otherwise(0))
+             .cast("long").alias("n1"),
+             F.sum(F.when(F.col("_lab"), 0).otherwise(1))
+             .cast("long").alias("n0"))
+    )
+    cur = counts.selectExpr(
+        "idx", "n1", "n0",
+        f"n1 + {int(alpha)} AS _nbp", f"n0 + {int(alpha)} AS _nbq")
+    for layer in ilog2_fp256_layers(
+            [("_nbp", "_nbl1"), ("_nbq", "_nbl0")], "div", _spark_shl):
+        cur = cur.selectExpr("*", *layer)
+    return cur.selectExpr(
+        "idx", "n1", "n0",
+        "((_nbl1 - _nbl0) * 15625) div 4 AS w_ppm")

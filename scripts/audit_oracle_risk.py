@@ -185,6 +185,11 @@ INT_SUM_BOUNDS: dict[str, str] = {
                         "caller's model, ppm-integer by contract with "
                         "|w_ppm| ~ 1e7 for a +-10 logit, bound ~1e7 * "
                         "doc tokens << 2^63",
+    "nb_train": "both SUM args are 0/1 class indicators (CASE WHEN lab "
+                "THEN 1 ELSE 0); a per-bucket sum is bounded by that "
+                "bucket's feature occurrences <= corpus tokens * 2 "
+                "(unigrams+bigrams) ~ 2e14 at 100 TB << 2^63, and the "
+                "downstream fixed-point log consumes bitlen only",
     "json_agg": "the DESIGN of the key (r11 canonical lanes form): k "
                 "matches -?[0-9]{1,18} so |k| <= 1e18-1; each lane "
                 "term k//1e9 and k%1e9 is < 1e9 in magnitude, so a "

@@ -1337,6 +1337,99 @@ def test_classifier_score_unigram_only_and_missing_weights(spark):
     assert out["score"] == 1.0 and out["keep"] is True
 
 
+def _py_ilog2_fp256(x: int) -> int:
+    """Independent python replay of the engine's fixed-point log2:
+    (bitlen-1)*256 + 8 square-and-compare fraction bits."""
+    i = x.bit_length() - 1
+    m = (x << (20 - i)) if i <= 20 else (x >> (i - 20))
+    frac = 0
+    for _ in range(8):
+        m = m * m
+        if m >= 1 << 41:
+            frac, m = frac * 2 + 1, m >> 21
+        else:
+            frac, m = frac * 2, m >> 20
+    return i * 256 + frac
+
+
+def test_train_nb_classifier_matches_fixed_point_reference(spark):
+    """Trained weights must equal the independent python replay of the
+    documented arithmetic — per-class hashed-feature counts, Laplace
+    alpha, fixed-point log2, ppm scaling with truncating division —
+    and track the TRUE log2 odds within the 1/256-bit quantization."""
+    import math
+
+    from db_spark.llm.text import train_nb_classifier
+
+    rows = [(i, "good clean useful prose text", True) for i in range(8)]
+    rows += [(100 + i, "spam junk click buy now now", False)
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                     "label boolean")
+    dim = 128
+    got = {r["idx"]: r for r in
+           train_nb_classifier(df, dim=dim, ngrams=2).collect()}
+
+    # independent python count of the same feature stream
+    c1, c0 = {}, {}
+    for _, text, lab in rows:
+        toks = text.split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        for f in feats:
+            (c1 if lab else c0)[_py_h32(f) % dim] = \
+                (c1 if lab else c0).get(_py_h32(f) % dim, 0) + 1
+    assert set(got) == set(c1) | set(c0)
+    for idx, r in got.items():
+        n1, n0 = c1.get(idx, 0), c0.get(idx, 0)
+        assert (r["n1"], r["n0"]) == (n1, n0)
+        wfp = _py_ilog2_fp256(n1 + 1) - _py_ilog2_fp256(n0 + 1)
+        expect = (abs(wfp) * 15625 // 4) * (1 if wfp >= 0 else -1)
+        assert r["w_ppm"] == expect
+        # quantization bound: within 2/256 bit of the true log-odds
+        true_ppm = math.log2((n1 + 1) / (n0 + 1)) * 1e6
+        assert abs(true_ppm - r["w_ppm"]) <= 2 * 1e6 / 256 + 1
+
+
+def test_train_nb_then_classifier_score_end_to_end(spark):
+    """The DCLM loop closed in-engine: train on a labeled seed, feed
+    the weights to classifier_score, and the scored corpus must
+    reproduce the reference classification (class-separated vocab →
+    perfect separation at threshold 0 with no bias)."""
+    from db_spark.llm.text import classifier_score, train_nb_classifier
+
+    rows = [(i, "informative well written article prose "
+                + "quality text " * (i % 3), True) for i in range(30)]
+    rows += [(30 + i, "click buy cheap pills now "
+                      + "spam junk " * (i % 3), False) for i in range(30)]
+    seed = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "label boolean")
+    w = train_nb_classifier(seed, dim=512, ngrams=2)
+    scored = {r["doc_id"]: r for r in classifier_score(
+        seed.select("doc_id", "text"), w.select("idx", "w_ppm"),
+        dim=512, bias_ppm=0, threshold=0.0).collect()}
+    assert all(scored[i]["keep"] for i in range(30))
+    assert not any(scored[30 + i]["keep"] for i in range(30))
+
+
+def test_train_nb_classifier_alpha_and_unigram_modes(spark):
+    """alpha scales the smoothing floor (alpha=3 shrinks |w| vs
+    alpha=1 on the same counts); ngrams=1 trains on unigrams only."""
+    from db_spark.llm.text import train_nb_classifier
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", True), (2, "gamma delta", False)],
+        "doc_id long, text string, label boolean")
+    w1 = {r["idx"]: r["w_ppm"] for r in
+          train_nb_classifier(df, dim=64, ngrams=1).collect()}
+    # unigram-only: 4 tokens hash to (up to) 4 buckets, no bigrams
+    c1 = {_py_h32(t) % 64 for t in ("alpha", "beta")}
+    c0 = {_py_h32(t) % 64 for t in ("gamma", "delta")}
+    assert set(w1) == c1 | c0
+    w3 = {r["idx"]: r["w_ppm"] for r in
+          train_nb_classifier(df, dim=64, ngrams=1, alpha=3).collect()}
+    assert all(abs(w3[i]) < abs(w1[i]) for i in w1)
+
+
 def test_ivf_index_append_equals_rebuild(spark, tmp_path):
     """Appending new vectors to a persisted IVF index must yield probe
     results identical to rebuilding the whole index with the SAME

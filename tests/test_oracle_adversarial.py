@@ -485,6 +485,7 @@ def test_dedup_exact_dirty_text(spark, dirty_dir):
     "bigram_surprisal", "keywords_tfidf", "bm25_topk",
     "repetition_stats", "collocations", "skipgram_counts",
     "span_dup", "hashed_features", "redact_pii", "classifier_score",
+    "nb_train",
 ])
 def test_tokenizer_tier_dirty_text(spark, dirty_dir, key):
     _assert_engines_agree(spark, dirty_dir, key)

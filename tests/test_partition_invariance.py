@@ -43,6 +43,10 @@ KEYS = [
     # r10: integer covariance fold + driver-side bigint power iteration
     # (a float fold here would make the component run-dependent)
     "pca_project",
+    # r11: NB training — per-class bucket counts + fixed-point integer
+    # log2 (a float log or order-dependent count fold would make the
+    # learned weights run-dependent)
+    "nb_train",
 ]
 
 

@@ -3241,6 +3241,22 @@ def q_pca_project(spark, sf_dir):
     return lsim.pca_project(emb, n_iter=8)
 
 
+def q_pca_topk(spark, sf_dir):
+    """Top-k principal-component projection (db_spark/llm/
+    similarity.py:pca_topk): pca_project's exact-integer moment fold
+    and power iteration, plus integer Hotelling deflation between
+    components (C - g*trunc(y y^T / w^T y), y = C w), so PC1..PC3
+    emerge in descending-eigenvalue order with every step replayable
+    in HUGEINT by the oracle. The distributed cost is unchanged from
+    pca_project (ONE dim^2 exchange + one map-only projection pass
+    emitting all three columns); deflation is driver-side bigint on
+    the model-sized matrix."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsim.pca_topk(emb, k=3, n_iter=8)
+
+
 def q_temperature_sample(spark, sf_dir):
     """Temperature-flattened language mixture (tau=0.5): downsample each
     language at sqrt(c_min/c_lang) by stable doc-id hash — rarest
@@ -5028,6 +5044,121 @@ def _pca_project_oracle(n_iter: int = 8) -> str:
     """
 
 
+def _pca_topk_oracle(k: int = 3, n_iter: int = 8) -> str:
+    """Mirror of llm.similarity.pca_topk: the pca_project moment fold
+    and per-component power iteration, plus the integer Hotelling
+    DEFLATION between components — y = C w renormalized by one
+    truncating shift g, s = w^T y, D = C - g * trunc(y_i y_j / s),
+    re-renormalized to <= 1e17 — all HUGEINT so every component
+    replays the engine's python-bigint chain exactly (DuckDB ``//``
+    truncates toward zero on HUGEINT too, verified)."""
+    parts = []
+    for m in range(1, k + 1):
+        # power iteration on matrix c{m}
+        prev = f"w{m}_0"
+        parts.append(f"""
+            w{m}_0 AS MATERIALIZED (SELECT i, CAST(1000000000 AS HUGEINT)
+                                           AS w FROM side)""")
+        for t in range(1, n_iter + 1):
+            parts.append(f"""
+            y{m}_{t} AS MATERIALIZED (SELECT c.i,
+                            CAST(SUM(c.cij * w.w) AS HUGEINT) AS y
+                     FROM c{m} c JOIN {prev} w ON w.i = c.j GROUP BY 1),
+            mx{m}_{t} AS MATERIALIZED (SELECT max(abs(y)) AS mx
+                                       FROM y{m}_{t}),
+            w{m}_{t} AS MATERIALIZED (SELECT y{m}_{t}.i,
+                            CASE WHEN mx{m}_{t}.mx = 0 THEN wp.w
+                                 ELSE (y{m}_{t}.y * 1000000000)
+                                      // mx{m}_{t}.mx
+                            END AS w
+                     FROM y{m}_{t} CROSS JOIN mx{m}_{t}
+                     JOIN {prev} wp ON wp.i = y{m}_{t}.i)""")
+            prev = f"w{m}_{t}"
+        parts.append(f"""
+            pin{m} AS MATERIALIZED (SELECT w FROM {prev}
+                                    ORDER BY abs(w) DESC, i ASC LIMIT 1),
+            wf{m} AS MATERIALIZED (SELECT i,
+                       CASE WHEN (SELECT w FROM pin{m}) < 0 THEN -w
+                            ELSE w END AS w
+                     FROM {prev})""")
+        if m < k:
+            parts.append(f"""
+            yd{m} AS MATERIALIZED (SELECT c.i,
+                          CAST(SUM(c.cij * w.w) AS HUGEINT) AS y
+                   FROM c{m} c JOIN wf{m} w ON w.i = c.j GROUP BY 1),
+            g{m} AS MATERIALIZED (
+                SELECT CASE WHEN coalesce(max(abs(y)), 0)
+                                 // 100000000000000000 < 1 THEN 1
+                            ELSE max(abs(y)) // 100000000000000000
+                       END AS g FROM yd{m}),
+            yn{m} AS MATERIALIZED (SELECT i,
+                          y // (SELECT g FROM g{m}) AS y FROM yd{m}),
+            s{m} AS MATERIALIZED (SELECT CAST(SUM(w.w * y.y) AS HUGEINT)
+                                         AS s
+                   FROM wf{m} w JOIN yn{m} y ON y.i = w.i),
+            d{m} AS MATERIALIZED (SELECT a.i, a.j,
+                   CASE WHEN (SELECT s FROM s{m}) <= 0 THEN a.cij
+                        ELSE a.cij - (SELECT g FROM g{m})
+                             * ((ya.y * yb.y) // (SELECT s FROM s{m}))
+                   END AS cij
+                   FROM c{m} a JOIN yn{m} ya ON ya.i = a.i
+                               JOIN yn{m} yb ON yb.i = a.j),
+            cdiv{m + 1} AS MATERIALIZED (
+                SELECT CASE WHEN coalesce(max(abs(cij)), 0)
+                                 // 100000000000000000 < 1 THEN 1
+                            ELSE max(abs(cij)) // 100000000000000000
+                       END AS d
+                FROM d{m}),
+            c{m + 1} AS MATERIALIZED (SELECT i, j,
+                          cij // (SELECT d FROM cdiv{m + 1}) AS cij
+                   FROM d{m})""")
+    unrolled = ",".join(parts)
+    proj_cols = ",\n               ".join(
+        f"round(CAST(SUM(CAST(e.a AS HUGEINT) * wf{m}.w) AS DOUBLE)"
+        f" / 1000000.0 / 1000000000.0, 6) + CAST(0 AS DOUBLE) AS pc{m}"
+        for m in range(1, k + 1))
+    proj_joins = "\n        ".join(
+        f"JOIN wf{m} ON wf{m}.i = e.i" for m in range(1, k + 1))
+    return f"""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, u.i AS i,
+                 CAST(round(
+                   CASE WHEN u.x > 1000000.0 THEN 1000000.0
+                        WHEN u.x < -1000000.0 THEN -1000000.0
+                        ELSE u.x END * 1000000) AS BIGINT) AS a
+          FROM embeddings,
+               unnest(list_transform(embedding,
+                   (x, i) -> struct_pack(i := i,
+                                         x := CAST(x AS DOUBLE)))) AS t(u)),
+        mom AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+                       coalesce(CAST(SUM(CAST(a.a AS HUGEINT) * b.a)
+                                     AS HUGEINT), 0) AS s
+                FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2),
+        side AS MATERIALIZED (SELECT i,
+                        coalesce(CAST(SUM(CAST(a AS HUGEINT)) AS HUGEINT),
+                                 0) AS m
+                 FROM e GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM e WHERE i = 1),
+        c0 AS MATERIALIZED (SELECT mom.i, mom.j,
+                     (SELECT n FROM nn) * mom.s - ma.m * mb.m AS cij
+              FROM mom JOIN side ma ON ma.i = mom.i
+                       JOIN side mb ON mb.i = mom.j),
+        cdiv1 AS MATERIALIZED (
+            SELECT CASE WHEN coalesce(max(abs(cij)), 0)
+                             // 100000000000000000 < 1 THEN 1
+                        ELSE max(abs(cij)) // 100000000000000000 END AS d
+            FROM c0),
+        c1 AS MATERIALIZED (SELECT i, j,
+                                   cij // (SELECT d FROM cdiv1) AS cij
+                            FROM c0),
+        {unrolled}
+        SELECT e.vec_id,
+               {proj_cols}
+        FROM e {proj_joins}
+        GROUP BY e.vec_id
+    """
+
+
 def _semantic_dedup_oracle(n_cells: int = 16, threshold: float = 0.95,
                            n_iter: int = 2, scale: int = 1_000_000) -> str:
     """Mirror of llm.similarity.semantic_dedup over the perturbed-union
@@ -5607,8 +5738,10 @@ _REGISTRY_KEYS: list[str] = [
     "mjpeg_features",
     "classifier_score",
     "pca_project",
-    # r11 additions: NB training (closes the model-based filtering loop)
+    # r11 additions: NB training (closes the model-based filtering
+    # loop) and top-k PCA via integer deflation
     "nb_train",
+    "pca_topk",
 ]
 
 
@@ -7011,6 +7144,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semantic_dedup": _semantic_dedup_oracle(),
         "pca_project": _pca_project_oracle(n_iter=8),
+        "pca_topk": _pca_topk_oracle(k=3, n_iter=8),
         "collocations": f"""
             WITH tok AS (SELECT {_TOKS} AS toks FROM documents),
             uc AS (SELECT w, count(*) AS cw

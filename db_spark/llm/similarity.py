@@ -1079,6 +1079,43 @@ def pca_project(
     dim·scale·clamp·comp_scale ≈ 1e23 — DECIMAL(38,0) again. Returns
     (id, pc1 DOUBLE): the projection in the original vector units.
     """
+    c, d = _pca_centered_matrix(corpus, id_col, vec_col, scale, clamp)
+    if d == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} long, pc1 double")
+    w = _pca_power_iterate(c, d, n_iter, comp_scale)
+    return _pca_project_components(
+        corpus, [w], id_col, vec_col, scale, comp_scale, clamp)
+
+
+def _pca_trunc_div(a: int, b: int) -> int:
+    q = abs(a) // b  # b > 0; truncation toward zero via |a|
+    return q if a >= 0 else -q
+
+
+def _pca_renorm17(c: "list[list[int]]") -> "list[list[int]]":
+    """Renormalize a symmetric integer matrix to |entries| <= 1e17 (the
+    eigenvectors are scale-invariant): keeps the iteration inside the
+    oracle's HUGEINT range — |y| <= dim * 1e17 * comp_scale ~ 6.4e27,
+    so y * comp_scale <= 6.4e36 < 1.7e38 — while python bigints would
+    silently diverge from the 128-bit oracle beyond that (caught by the
+    dirty fixture's clamped 1e30-magnitude probes). Same truncating
+    division on both engines, so the renormalized matrix is
+    bit-identical."""
+    cmax = max((abs(v) for row in c for v in row), default=0)
+    cdiv = max(1, cmax // 10**17)
+    if cdiv > 1:
+        c = [[_pca_trunc_div(v, cdiv) for v in row] for row in c]
+    return c
+
+
+def _pca_centered_matrix(
+    corpus: DataFrame, id_col: str, vec_col: str, scale: int, clamp: float,
+) -> "tuple[list[list[int]], int]":
+    """Stage 1 of pca_project/pca_topk: the distributed exact-integer
+    moment fold (ONE dim^2-cardinality exchange), the model-sized
+    driver fetch, and the centered matrix C'_ij = n s_ij - m_i m_j,
+    renormalized to <= 1e17. Returns (C', dim); dim 0 on empty input."""
     arr = F.col(vec_col).cast("array<double>")
     x = F.col("_x")
     cx = (F.when(x > clamp, F.lit(clamp))
@@ -1108,8 +1145,7 @@ def pca_project(
              F.count(F.lit(1)).cast("long").alias("_n"))
     ).collect()
     if not side:
-        return corpus.sparkSession.createDataFrame(
-            [], f"{id_col} long, pc1 double")
+        return [], 0
     d = max(r["_i"] for r in side) + 1
     # n = number of vectors (the count at component 0 — every non-empty
     # vector has one), not whichever row collect() returned first
@@ -1123,49 +1159,136 @@ def pca_project(
         if r["_s"] is not None:
             s[r["_i"]][r["_j"]] = int(r["_s"])
     c = [[n * s[i][j] - m[i] * m[j] for j in range(d)] for i in range(d)]
+    return _pca_renorm17(c), d
 
-    def _trunc_div(a: int, b: int) -> int:
-        q = abs(a) // b  # b > 0; truncation toward zero via |a|
-        return q if a >= 0 else -q
 
-    # Renormalize C' to |entries| <= 1e17 (the dominant eigenvector is
-    # scale-invariant): keeps the iteration inside the oracle's HUGEINT
-    # range — |y| <= dim * 1e17 * comp_scale ~ 6.4e27, so y * comp_scale
-    # <= 6.4e36 < 1.7e38 — while python bigints would silently diverge
-    # from the 128-bit oracle beyond that (caught by the dirty fixture's
-    # clamped 1e30-magnitude probes). Same truncating division on both
-    # engines, so the renormalized matrix is bit-identical.
-    cmax = max((abs(v) for row in c for v in row), default=0)
-    cdiv = max(1, cmax // 10**17)
-    if cdiv > 1:
-        c = [[_trunc_div(v, cdiv) for v in row] for row in c]
-
+def _pca_power_iterate(
+    c: "list[list[int]]", d: int, n_iter: int, comp_scale: int,
+) -> "list[int]":
+    """Stage 2: exact python-bigint power iteration from the all-ones
+    vector, renormalized each step by truncating division toward zero
+    (matches BIGINT/HUGEINT ``//``) to comp_scale; sign pinned by the
+    largest-|coordinate| (ties -> lowest index) made positive."""
     w = [comp_scale] * d  # all-ones init at component scale
     for _ in range(n_iter):
         y = [sum(c[i][j] * w[j] for j in range(d)) for i in range(d)]
         mx = max(abs(v) for v in y)
         if mx == 0:
             break
-        w = [_trunc_div(v * comp_scale, mx) for v in y]
+        w = [_pca_trunc_div(v * comp_scale, mx) for v in y]
     pin = max(range(d), key=lambda i: (abs(w[i]), -i))
     if w[pin] < 0:
         w = [-v for v in w]
+    return w
 
-    wlit = F.array(*[F.lit(int(v)) for v in w])
+
+def _pca_deflate(
+    c: "list[list[int]]", w: "list[int]",
+) -> "list[list[int]]":
+    """Hotelling-style deflation in the same pinned integer arithmetic:
+    with y = C w (exactly the power-iteration product, so it inherits
+    that bound), renormalized to |y| <= 1e17 by one truncating shift,
+    and s' = w^T y' (the Rayleigh numerator, > 0 for any nonzero
+    direction of the PSD C), subtract the rank-1 estimate
+    D_ij = C_ij - g * trunc(y'_i y'_j / s') where g is the y
+    renormalization divisor — exactly y y^T / (w^T y) up to pinned
+    truncation (the ratio is quadratic over linear in y, so the 1/g
+    normalization leaves a residual factor g that must multiply BACK).
+    For the converged eigenpair this removes lambda v v^T while
+    leaving orthogonal eigendirections intact. Every intermediate fits
+    HUGEINT: y'_i y'_j <= 1e34; the quotient is ~|y'|/|w| <= ~1e9
+    before the g (<= 6.4e10) multiply — so the oracle replays it
+    exactly; truncation noise is +-g per entry, <= 1e11 against the
+    1e17-scale signal. s' <= 0 (zero matrix) skips deflation."""
+    d = len(w)
+    y = [sum(c[i][j] * w[j] for j in range(d)) for i in range(d)]
+    g = max(1, max((abs(v) for v in y), default=0) // 10**17)
+    y = [_pca_trunc_div(v, g) for v in y]
+    s = sum(w[i] * y[i] for i in range(d))
+    if s <= 0:
+        return _pca_renorm17(c)
+    out = [[c[i][j] - g * _pca_trunc_div(y[i] * y[j], s)
+            for j in range(d)] for i in range(d)]
+    return _pca_renorm17(out)
+
+
+def _pca_project_components(
+    corpus: DataFrame, comps: "list[list[int]]", id_col: str,
+    vec_col: str, scale: int, comp_scale: int, clamp: float,
+) -> DataFrame:
+    """Stage 3: map-only exact-integer projection of every vector onto
+    each component literal — ONE explode and ONE (id) aggregate emit
+    all k columns (pc1..pck DOUBLE, rounded 6, -0.0-normalized)."""
+    arr = F.col(vec_col).cast("array<double>")
+    x = F.col("_x")
+    cx = (F.when(x > clamp, F.lit(clamp))
+           .when(x < -clamp, F.lit(-clamp)).otherwise(x))
     proj = corpus.select(
-        F.col(id_col), arr.alias("_v"),
+        F.col(id_col),
         F.posexplode(arr).alias("_i", "_x"),
     ).select(
         id_col, "_i",
         F.round(cx * scale).cast("long").alias("_a"),
-        F.element_at(wlit, F.col("_i") + 1).alias("_w"))
+        *[F.element_at(F.array(*[F.lit(int(v)) for v in w]),
+                       F.col("_i") + 1).alias(f"_w{k}")
+          for k, w in enumerate(comps, 1)])
+    aggs = [
+        F.sum(F.col("_a").cast("decimal(38,0)") * F.col(f"_w{k}"))
+        .cast("decimal(38,0)").alias(f"_dot{k}")
+        for k in range(1, len(comps) + 1)]
     return (
         proj.groupBy(id_col)
-        .agg(F.sum(F.col("_a").cast("decimal(38,0)") * F.col("_w"))
-             .cast("decimal(38,0)").alias("_dot"))
+        .agg(*aggs)
         .select(
             F.col(id_col),
-            (F.round((F.col("_dot").cast("double")
-                      / float(scale) / float(comp_scale)), 6)
-             + F.lit(0.0)).alias("pc1"))
+            *[(F.round((F.col(f"_dot{k}").cast("double")
+                        / float(scale) / float(comp_scale)), 6)
+               + F.lit(0.0)).alias(f"pc{k}")
+              for k in range(1, len(comps) + 1)])
     )
+
+
+def pca_topk(
+    corpus: DataFrame, k: int = 2, n_iter: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    scale: int = 1_000_000, comp_scale: int = 1_000_000_000,
+    clamp: float = 1_000_000.0,
+) -> DataFrame:
+    """Project every embedding onto the corpus's TOP-K principal
+    components — the full dimensionality-reduction primitive
+    (whitening inputs, drift axes, coarse bucketing) extending
+    :func:`pca_project` beyond the dominant direction. Same three-stage
+    design and the same determinism contract: the moment fold, the
+    power iteration, AND the between-component DEFLATION all run in
+    exact pinned integer arithmetic, so every component and every
+    projection is bit-identical on any engine and partitioning, and a
+    SQL oracle can replay the whole chain in HUGEINT.
+
+    After each converged component, :func:`_pca_deflate` subtracts the
+    integer rank-1 estimate (C - trunc(y y^T / w^T y) with y = C w)
+    and the next power iteration runs on the deflated matrix —
+    orthogonal eigendirections are untouched, so components emerge in
+    descending-eigenvalue order. The DISTRIBUTED cost is unchanged
+    from pca_project: ONE dim^2-cardinality exchange for the moments
+    (corpus-independent) and one map-only projection pass emitting all
+    k columns; deflation is driver-side python-bigint on the
+    model-sized matrix (k * dim^2 multiplies — microseconds at any
+    corpus size). Components beyond the matrix rank come out as the
+    frozen iteration vector (documented garbage — pass k <= rank).
+    Returns (id, pc1..pck DOUBLE) in original vector units.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    c, d = _pca_centered_matrix(corpus, id_col, vec_col, scale, clamp)
+    if d == 0:
+        schema = ", ".join([f"{id_col} long"]
+                           + [f"pc{i} double" for i in range(1, k + 1)])
+        return corpus.sparkSession.createDataFrame([], schema)
+    comps = []
+    for comp in range(k):
+        w = _pca_power_iterate(c, d, n_iter, comp_scale)
+        comps.append(w)
+        if comp < k - 1:
+            c = _pca_deflate(c, w)
+    return _pca_project_components(
+        corpus, comps, id_col, vec_col, scale, comp_scale, clamp)

@@ -176,6 +176,13 @@ INT_SUM_BOUNDS: dict[str, str] = {
                    "iteration is python-bigint (unbounded) with the "
                    "C' matrix renormalized to <= 1e17 so the HUGEINT "
                    "oracle replay stays in range",
+    "pca_topk": "same doctrine as pca_project (all folds HUGEINT/"
+                "DECIMAL(38,0), never int64) plus the deflation chain: "
+                "y = C*w <= dim*1e17*1e9 = 6.4e27, renormalized to "
+                "<= 1e17 before s = w^T y <= dim*1e9*1e17 = 6.4e27; "
+                "the rank-1 quotient (y_i*y_j)//s <= 1e34/s with the "
+                "g (<= 6.4e10) multiply applied AFTER the divide, so "
+                "every intermediate stays far inside HUGEINT",
     "classifier_score": "w is ppm-scaled and range-bounded by "
                         "construction: |w| <= 10000 (hash % 20001 - "
                         "10000), summed per DOCUMENT over its "

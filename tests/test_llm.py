@@ -2069,3 +2069,48 @@ def test_pca_project_deterministic_and_guards(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert similarity.pca_project(empty).collect() == []
+
+def test_pca_topk_matches_numpy_eigendecomposition(spark):
+    """Each deflated component must land on numpy's k-th eigenvector
+    (|corr| ~ 1 per projected component, on data with a planted
+    3-direction spectrum), and pc1 must be IDENTICAL to pca_project's
+    (the shared power-iteration path)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    dirs = np.linalg.qr(rng.randn(6, 6))[0][:, :3]
+    t = rng.randn(300, 3) * np.array([8.0, 4.0, 2.0])
+    X = t @ dirs.T + rng.randn(300, 6) * 0.1
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["pc1"], r["pc2"], r["pc3"]) for r in
+           similarity.pca_topk(df, k=3, n_iter=12).collect()}
+    got = np.array([out[i] for i in range(300)])
+    evecs = np.linalg.eigh(np.cov(X.T, bias=True))[1]
+    for c in range(3):
+        ref = X @ evecs[:, -1 - c]
+        corr = abs(float(np.corrcoef(got[:, c], ref)[0, 1]))
+        assert corr > 0.999, f"pc{c + 1} corr {corr}"
+    p1 = {r["vec_id"]: r["pc1"] for r in
+          similarity.pca_project(df, n_iter=12).collect()}
+    assert all(p1[i] == out[i][0] for i in range(300))
+
+
+def test_pca_topk_deterministic_and_guards(spark):
+    """Partition invariance across all k components, clamping totality,
+    k validation, and empty input."""
+    import pytest as _pytest
+
+    rows = [(1, [1.0, 2.0, 0.5]), (2, [2.0, 3.9, -1.0]),
+            (3, [1e30, -5.0, 2.0]), (4, [0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, similarity.pca_topk(df.repartition(1), k=2).collect()))
+    b = sorted(map(tuple, similarity.pca_topk(df.repartition(7), k=2).collect()))
+    assert a == b and len(a) == 4
+
+    with _pytest.raises(ValueError, match="k must be"):
+        similarity.pca_topk(df, k=0)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = similarity.pca_topk(empty, k=2)
+    assert out.collect() == [] and out.columns == ["vec_id", "pc1", "pc2"]

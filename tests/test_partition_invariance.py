@@ -47,6 +47,9 @@ KEYS = [
     # log2 (a float log or order-dependent count fold would make the
     # learned weights run-dependent)
     "nb_train",
+    # r11: deflated top-k PCA — the deflation chain amplifies any
+    # partition sensitivity in the moment fold across components
+    "pca_topk",
 ]
 
 

@@ -4153,7 +4153,9 @@ def q_bloom_prefilter(spark, sf_dir):
 
 from db_spark.llm.dedup import DEFAULT_MAX_SHINGLE_DF as _MAX_SHINGLE_DF
 
-_TOKS = "regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z'']+')"
+_LOW = ("translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+        "'abcdefghijklmnopqrstuvwxyz')")
+_TOKS = f"regexp_extract_all({_LOW}, '[a-z'']+')"
 _SHINGLES = (
     "list_distinct(list_transform(range(1, greatest(len({toks})-1, 1)), "
     "i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))"
@@ -5511,6 +5513,10 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # companions (counts/lanes/v2) are retired from the registry. Clear
     # this entry once CORRECTNESS_r11 carries json_agg's fresh row.
     "json_agg",
+    # r11: winnow_spans gained a_char_start/a_char_end/b_char_start/
+    # b_char_end (token->char-offset map join); the r10 row is evidence
+    # for the token-offset-only form. Clear once the r11 row lands.
+    "winnow_spans",
 })
 
 
@@ -7133,14 +7139,51 @@ def oracle_sql() -> dict[str, str]:
                            SUM(nf) OVER (PARTITION BY id_a, id_b, diag
                                ORDER BY pa ROWS BETWEEN UNBOUNDED PRECEDING
                                AND CURRENT ROW) AS grp
-                    FROM fl)
-            SELECT id_a, id_b,
-                   CAST(min(pa) AS BIGINT) AS a_start,
-                   CAST(max(pa) + 3 AS BIGINT) AS a_end,
-                   CAST(min(pa) + diag AS BIGINT) AS b_start,
-                   CAST(max(pa) + 3 + diag AS BIGINT) AS b_end,
-                   CAST(count(*) AS BIGINT) AS n_anchors
-            FROM isl GROUP BY id_a, id_b, diag, grp
+                    FROM fl),
+            sp AS (SELECT id_a, id_b,
+                          CAST(min(pa) AS BIGINT) AS a_start,
+                          CAST(max(pa) + 3 AS BIGINT) AS a_end,
+                          CAST(min(pa) + diag AS BIGINT) AS b_start,
+                          CAST(max(pa) + 3 + diag AS BIGINT) AS b_end,
+                          CAST(count(*) AS BIGINT) AS n_anchors
+                   FROM isl GROUP BY id_a, id_b, diag, grp),
+            -- token -> char-offset map (r11): split the lowered text
+            -- on the token regex (separator pieces, leading/trailing
+            -- empties kept like Java split limit -1), interleave seps
+            -- (key 2i) with tokens (key 2n-1), one running sum
+            ev AS (
+              SELECT doc_id, 2 * (u.i - 1) AS k, length(u.x) AS l
+              FROM (SELECT doc_id,
+                           unnest(list_transform(
+                               regexp_split_to_array({_LOW},
+                                                     '[a-z'']+'),
+                               (x, i) -> struct_pack(i := i, x := x)))
+                               AS u
+                    FROM documents)
+              UNION ALL
+              SELECT doc_id, 2 * u.i - 1 AS k, length(u.x) AS l
+              FROM (SELECT doc_id,
+                           unnest(list_transform({_TOKS},
+                               (x, i) -> struct_pack(i := i, x := x)))
+                               AS u
+                    FROM documents)),
+            om AS (
+              SELECT doc_id, (k + 1) // 2 AS tp,
+                     1 + coalesce(SUM(l) OVER (PARTITION BY doc_id
+                         ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS cs,
+                     l AS tl
+              FROM ev QUALIFY k % 2 = 1)
+            SELECT id_a, id_b, a_start, a_end, b_start, b_end, n_anchors,
+                   CAST(oas.cs AS BIGINT) AS a_char_start,
+                   CAST(oae.cs + oae.tl - 1 AS BIGINT) AS a_char_end,
+                   CAST(obs.cs AS BIGINT) AS b_char_start,
+                   CAST(obe.cs + obe.tl - 1 AS BIGINT) AS b_char_end
+            FROM sp
+            JOIN om oas ON oas.doc_id = sp.id_a AND oas.tp = sp.a_start
+            JOIN om oae ON oae.doc_id = sp.id_a AND oae.tp = sp.a_end
+            JOIN om obs ON obs.doc_id = sp.id_b AND obs.tp = sp.b_start
+            JOIN om obe ON obe.doc_id = sp.id_b AND obe.tp = sp.b_end
         """,
         "semantic_dedup": _semantic_dedup_oracle(),
         "pca_project": _pca_project_oracle(n_iter=8),

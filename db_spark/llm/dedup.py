@@ -1179,6 +1179,49 @@ def winnow_fingerprints(
     )
 
 
+def _token_char_offsets(
+    df: DataFrame, id_col: str, text_col: str,
+) -> DataFrame:
+    """Token -> character-offset map for the pinned ``[a-z']+``
+    tokenizer over ascii_lower'd text: (_oid, _tp 1-based token
+    position, _cs/_ce 1-based inclusive codepoint offsets into the
+    ORIGINAL text — ascii_lower is a length-preserving character map).
+
+    Relational shape: the SAME regex that extracts tokens also SPLITS
+    the text into the separator pieces between them (n_tokens + 1
+    pieces, leading/trailing empties kept identically by Java split
+    with limit -1 and DuckDB regexp_split_to_array); interleave both
+    by position key (sep_i at 2i, tok_n at 2n-1) and one running-sum
+    window over the key gives every token's start offset — one
+    explode + one union + ONE window pass at token cardinality, no
+    per-character work, no UDFs."""
+    low = ascii_lower(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("_oid"),
+        F.regexp_extract_all(low, F.lit(r"[a-z']+"), 0).alias("_tks"),
+        F.split(low, r"[a-z']+").alias("_sps"))
+    tokrows = base.select(
+        "_oid", F.posexplode("_tks").alias("_i0", "_x")
+    ).select("_oid", (F.col("_i0") * 2 + 1).alias("_k"),
+             F.length("_x").alias("_l"))
+    seprows = base.select(
+        "_oid", F.posexplode("_sps").alias("_i0", "_x")
+    ).select("_oid", (F.col("_i0") * 2).alias("_k"),
+             F.length("_x").alias("_l"))
+    wd = (Window.partitionBy("_oid").orderBy("_k")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        tokrows.unionByName(seprows)
+        .select("_oid", "_k", "_l",
+                (F.coalesce(F.sum("_l").over(wd), F.lit(0)) + 1)
+                .alias("_cs"))
+        .filter(F.col("_k") % 2 == 1)
+        .select("_oid", ((F.col("_k") + 1) / 2).cast("long").alias("_tp"),
+                F.col("_cs").cast("long").alias("_cs"),
+                (F.col("_cs") + F.col("_l") - 1).cast("long").alias("_ce"))
+    )
+
+
 def winnow_overlap(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 4, w: int = 4, min_shared: int = 2,
@@ -1212,12 +1255,22 @@ def winnow_overlap(
     ``merge_gap`` tokens (default ``k + w - 1``, the winnowing
     guarantee length — two selected grams of one shared run are never
     further apart) merge into one passage. Returns one row per aligned
-    passage: (id_a, id_b, a_start, a_end, b_start, b_end, n_anchors)
-    with 1-based inclusive token offsets, only for pairs that qualify
-    at ``min_shared``. Cost on top of stats mode: the anchor join
-    carries positions (occurrence-, not distinct-, cardinality) and
-    the passage merge is one window pass partitioned by (pair,
-    diagonal) — same exchange count class, skew-safe under AQE.
+    passage: (id_a, id_b, a_start, a_end, b_start, b_end, n_anchors,
+    a_char_start, a_char_end, b_char_start, b_char_end) — token
+    offsets 1-based inclusive, plus (r11) 1-based inclusive CODEPOINT
+    offsets into the original text (ascii_lower is length-preserving,
+    so lowered-text offsets ARE original-text offsets) so consumers
+    (dedup removal, MOSS-style display) can cut passages without
+    re-tokenizing. The char map comes from ONE split of the text on
+    the token regex (separator pieces) interleaved with the tokens by
+    position key and a single running-sum window pass at token
+    cardinality; spans then look their four endpoints up against the
+    plan-cached map. Cost on top of stats mode: the anchor join
+    carries positions (occurrence-, not distinct-, cardinality), the
+    passage merge is one window pass partitioned by (pair, diagonal),
+    and the char lookups are four joins of span-cardinality rows
+    against the token-cardinality map — all the same exchange class,
+    skew-safe under AQE.
     """
     if output not in ("stats", "spans"):
         raise ValueError(
@@ -1271,7 +1324,7 @@ def winnow_overlap(
         isl = flagged.withColumn(
             "_isl", F.sum("_new").over(
                 wp.rowsBetween(Window.unboundedPreceding, 0)))
-        return (
+        spans = (
             isl.groupBy("id_a", "id_b", "_diag", "_isl")
             .agg(F.min("_pa").alias("_s"), F.max("_pa").alias("_e"),
                  F.count(F.lit(1)).alias("_n"))
@@ -1283,6 +1336,23 @@ def winnow_overlap(
                 (F.col("_e") + (k - 1) + F.col("_diag")).cast("long")
                 .alias("b_end"),
                 F.col("_n").cast("long").alias("n_anchors")))
+        om = _plan_cache(_token_char_offsets(df, id_col, text_col))
+        for side, tok_col, cs_name, ce_name in (
+                ("id_a", "a_start", "a_char_start", None),
+                ("id_a", "a_end", None, "a_char_end"),
+                ("id_b", "b_start", "b_char_start", None),
+                ("id_b", "b_end", None, "b_char_end")):
+            sel = [F.col("_oid").alias(side),
+                   F.col("_tp").alias(tok_col)]
+            if cs_name:
+                sel.append(F.col("_cs").alias(cs_name))
+            if ce_name:
+                sel.append(F.col("_ce").alias(ce_name))
+            spans = spans.join(om.select(*sel), [side, tok_col])
+        return spans.select(
+            "id_a", "id_b", "a_start", "a_end", "b_start", "b_end",
+            "n_anchors", "a_char_start", "a_char_end",
+            "b_char_start", "b_char_end")
     nf = fp.groupBy("_fid").agg(F.count(F.lit(1)).alias("_nfp"))
     na = nf.select(F.col("_fid").alias("id_a"), F.col("_nfp").alias("_na"))
     nb = nf.select(F.col("_fid").alias("id_b"), F.col("_nfp").alias("_nb"))

@@ -648,3 +648,31 @@ def test_jpeg_truncated_ecs_raises_value_error():
     for cut in (ecs_at + 1, len(full) - 8):
         with pytest.raises(ValueError, match="invalid JPEG"):
             J.decode_jpeg(full[:cut])
+
+
+def test_jpeg_decoder_hand_assembled_411_color():
+    """4:1:1 (Y h=4,v=1): one MCU = 4 Y blocks + Cb + Cr for a 32x8
+    image; chroma replicates 4x horizontally only — the remaining
+    common baseline subsampling after 4:2:0/4:2:2/4:4:4/gray. Same
+    analytic BT.601 expectations as the 4:2:2 test (flat Y=100,
+    Cb=+40, Cr=-24)."""
+    y_bits = ("110" + "00011" + "1010"            # block 1: dc -28
+              + ("00" + "1010") * 3)              # blocks 2-4: diff 0
+    cb_bits = "111110" + "101000" + "00"          # +40
+    cr_bits = "11110" + "00111" + "00"            # -24
+    payload = (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+        + _seg(0xDB, bytes([0x01]) + bytes([8] * 64))
+        + _seg(0xC0, bytes([8, 0, 8, 0, 32, 3,
+                            1, 0x41, 0, 2, 0x11, 1, 3, 0x11, 1]))
+        + _dht(0x00, J.K_DC_LUMA) + _dht(0x10, J.K_AC_LUMA)
+        + _dht(0x01, J.K_DC_CHROMA) + _dht(0x11, J.K_AC_CHROMA)
+        + _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        + _bits_to_ecs(y_bits + cb_bits + cr_bits)
+        + b"\xff\xd9")
+    w, h, c, px = J.decode_jpeg(payload)
+    assert (w, h, c) == (32, 8, 3)
+    assert (px[:, :, 0] == 66).all()
+    assert (px[:, :, 1] == 103).all()
+    assert (px[:, :, 2] == 171).all()

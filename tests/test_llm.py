@@ -1962,6 +1962,32 @@ def test_winnow_spans_separates_distant_runs(spark):
         assert r["b_start"] == r["a_start"] and r["b_end"] == r["a_end"]
 
 
+def test_winnow_spans_char_offsets_cut_matching_text(spark):
+    """The r11 char columns must be REAL offsets into the ORIGINAL
+    text: slicing [char_start-1:char_end] out of each document yields
+    case-insensitively identical passages (the aligned run), across
+    messy punctuation, uppercase, and multi-space separators that make
+    token and char positions diverge."""
+    shared = "The Quick brown FOX jumps over the lazy dog again and again"
+    texts = {
+        1: "AAA!! weird   prefix,, (x) " + shared + " ... trailing!!",
+        2: "completely different opening -- words here; then: " + shared,
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string")
+    out = dedup.winnow_overlap(
+        df, k=4, w=4, min_shared=1, output="spans").collect()
+    assert len(out) >= 1
+    for r in out:
+        a = texts[r["id_a"]][r["a_char_start"] - 1:r["a_char_end"]]
+        b = texts[r["id_b"]][r["b_char_start"] - 1:r["b_char_end"]]
+        # the cut starts and ends exactly on token characters
+        assert a[0].isalpha() or a[0] == "'"
+        assert a[-1].isalpha() or a[-1] == "'"
+        assert a.lower() == b.lower()
+        assert "quick" in a.lower()
+
+
 def test_semantic_dedup_prunes_within_cluster(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),

@@ -3189,6 +3189,27 @@ def q_winnow_spans(spark, sf_dir):
                                  output="spans")
 
 
+def q_winnow_cut(spark, sf_dir):
+    """Span-level dedup REMOVAL (db_spark/llm/dedup.py:
+    remove_char_spans — the Lee et al. 2022 treatment): the aligned
+    passages q_winnow_spans reports are cut out of the HIGHER-id
+    document of each pair (lowest id keeps its copy, the module's
+    survival convention) via their r11 character offsets — merged
+    sorted-sweep intervals, substring-complement reconstruction, one
+    span-cardinality window pass plus one join against the corpus.
+    Every document comes back (untouched ones pass through), so the
+    result IS the deduplicated corpus."""
+    from db_spark.llm import dedup as ldedup
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = ldedup.winnow_overlap(docs, k=4, w=4, min_shared=2,
+                                  output="spans")
+    cut = spans.select(F.col("id_b").alias("id"),
+                       F.col("b_char_start").alias("char_start"),
+                       F.col("b_char_end").alias("char_end"))
+    return ldedup.remove_char_spans(docs, cut)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup semantic deduplication (db_spark/llm/similarity.py:
     semantic_dedup — Abbas et al. 2023): deterministic k-means over the
@@ -5745,9 +5766,10 @@ _REGISTRY_KEYS: list[str] = [
     "classifier_score",
     "pca_project",
     # r11 additions: NB training (closes the model-based filtering
-    # loop) and top-k PCA via integer deflation
+    # loop), top-k PCA via integer deflation, span-level dedup removal
     "nb_train",
     "pca_topk",
+    "winnow_cut",
 ]
 
 
@@ -9306,6 +9328,60 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(0.5 AS DOUBLE)
                      * (CAST(coalesce(sn, 0) AS DOUBLE) / 1e9), 6) AS rbo
         FROM q LEFT JOIN s ON s.query_id = q.query_id
+    """
+    # span-level dedup removal: composes the winnow_spans oracle, then
+    # the same sorted-sweep interval merge (join island iff start <=
+    # running max end + 1), clip, and substring-complement rebuild
+    # (string_agg ORDER BY = the engine's array_sort reconstruction).
+    d["winnow_cut"] = f"""
+        WITH spans AS (SELECT * FROM ({d['winnow_spans']})),
+        rng AS (SELECT id_b AS rid, b_char_start AS s, b_char_end AS e
+                FROM spans),
+        dcs AS (SELECT doc_id AS rid, text, length(text) AS L
+                FROM documents),
+        flg AS (SELECT rid, s, e,
+                       CASE WHEN s > coalesce(max(e) OVER (
+                                PARTITION BY rid ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) + 1
+                            THEN 1 ELSE 0 END AS nf
+                FROM rng),
+        isl AS (SELECT rid, s, e,
+                       SUM(nf) OVER (PARTITION BY rid ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS g
+                FROM flg),
+        mg0 AS (SELECT rid, g, min(s) AS s, max(e) AS e
+                FROM isl GROUP BY 1, 2),
+        mg AS (SELECT mg0.rid, greatest(s, 1) AS s, least(e, L) AS e, L
+               FROM mg0 JOIN dcs ON dcs.rid = mg0.rid
+               WHERE greatest(s, 1) <= least(e, L)),
+        gaps AS (
+          SELECT rid,
+                 coalesce(lag(e) OVER (PARTITION BY rid ORDER BY s), 0)
+                     + 1 AS gs,
+                 s - 1 AS ge
+          FROM mg
+          UNION ALL
+          SELECT rid, max(e) + 1 AS gs, max(L) AS ge FROM mg GROUP BY rid),
+        pc AS (SELECT g.rid, gs,
+                      substr(d.text, CAST(gs AS INT),
+                             CAST(ge - gs + 1 AS INT)) AS p
+               FROM gaps g JOIN dcs d ON d.rid = g.rid WHERE gs <= ge),
+        rb AS (SELECT rid, string_agg(p, '' ORDER BY gs) AS txt
+               FROM pc GROUP BY rid),
+        st AS (SELECT rid, CAST(count(*) AS BIGINT) AS n,
+                      CAST(SUM(e - s + 1) AS BIGINT) AS rm
+               FROM mg GROUP BY rid)
+        SELECT d.rid AS doc_id,
+               coalesce(rb.txt,
+                        CASE WHEN st.n IS NOT NULL THEN '' END,
+                        d.text) AS text,
+               coalesce(st.n, 0) AS n_spans_cut,
+               coalesce(st.rm, 0) AS chars_removed
+        FROM dcs d
+        LEFT JOIN rb ON rb.rid = d.rid
+        LEFT JOIN st ON st.rid = d.rid
     """
     # NB training: identical feature stream to classifier_score, per-
     # class bucket counts, then the SHARED fixed-point integer-log2

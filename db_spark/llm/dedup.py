@@ -1179,6 +1179,102 @@ def winnow_fingerprints(
     )
 
 
+def remove_char_spans(
+    df: DataFrame, spans: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", span_id_col: str = "id",
+    start_col: str = "char_start", end_col: str = "char_end",
+) -> DataFrame:
+    """CUT character ranges out of documents — the consumption half of
+    span-level dedup (winnow_overlap ``output="spans"`` reports WHERE
+    the duplicated passage sits; this removes it, the Lee et al. 2022
+    "Deduplicating Training Data" treatment where only the repeated
+    substring is dropped, not the whole document).
+
+    ``spans`` carries (span_id_col, start_col, end_col) rows of
+    1-based INCLUSIVE codepoint ranges (the winnow span convention).
+    Overlapping and adjacent ranges are merged first (the standard
+    sorted sweep: a range joins the current island iff its start <=
+    running max end + 1 — one window pass at span cardinality), merged
+    ranges are clipped to the document, and the kept text is the
+    ordered concatenation of the complement segments (plain substr —
+    codepoint-based on both engines). Documents without spans pass
+    through untouched.
+
+    Scale shape: everything is span-cardinality until the single join
+    against the document table (docs >> spans normally; AQE picks the
+    side to broadcast); the reconstruction is one (id) aggregate whose
+    per-group state is that document's segment list — bounded by its
+    span count, never corpus-sized. Returns (id, text, n_spans_cut,
+    chars_removed) for EVERY input document.
+    """
+    docs = df.select(F.col(id_col).alias("_rid"),
+                     F.col(text_col).alias("_txt"),
+                     F.length(text_col).alias("_len"))
+    rng = spans.select(F.col(span_id_col).alias("_rid"),
+                       F.col(start_col).cast("long").alias("_s"),
+                       F.col(end_col).cast("long").alias("_e"))
+    ow = Window.partitionBy("_rid").orderBy("_s", "_e")
+    run = F.max("_e").over(ow.rowsBetween(Window.unboundedPreceding, -1))
+    isl = (
+        rng.select(
+            "_rid", "_s", "_e",
+            F.when(F.col("_s") > F.coalesce(run, F.lit(0)) + 1, 1)
+            .otherwise(0).alias("_nf"))
+        .select("_rid", "_s", "_e",
+                F.sum("_nf").over(
+                    ow.rowsBetween(Window.unboundedPreceding, 0))
+                .alias("_g")))
+    merged = (
+        isl.groupBy("_rid", "_g")
+        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
+        .join(docs.select("_rid", "_len"), "_rid")
+        .select("_rid", F.greatest("_s", F.lit(1)).alias("_s"),
+                F.least("_e", F.col("_len")).alias("_e"), "_len")
+        .filter(F.col("_s") <= F.col("_e")))
+    gw = Window.partitionBy("_rid").orderBy("_s")
+    gaps = merged.select(
+        "_rid",
+        (F.coalesce(F.lag("_e").over(gw), F.lit(0)) + 1).alias("_gs"),
+        (F.col("_s") - 1).alias("_ge"))
+    tails = (
+        merged.groupBy("_rid")
+        .agg(F.max("_e").alias("_me"), F.max("_len").alias("_l"))
+        .select("_rid", (F.col("_me") + 1).alias("_gs"),
+                F.col("_l").alias("_ge")))
+    pieces = (
+        gaps.unionByName(tails)
+        .filter(F.col("_gs") <= F.col("_ge"))
+        .join(docs.select("_rid", "_txt"), "_rid")
+        .select("_rid", "_gs",
+                F.expr("substring(_txt, CAST(_gs AS INT), "
+                       "CAST(_ge - _gs + 1 AS INT))").alias("_p")))
+    rebuilt = (
+        pieces.groupBy("_rid")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_gs", "_p"))),
+                lambda s: s["_p"]), "").alias("_out")))
+    stats = (
+        merged.groupBy("_rid")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"),
+             F.sum(F.col("_e") - F.col("_s") + 1)
+             .cast("long").alias("_rm")))
+    return (
+        docs.join(rebuilt, "_rid", "left")
+        .join(stats, "_rid", "left")
+        .select(
+            F.col("_rid").alias(id_col),
+            # a fully-covered document has stats but no pieces -> ''
+            F.coalesce(
+                "_out",
+                F.when(F.col("_n").isNotNull(), F.lit("")),
+                F.col("_txt")).alias(text_col),
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_spans_cut"),
+            F.coalesce("_rm", F.lit(0)).cast("long")
+            .alias("chars_removed"))
+    )
+
+
 def _token_char_offsets(
     df: DataFrame, id_col: str, text_col: str,
 ) -> DataFrame:

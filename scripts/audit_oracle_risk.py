@@ -192,6 +192,10 @@ INT_SUM_BOUNDS: dict[str, str] = {
                         "caller's model, ppm-integer by contract with "
                         "|w_ppm| ~ 1e7 for a +-10 logit, bound ~1e7 * "
                         "doc tokens << 2^63",
+    "winnow_cut": "SUM(e - s + 1) is total characters removed per "
+                  "document: merged disjoint ranges clipped to the "
+                  "document, so the sum <= length(text) — per-doc "
+                  "char-count bounded, << 2^63 for any storable text",
     "nb_train": "both SUM args are 0/1 class indicators (CASE WHEN lab "
                 "THEN 1 ELSE 0); a per-bucket sum is bounded by that "
                 "bucket's feature occurrences <= corpus tokens * 2 "

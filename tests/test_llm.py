@@ -1988,6 +1988,51 @@ def test_winnow_spans_char_offsets_cut_matching_text(spark):
         assert "quick" in a.lower()
 
 
+def test_remove_char_spans_edge_cases(spark):
+    """Interval merge (overlap AND adjacency), clipping past the text
+    end, full-document coverage -> empty string, and untouched
+    pass-through — the documented remove_char_spans contract."""
+    docs = spark.createDataFrame([
+        (1, "abcdefghij"), (2, "0123456789"), (3, "untouched"), (4, "xyz"),
+    ], "doc_id long, text string")
+    spans = spark.createDataFrame([
+        (1, 2, 4), (1, 4, 6),    # overlap -> merge to 2-6
+        (1, 9, 15),              # clipped to 9-10
+        (2, 1, 10),              # full coverage
+        (4, 1, 1), (4, 2, 2),    # adjacent -> merge to 1-2
+    ], "id long, char_start long, char_end long")
+    out = {r["doc_id"]: r for r in
+           dedup.remove_char_spans(docs, spans).collect()}
+    assert (out[1]["text"], out[1]["n_spans_cut"],
+            out[1]["chars_removed"]) == ("agh", 2, 7)
+    assert (out[2]["text"], out[2]["chars_removed"]) == ("", 10)
+    assert (out[3]["text"], out[3]["n_spans_cut"]) == ("untouched", 0)
+    assert (out[4]["text"], out[4]["n_spans_cut"],
+            out[4]["chars_removed"]) == ("z", 1, 2)
+
+
+def test_winnow_spans_feed_remove_char_spans_end_to_end(spark):
+    """The full span-dedup loop: detect the shared passage, cut it out
+    of the higher-id document, leave the lower-id copy intact."""
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {1: "first doc intro. " + shared,
+             2: "second doc, other words first: " + shared + " outro!"}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    spans = dedup.winnow_overlap(df, k=4, w=4, min_shared=1,
+                                 output="spans")
+    cut = spans.select(F.col("id_b").alias("id"),
+                       F.col("b_char_start").alias("char_start"),
+                       F.col("b_char_end").alias("char_end"))
+    out = {r["doc_id"]: r for r in
+           dedup.remove_char_spans(df, cut).collect()}
+    assert out[1]["text"] == texts[1]            # low id untouched
+    assert out[2]["n_spans_cut"] >= 1
+    assert "quick brown fox" not in out[2]["text"]
+    assert out[2]["text"].startswith("second doc, other words first: ")
+    assert out[2]["text"].endswith("outro!")
+
+
 def test_semantic_dedup_prunes_within_cluster(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),

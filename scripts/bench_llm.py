@@ -64,6 +64,11 @@ PICKS = [
     # round-10: dominant-PC projection (dim^2 moment exchange +
     # model-sized driver iteration + map-only projection)
     "pca_project",
+    # round-11: NB training (one bucket-cardinality aggregate +
+    # fixed-point log layers), deflated top-k PCA (same exchange as
+    # pca_project, 3 components), span-level dedup removal (winnow
+    # spans + interval merge + substring rebuild)
+    "nb_train", "pca_topk", "winnow_cut",
 ]
 
 

@@ -278,6 +278,25 @@ PICKS = {
         "zero fact shuffles) and the JPEG Huffman+IDCT decode runs in "
         "one Arrow-batched mapInPandas — payloads never leave the "
         "executors."),
+    "nb_train": (E.q_nb_train,
+        "In-engine model TRAINING at 100 TB: one map-only n-gram "
+        "explode into a single aggregate at feature-bucket (dim) "
+        "cardinality; the fixed-point integer log2 is 11 chained "
+        "projections over the dim-sized counts — the corpus is "
+        "scanned once and never shuffled on anything wider than the "
+        "bucket id."),
+    "pca_topk": (E.q_pca_topk,
+        "Same distributed shape as pca_project regardless of k: ONE "
+        "dim^2-cardinality exchange for the moments, deflation "
+        "driver-side on the model-sized matrix, then one map-only "
+        "projection pass emitting all k columns (three literal-dot "
+        "aggregates over a single explode)."),
+    "winnow_cut": (E.q_winnow_cut,
+        "Detect-then-cut composition: the winnow_spans subplan feeds "
+        "a SPAN-cardinality interval-merge window, one join against "
+        "the corpus, and an (id) aggregate whose per-group state is "
+        "the document's segment list — removal adds no corpus-sized "
+        "shuffle beyond the detection it consumes."),
 }
 
 

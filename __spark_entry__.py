@@ -3278,6 +3278,24 @@ def q_pca_topk(spark, sf_dir):
     return lsim.pca_topk(emb, k=3, n_iter=8)
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (db_spark/llm/similarity.py:
+    pq_train/pq_encode/pq_topk — Jégou et al. TPAMI 2011): per-subspace
+    k-means codebooks under EXACT integer squared-L2 (clamped scaled
+    components, DECIMAL(38,0)/HUGEINT folds, truncating-division
+    means — no float fold anywhere, so codebooks, codes, and distances
+    are bit-identical on any engine/partitioning), corpus encoded to
+    m=4 codes per vector, queries scored as the sum of m broadcast
+    table lookups. The memory-bounded ANN path: search never touches
+    the raw floats."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return lsim.pq_topk(emb, queries_df, k=10, m=4, n_codes=8, n_iter=2)
+
+
 def q_temperature_sample(spark, sf_dir):
     """Temperature-flattened language mixture (tau=0.5): downsample each
     language at sqrt(c_min/c_lang) by stable doc-id hash — rarest
@@ -5182,6 +5200,104 @@ def _pca_topk_oracle(k: int = 3, n_iter: int = 8) -> str:
     """
 
 
+def _pq_topk_oracle(k: int = 10, m: int = 4, n_codes: int = 8,
+                    n_iter: int = 2, scale: int = 1_000_000,
+                    clamp: float = 1_000_000.0,
+                    n_queries: int = 3) -> str:
+    """Mirror of llm.similarity.pq_train/pq_encode/pq_topk: scaled
+    integer components with ARITHMETIC subspace assignment (follows
+    the data's dimensionality — never a hardcoded dim), lowest-id
+    seeding with ROW_NUMBER codes, per-iteration exact HUGEINT
+    squared-L2 assignment (ties -> lowest code) + truncating-division
+    integer means, then ADC: per-query (subspace, code) distance
+    tables summed over the corpus codes. Every engine step replays
+    1:1 (Spark decimal(38,0)/div == DuckDB HUGEINT///)."""
+    cl = f"{clamp:.1f}"
+    steps = []
+    cent = "cent0"
+    for i in range(n_iter):
+        steps.append(f"""
+        d{i} AS MATERIALIZED (
+          SELECT comp.vec_id, comp.j, c.code,
+                 SUM(CAST(comp.x - c.c AS HUGEINT) * (comp.x - c.c))
+                     AS dist
+          FROM comp JOIN {cent} c ON c.j = comp.j AND c.pos = comp.pos
+          GROUP BY 1, 2, 3),
+        a{i} AS MATERIALIZED (
+          SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                      ORDER BY dist, code) AS rk
+            FROM d{i}) WHERE rk = 1),
+        m{i} AS MATERIALIZED (
+          SELECT comp.j, a.code, comp.pos,
+                 CAST(SUM(CAST(comp.x AS HUGEINT)) // COUNT(*)
+                      AS BIGINT) AS nc
+          FROM comp JOIN a{i} a
+            ON a.vec_id = comp.vec_id AND a.j = comp.j
+          GROUP BY 1, 2, 3),
+        cent{i + 1} AS MATERIALIZED (
+          SELECT p.j, p.code, p.pos, COALESCE(mm.nc, p.c) AS c
+          FROM {cent} p LEFT JOIN m{i} mm
+            ON mm.j = p.j AND mm.code = p.code AND mm.pos = p.pos)""")
+        cent = f"cent{i + 1}"
+    chain = ",".join(steps)
+    return f"""
+        WITH comp AS MATERIALIZED (
+          SELECT vec_id,
+                 CAST((u.i - 1) // (dim // {m}) AS INT) AS j,
+                 CAST((u.i - 1) % (dim // {m}) AS INT) AS pos,
+                 CAST(round(CASE WHEN u.x > {cl} THEN {cl}
+                                 WHEN u.x < -{cl} THEN -{cl}
+                                 ELSE u.x END * {scale}) AS BIGINT) AS x
+          FROM (SELECT vec_id, len(embedding) AS dim,
+                       unnest(list_transform(embedding,
+                           (x, i) -> struct_pack(
+                               i := i, x := CAST(x AS DOUBLE)))) AS u
+                FROM embeddings)),
+        seeds AS (
+          SELECT vec_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                     AS code
+          FROM (SELECT vec_id FROM embeddings
+                ORDER BY vec_id LIMIT {n_codes})),
+        cent0 AS MATERIALIZED (
+          SELECT j, s.code, pos, x AS c
+          FROM comp JOIN seeds s USING (vec_id)),
+        {chain},
+        codes AS MATERIALIZED (
+          SELECT vec_id, j, code FROM (
+            SELECT comp.vec_id, comp.j, c.code,
+                   ROW_NUMBER() OVER (PARTITION BY comp.vec_id, comp.j
+                       ORDER BY SUM(CAST(comp.x - c.c AS HUGEINT)
+                                    * (comp.x - c.c)), c.code) AS rk
+            FROM comp JOIN {cent} c ON c.j = comp.j AND c.pos = comp.pos
+            GROUP BY comp.vec_id, comp.j, c.code) WHERE rk = 1),
+        qt AS MATERIALIZED (
+          SELECT comp.vec_id AS query_id, comp.j, c.code,
+                 SUM(CAST(comp.x - c.c AS HUGEINT) * (comp.x - c.c))
+                     AS pd
+          FROM comp JOIN {cent} c ON c.j = comp.j AND c.pos = comp.pos
+          WHERE comp.vec_id < {n_queries}
+          GROUP BY 1, 2, 3),
+        adc AS (
+          SELECT qt.query_id, codes.vec_id,
+                 SUM(qt.pd) AS dist
+          FROM codes JOIN qt ON qt.j = codes.j AND qt.code = codes.code
+          GROUP BY 1, 2)
+        SELECT query_id, vec_id,
+               round(CAST(dist AS DOUBLE)
+                     / {float(scale)} / {float(scale)}, 6)
+                   + CAST(0 AS DOUBLE) AS adc_dist,
+               CAST(rk AS BIGINT) AS rank
+        FROM (SELECT query_id, vec_id, dist,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY dist, vec_id) AS rk
+              FROM adc)
+        WHERE rk <= {k}
+    """
+
+
 def _semantic_dedup_oracle(n_cells: int = 16, threshold: float = 0.95,
                            n_iter: int = 2, scale: int = 1_000_000) -> str:
     """Mirror of llm.similarity.semantic_dedup over the perturbed-union
@@ -5770,6 +5886,7 @@ _REGISTRY_KEYS: list[str] = [
     "nb_train",
     "pca_topk",
     "winnow_cut",
+    "pq_topk",
 ]
 
 
@@ -7210,6 +7327,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle(),
         "pca_project": _pca_project_oracle(n_iter=8),
         "pca_topk": _pca_topk_oracle(k=3, n_iter=8),
+        "pq_topk": _pq_topk_oracle(k=10, m=4, n_codes=8, n_iter=2),
         "collocations": f"""
             WITH tok AS (SELECT {_TOKS} AS toks FROM documents),
             uc AS (SELECT w, count(*) AS cw

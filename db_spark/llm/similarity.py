@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from db_spark.llm.dedup import h32
+from db_spark.llm.dedup import _plan_cache, h32
 
 
 def _dbl(v: Column) -> Column:
@@ -1025,6 +1025,174 @@ def semantic_dedup(
         .select(F.col(id_col), F.col("cell_id"),
                 F.coalesce(F.col("_kept"), F.lit(True)).alias("kept"))
     )
+
+
+def _pq_components(
+    df: DataFrame, m: int, id_col: str, vec_col: str,
+    scale: int, clamp: float, out_id: str,
+) -> DataFrame:
+    """Scaled-integer component rows for PQ: (out_id, _j subspace,
+    _pos in-subspace position, _x scaled long). Subspace membership is
+    ARITHMETIC over the exploded position (j = pos div d_sub) — no
+    slice literals, so the same expression adapts to any corpus
+    dimensionality (the oracle computes the identical quotient)."""
+    arr = F.col(vec_col).cast("array<double>")
+    x = F.col("_raw")
+    cx = (F.when(x > clamp, F.lit(clamp))
+           .when(x < -clamp, F.lit(-clamp)).otherwise(x))
+    d_sub = F.expr(f"_dim div {int(m)}")
+    return (
+        df.select(F.col(id_col).alias(out_id),
+                  F.size(arr).alias("_dim"),
+                  F.posexplode(arr).alias("_p", "_raw"))
+        .select(out_id,
+                F.expr(f"CAST(_p div (_dim div {int(m)}) AS INT)")
+                .alias("_j"),
+                (F.col("_p") % d_sub).cast("int").alias("_pos"),
+                F.round(cx * scale).cast("long").alias("_x"))
+    )
+
+
+def _pq_assign(comp: DataFrame, cent: DataFrame, out_id: str) -> DataFrame:
+    """Nearest-codeword per (vector, subspace) under EXACT integer
+    squared L2 (DECIMAL(38,0) fold of (x-c)^2 — diffs reach 2e12, so
+    squares need 128-bit; ties -> lowest code). Returns (out_id, _j,
+    _code, _dist DECIMAL) — bit-identical on any engine/partitioning."""
+    d = F.col("_x") - F.col("_c")
+    scored = (
+        comp.join(F.broadcast(cent), ["_j", "_pos"])
+        .groupBy(out_id, "_j", "_code")
+        .agg(F.sum(d.cast("decimal(38,0)") * d)
+             .cast("decimal(38,0)").alias("_dist")))
+    w = Window.partitionBy(out_id, "_j").orderBy("_dist", "_code")
+    return (scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(out_id, "_j", "_code", "_dist"))
+
+
+def pq_train(
+    corpus: DataFrame, m: int = 4, n_codes: int = 8, n_iter: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    scale: int = 1_000_000, clamp: float = 1_000_000.0,
+) -> DataFrame:
+    """Train PRODUCT-QUANTIZATION codebooks (Jégou, Douze, Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    split every vector into ``m`` contiguous subvectors and k-means
+    each subspace independently — the memory-bounded ANN path (a
+    vector compresses to m small codes; search becomes m table
+    lookups). Fully deterministic and SQL-oracle-expressible: the
+    module's k-means doctrine (lowest-id seeding, ties -> lowest
+    code, scaled-BIGINT means) under EXACT integer squared-L2 — the
+    clamped components scale to integers once, distances fold in
+    DECIMAL(38,0), centroid means are truncating integer division —
+    so codebooks, codes, and ADC distances are bit-identical on any
+    engine and partitioning, no float fold anywhere.
+
+    Scale shape: assignment is one broadcast join at (corpus
+    components x n_codes) cardinality — the inherent O(n * dim *
+    n_codes) k-means FLOP count — and the update one (subspace, code,
+    position) aggregate; the codebook is dim * n_codes rows (model-
+    sized, always broadcastable). Returns (subspace, code, pos,
+    c LONG scaled) component rows — the form both the encoder and
+    the ADC tables join against.
+    """
+    comp = _plan_cache(
+        _pq_components(corpus, m, id_col, vec_col, scale, clamp, "_vid"))
+    seeds = (
+        corpus.select(F.col(id_col).alias("_vid")).orderBy("_vid")
+        .limit(n_codes)
+        .select("_vid", (F.row_number().over(
+            Window.orderBy("_vid")) - 1).cast("int").alias("_code")))
+    cent = (
+        comp.join(F.broadcast(seeds), "_vid")
+        .select("_j", "_code", "_pos", F.col("_x").alias("_c")))
+    for _ in range(n_iter):
+        asg = _pq_assign(comp, cent, "_vid").select("_vid", "_j", "_code")
+        means = (
+            comp.join(asg, ["_vid", "_j"])
+            .groupBy("_j", "_code", "_pos")
+            .agg(F.expr("SUM(CAST(_x AS DECIMAL(38,0))) div COUNT(*)")
+                 .cast("long").alias("_new")))
+        cent = (
+            cent.join(means, ["_j", "_code", "_pos"], "left")
+            .select("_j", "_code", "_pos",
+                    F.coalesce("_new", "_c").alias("_c")))
+    return cent.select(F.col("_j").alias("subspace"),
+                       F.col("_code").alias("code"),
+                       F.col("_pos").alias("pos"),
+                       F.col("_c").alias("c"))
+
+
+def pq_encode(
+    corpus: DataFrame, codebooks: DataFrame, m: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    scale: int = 1_000_000, clamp: float = 1_000_000.0,
+) -> DataFrame:
+    """Encode every vector as its per-subspace nearest codeword —
+    (id, subspace, code): the compressed representation ADC search
+    scans instead of the raw vectors (m codes per vector vs dim
+    floats). Same exact-integer assignment as training."""
+    comp = _pq_components(corpus, m, id_col, vec_col, scale, clamp, "_vid")
+    cent = codebooks.select(
+        F.col("subspace").alias("_j"), F.col("code").alias("_code"),
+        F.col("pos").alias("_pos"), F.col("c").alias("_c"))
+    return (
+        _pq_assign(comp, cent, "_vid")
+        .select(F.col("_vid").alias(id_col),
+                F.col("_j").cast("long").alias("subspace"),
+                F.col("_code").cast("long").alias("code")))
+
+
+def pq_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10, m: int = 4,
+    n_codes: int = 8, n_iter: int = 2, id_col: str = "vec_id",
+    vec_col: str = "embedding", query_id_col: str = "query_id",
+    scale: int = 1_000_000, clamp: float = 1_000_000.0,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes (Jégou et al.
+    2011): train codebooks on the corpus, encode it, build each
+    query's (subspace, code) distance table against the codebooks
+    (model-sized — dim * n_codes rows per query), and score every
+    corpus vector as the SUM of m table lookups — the PQ promise:
+    search touches m codes per vector, never the raw floats. All
+    distances are the training stage's exact integers, so ranking is
+    bit-identical everywhere; the reported distance is one final
+    double division (round 6). Ties -> lowest id.
+
+    Scale shape: the ADC join is (corpus codes x per-query tables)
+    with the tables BROADCAST (queries are a bounded working set, the
+    brute_force_topk contract); one (query, id) aggregate sums the m
+    lookups; TakeOrdered finishes. Returns (query_id, vec_id,
+    adc_dist DOUBLE, rank)."""
+    cb = _plan_cache(pq_train(
+        corpus, m, n_codes, n_iter, id_col, vec_col, scale, clamp))
+    codes = pq_encode(corpus, cb, m, id_col, vec_col, scale, clamp)
+    qcomp = _pq_components(
+        queries, m, query_id_col, vec_col, scale, clamp, "_qid")
+    cent = cb.select(
+        F.col("subspace").alias("_j"), F.col("code").alias("_code"),
+        F.col("pos").alias("_pos"), F.col("c").alias("_c"))
+    d = F.col("_x") - F.col("_c")
+    tables = (
+        qcomp.join(F.broadcast(cent), ["_j", "_pos"])
+        .groupBy("_qid", "_j", "_code")
+        .agg(F.sum(d.cast("decimal(38,0)") * d)
+             .cast("decimal(38,0)").alias("_pd")))
+    scored = (
+        codes.select(F.col(id_col), F.col("subspace").alias("_j"),
+                     F.col("code").alias("_code"))
+        .join(F.broadcast(tables), ["_j", "_code"])
+        .groupBy("_qid", id_col)
+        .agg(F.sum("_pd").cast("decimal(38,0)").alias("_adc")))
+    w = Window.partitionBy("_qid").orderBy(F.col("_adc"), F.col(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(F.col("_qid").alias(query_id_col), id_col,
+                (F.round(F.col("_adc").cast("double")
+                         / float(scale) / float(scale), 6)
+                 + F.lit(0.0)).alias("adc_dist"),
+                F.col("_rk").cast("long").alias("rank")))
 
 
 def pca_project(

@@ -192,6 +192,15 @@ INT_SUM_BOUNDS: dict[str, str] = {
                         "caller's model, ppm-integer by contract with "
                         "|w_ppm| ~ 1e7 for a +-10 logit, bound ~1e7 * "
                         "doc tokens << 2^63",
+    "pq_topk": "all folds are DECIMAL(38,0)/HUGEINT, never int64: "
+               "clamped scaled components reach 1e12, diffs 2e12, "
+               "squares 4e24 (cast to DECIMAL(38,0)/HUGEINT BEFORE "
+               "the multiply), per-subspace sums <= dim*4e24 ~ 2.6e26 "
+               "and ADC sums <= m*2.6e26 ~ 1e27 — exact to 1e38; the "
+               "centroid mean SUM(x) <= n*1e12 holds to n ~ 1e26 rows "
+               "and its truncating-division quotient <= 1e12 is "
+               "int64-safe on both engines (Spark div verified exact "
+               "for in-range quotients)",
     "winnow_cut": "SUM(e - s + 1) is total characters removed per "
                   "document: merged disjoint ranges clipped to the "
                   "document, so the sum <= length(text) — per-doc "

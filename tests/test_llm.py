@@ -2185,3 +2185,69 @@ def test_pca_topk_deterministic_and_guards(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     out = similarity.pca_topk(empty, k=2)
     assert out.collect() == [] and out.columns == ["vec_id", "pc1", "pc2"]
+
+def test_pq_topk_recovers_clusters_exactly(spark):
+    """PQ with one codeword per planted cluster: every vector in the
+    query's cluster quantizes to the query's codes (ADC distance
+    strictly below any other cluster's), so recall@cluster-size is
+    1.0 — the quantization-cell property, not a statistical claim."""
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    centers = rng.randn(8, 8) * 10
+    X = np.vstack([c + rng.randn(25, 8) * 0.05 for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(j, [float(v) for v in X[j]]) for j in (0, 60, 120)],
+        "query_id long, embedding array<double>")
+    out = similarity.pq_topk(df, q, k=25, m=4, n_codes=8, n_iter=3)
+    byq = {}
+    for r in out.collect():
+        byq.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qid in (0, 60, 120):
+        cluster = set(range((qid // 25) * 25, (qid // 25) * 25 + 25))
+        assert byq[qid] == cluster
+
+
+def test_pq_encode_and_adc_consistency(spark):
+    """pq_encode codes must be the argmin over pq_train codebooks, and
+    pq_topk's adc_dist must equal the sum of the per-subspace exact
+    integer distances recomputed in python from those same outputs."""
+    import numpy as np
+
+    rng = np.random.RandomState(2)
+    X = rng.randn(40, 8) * 3
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    cb = similarity.pq_train(df, m=4, n_codes=4, n_iter=2)
+    codes = similarity.pq_encode(df, cb, m=4)
+    # rebuild codebooks / codes in python
+    cents = {}
+    for r in cb.collect():
+        cents.setdefault((r["subspace"], r["code"]), {})[r["pos"]] = r["c"]
+    sx = np.round(X * 1_000_000).astype(np.int64)
+    code_map = {(r["vec_id"], r["subspace"]): r["code"]
+                for r in codes.collect()}
+    for i in range(40):
+        for j in range(4):
+            sub = sx[i, j * 2:(j + 1) * 2]
+            best = min(
+                ((int(sum((int(sub[p]) - cents[(j, c)][p]) ** 2
+                          for p in range(2))), c)
+                 for c in range(4) if (j, c) in cents))
+            assert code_map[(i, j)] == best[1]
+    q = spark.createDataFrame(
+        [(0, [float(v) for v in X[0]])],
+        "query_id long, embedding array<double>")
+    top = similarity.pq_topk(df, q, k=5, m=4, n_codes=4, n_iter=2)
+    qx = sx[0]
+    for r in top.collect():
+        expect = 0
+        for j in range(4):
+            c = code_map[(r["vec_id"], j)]
+            expect += int(sum((int(qx[j * 2 + p]) - cents[(j, c)][p]) ** 2
+                              for p in range(2)))
+        assert r["adc_dist"] == round(expect / 1e12, 6)

@@ -50,6 +50,10 @@ KEYS = [
     # r11: deflated top-k PCA — the deflation chain amplifies any
     # partition sensitivity in the moment fold across components
     "pca_topk",
+    # r11: product quantization — per-subspace k-means + ADC, all in
+    # exact integer L2 (a float fold or arrival-order tie anywhere in
+    # train/encode/score would flip codes)
+    "pq_topk",
 ]
 
 

@@ -1195,6 +1195,68 @@ def pq_topk(
                 F.col("_rk").cast("long").alias("rank")))
 
 
+def pq_index_build(
+    corpus: DataFrame, path: str, m: int = 4, n_codes: int = 8,
+    n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    scale: int = 1_000_000, clamp: float = 1_000_000.0,
+) -> None:
+    """Materialize a PQ index: trained codebooks plus the encoded
+    corpus (m small codes per vector — the compressed representation)
+    written once. At 100 TB this is THE point of PQ: the raw
+    embeddings are read exactly once here; every later search scans
+    only the code table (m ints/vector vs dim floats — a ~dim/m * 8x
+    I/O reduction at float32/8-bit codes) plus the model-sized
+    codebook parquet."""
+    cb = _plan_cache(pq_train(
+        corpus, m, n_codes, n_iter, id_col, vec_col, scale, clamp))
+    cb.write.mode("overwrite").parquet(path + "/codebooks")
+    pq_encode(corpus, cb, m, id_col, vec_col, scale, clamp).write.mode(
+        "overwrite").parquet(path + "/codes")
+
+
+def pq_index_topk(
+    spark, path: str, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = 1_000_000, clamp: float = 1_000_000.0,
+) -> DataFrame:
+    """ADC top-k against a persisted PQ index: per-query distance
+    tables from the (model-sized) codebook parquet, one broadcast join
+    against the code table, never the raw vectors. Same exact-integer
+    arithmetic as ``pq_topk`` — results are bit-identical to a
+    one-shot run with the same codebooks. ``m`` comes from the stored
+    codebook (max subspace + 1), so the index is self-describing."""
+    cb = spark.read.parquet(path + "/codebooks")
+    m = cb.agg(F.max("subspace")).first()[0] + 1  # model-sized fetch
+    codes = spark.read.parquet(path + "/codes")
+    qcomp = _pq_components(
+        queries, int(m), query_id_col, vec_col, scale, clamp, "_qid")
+    cent = cb.select(
+        F.col("subspace").alias("_j"), F.col("code").alias("_code"),
+        F.col("pos").alias("_pos"), F.col("c").alias("_c"))
+    d = F.col("_x") - F.col("_c")
+    tables = (
+        qcomp.join(F.broadcast(cent), ["_j", "_pos"])
+        .groupBy("_qid", "_j", "_code")
+        .agg(F.sum(d.cast("decimal(38,0)") * d)
+             .cast("decimal(38,0)").alias("_pd")))
+    scored = (
+        codes.select(F.col(id_col), F.col("subspace").alias("_j"),
+                     F.col("code").alias("_code"))
+        .join(F.broadcast(tables), ["_j", "_code"])
+        .groupBy("_qid", id_col)
+        .agg(F.sum("_pd").cast("decimal(38,0)").alias("_adc")))
+    w = Window.partitionBy("_qid").orderBy(F.col("_adc"), F.col(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(F.col("_qid").alias(query_id_col), id_col,
+                (F.round(F.col("_adc").cast("double")
+                         / float(scale) / float(scale), 6)
+                 + F.lit(0.0)).alias("adc_dist"),
+                F.col("_rk").cast("long").alias("rank")))
+
+
 def pca_project(
     corpus: DataFrame, n_iter: int = 8, id_col: str = "vec_id",
     vec_col: str = "embedding", scale: int = 1_000_000,

@@ -69,6 +69,9 @@ PICKS = [
     # pca_project, 3 components), span-level dedup removal (winnow
     # spans + interval merge + substring rebuild)
     "nb_train", "pca_topk", "winnow_cut",
+    # round-11: product quantization (per-subspace k-means + ADC code
+    # join — the memory-bounded ANN path)
+    "pq_topk",
 ]
 
 

@@ -297,6 +297,12 @@ PICKS = {
         "the corpus, and an (id) aggregate whose per-group state is "
         "the document's segment list — removal adds no corpus-sized "
         "shuffle beyond the detection it consumes."),
+    "pq_topk": (E.q_pq_topk,
+        "PQ/ADC: k-means assignment is a BROADCAST codebook join at "
+        "component cardinality (the inherent k-means FLOPs); search "
+        "joins corpus CODES (m rows per vector) against broadcast "
+        "per-query distance tables and sums m lookups — the raw "
+        "embeddings never re-enter the plan after encoding."),
 }
 
 

@@ -2251,3 +2251,36 @@ def test_pq_encode_and_adc_consistency(spark):
             expect += int(sum((int(qx[j * 2 + p]) - cents[(j, c)][p]) ** 2
                               for p in range(2)))
         assert r["adc_dist"] == round(expect / 1e12, 6)
+
+def test_pq_index_persisted_matches_one_shot(spark, tmp_path):
+    """A persisted PQ index (codebooks + codes written once) must give
+    ADC results bit-identical to the one-shot pq_topk with the same
+    training params, and the search plan must read only the code and
+    codebook tables — never the raw embeddings."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(60, 8) * 4
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(j, [float(v) for v in X[j]]) for j in (0, 7)],
+        "query_id long, embedding array<double>")
+    idx = str(tmp_path / "pq")
+    similarity.pq_index_build(df, idx, m=4, n_codes=8, n_iter=2)
+    got = similarity.pq_index_topk(spark, idx, q, k=5)
+    one_shot = similarity.pq_topk(df, q, k=5, m=4, n_codes=8, n_iter=2)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, one_shot.collect()))
+    # the search scans the persisted code/codebook parquet — the raw
+    # corpus embeddings never enter the plan (only the QUERY vectors'
+    # embedding column appears, from the in-memory queries relation)
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted")
+    assert "codes" in plan and "codebooks" in plan
+    # every parquet ReadSchema is codes- or codebook-shaped — no scan
+    # ever reads an embedding array from storage
+    import re as _re
+    for rs in _re.findall(r"ReadSchema: (\S+)", plan):
+        assert "embedding" not in rs

@@ -9453,7 +9453,11 @@ def oracle_sql() -> dict[str, str]:
     # (string_agg ORDER BY = the engine's array_sort reconstruction).
     d["winnow_cut"] = f"""
         WITH spans AS (SELECT * FROM ({d['winnow_spans']})),
-        rng AS (SELECT id_b AS rid, b_char_start AS s, b_char_end AS e
+        -- DISTINCT is load-bearing: duplicate (s, e) ties break the
+        -- total order the two-pass islanding windows rely on (the
+        -- engine dedups identically; see remove_char_spans)
+        rng AS (SELECT DISTINCT id_b AS rid, b_char_start AS s,
+                       b_char_end AS e
                 FROM spans),
         dcs AS (SELECT doc_id AS rid, text, length(text) AS L
                 FROM documents),

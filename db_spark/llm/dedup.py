@@ -1210,9 +1210,19 @@ def remove_char_spans(
     docs = df.select(F.col(id_col).alias("_rid"),
                      F.col(text_col).alias("_txt"),
                      F.length(text_col).alias("_len"))
+    # DISTINCT is load-bearing, not an optimization: duplicate (s, e)
+    # rows (one document duplicated against many partners emits the
+    # same span once per pair) make ORDER BY (s, e) a NON-total order,
+    # and the island flag and its running sum are TWO window passes —
+    # an engine may feed them the tied rows in different physical
+    # orders, so the nf=1 row can land after its duplicates in the
+    # second pass and split one island in two (caught by the sf1
+    # oracle sweep: DuckDB's inlined CTE copies disagreed with each
+    # other run to run). With exact ranges deduped, (s, e) is unique
+    # per id and both passes share one total order on every engine.
     rng = spans.select(F.col(span_id_col).alias("_rid"),
                        F.col(start_col).cast("long").alias("_s"),
-                       F.col(end_col).cast("long").alias("_e"))
+                       F.col(end_col).cast("long").alias("_e")).distinct()
     ow = Window.partitionBy("_rid").orderBy("_s", "_e")
     run = F.max("_e").over(ow.rowsBetween(Window.unboundedPreceding, -1))
     isl = (

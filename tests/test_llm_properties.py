@@ -173,3 +173,84 @@ def test_winnowing_guarantee(spark, run, pa, sa, pb, sb):
     a = {r["fingerprint"] for r in fps if r["doc_id"] == 1}
     b = {r["fingerprint"] for r in fps if r["doc_id"] == 2}
     assert a & b, "shared (k+w-1)-token run must share a fingerprint"
+
+
+# ---------------------------------------------------------------------------
+# round-11 primitives: interval-merge removal and the fixed-point log2
+# ---------------------------------------------------------------------------
+
+SPANS = st_.lists(
+    st_.tuples(st_.integers(0, 3),                       # doc id
+               st_.integers(-2, 20), st_.integers(0, 8)  # start, length-ish
+               ).map(lambda t: (t[0], t[1], t[1] + t[2])),
+    min_size=0, max_size=10)
+
+
+@given(spans=SPANS)
+@_settings
+def test_remove_char_spans_matches_python_reference(spark, spans):
+    """For ANY set of (possibly overlapping, duplicated, out-of-range)
+    ranges, the relational merge-and-cut must equal a direct python
+    interval sweep over the same documents — including boundary clip,
+    adjacency coalescing, full coverage, and untouched pass-through."""
+    texts = {0: "abcdefghijkl", 1: "xy", 2: "", 3: "0123456789"}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    schema = "id long, char_start long, char_end long"
+    sdf = (spark.createDataFrame(spans, schema)
+           if spans else spark.createDataFrame([], schema))
+    got = {r["doc_id"]: (r["text"], r["n_spans_cut"], r["chars_removed"])
+           for r in dedup.remove_char_spans(docs, sdf).collect()}
+
+    for did, text in texts.items():
+        n = len(text)
+        raw = sorted(set((max(s, 1), min(e, n))
+                         for d, s, e in spans
+                         if d == did and max(s, 1) <= min(e, n)))
+        merged = []
+        for s, e in raw:
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        kept, prev = [], 0
+        for s, e in merged:
+            kept.append(text[prev:s - 1])
+            prev = e
+        kept.append(text[prev:])
+        want = ("".join(kept), len(merged),
+                sum(e - s + 1 for s, e in merged))
+        assert got[did] == want, (did, got[did], want)
+
+
+@given(xs=st_.lists(st_.integers(1, 2**62 - 1), min_size=1, max_size=6))
+@_settings
+def test_ilog2_fp256_layers_match_python_replay(spark, xs):
+    """The shared Spark/DuckDB fixed-point log2 generator must compute
+    (bitlen-1)*256 + 8 square-and-compare bits exactly as the python
+    replay, for arbitrary int64-range inputs, and be monotone."""
+    from db_spark.llm.text import _spark_shl, ilog2_fp256_layers
+
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)],
+                               "i long, x long")
+    cur = df
+    for layer in ilog2_fp256_layers([("x", "lx")], "div", _spark_shl):
+        cur = cur.selectExpr("*", *layer)
+    got = {r["i"]: r["lx"] for r in cur.select("i", "lx").collect()}
+
+    def ref(x):
+        i = x.bit_length() - 1
+        m = (x << (20 - i)) if i <= 20 else (x >> (i - 20))
+        frac = 0
+        for _ in range(8):
+            m = m * m
+            if m >= 1 << 41:
+                frac, m = frac * 2 + 1, m >> 21
+            else:
+                frac, m = frac * 2, m >> 20
+        return i * 256 + frac
+
+    for i, x in enumerate(xs):
+        assert got[i] == ref(x)
+    pairs = sorted(zip(xs, [got[i] for i in range(len(xs))]))
+    assert all(a[1] <= b[1] for a, b in zip(pairs, pairs[1:]))

@@ -5642,18 +5642,11 @@ def _driver_checked_rounds() -> dict[str, int]:
 # force them back into the 50-query window as if never checked. Clear
 # an entry once the next CORRECTNESS file carries its fresh row.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # r11: json_agg adopted the r10-proven-green bounded-BIGINT lanes
-    # encoding as its canonical output form (the r10 bisection localized
-    # the 4-round hash-fail to the driver environment's DECIMAL(38,0)
-    # canonicalization; the identical aggregation in BIGINT lanes earned
-    # a green driver row as json_agg_lanes). The three diagnostic
-    # companions (counts/lanes/v2) are retired from the registry. Clear
-    # this entry once CORRECTNESS_r11 carries json_agg's fresh row.
-    "json_agg",
-    # r11: winnow_spans gained a_char_start/a_char_end/b_char_start/
-    # b_char_end (token->char-offset map join); the r10 row is evidence
-    # for the token-offset-only form. Clear once the r11 row lands.
-    "winnow_spans",
+    # r12: empty — the two r11 entries (json_agg lanes form,
+    # winnow_spans char offsets) both earned fresh green rows in
+    # CORRECTNESS_r11.json, so rotation is purely age-ordered again
+    # (the r11 verdict's directive #4: let the 50-slot window drain
+    # the r7 evidence tail naturally).
 })
 
 
@@ -9456,9 +9449,13 @@ def oracle_sql() -> dict[str, str]:
         -- DISTINCT is load-bearing: duplicate (s, e) ties break the
         -- total order the two-pass islanding windows rely on (the
         -- engine dedups identically; see remove_char_spans)
+        -- NULL bounds dropped before the sweep, mirroring the engine
+        -- (NULLS FIRST vs NULLS LAST would diverge otherwise)
         rng AS (SELECT DISTINCT id_b AS rid, b_char_start AS s,
                        b_char_end AS e
-                FROM spans),
+                FROM spans
+                WHERE b_char_start IS NOT NULL
+                  AND b_char_end IS NOT NULL),
         dcs AS (SELECT doc_id AS rid, text, length(text) AS L
                 FROM documents),
         flg AS (SELECT rid, s, e,

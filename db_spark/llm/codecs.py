@@ -314,15 +314,21 @@ def decode_avi_mjpeg_parts(
     payload: bytes,
 ) -> tuple[int, int, tuple[int, int], np.ndarray]:
     """Demux a RIFF/AVI container and decode its MJPEG video frames to
-    (width, height, (fps_num, fps_den), luma[n, h, w]). Tolerant chunk
-    walk: streams are numbered by strh appearance order (the AVI
-    contract); fps and the frame-chunk stream index both come from the
-    first 'vids' strh (dwRate/dwScale), so an AVI whose video stream is
-    not stream 0 (e.g. audio-first muxing) still decodes — frames are
-    the '{NN}dc'/'{NN}db' chunks of that index inside LIST 'movi' (each
-    a standalone baseline JPEG — the MJPEG contract); the optional idx1
-    index is ignored. Chunks are word-aligned per the RIFF spec. A
-    declared vids stream with zero decodable frame chunks raises
+    (width, height, (fps_num, fps_den), luma[n, h, w]). Tolerant
+    TWO-PASS chunk walk: pass 1 resolves the video stream index —
+    streams are numbered by strh appearance order (the AVI contract);
+    fps and the frame-chunk stream index both come from the first
+    'vids' strh (dwRate/dwScale) — and only then does pass 2 decode
+    that index's '{NN}dc'/'{NN}db' chunks inside LIST 'movi' (each a
+    standalone baseline JPEG — the MJPEG contract). One pass would
+    have to guess an index for frame chunks that precede the header
+    (malformed movi-before-hdrl muxing, stray pre-header dc chunks)
+    and could decode another stream's data as video (r11 ADVICE); the
+    extra pass only re-reads chunk HEADERS, never frame bytes. An AVI
+    whose video stream is not stream 0 (audio-first muxing) decodes;
+    frame chunks with no vids strh anywhere are ignored; the optional
+    idx1 index is ignored. Chunks are word-aligned per the RIFF spec.
+    A declared vids stream with zero decodable frame chunks raises
     ValueError (silently returning an empty grid would cascade into NaN
     features downstream)."""
     from db_spark.llm.jpeg import decode_jpeg
@@ -334,15 +340,15 @@ def decode_avi_mjpeg_parts(
     n_strh = 0
     frames: list[np.ndarray] = []
 
-    def walk(pos: int, end: int) -> None:
+    def walk(pos: int, end: int, decode: bool) -> None:
         nonlocal fps, vids_idx, n_strh
         while pos + 8 <= end:
             cid = payload[pos:pos + 4]
             size = int.from_bytes(payload[pos + 4:pos + 8], "little")
             body_at = pos + 8
             if cid == b"LIST":
-                walk(body_at + 4, body_at + size)  # skip the list type
-            elif cid == b"strh":
+                walk(body_at + 4, body_at + size, decode)  # skip list type
+            elif cid == b"strh" and not decode:
                 if payload[body_at:body_at + 4] == b"vids" and vids_idx < 0:
                     vids_idx = n_strh
                     scale = int.from_bytes(
@@ -352,13 +358,16 @@ def decode_avi_mjpeg_parts(
                     if rate and scale:
                         fps = (rate, scale)
                 n_strh += 1
-            elif size and len(cid) == 4 and cid[2:4] in (b"dc", b"db") \
-                    and cid[:2] == b"%02d" % max(vids_idx, 0):
+            elif decode and size and len(cid) == 4 \
+                    and cid[2:4] in (b"dc", b"db") \
+                    and cid[:2] == b"%02d" % vids_idx:
                 _, _, _, px = decode_jpeg(payload[body_at:body_at + size])
                 frames.append(_luma_of(px))
             pos = body_at + size + (size & 1)  # word alignment
 
-    walk(12, len(payload))
+    walk(12, len(payload), decode=False)  # pass 1: resolve vids_idx
+    if vids_idx >= 0:
+        walk(12, len(payload), decode=True)  # pass 2: decode its frames
     if not frames:
         if vids_idx >= 0:
             raise ValueError(

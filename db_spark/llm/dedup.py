@@ -1220,9 +1220,18 @@ def remove_char_spans(
     # oracle sweep: DuckDB's inlined CTE copies disagreed with each
     # other run to run). With exact ranges deduped, (s, e) is unique
     # per id and both passes share one total order on every engine.
-    rng = spans.select(F.col(span_id_col).alias("_rid"),
-                       F.col(start_col).cast("long").alias("_s"),
-                       F.col(end_col).cast("long").alias("_e")).distinct()
+    # NULL bounds are dropped BEFORE the sweep, not tolerated: the
+    # islanding windows ORDER BY (_s, _e) and engines disagree on NULL
+    # placement (Spark sorts NULLS FIRST, DuckDB NULLS LAST), so a NULL
+    # row would make the merged islands engine-dependent (r11 ADVICE).
+    # Out-of-range/inverted bounds need no filter here — merge-then-
+    # clip already handles them (the hypothesis property test covers
+    # negative, oversized and inverted spans).
+    rng = (spans.select(F.col(span_id_col).alias("_rid"),
+                        F.col(start_col).cast("long").alias("_s"),
+                        F.col(end_col).cast("long").alias("_e"))
+           .filter(F.col("_s").isNotNull() & F.col("_e").isNotNull())
+           .distinct())
     ow = Window.partitionBy("_rid").orderBy("_s", "_e")
     run = F.max("_e").over(ow.rowsBetween(Window.unboundedPreceding, -1))
     isl = (

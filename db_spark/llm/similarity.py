@@ -1035,16 +1035,34 @@ def _pq_components(
     _pos in-subspace position, _x scaled long). Subspace membership is
     ARITHMETIC over the exploded position (j = pos div d_sub) — no
     slice literals, so the same expression adapts to any corpus
-    dimensionality (the oracle computes the identical quotient)."""
+    dimensionality (the oracle computes the identical quotient).
+
+    ``m`` must divide the vector dimension exactly: a remainder would
+    silently create an (m+1)-th partial subspace whose layout no
+    stored codebook agrees on, and ``m`` > dim makes d_sub = 0 (NULL
+    division keys that drop every row). Both are rejected with a
+    runtime raise on the first exploded component (r11 ADVICE) — the
+    check must be data-side because dimensionality is a property of
+    the rows, not the schema."""
+    if int(m) < 1:
+        raise ValueError(f"pq: m must be >= 1, got {m}")
     arr = F.col(vec_col).cast("array<double>")
     x = F.col("_raw")
     cx = (F.when(x > clamp, F.lit(clamp))
            .when(x < -clamp, F.lit(-clamp)).otherwise(x))
     d_sub = F.expr(f"_dim div {int(m)}")
+    dim_ok = F.when(
+        (F.col("_dim") % int(m) == 0) & (F.col("_dim") >= int(m)),
+        F.col("_dim"),
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"pq: m={int(m)} must divide the vector dimension; got "
+              "size(" + str(vec_col) + ")="),
+        F.col("_dim").cast("string"))))
     return (
         df.select(F.col(id_col).alias(out_id),
                   F.size(arr).alias("_dim"),
                   F.posexplode(arr).alias("_p", "_raw"))
+        .select(out_id, dim_ok.alias("_dim"), "_p", "_raw")
         .select(out_id,
                 F.expr(f"CAST(_p div (_dim div {int(m)}) AS INT)")
                 .alias("_j"),
@@ -1206,12 +1224,21 @@ def pq_index_build(
     embeddings are read exactly once here; every later search scans
     only the code table (m ints/vector vs dim floats — a ~dim/m * 8x
     I/O reduction at float32/8-bit codes) plus the model-sized
-    codebook parquet."""
+    codebook parquet. ``m`` is persisted explicitly in a one-row
+    ``meta`` table — inferring it back from max(subspace)+1 is only
+    sound because `_pq_components` enforces dim % m == 0, and a stored
+    parameter survives even if that invariant ever changes (r11
+    ADVICE)."""
     cb = _plan_cache(pq_train(
         corpus, m, n_codes, n_iter, id_col, vec_col, scale, clamp))
     cb.write.mode("overwrite").parquet(path + "/codebooks")
     pq_encode(corpus, cb, m, id_col, vec_col, scale, clamp).write.mode(
         "overwrite").parquet(path + "/codes")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(m), int(scale), float(clamp))],
+        "m INT, scale LONG, clamp DOUBLE",
+    ).write.mode("overwrite").parquet(path + "/meta")
 
 
 def pq_index_topk(
@@ -1224,10 +1251,23 @@ def pq_index_topk(
     tables from the (model-sized) codebook parquet, one broadcast join
     against the code table, never the raw vectors. Same exact-integer
     arithmetic as ``pq_topk`` — results are bit-identical to a
-    one-shot run with the same codebooks. ``m`` comes from the stored
-    codebook (max subspace + 1), so the index is self-describing."""
+    one-shot run with the same codebooks. ``m``/``scale``/``clamp``
+    come from the index's persisted ``meta`` table (the parameters the
+    codes were actually built with — a caller-supplied mismatch would
+    silently misalign the query layout against the stored codebook,
+    r11 ADVICE); for a pre-meta index ``m`` falls back to
+    max(subspace)+1 (sound because `_pq_components` enforces
+    dim % m == 0) and scale/clamp to the arguments."""
     cb = spark.read.parquet(path + "/codebooks")
-    m = cb.agg(F.max("subspace")).first()[0] + 1  # model-sized fetch
+    try:
+        meta = spark.read.parquet(path + "/meta").first()
+        m, scale, clamp = int(meta["m"]), int(meta["scale"]), meta["clamp"]
+    except Exception:
+        mx = cb.agg(F.max("subspace")).first()[0]  # model-sized fetch
+        if mx is None:
+            raise ValueError(f"empty PQ index at {path!r}: codebook "
+                             "parquet has no rows")
+        m = int(mx) + 1
     codes = spark.read.parquet(path + "/codes")
     qcomp = _pq_components(
         queries, int(m), query_id_col, vec_col, scale, clamp, "_qid")

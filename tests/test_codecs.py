@@ -676,3 +676,28 @@ def test_jpeg_decoder_hand_assembled_411_color():
     assert (px[:, :, 0] == 66).all()
     assert (px[:, :, 1] == 103).all()
     assert (px[:, :, 2] == 171).all()
+
+
+def test_avi_movi_before_hdrl_two_pass():
+    """Malformed-but-seen-in-the-wild muxing: LIST 'movi' precedes
+    LIST 'hdrl'. The two-pass walk resolves the vids stream index from
+    the whole file BEFORE decoding any frame chunk, so an audio-first
+    AVI with movi-first layout still decodes only '01dc' and never
+    feeds the audio stream's '00dc' bytes to the JPEG decoder
+    (r11 ADVICE)."""
+    frame = J.encode_jpeg(np.full((8, 8), 90, np.uint8),
+                          luma_quant_zz=[8] * 64)
+    auds = _lst(b"strl", _chunk(b"strh", b"auds" + bytes(52)))
+    vids = _lst(b"strl", _vids_strh())
+    hdrl = _lst(b"hdrl", _chunk(b"avih", bytes(56)) + auds + vids)
+    movi = _lst(b"movi",
+                _chunk(b"00dc", b"not a jpeg") + _chunk(b"01dc", frame))
+    body = b"AVI " + movi + hdrl  # movi FIRST
+    avi = b"RIFF" + len(body).to_bytes(4, "little") + body
+    w, h, fps, luma = codecs.decode_avi_mjpeg_parts(avi)
+    assert (w, h, fps) == (8, 8, (12, 1))
+    assert luma.shape == (1, 8, 8) and (luma[0] == 90).all()
+    # stray dc chunks with NO vids strh anywhere are never decoded
+    avi2 = _avi(auds, _chunk(b"00dc", b"not a jpeg"))
+    w2, h2, _, luma2 = codecs.decode_avi_mjpeg_parts(avi2)
+    assert (w2, h2) == (0, 0) and luma2.size == 0

@@ -2284,3 +2284,76 @@ def test_pq_index_persisted_matches_one_shot(spark, tmp_path):
     import re as _re
     for rs in _re.findall(r"ReadSchema: (\S+)", plan):
         assert "embedding" not in rs
+
+
+def test_pq_rejects_m_not_dividing_dim(spark):
+    """dim % m != 0 must raise at runtime, not silently create a
+    remainder subspace whose layout misaligns query components against
+    a stored codebook (r11 ADVICE, medium). m > dim (d_sub = 0, NULL
+    division keys that drop every row) is rejected by the same guard."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(10)]) for i in range(12)],
+        "vec_id long, embedding array<double>")
+    with _pytest.raises(Exception, match="must divide"):
+        similarity.pq_train(df, m=3, n_codes=4, n_iter=1).collect()
+    with _pytest.raises(Exception, match="must divide"):
+        similarity.pq_topk(
+            df, df.withColumnRenamed("vec_id", "query_id").limit(1),
+            k=3, m=16, n_codes=4, n_iter=1).collect()
+    with _pytest.raises(ValueError, match="m must be"):
+        similarity.pq_train(df, m=0)
+    # the happy path (m | dim) is untouched by the guard
+    assert similarity.pq_train(df, m=5, n_codes=4, n_iter=1).count() == 40
+
+
+def test_pq_index_meta_and_empty_index_errors(spark, tmp_path):
+    """pq_index_build persists m/scale/clamp in a meta table (the
+    index is self-describing by a stored parameter, not inference —
+    r11 ADVICE); an empty pre-meta codebook raises a clear ValueError
+    instead of TypeError on None + 1."""
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(30, 8) * 2
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "pq_meta")
+    similarity.pq_index_build(df, idx, m=2, n_codes=4, n_iter=1)
+    meta = spark.read.parquet(idx + "/meta").collect()
+    assert len(meta) == 1 and meta[0]["m"] == 2
+    assert meta[0]["scale"] == 1_000_000
+    q = spark.createDataFrame(
+        [(0, [float(v) for v in X[0]])],
+        "query_id long, embedding array<double>")
+    got = similarity.pq_index_topk(spark, idx, q, k=3)
+    one = similarity.pq_topk(df, q, k=3, m=2, n_codes=4, n_iter=1)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, one.collect()))
+    # pre-meta index with an EMPTY codebook: clear error, not TypeError
+    bad = str(tmp_path / "pq_empty")
+    spark.createDataFrame(
+        [], "subspace long, code long, pos int, c long",
+    ).write.parquet(bad + "/codebooks")
+    with _pytest.raises(ValueError, match="empty PQ index"):
+        similarity.pq_index_topk(spark, bad, q, k=3)
+
+
+def test_remove_char_spans_ignores_null_bounds(spark):
+    """Spans with NULL start/end are dropped before the islanding sweep
+    — Spark sorts NULLS FIRST, DuckDB NULLS LAST, so a NULL row would
+    make the merged islands engine-dependent (r11 ADVICE)."""
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "klmnopqrst")],
+        "doc_id long, text string")
+    spans = spark.createDataFrame(
+        [(1, 3, 5), (1, None, 7), (1, 8, None), (2, None, None)],
+        "id long, char_start int, char_end int")
+    out = {r["doc_id"]: r for r in
+           dedup.remove_char_spans(docs, spans).collect()}
+    assert out[1]["text"] == "abfghij" and out[1]["n_spans_cut"] == 1
+    assert out[1]["chars_removed"] == 3
+    assert out[2]["text"] == "klmnopqrst" and out[2]["n_spans_cut"] == 0

@@ -3296,6 +3296,26 @@ def q_pq_topk(spark, sf_dir):
     return lsim.pq_topk(emb, queries_df, k=10, m=4, n_codes=8, n_iter=2)
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ / IVFADC (db_spark/llm/similarity.py: ivfpq_topk —
+    Jégou et al. TPAMI 2011 §IV, the composition billion-scale ANN
+    systems deploy): coarse cells prune the corpus to n_probe/n_cells
+    per query, and a SHARED residual codebook (PQ over
+    vector − centroid, exact BIGINT subtraction of the scaled
+    components) compresses each vector to m codes — the two
+    reductions compose multiplicatively. Same deterministic doctrine
+    as pq_topk/ivf_topk (lowest-id seeds from the non-centroid tail,
+    HUGEINT-replayable squared-L2, ties -> lowest id/code/cell), so
+    the full train-encode-probe-rank path replays 1:1 in SQL."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return lsim.ivfpq_topk(emb, queries_df, k=10, n_cells=8, n_probe=3,
+                           m=4, n_codes=8, n_iter=2)
+
+
 def q_temperature_sample(spark, sf_dir):
     """Temperature-flattened language mixture (tau=0.5): downsample each
     language at sqrt(c_min/c_lang) by stable doc-id hash — rarest
@@ -5298,6 +5318,149 @@ def _pq_topk_oracle(k: int = 10, m: int = 4, n_codes: int = 8,
     """
 
 
+def _ivfpq_topk_oracle(k: int = 10, n_cells: int = 8, n_probe: int = 3,
+                       m: int = 4, n_codes: int = 8, n_iter: int = 2,
+                       scale: int = 1_000_000, clamp: float = 1_000_000.0,
+                       n_queries: int = 3) -> str:
+    """Mirror of llm.similarity.ivfpq_topk (IVFADC, Jégou et al. 2011
+    §IV): the ivf_topk coarse chain (lowest-id centroids, guarded
+    cosine argmax, ties -> lowest cell) feeds RESIDUAL components
+    (exact BIGINT subtraction of the scaled integers — the centroid
+    components are comp rows of the centroid ids, byte-identical to
+    the engine's re-derivation because clamp+scale is deterministic),
+    then the _pq_topk_oracle k-means chain over residuals seeded by
+    the lowest-id NON-centroid vectors (OFFSET n_cells), and ADC
+    restricted to each query's probed cells."""
+    cl = f"{clamp:.1f}"
+    guard_cos = ("CASE WHEN list_inner_product({a}::DOUBLE[], "
+                 "{a}::DOUBLE[]) * list_inner_product({b}::DOUBLE[], "
+                 "{b}::DOUBLE[]) > 0 THEN round(list_cosine_similarity("
+                 "{a}::DOUBLE[], {b}::DOUBLE[]), 6) ELSE 0.0 END")
+    steps = []
+    cent = "rc0"
+    for i in range(n_iter):
+        steps.append(f"""
+        rd{i} AS MATERIALIZED (
+          SELECT rcomp.vec_id, rcomp.j, c.code,
+                 SUM(CAST(rcomp.x - c.c AS HUGEINT) * (rcomp.x - c.c))
+                     AS dist
+          FROM rcomp JOIN {cent} c ON c.j = rcomp.j AND c.pos = rcomp.pos
+          GROUP BY 1, 2, 3),
+        ra{i} AS MATERIALIZED (
+          SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                      ORDER BY dist, code) AS rk
+            FROM rd{i}) WHERE rk = 1),
+        rm{i} AS MATERIALIZED (
+          SELECT rcomp.j, a.code, rcomp.pos,
+                 CAST(SUM(CAST(rcomp.x AS HUGEINT)) // COUNT(*)
+                      AS BIGINT) AS nc
+          FROM rcomp JOIN ra{i} a
+            ON a.vec_id = rcomp.vec_id AND a.j = rcomp.j
+          GROUP BY 1, 2, 3),
+        rc{i + 1} AS MATERIALIZED (
+          SELECT p.j, p.code, p.pos, COALESCE(mm.nc, p.c) AS c
+          FROM {cent} p LEFT JOIN rm{i} mm
+            ON mm.j = p.j AND mm.code = p.code AND mm.pos = p.pos)""")
+        cent = f"rc{i + 1}"
+    chain = ",".join(steps)
+    return f"""
+        WITH comp AS MATERIALIZED (
+          SELECT vec_id,
+                 CAST((u.i - 1) // (dim // {m}) AS INT) AS j,
+                 CAST((u.i - 1) % (dim // {m}) AS INT) AS pos,
+                 CAST(round(CASE WHEN u.x > {cl} THEN {cl}
+                                 WHEN u.x < -{cl} THEN -{cl}
+                                 ELSE u.x END * {scale}) AS BIGINT) AS x
+          FROM (SELECT vec_id, len(embedding) AS dim,
+                       unnest(list_transform(embedding,
+                           (x, i) -> struct_pack(
+                               i := i, x := CAST(x AS DOUBLE)))) AS u
+                FROM embeddings)),
+        cent AS (
+          SELECT vec_id AS cell_id, embedding AS cvec
+          FROM embeddings ORDER BY vec_id LIMIT {n_cells}),
+        assigned AS MATERIALIZED (
+          SELECT vec_id, cell_id FROM (
+            SELECT e.vec_id, c.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ({guard_cos.format(a='e.embedding',
+                                                 b='c.cvec')}) DESC,
+                         c.cell_id) AS rk
+            FROM embeddings e CROSS JOIN cent c
+          ) WHERE rk = 1),
+        ccomp AS MATERIALIZED (
+          SELECT vec_id AS cell_id, j, pos, x AS cx
+          FROM comp WHERE vec_id IN (SELECT cell_id FROM cent)),
+        rcomp AS MATERIALIZED (
+          SELECT comp.vec_id, a.cell_id, comp.j, comp.pos,
+                 comp.x - cc.cx AS x
+          FROM comp
+          JOIN assigned a ON a.vec_id = comp.vec_id
+          JOIN ccomp cc ON cc.cell_id = a.cell_id
+            AND cc.j = comp.j AND cc.pos = comp.pos),
+        seeds AS (
+          SELECT vec_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                     AS code
+          FROM (SELECT vec_id FROM embeddings
+                ORDER BY vec_id LIMIT {n_codes} OFFSET {n_cells})),
+        rc0 AS MATERIALIZED (
+          SELECT j, s.code, pos, x AS c
+          FROM rcomp JOIN seeds s USING (vec_id)),
+        {chain},
+        codes AS MATERIALIZED (
+          SELECT vec_id, cell_id, j, code FROM (
+            SELECT rcomp.vec_id, rcomp.cell_id, rcomp.j, c.code,
+                   ROW_NUMBER() OVER (PARTITION BY rcomp.vec_id, rcomp.j
+                       ORDER BY SUM(CAST(rcomp.x - c.c AS HUGEINT)
+                                    * (rcomp.x - c.c)), c.code) AS rk
+            FROM rcomp JOIN {cent} c ON c.j = rcomp.j AND c.pos = rcomp.pos
+            GROUP BY rcomp.vec_id, rcomp.cell_id, rcomp.j, c.code)
+          WHERE rk = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qvec
+              FROM embeddings WHERE vec_id < {n_queries}),
+        probes AS (
+          SELECT query_id, cell_id FROM (
+            SELECT q.query_id, c.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY ({guard_cos.format(a='q.qvec',
+                                                 b='c.cvec')}) DESC,
+                         c.cell_id) AS rk
+            FROM q CROSS JOIN cent c
+          ) WHERE rk <= {n_probe}),
+        qr AS MATERIALIZED (
+          SELECT comp.vec_id AS query_id, p.cell_id, comp.j, comp.pos,
+                 comp.x - cc.cx AS x
+          FROM comp
+          JOIN probes p ON p.query_id = comp.vec_id
+          JOIN ccomp cc ON cc.cell_id = p.cell_id
+            AND cc.j = comp.j AND cc.pos = comp.pos
+          WHERE comp.vec_id < {n_queries}),
+        qt AS MATERIALIZED (
+          SELECT qr.query_id, qr.cell_id, qr.j, c.code,
+                 SUM(CAST(qr.x - c.c AS HUGEINT) * (qr.x - c.c)) AS pd
+          FROM qr JOIN {cent} c ON c.j = qr.j AND c.pos = qr.pos
+          GROUP BY 1, 2, 3, 4),
+        adc AS (
+          SELECT qt.query_id, codes.vec_id, SUM(qt.pd) AS dist
+          FROM codes JOIN qt ON qt.cell_id = codes.cell_id
+            AND qt.j = codes.j AND qt.code = codes.code
+          GROUP BY 1, 2)
+        SELECT query_id, vec_id,
+               round(CAST(dist AS DOUBLE)
+                     / {float(scale)} / {float(scale)}, 6)
+                   + CAST(0 AS DOUBLE) AS adc_dist,
+               CAST(rk AS BIGINT) AS rank
+        FROM (SELECT query_id, vec_id, dist,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY dist, vec_id) AS rk
+              FROM adc)
+        WHERE rk <= {k}
+    """
+
+
 def _semantic_dedup_oracle(n_cells: int = 16, threshold: float = 0.95,
                            n_iter: int = 2, scale: int = 1_000_000) -> str:
     """Mirror of llm.similarity.semantic_dedup over the perturbed-union
@@ -5880,6 +6043,11 @@ _REGISTRY_KEYS: list[str] = [
     "pca_topk",
     "winnow_cut",
     "pq_topk",
+    # r12 additions: IVF-PQ (coarse cells + residual codes — the
+    # billion-scale ANN composition), incremental winnow probe against
+    # a persisted fingerprint index, sampled-training PQ, composed
+    # curation pipeline v2
+    "ivfpq_topk",
 ]
 
 
@@ -7321,6 +7489,8 @@ def oracle_sql() -> dict[str, str]:
         "pca_project": _pca_project_oracle(n_iter=8),
         "pca_topk": _pca_topk_oracle(k=3, n_iter=8),
         "pq_topk": _pq_topk_oracle(k=10, m=4, n_codes=8, n_iter=2),
+        "ivfpq_topk": _ivfpq_topk_oracle(
+            k=10, n_cells=8, n_probe=3, m=4, n_codes=8, n_iter=2),
         "collocations": f"""
             WITH tok AS (SELECT {_TOKS} AS toks FROM documents),
             uc AS (SELECT w, count(*) AS cw

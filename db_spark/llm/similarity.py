@@ -1071,6 +1071,32 @@ def _pq_components(
     )
 
 
+def _pq_kmeans(comp: DataFrame, seeds: DataFrame, n_iter: int) -> DataFrame:
+    """The PQ k-means loop over component rows (_vid, _j, _pos, _x):
+    seed codewords are the seed vectors' own components (seeds =
+    (_vid, _code)), then ``n_iter`` rounds of exact-integer squared-L2
+    assignment (ties -> lowest code) + truncating-division integer
+    means; a codeword that loses every member keeps its previous
+    value. Shared by ``pq_train`` (raw components) and ``ivfpq_train``
+    (residual components) — identical arithmetic, so both replay 1:1
+    in the HUGEINT oracle chain. Returns (_j, _code, _pos, _c)."""
+    cent = (
+        comp.join(F.broadcast(seeds), "_vid")
+        .select("_j", "_code", "_pos", F.col("_x").alias("_c")))
+    for _ in range(n_iter):
+        asg = _pq_assign(comp, cent, "_vid").select("_vid", "_j", "_code")
+        means = (
+            comp.join(asg, ["_vid", "_j"])
+            .groupBy("_j", "_code", "_pos")
+            .agg(F.expr("SUM(CAST(_x AS DECIMAL(38,0))) div COUNT(*)")
+                 .cast("long").alias("_new")))
+        cent = (
+            cent.join(means, ["_j", "_code", "_pos"], "left")
+            .select("_j", "_code", "_pos",
+                    F.coalesce("_new", "_c").alias("_c")))
+    return cent
+
+
 def _pq_assign(comp: DataFrame, cent: DataFrame, out_id: str) -> DataFrame:
     """Nearest-codeword per (vector, subspace) under EXACT integer
     squared L2 (DECIMAL(38,0) fold of (x-c)^2 — diffs reach 2e12, so
@@ -1121,20 +1147,7 @@ def pq_train(
         .limit(n_codes)
         .select("_vid", (F.row_number().over(
             Window.orderBy("_vid")) - 1).cast("int").alias("_code")))
-    cent = (
-        comp.join(F.broadcast(seeds), "_vid")
-        .select("_j", "_code", "_pos", F.col("_x").alias("_c")))
-    for _ in range(n_iter):
-        asg = _pq_assign(comp, cent, "_vid").select("_vid", "_j", "_code")
-        means = (
-            comp.join(asg, ["_vid", "_j"])
-            .groupBy("_j", "_code", "_pos")
-            .agg(F.expr("SUM(CAST(_x AS DECIMAL(38,0))) div COUNT(*)")
-                 .cast("long").alias("_new")))
-        cent = (
-            cent.join(means, ["_j", "_code", "_pos"], "left")
-            .select("_j", "_code", "_pos",
-                    F.coalesce("_new", "_c").alias("_c")))
+    cent = _pq_kmeans(comp, seeds, n_iter)
     return cent.select(F.col("_j").alias("subspace"),
                        F.col("_code").alias("code"),
                        F.col("_pos").alias("pos"),
@@ -1295,6 +1308,219 @@ def pq_index_topk(
                          / float(scale) / float(scale), 6)
                  + F.lit(0.0)).alias("adc_dist"),
                 F.col("_rk").cast("long").alias("rank")))
+
+
+def _ivfpq_parts(
+    corpus: DataFrame, n_cells: int, m: int, n_codes: int, n_iter: int,
+    id_col: str, vec_col: str, scale: int, clamp: float,
+) -> "tuple[DataFrame, DataFrame, DataFrame, DataFrame]":
+    """Shared IVF-PQ build (Jégou, Douze, Schmid, TPAMI 2011 §IV —
+    the IVFADC composition production billion-scale ANN systems
+    deploy): a coarse quantizer buckets vectors into cells, and PQ
+    encodes each vector's RESIDUAL (vector − cell centroid) with ONE
+    codebook shared across cells — residuals are centered near zero,
+    so the same code budget quantizes them far better than raw
+    vectors. Every stage reuses this module's deterministic doctrine:
+
+    - coarse cells: ``ivf_assign`` (centroids = the n_cells lowest-id
+      vectors; cosine argmax, ties -> lowest cell);
+    - residuals: EXACT integer differences of the scaled components
+      (vector and centroid both go through `_pq_components`, so the
+      residual is a BIGINT subtraction — no float subtraction drift);
+    - codebook: `_pq_kmeans` over residual components, seeded by the
+      n_codes lowest-id NON-CENTROID vectors (the centroids' own
+      residuals are all-zero — seeding from them would collapse every
+      codeword onto one point);
+    - codes: nearest-codeword argmin, ties -> lowest code.
+
+    Returns (centroids, centroid components (cell_id, _j, _pos, _cx),
+    trained codebook (_j, _code, _pos, _c), codes
+    (_vid, cell_id, _j, _code))."""
+    centroids, assigned = ivf_assign(corpus, n_cells, id_col, vec_col)
+    cells = assigned.select(F.col(id_col).alias("_vid"), "cell_id")
+    comp = _pq_components(corpus, m, id_col, vec_col, scale, clamp, "_vid")
+    ccomp = (
+        _pq_components(
+            centroids.select("cell_id", F.col("_cvec").alias(vec_col)),
+            m, "cell_id", vec_col, scale, clamp, "cell_id")
+        .select("cell_id", "_j", "_pos", F.col("_x").alias("_cx")))
+    rcomp = _plan_cache(
+        comp.join(cells, "_vid")
+        .join(F.broadcast(ccomp), ["cell_id", "_j", "_pos"])
+        .select("_vid", "cell_id", "_j", "_pos",
+                (F.col("_x") - F.col("_cx")).alias("_x")))
+    seeds = (
+        corpus.select(F.col(id_col).alias("_vid")).orderBy("_vid")
+        .limit(n_cells + n_codes)
+        .select("_vid", (F.row_number().over(Window.orderBy("_vid"))
+                         - 1 - n_cells).alias("_sq"))
+        .filter(F.col("_sq") >= 0)
+        .select("_vid", F.col("_sq").cast("int").alias("_code")))
+    cent = _pq_kmeans(rcomp, seeds, n_iter)
+    codes = (
+        _pq_assign(rcomp, cent, "_vid")
+        .select("_vid", "_j", "_code")
+        .join(cells, "_vid"))
+    return centroids, ccomp, cent, codes
+
+
+def _ivfpq_search(
+    probes: DataFrame, qcomp: DataFrame, ccomp: DataFrame,
+    cent: DataFrame, codes: DataFrame, k: int,
+    id_col: str, query_id_col: str, scale: int,
+) -> DataFrame:
+    """The IVF-PQ ADC ranking shared by the one-shot and persisted
+    paths: per (query, probed cell) the query's RESIDUAL against that
+    cell's centroid feeds a (subspace, code) distance table
+    (model-sized: |Q| * n_probe * m * n_codes rows, always broadcast);
+    corpus CODES in the probed cells join it and one (query, vector)
+    aggregate sums the m lookups. Exact integers throughout — ranking
+    is bit-identical on any engine/partitioning; ties -> lowest id."""
+    rq = (
+        qcomp.join(F.broadcast(probes), "_qid")
+        .join(F.broadcast(ccomp), ["cell_id", "_j", "_pos"])
+        .select("_qid", "cell_id", "_j", "_pos",
+                (F.col("_x") - F.col("_cx")).alias("_x")))
+    d = F.col("_x") - F.col("_c")
+    tables = (
+        rq.join(F.broadcast(cent), ["_j", "_pos"])
+        .groupBy("_qid", "cell_id", "_j", "_code")
+        .agg(F.sum(d.cast("decimal(38,0)") * d)
+             .cast("decimal(38,0)").alias("_pd")))
+    scored = (
+        codes.join(F.broadcast(tables), ["cell_id", "_j", "_code"])
+        .groupBy("_qid", "_vid")
+        .agg(F.sum("_pd").cast("decimal(38,0)").alias("_adc")))
+    w = Window.partitionBy("_qid").orderBy(F.col("_adc"), F.col("_vid"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(F.col("_qid").alias(query_id_col),
+                F.col("_vid").alias(id_col),
+                (F.round(F.col("_adc").cast("double")
+                         / float(scale) / float(scale), 6)
+                 + F.lit(0.0)).alias("adc_dist"),
+                F.col("_rk").cast("long").alias("rank")))
+
+
+def _ivfpq_probes(
+    queries: DataFrame, centroids: DataFrame, n_probe: int,
+    vec_col: str, query_id_col: str,
+) -> DataFrame:
+    """Per-query n_probe nearest cells (guarded cosine round 6, ties
+    -> lowest cell) — the same probe selection as ``ivf_topk``.
+    Returns (_qid, cell_id)."""
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec"))
+    q_cells = q.crossJoin(F.broadcast(centroids)).select(
+        "_qid", "cell_id",
+        F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("_csim"))
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("_csim").desc(), F.col("cell_id"))
+    return (q_cells.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n_probe).select("_qid", "cell_id"))
+
+
+def ivfpq_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    n_cells: int = 8, n_probe: int = 3, m: int = 4, n_codes: int = 8,
+    n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = 1_000_000, clamp: float = 1_000_000.0,
+) -> DataFrame:
+    """IVF-PQ (IVFADC) approximate top-k — the production
+    billion-scale ANN architecture (Jégou et al. TPAMI 2011 §IV):
+    probe the ``n_probe`` cells nearest each query, then rank ONLY
+    those cells' vectors by asymmetric distance over residual PQ
+    codes. Search cost per query = n_probe/n_cells of the corpus, at
+    m codes per vector instead of dim floats — the two reductions
+    compose multiplicatively (cell pruning x code compression), which
+    is why this shape, not flat PQ or flat IVF, is what billion-scale
+    deployments run. Deterministic and SQL-oracle-expressible end to
+    end: exact-integer residuals, HUGEINT-replayable squared-L2, all
+    ties broken by lowest id/code/cell. Returns (query_id, vec_id,
+    adc_dist DOUBLE, rank)."""
+    centroids, ccomp, cent, codes = _ivfpq_parts(
+        corpus, n_cells, m, n_codes, n_iter, id_col, vec_col, scale, clamp)
+    probes = _ivfpq_probes(queries, centroids, n_probe,
+                           vec_col, query_id_col)
+    qcomp = _pq_components(
+        queries, m, query_id_col, vec_col, scale, clamp, "_qid")
+    return _ivfpq_search(probes, qcomp, ccomp, cent, codes, k,
+                         id_col, query_id_col, scale)
+
+
+def ivfpq_index_build(
+    corpus: DataFrame, path: str, n_cells: int = 8, m: int = 4,
+    n_codes: int = 8, n_iter: int = 2, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000, clamp: float = 1_000_000.0,
+) -> None:
+    """Materialize an IVF-PQ index: centroids (model-sized), the
+    shared residual codebook (model-sized), and the corpus CODES
+    hive-partitioned by cell_id — so a probe's parquet scan prunes to
+    the probed cells' directories AND reads m small ints per vector.
+    At 100 TB this is the full ANN I/O story: raw embeddings are read
+    exactly once (here); every search touches ~n_probe/n_cells of a
+    code table that is already ~dim/m * 8x smaller than the corpus.
+    Parameters are persisted in ``meta`` (the pq_index_build
+    doctrine — stored, never inferred)."""
+    centroids, ccomp, cent, codes = _ivfpq_parts(
+        corpus, n_cells, m, n_codes, n_iter, id_col, vec_col, scale, clamp)
+    centroids.withColumnRenamed("_cvec", "centroid").write.mode(
+        "overwrite").parquet(path + "/centroids")
+    cent.select(F.col("_j").alias("subspace"), F.col("_code").alias("code"),
+                F.col("_pos").alias("pos"), F.col("_c").alias("c")
+                ).write.mode("overwrite").parquet(path + "/codebooks")
+    codes.select("cell_id", F.col("_vid").alias(id_col),
+                 F.col("_j").alias("subspace"), F.col("_code").alias("code")
+                 ).write.mode("overwrite").partitionBy("cell_id").parquet(
+                     path + "/codes")
+    corpus.sparkSession.createDataFrame(
+        [(int(n_cells), int(m), int(scale), float(clamp))],
+        "n_cells INT, m INT, scale LONG, clamp DOUBLE",
+    ).write.mode("overwrite").parquet(path + "/meta")
+
+
+def ivfpq_index_topk(
+    spark, path: str, queries: DataFrame, k: int = 10, n_probe: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC top-k against a persisted IVF-PQ index: probe cells from
+    the stored centroids, push the probed cell set down as a partition
+    filter on the code table (PartitionFilters — only the probed
+    directories are read), and rank by the same exact-integer ADC as
+    the one-shot path — results are bit-identical to ``ivfpq_topk``
+    with the same build parameters. The raw corpus embeddings never
+    enter the plan; m/scale/clamp come from the index's ``meta``."""
+    meta = spark.read.parquet(path + "/meta").first()
+    if meta is None:
+        raise ValueError(f"empty IVF-PQ index at {path!r}")
+    m, scale, clamp = int(meta["m"]), int(meta["scale"]), meta["clamp"]
+    centroids = spark.read.parquet(path + "/centroids").withColumnRenamed(
+        "centroid", "_cvec")
+    probes = _ivfpq_probes(queries, centroids, n_probe,
+                           vec_col, query_id_col)
+    probed_cells = sorted(
+        r["cell_id"] for r in probes.select("cell_id").distinct().collect())
+    codes = (
+        spark.read.parquet(path + "/codes")
+        .filter(F.col("cell_id").isin(probed_cells))  # -> PartitionFilters
+        .select("cell_id", F.col(id_col).alias("_vid"),
+                F.col("subspace").alias("_j"), F.col("code").alias("_code")))
+    cent = spark.read.parquet(path + "/codebooks").select(
+        F.col("subspace").alias("_j"), F.col("code").alias("_code"),
+        F.col("pos").alias("_pos"), F.col("c").alias("_c"))
+    ccomp = (
+        _pq_components(
+            centroids.select("cell_id", F.col("_cvec").alias(vec_col)),
+            m, "cell_id", vec_col, scale, clamp, "cell_id")
+        .select("cell_id", "_j", "_pos", F.col("_x").alias("_cx")))
+    qcomp = _pq_components(
+        queries, m, query_id_col, vec_col, scale, clamp, "_qid")
+    return _ivfpq_search(probes, qcomp, ccomp, cent, codes, k,
+                         id_col, query_id_col, scale)
 
 
 def pca_project(

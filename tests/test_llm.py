@@ -2357,3 +2357,78 @@ def test_remove_char_spans_ignores_null_bounds(spark):
     assert out[1]["text"] == "abfghij" and out[1]["n_spans_cut"] == 1
     assert out[1]["chars_removed"] == 3
     assert out[2]["text"] == "klmnopqrst" and out[2]["n_spans_cut"] == 0
+
+
+def test_ivfpq_topk_recovers_clusters_exactly(spark):
+    """IVF-PQ on planted clusters with ids interleaved so the 8
+    lowest-id vectors (the coarse centroids) cover all 8 clusters:
+    each cluster assigns to its own cell, a query's own cell is its
+    top probe, and every same-cluster vector's ADC distance (residual
+    vs the shared codebook) is strictly below any other probed cell's
+    vectors — so top-k at k = cluster size returns exactly the
+    cluster. The quantization-cell property, not a statistical claim
+    (pq_topk test precedent)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(8, 8) * 10
+    # id i belongs to cluster i % 8 -> ids 0..7 are one point per cluster
+    X = np.vstack([centers[i % 8] + rng.randn(8) * 0.05
+                   for i in range(200)])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(j, [float(v) for v in X[j]]) for j in (16, 17, 21)],
+        "query_id long, embedding array<double>")
+    out = similarity.ivfpq_topk(df, q, k=25, n_cells=8, n_probe=3,
+                                m=4, n_codes=8, n_iter=2)
+    byq = {}
+    for r in out.collect():
+        byq.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qid in (16, 17, 21):
+        assert byq[qid] == set(range(qid % 8, 200, 8))
+    # partition invariance: the exact-integer doctrine means the same
+    # result from any physical layout
+    out2 = similarity.ivfpq_topk(df.repartition(7), q, k=25, n_cells=8,
+                                 n_probe=3, m=4, n_codes=8, n_iter=2)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, out2.collect()))
+
+
+def test_ivfpq_index_persisted_matches_one_shot(spark, tmp_path):
+    """A persisted IVF-PQ index must give results bit-identical to the
+    one-shot ivfpq_topk with the same build parameters; the search
+    plan must carry a PartitionFilters prune on cell_id and never read
+    an embedding array from parquet (codes/centroids/codebooks only)."""
+    import numpy as np
+    import re as _re
+
+    rng = np.random.RandomState(13)
+    centers = rng.randn(8, 8) * 10
+    X = np.vstack([centers[i % 8] + rng.randn(8) * 0.05
+                   for i in range(120)])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(120)],
+        "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(j, [float(v) for v in X[j]]) for j in (9, 30)],
+        "query_id long, embedding array<double>")
+    idx = str(tmp_path / "ivfpq")
+    similarity.ivfpq_index_build(df, idx, n_cells=8, m=4, n_codes=8,
+                                 n_iter=2)
+    meta = spark.read.parquet(idx + "/meta").collect()
+    assert len(meta) == 1 and meta[0]["m"] == 4 and meta[0]["n_cells"] == 8
+    got = similarity.ivfpq_index_topk(spark, idx, q, k=10, n_probe=3)
+    one = similarity.ivfpq_topk(df, q, k=10, n_cells=8, n_probe=3,
+                                m=4, n_codes=8, n_iter=2)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, one.collect()))
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted")
+    # probed-cell pushdown reaches the code table's partition column
+    assert "PartitionFilters" in plan and "cell_id" in plan
+    # no parquet scan ever reads an embedding array (the raw corpus is
+    # touched only at build time)
+    for rs in _re.findall(r"ReadSchema: (\S+)", plan):
+        assert "embedding" not in rs

@@ -3189,6 +3189,30 @@ def q_winnow_spans(spark, sf_dir):
                                  output="spans")
 
 
+def q_winnow_probe(spark, sf_dir):
+    """Incremental winnow span-overlap probe (db_spark/llm/dedup.py:
+    winnow_index_build/winnow_probe): the corpus partition's
+    fingerprint OCCURRENCES are materialized once (id, fingerprint,
+    1-based token pos — no text), then the NEW batch is fingerprinted
+    alone and span-aligned against the stored positions — the
+    daily-crawl-increment user story: overlap detection without
+    re-tokenizing the history. Oracle = full cross-set recompute
+    (corpus = doc_id % 5 != 0, new = doc_id % 5 == 0), which equals
+    the probe exactly because winnowing is per-document: a document's
+    fingerprint set never depends on the rest of the corpus."""
+    import tempfile
+
+    from db_spark.llm import dedup as ldedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = tempfile.mkdtemp(prefix="winnow_index_") + "/winnow"
+    ldedup.winnow_index_build(corpus, idx, k=4, w=4)
+    return ldedup.winnow_probe(spark, idx, new, min_shared=2,
+                               output="spans")
+
+
 def q_winnow_cut(spark, sf_dir):
     """Span-level dedup REMOVAL (db_spark/llm/dedup.py:
     remove_char_spans — the Lee et al. 2022 treatment): the aligned
@@ -5461,6 +5485,89 @@ def _ivfpq_topk_oracle(k: int = 10, n_cells: int = 8, n_probe: int = 3,
     """
 
 
+def _winnow_probe_oracle(min_shared: int = 2, max_fp_df: int = 1000,
+                         gap: int = 7) -> str:
+    """Mirror of llm.dedup.winnow_index_build + winnow_probe
+    (output='spans', k=4, w=4) as a full CROSS-SET RECOMPUTE: the
+    probe against a persisted index equals re-fingerprinting both
+    partitions because winnowing is strictly per-document (a doc's
+    fingerprint set never depends on the rest of the corpus) — the
+    same identity the lsh_probe oracle uses. Corpus = doc_id % 5 != 0,
+    new batch = doc_id % 5 = 0; the df-cap counts CORPUS documents
+    only (the probe can only see index-side df), applied to both
+    fingerprint sets and both hit streams; anchors merge per (pair,
+    diagonal) within gap=k+w-1 tokens (winnow_spans chain)."""
+
+    def side(name: str, pred: str) -> str:
+        return f"""
+        tok_{name} AS (SELECT doc_id, {_TOKS} AS toks
+                       FROM documents WHERE {pred}),
+        g_{name} AS (SELECT doc_id, len(toks) - 3 AS ng, pos,
+                     ('0x' || substr(md5(
+                         toks[pos] || ' ' || toks[pos+1] || ' ' ||
+                         toks[pos+2] || ' ' || toks[pos+3]),
+                         1, 15))::BIGINT AS gh
+              FROM (SELECT doc_id, toks,
+                           unnest(range(1, greatest(len(toks) - 2, 1)))
+                               AS pos
+                    FROM tok_{name})),
+        wm_{name} AS (SELECT doc_id, ng, pos,
+                      min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                          AS sel
+               FROM g_{name}),
+        fp_{name} AS (SELECT DISTINCT doc_id, sel AS fp
+                      FROM wm_{name} WHERE pos <= ng - 3),
+        hits_{name} AS (SELECT g.doc_id, g.pos, g.gh AS fp
+                        FROM g_{name} g JOIN fp_{name} f
+                          ON f.doc_id = g.doc_id AND f.fp = g.gh)"""
+
+    return f"""
+        WITH {side('c', 'doc_id % 5 <> 0')},
+        {side('n', 'doc_id % 5 = 0')},
+        hot AS (SELECT fp FROM fp_c GROUP BY fp
+                HAVING count(*) > {max_fp_df}),
+        fpc AS (SELECT * FROM fp_c
+                WHERE fp NOT IN (SELECT fp FROM hot)),
+        fpn AS (SELECT * FROM fp_n
+                WHERE fp NOT IN (SELECT fp FROM hot)),
+        hc AS (SELECT * FROM hits_c
+               WHERE fp NOT IN (SELECT fp FROM hot)),
+        hn AS (SELECT * FROM hits_n
+               WHERE fp NOT IN (SELECT fp FROM hot)),
+        pr AS (SELECT c.doc_id AS corpus_id, n.doc_id AS new_id,
+                      count(*) AS sh
+               FROM fpc c JOIN fpn n ON c.fp = n.fp
+               GROUP BY 1, 2 HAVING count(*) >= {min_shared}),
+        anch AS (SELECT DISTINCT hc.doc_id AS corpus_id,
+                        hn.doc_id AS new_id,
+                        hc.pos AS pa, hn.pos AS pb
+                 FROM hc JOIN hn ON hc.fp = hn.fp
+                 JOIN pr ON pr.corpus_id = hc.doc_id
+                        AND pr.new_id = hn.doc_id),
+        dg AS (SELECT corpus_id, new_id, pa, pb, pb - pa AS diag
+               FROM anch),
+        fl AS (SELECT corpus_id, new_id, pa, diag,
+                      CASE WHEN pa - lag(pa) OVER
+                          (PARTITION BY corpus_id, new_id, diag
+                           ORDER BY pa) > {gap}
+                      THEN 1 ELSE 0 END AS nf
+               FROM dg),
+        isl AS (SELECT corpus_id, new_id, pa, diag,
+                       SUM(nf) OVER (PARTITION BY corpus_id, new_id, diag
+                           ORDER BY pa ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS grp
+                FROM fl)
+        SELECT corpus_id, new_id,
+               CAST(min(pa) AS BIGINT) AS a_start,
+               CAST(max(pa) + 3 AS BIGINT) AS a_end,
+               CAST(min(pa) + diag AS BIGINT) AS b_start,
+               CAST(max(pa) + 3 + diag AS BIGINT) AS b_end,
+               CAST(count(*) AS BIGINT) AS n_anchors
+        FROM isl GROUP BY corpus_id, new_id, diag, grp
+    """
+
+
 def _semantic_dedup_oracle(n_cells: int = 16, threshold: float = 0.95,
                            n_iter: int = 2, scale: int = 1_000_000) -> str:
     """Mirror of llm.similarity.semantic_dedup over the perturbed-union
@@ -6048,6 +6155,7 @@ _REGISTRY_KEYS: list[str] = [
     # a persisted fingerprint index, sampled-training PQ, composed
     # curation pipeline v2
     "ivfpq_topk",
+    "winnow_probe",
 ]
 
 
@@ -7491,6 +7599,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": _pq_topk_oracle(k=10, m=4, n_codes=8, n_iter=2),
         "ivfpq_topk": _ivfpq_topk_oracle(
             k=10, n_cells=8, n_probe=3, m=4, n_codes=8, n_iter=2),
+        "winnow_probe": _winnow_probe_oracle(),
         "collocations": f"""
             WITH tok AS (SELECT {_TOKS} AS toks FROM documents),
             uc AS (SELECT w, count(*) AS cw

@@ -1477,3 +1477,139 @@ def winnow_overlap(
                 F.col("_sh").cast("long").alias("shared_fps"),
                 F.round(F.col("_sh").cast("double")
                         / F.least("_na", "_nb"), 6).alias("containment")))
+
+
+# ---------------------------------------------------------------------------
+# Persisted winnow fingerprint index — incremental span-overlap probing
+# ---------------------------------------------------------------------------
+
+def winnow_index_build(
+    corpus: DataFrame, path: str, id_col: str = "doc_id",
+    text_col: str = "text", k: int = 4, w: int = 4,
+) -> None:
+    """Persist the corpus's winnow fingerprint OCCURRENCES — (id,
+    fingerprint, pos) in the ``hits`` form `winnow_overlap(output=
+    "spans")` aligns from — plus a meta file pinning (k, w). This is
+    the state INCREMENTAL span-dedup probes against (`winnow_probe`):
+    a daily crawl asks "which existing documents does each NEW page
+    overlap, and where?" without re-tokenizing or re-fingerprinting
+    the 100 TB history. The index stores no text; positions are
+    1-based token offsets (the module's convention), so probe results
+    compose directly with span-cardinality consumers. Probes MUST
+    fingerprint with the same (k, w) or values/windows are
+    meaningless — hence the pinned meta (lsh_index_build doctrine)."""
+    import json
+    import os
+
+    hits = winnow_fingerprints(corpus, id_col, text_col, k, w,
+                               output="hits")
+    hits.write.mode("overwrite").parquet(path + "/hits")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump({"k": k, "w": w, "id_col": id_col}, fh)
+
+
+def winnow_probe(
+    spark, path: str, new_docs: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", min_shared: int = 2,
+    max_fp_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    output: str = "stats", merge_gap: int | None = None,
+) -> DataFrame:
+    """Span-overlap check of a NEW document batch against a persisted
+    winnow fingerprint index (`winnow_index_build`) — the incremental
+    half of MOSS-style span dedup: only the DELTA is tokenized and
+    fingerprinted; the corpus side is the stored (id, fingerprint,
+    pos) table, so cost is O(new docs) + fingerprint-blocked joins
+    against index rows, never a corpus rescan. New/corpus id
+    namespaces are assumed disjoint (the daily-crawl contract) — no
+    self-pair filtering is applied.
+
+    Fingerprints held by more than ``max_fp_df`` CORPUS documents are
+    dropped on both sides before joining (the boilerplate hot-key
+    guard, df computed from the index alone — a probe can't see
+    future corpus df anyway).
+
+    ``output="stats"``: (corpus_id, new_id, shared_fps, containment)
+    with containment = shared / min(|fps_corpus|, |fps_new|) over the
+    capped fingerprint sets (winnow_overlap semantics).
+
+    ``output="spans"``: aligned passages per (pair, diagonal) — the
+    winnow_overlap span merge (anchors on one diagonal within
+    ``merge_gap`` tokens, default k + w - 1, form one passage):
+    (corpus_id, new_id, a_start, a_end, b_start, b_end, n_anchors),
+    a = corpus side, b = new side, 1-based inclusive token offsets.
+    Char offsets are deliberately absent: computing them for the
+    corpus side would require re-reading corpus text — exactly what
+    the index exists to avoid. Token spans + the stored positions are
+    enough to decide and cut (`remove_char_spans` on the NEW side uses
+    the new docs' own offsets via winnow_overlap on the pair subset).
+    """
+    import json
+    import os
+
+    if output not in ("stats", "spans"):
+        raise ValueError(
+            f"output must be 'stats' or 'spans', got {output!r}")
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    k, w = int(meta["k"]), int(meta["w"])
+    stored_id = meta.get("id_col", "doc_id")
+    idx = _plan_cache(spark.read.parquet(path + "/hits").select(
+        F.col(stored_id).alias("_cid"), "fingerprint",
+        F.col("pos").alias("_pa")))
+    new_hits = _plan_cache(
+        winnow_fingerprints(new_docs, id_col, text_col, k, w,
+                            output="hits")
+        .select(F.col(id_col).alias("_nid"), "fingerprint",
+                F.col("pos").alias("_pb")))
+    cfp = idx.select("_cid", "fingerprint").distinct()
+    nfp = new_hits.select("_nid", "fingerprint").distinct()
+    if max_fp_df is not None:
+        hot = (cfp.groupBy("fingerprint")
+               .agg(F.count(F.lit(1)).alias("_df"))
+               .filter(F.col("_df") > max_fp_df).select("fingerprint"))
+        cfp = cfp.join(hot, "fingerprint", "left_anti")
+        nfp = nfp.join(hot, "fingerprint", "left_anti")
+        idx = idx.join(hot, "fingerprint", "left_anti")
+        new_hits = new_hits.join(hot, "fingerprint", "left_anti")
+    pairs = (
+        cfp.join(nfp, "fingerprint")
+        .groupBy("_cid", "_nid").agg(F.count(F.lit(1)).alias("_sh"))
+        .filter(F.col("_sh") >= min_shared))
+    if output == "stats":
+        na = cfp.groupBy("_cid").agg(F.count(F.lit(1)).alias("_na"))
+        nb = nfp.groupBy("_nid").agg(F.count(F.lit(1)).alias("_nb"))
+        return (
+            pairs.join(na, "_cid").join(nb, "_nid")
+            .select(F.col("_cid").alias("corpus_id"),
+                    F.col("_nid").alias("new_id"),
+                    F.col("_sh").cast("long").alias("shared_fps"),
+                    F.round(F.col("_sh").cast("double")
+                            / F.least("_na", "_nb"), 6)
+                    .alias("containment")))
+    gap = (k + w - 1) if merge_gap is None else merge_gap
+    anchors = (
+        idx.join(new_hits, "fingerprint")
+        .join(pairs.select("_cid", "_nid"), ["_cid", "_nid"], "left_semi")
+        .select("_cid", "_nid", "_pa", "_pb").distinct()
+        .withColumn("_diag", F.col("_pb") - F.col("_pa")))
+    wp = Window.partitionBy("_cid", "_nid", "_diag").orderBy("_pa")
+    flagged = anchors.withColumn(
+        "_new", F.when(
+            F.col("_pa") - F.lag("_pa").over(wp) > gap, 1).otherwise(0))
+    isl = flagged.withColumn(
+        "_isl", F.sum("_new").over(
+            wp.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        isl.groupBy("_cid", "_nid", "_diag", "_isl")
+        .agg(F.min("_pa").alias("_s"), F.max("_pa").alias("_e"),
+             F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.col("_cid").alias("corpus_id"),
+            F.col("_nid").alias("new_id"),
+            F.col("_s").cast("long").alias("a_start"),
+            (F.col("_e") + (k - 1)).cast("long").alias("a_end"),
+            (F.col("_s") + F.col("_diag")).cast("long").alias("b_start"),
+            (F.col("_e") + (k - 1) + F.col("_diag")).cast("long")
+            .alias("b_end"),
+            F.col("_n").cast("long").alias("n_anchors")))

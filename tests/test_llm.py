@@ -2432,3 +2432,68 @@ def test_ivfpq_index_persisted_matches_one_shot(spark, tmp_path):
     # touched only at build time)
     for rs in _re.findall(r"ReadSchema: (\S+)", plan):
         assert "embedding" not in rs
+
+
+def _winnow_probe_fixture(spark):
+    shared = ("the quick brown fox jumps over the lazy dog while the "
+              "cat watches from the tall green tree nearby every day")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta " + shared + " omega end"),
+         (2, "completely different filler content with no overlap at "
+             "all in this document whatsoever nothing shared here")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, "intro words before the passage " + shared),
+         (101, "another totally unrelated new page about various "
+               "plain topics nobody copied anything into this one")],
+        "doc_id long, text string")
+    return corpus, new
+
+
+def test_winnow_probe_finds_cross_set_spans(spark, tmp_path):
+    """A new doc sharing a long passage with an indexed corpus doc
+    must surface as an aligned span (equal-length sides, one
+    diagonal); unrelated docs must not pair. The stats form reports
+    the same pair with containment > 0."""
+    corpus, new = _winnow_probe_fixture(spark)
+    idx = str(tmp_path / "widx")
+    dedup.winnow_index_build(corpus, idx, k=4, w=4)
+    spans = dedup.winnow_probe(spark, idx, new, min_shared=2,
+                               output="spans").collect()
+    assert {(r["corpus_id"], r["new_id"]) for r in spans} == {(1, 100)}
+    for r in spans:
+        assert r["a_end"] - r["a_start"] == r["b_end"] - r["b_start"]
+        assert r["n_anchors"] >= 2
+    stats = dedup.winnow_probe(spark, idx, new, min_shared=2,
+                               output="stats").collect()
+    assert len(stats) == 1 and stats[0]["corpus_id"] == 1
+    assert stats[0]["new_id"] == 100 and stats[0]["containment"] > 0
+    with pytest.raises(ValueError, match="output must be"):
+        dedup.winnow_probe(spark, idx, new, output="nope")
+
+
+def test_winnow_probe_never_rereads_corpus_text(spark, tmp_path):
+    """The probe's whole point at 100 TB: corpus text is read ONCE at
+    index build. The probe plan's only parquet scans are the stored
+    (doc_id, fingerprint, pos) hits — no ReadSchema ever contains a
+    text column, and the hits table is in the plan."""
+    import re as _re
+
+    corpus, new = _winnow_probe_fixture(spark)
+    idx = str(tmp_path / "widx2")
+    dedup.winnow_index_build(corpus, idx, k=4, w=4)
+    out = dedup.winnow_probe(spark, idx, new, min_shared=2,
+                             output="spans")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "hits" in plan
+    schemas = _re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas, "expected at least one parquet scan (the index)"
+    for rs in schemas:
+        assert "text" not in rs
+    # probe results are invariant to the new batch's partitioning
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, dedup.winnow_probe(
+        spark, idx, new.repartition(5), min_shared=2,
+        output="spans").collect()))
+    assert a == b

@@ -504,7 +504,7 @@ def test_tokenizer_tier_dirty_text(spark, dirty_dir, key):
     "dedup_corpus", "dedup_keep_best", "dedup_clusters",
     "curate_corpus", "decontaminate", "lsh_probe",
     "winnow_fingerprints", "winnow_overlap", "winnow_spans",
-    "winnow_cut",
+    "winnow_cut", "winnow_probe",
 ])
 def test_dedup_tier_dirty_text(spark, dirty_dir, key):
     _assert_engines_agree(spark, dirty_dir, key)

@@ -3320,6 +3320,25 @@ def q_pq_topk(spark, sf_dir):
     return lsim.pq_topk(emb, queries_df, k=10, m=4, n_codes=8, n_iter=2)
 
 
+def q_pq_sampled(spark, sf_dir):
+    """Bounded-sample PQ training (db_spark/llm/similarity.py:
+    pq_train(train_sample_n=...)): codebooks k-means over the 200
+    corpus rows ranked lowest by the salted id-hash h32('pqs:' || id)
+    (deterministic, partition-invariant — the corpus-module
+    id-hash-uniform doctrine), while encode and ADC search still
+    touch every vector. The 100 TB training cost shape: codebook
+    quality saturates at a bounded learning set (Jégou et al. train
+    on learning sets, not the corpus), so training cost is
+    O(sample * dim * n_codes), corpus-independent."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return lsim.pq_topk(emb, queries_df, k=10, m=4, n_codes=8, n_iter=2,
+                        train_sample_n=200)
+
+
 def q_ivfpq_topk(spark, sf_dir):
     """IVF-PQ / IVFADC (db_spark/llm/similarity.py: ivfpq_topk —
     Jégou et al. TPAMI 2011 §IV, the composition billion-scale ANN
@@ -5247,7 +5266,8 @@ def _pca_topk_oracle(k: int = 3, n_iter: int = 8) -> str:
 def _pq_topk_oracle(k: int = 10, m: int = 4, n_codes: int = 8,
                     n_iter: int = 2, scale: int = 1_000_000,
                     clamp: float = 1_000_000.0,
-                    n_queries: int = 3) -> str:
+                    n_queries: int = 3,
+                    sample_n: "int | None" = None) -> str:
     """Mirror of llm.similarity.pq_train/pq_encode/pq_topk: scaled
     integer components with ARITHMETIC subspace assignment (follows
     the data's dimensionality — never a hardcoded dim), lowest-id
@@ -5255,17 +5275,24 @@ def _pq_topk_oracle(k: int = 10, m: int = 4, n_codes: int = 8,
     squared-L2 assignment (ties -> lowest code) + truncating-division
     integer means, then ADC: per-query (subspace, code) distance
     tables summed over the corpus codes. Every engine step replays
-    1:1 (Spark decimal(38,0)/div == DuckDB HUGEINT///)."""
+    1:1 (Spark decimal(38,0)/div == DuckDB HUGEINT///).
+
+    ``sample_n`` mirrors pq_train(train_sample_n=...): the k-means
+    chain (seeds + assignment + means) runs over the sample_n rows
+    ranked lowest by the salted id-hash h32('pqs:' || id) (ties ->
+    lowest id), while ENCODE and the query tables still cover the
+    full corpus."""
     cl = f"{clamp:.1f}"
+    tr = "comp" if sample_n is None else "tcomp"
     steps = []
     cent = "cent0"
     for i in range(n_iter):
         steps.append(f"""
         d{i} AS MATERIALIZED (
-          SELECT comp.vec_id, comp.j, c.code,
-                 SUM(CAST(comp.x - c.c AS HUGEINT) * (comp.x - c.c))
+          SELECT {tr}.vec_id, {tr}.j, c.code,
+                 SUM(CAST({tr}.x - c.c AS HUGEINT) * ({tr}.x - c.c))
                      AS dist
-          FROM comp JOIN {cent} c ON c.j = comp.j AND c.pos = comp.pos
+          FROM {tr} JOIN {cent} c ON c.j = {tr}.j AND c.pos = {tr}.pos
           GROUP BY 1, 2, 3),
         a{i} AS MATERIALIZED (
           SELECT vec_id, j, code FROM (
@@ -5274,11 +5301,11 @@ def _pq_topk_oracle(k: int = 10, m: int = 4, n_codes: int = 8,
                                       ORDER BY dist, code) AS rk
             FROM d{i}) WHERE rk = 1),
         m{i} AS MATERIALIZED (
-          SELECT comp.j, a.code, comp.pos,
-                 CAST(SUM(CAST(comp.x AS HUGEINT)) // COUNT(*)
+          SELECT {tr}.j, a.code, {tr}.pos,
+                 CAST(SUM(CAST({tr}.x AS HUGEINT)) // COUNT(*)
                       AS BIGINT) AS nc
-          FROM comp JOIN a{i} a
-            ON a.vec_id = comp.vec_id AND a.j = comp.j
+          FROM {tr} JOIN a{i} a
+            ON a.vec_id = {tr}.vec_id AND a.j = {tr}.j
           GROUP BY 1, 2, 3),
         cent{i + 1} AS MATERIALIZED (
           SELECT p.j, p.code, p.pos, COALESCE(mm.nc, p.c) AS c
@@ -5286,6 +5313,21 @@ def _pq_topk_oracle(k: int = 10, m: int = 4, n_codes: int = 8,
             ON mm.j = p.j AND mm.code = p.code AND mm.pos = p.pos)""")
         cent = f"cent{i + 1}"
     chain = ",".join(steps)
+    if sample_n is None:
+        sample_ctes = ""
+        seed_src = f"""SELECT vec_id FROM embeddings
+                ORDER BY vec_id LIMIT {n_codes}"""
+    else:
+        sample_ctes = f"""
+        pick AS (
+          SELECT vec_id FROM embeddings
+          ORDER BY ('0x' || substr(md5('pqs:' || CAST(vec_id AS VARCHAR)),
+                                   1, 8))::BIGINT, vec_id
+          LIMIT {sample_n}),
+        tcomp AS MATERIALIZED (
+          SELECT comp.* FROM comp JOIN pick USING (vec_id)),"""
+        seed_src = f"""SELECT vec_id FROM pick
+                ORDER BY vec_id LIMIT {n_codes}"""
     return f"""
         WITH comp AS MATERIALIZED (
           SELECT vec_id,
@@ -5298,16 +5340,15 @@ def _pq_topk_oracle(k: int = 10, m: int = 4, n_codes: int = 8,
                        unnest(list_transform(embedding,
                            (x, i) -> struct_pack(
                                i := i, x := CAST(x AS DOUBLE)))) AS u
-                FROM embeddings)),
+                FROM embeddings)),{sample_ctes}
         seeds AS (
           SELECT vec_id,
                  CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
                      AS code
-          FROM (SELECT vec_id FROM embeddings
-                ORDER BY vec_id LIMIT {n_codes})),
+          FROM ({seed_src})),
         cent0 AS MATERIALIZED (
           SELECT j, s.code, pos, x AS c
-          FROM comp JOIN seeds s USING (vec_id)),
+          FROM {tr} JOIN seeds s USING (vec_id)),
         {chain},
         codes AS MATERIALIZED (
           SELECT vec_id, j, code FROM (
@@ -6156,6 +6197,7 @@ _REGISTRY_KEYS: list[str] = [
     # curation pipeline v2
     "ivfpq_topk",
     "winnow_probe",
+    "pq_sampled",
 ]
 
 
@@ -7600,6 +7642,8 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_topk": _ivfpq_topk_oracle(
             k=10, n_cells=8, n_probe=3, m=4, n_codes=8, n_iter=2),
         "winnow_probe": _winnow_probe_oracle(),
+        "pq_sampled": _pq_topk_oracle(
+            k=10, m=4, n_codes=8, n_iter=2, sample_n=200),
         "collocations": f"""
             WITH tok AS (SELECT {_TOKS} AS toks FROM documents),
             uc AS (SELECT w, count(*) AS cw

@@ -140,7 +140,7 @@ def _assign_to(corpus: DataFrame, centroids: DataFrame,
 def ivf_kmeans_centroids(
     corpus: DataFrame, n_cells: int = 16, n_iter: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    scale: int = 1_000_000,
+    scale: int = 1_000_000, train_sample_n: "int | None" = None,
 ) -> DataFrame:
     """Lloyd-refined IVF centroids, fully deterministic (and therefore
     SQL-oracle-expressible):
@@ -155,13 +155,31 @@ def ivf_kmeans_centroids(
 
     A cell that loses every member keeps its previous centroid. Each
     iteration is one broadcast-join assignment + one (cell, component)
-    hash aggregate — O(corpus · n_cells) work per round, no all-pairs."""
+    hash aggregate — O(corpus · n_cells) work per round, no all-pairs.
+
+    ``train_sample_n`` bounds the Lloyd refinement to a deterministic
+    salted-id-hash sample (``h32('ivfs:' || id)`` ranking, ties ->
+    lowest id — the pq_train doctrine): at 100 TB centroid quality
+    saturates long before the corpus is exhausted, so the per-
+    iteration assignment join runs over the sample while the RESULT
+    centroids still partition the full corpus downstream. Seeding
+    follows the sample, so sampled refinement equals full refinement
+    on the manually-subsetted corpus, bit for bit."""
+    src = corpus
+    if train_sample_n is not None:
+        pick = (
+            corpus.select(F.col(id_col))
+            .orderBy(h32(F.concat(F.lit("ivfs:"),
+                                  F.col(id_col).cast("string"))),
+                     F.col(id_col))
+            .limit(int(train_sample_n)))
+        src = corpus.join(F.broadcast(pick), id_col, "left_semi")
     cent = (
-        corpus.orderBy(F.col(id_col)).limit(n_cells)
+        src.orderBy(F.col(id_col)).limit(n_cells)
         .select(F.col(id_col).alias("cell_id"), _dbl(F.col(vec_col)).alias("_cvec"))
     )
     for _ in range(n_iter):
-        assigned = _assign_to(corpus, cent, id_col, vec_col)
+        assigned = _assign_to(src, cent, id_col, vec_col)
         comp = assigned.select(
             "cell_id", F.posexplode(_dbl(F.col(vec_col))).alias("_j", "_x"))
         means = (
@@ -1118,6 +1136,7 @@ def pq_train(
     corpus: DataFrame, m: int = 4, n_codes: int = 8, n_iter: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
     scale: int = 1_000_000, clamp: float = 1_000_000.0,
+    train_sample_n: "int | None" = None,
 ) -> DataFrame:
     """Train PRODUCT-QUANTIZATION codebooks (Jégou, Douze, Schmid,
     "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
@@ -1139,11 +1158,32 @@ def pq_train(
     sized, always broadcastable). Returns (subspace, code, pos,
     c LONG scaled) component rows — the form both the encoder and
     the ADC tables join against.
+
+    ``train_sample_n``: train the codebooks on a bounded DETERMINISTIC
+    sample — the ``train_sample_n`` corpus rows ranked lowest by the
+    salted id-hash ``h32('pqs:' || id)`` (ties -> lowest id; the
+    corpus-module id-hash-uniform doctrine, so the pick is
+    reproducible on any engine/partitioning and SQL-oracle-
+    expressible). At 100 TB k-means over the full corpus is the wrong
+    cost shape — codebook quality saturates at a few 100k training
+    vectors (Jégou et al. train on learning sets, not the corpus) —
+    while ENCODE/SEARCH still touch everything. Seeding follows the
+    sample (lowest ids IN the sample), so sampled training equals
+    full training on the manually-subsetted corpus, bit for bit.
     """
+    src = corpus
+    if train_sample_n is not None:
+        pick = (
+            corpus.select(F.col(id_col))
+            .orderBy(h32(F.concat(F.lit("pqs:"),
+                                  F.col(id_col).cast("string"))),
+                     F.col(id_col))
+            .limit(int(train_sample_n)))
+        src = corpus.join(F.broadcast(pick), id_col, "left_semi")
     comp = _plan_cache(
-        _pq_components(corpus, m, id_col, vec_col, scale, clamp, "_vid"))
+        _pq_components(src, m, id_col, vec_col, scale, clamp, "_vid"))
     seeds = (
-        corpus.select(F.col(id_col).alias("_vid")).orderBy("_vid")
+        src.select(F.col(id_col).alias("_vid")).orderBy("_vid")
         .limit(n_codes)
         .select("_vid", (F.row_number().over(
             Window.orderBy("_vid")) - 1).cast("int").alias("_code")))
@@ -1179,6 +1219,7 @@ def pq_topk(
     n_codes: int = 8, n_iter: int = 2, id_col: str = "vec_id",
     vec_col: str = "embedding", query_id_col: str = "query_id",
     scale: int = 1_000_000, clamp: float = 1_000_000.0,
+    train_sample_n: "int | None" = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes (Jégou et al.
     2011): train codebooks on the corpus, encode it, build each
@@ -1196,7 +1237,8 @@ def pq_topk(
     lookups; TakeOrdered finishes. Returns (query_id, vec_id,
     adc_dist DOUBLE, rank)."""
     cb = _plan_cache(pq_train(
-        corpus, m, n_codes, n_iter, id_col, vec_col, scale, clamp))
+        corpus, m, n_codes, n_iter, id_col, vec_col, scale, clamp,
+        train_sample_n))
     codes = pq_encode(corpus, cb, m, id_col, vec_col, scale, clamp)
     qcomp = _pq_components(
         queries, m, query_id_col, vec_col, scale, clamp, "_qid")
@@ -1230,6 +1272,7 @@ def pq_index_build(
     corpus: DataFrame, path: str, m: int = 4, n_codes: int = 8,
     n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
     scale: int = 1_000_000, clamp: float = 1_000_000.0,
+    train_sample_n: "int | None" = None,
 ) -> None:
     """Materialize a PQ index: trained codebooks plus the encoded
     corpus (m small codes per vector — the compressed representation)
@@ -1243,7 +1286,8 @@ def pq_index_build(
     parameter survives even if that invariant ever changes (r11
     ADVICE)."""
     cb = _plan_cache(pq_train(
-        corpus, m, n_codes, n_iter, id_col, vec_col, scale, clamp))
+        corpus, m, n_codes, n_iter, id_col, vec_col, scale, clamp,
+        train_sample_n))
     cb.write.mode("overwrite").parquet(path + "/codebooks")
     pq_encode(corpus, cb, m, id_col, vec_col, scale, clamp).write.mode(
         "overwrite").parquet(path + "/codes")

@@ -2497,3 +2497,66 @@ def test_winnow_probe_never_rereads_corpus_text(spark, tmp_path):
         spark, idx, new.repartition(5), min_shared=2,
         output="spans").collect()))
     assert a == b
+
+
+def test_pq_train_sample_equals_manual_subset(spark):
+    """pq_train(train_sample_n=N) must be BIT-IDENTICAL to full
+    training on the manually-subsetted corpus (the N rows ranked
+    lowest by h32('pqs:' || id), ties -> lowest id) — the sample is a
+    deterministic property of the ids, not of partitioning, so
+    sampled-trained codebooks are reproducible anywhere."""
+    import hashlib
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    X = rng.randn(60, 8) * 3
+    rows = [(i, [float(v) for v in X[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def pick_key(i):
+        return (int(hashlib.md5(f"pqs:{i}".encode()).hexdigest()[:8], 16), i)
+
+    picked = sorted(range(60), key=pick_key)[:20]
+    manual = df.filter(F.col("vec_id").isin(picked))
+    a = sorted(map(tuple, similarity.pq_train(
+        df, m=4, n_codes=4, n_iter=2, train_sample_n=20).collect()))
+    b = sorted(map(tuple, similarity.pq_train(
+        manual, m=4, n_codes=4, n_iter=2).collect()))
+    assert a == b and len(a) == 32  # 4 subspaces * 4 codes * 2 pos
+    # partition-invariant: same pick, same codebook from any layout
+    c = sorted(map(tuple, similarity.pq_train(
+        df.repartition(7), m=4, n_codes=4, n_iter=2,
+        train_sample_n=20).collect()))
+    assert a == c
+    # and search still covers the FULL corpus: every vector appears
+    q = spark.createDataFrame(
+        [(0, [float(v) for v in X[0]])],
+        "query_id long, embedding array<double>")
+    top = similarity.pq_topk(df, q, k=60, m=4, n_codes=4, n_iter=2,
+                             train_sample_n=20)
+    assert top.count() == 60
+
+
+def test_ivf_kmeans_sample_equals_manual_subset(spark):
+    """ivf_kmeans_centroids(train_sample_n=N) == full Lloyd refinement
+    on the manually-subsetted corpus (salt 'ivfs:'), and the refined
+    centroids still assign the full corpus downstream."""
+    import hashlib
+    import numpy as np
+
+    rng = np.random.RandomState(19)
+    X = rng.randn(50, 8) * 4
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>")
+
+    def pick_key(i):
+        return (int(hashlib.md5(f"ivfs:{i}".encode()).hexdigest()[:8], 16), i)
+
+    picked = sorted(range(50), key=pick_key)[:25]
+    manual = df.filter(F.col("vec_id").isin(picked))
+    a = sorted(map(tuple, similarity.ivf_kmeans_centroids(
+        df, n_cells=4, n_iter=2, train_sample_n=25).collect()))
+    b = sorted(map(tuple, similarity.ivf_kmeans_centroids(
+        manual, n_cells=4, n_iter=2).collect()))
+    assert a == b and len(a) == 4

@@ -3095,6 +3095,44 @@ def q_curate_corpus(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "quality_ppm")
 
 
+def q_curate_corpus_v2(spark, sf_dir):
+    """The FULL modern curation recipe composed end to end (db_spark/
+    llm/pipeline.py: curate_v2 — round 12): normalize -> in-engine NB
+    training on the seed split doc_id %% 2 = 0 (train_nb_classifier's
+    fixed-point integer log2) -> classifier_score gate (the DCLM
+    model-based filtering loop, closed INSIDE one pipeline) -> eval
+    removal + 4-gram decontamination (eval = doc_id %% 97 = 0) ->
+    winnow span CUT of duplicated passages among the survivors (Lee
+    et al. 2022 span-level treatment; offsets computed on the
+    normalized survivor text) -> MinHash-LSH keep-best dedup with
+    quality scored on the POST-CUT text. The oracle composes all six
+    stages into one DuckDB query from the same shared generators the
+    per-stage oracles use, and the output hash covers doc ids,
+    span-cut stats, quality AND md5 of the final cut text — so the
+    stages are verified to COMPOSE, not just to work in isolation."""
+    from db_spark.llm import pipeline as lpipe
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    # threshold -0.15 on the LOGIT scale: train_nb_classifier weights
+    # are UNSEEN-BASELINE-RELATIVE log-odds (the per-class totals fold
+    # into the threshold — its docstring), so the working point is a
+    # corpus property, not 0. -0.15 keeps 411/500 at sf0.01: the gate
+    # drops a real tail, decontamination then removes 11 more, winnow
+    # cuts spans from 17 survivors. The LSH stage finds 0 residual
+    # near-dups HERE because the span cut upstream already removed the
+    # verbatim duplication — the composition working as designed (the
+    # stage is live; tests/test_llm.py pins that exact dups surviving
+    # an inactive cut stage ARE removed by it).
+    out = lpipe.curate_v2(
+        docs, seed_label=(F.col("doc_id") % 2 == 0), clf_dim=4096,
+        clf_threshold=-0.15, eval_df=eval_df, decontam_n=4,
+        dedup_threshold=0.5)
+    return out.select(
+        "doc_id", "lang", "source", "n_spans_cut", "chars_removed",
+        "quality_ppm", F.md5(F.col("text")).alias("text_hash"))
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag training docs (doc_id % 97 != 0)
     sharing any distinct 4-gram with the held-out eval set (% 97 == 0)."""
@@ -4628,6 +4666,198 @@ def _curate_oracle() -> str:
     """
 
 
+def _curate_v2_oracle(clf_threshold: float = -0.15) -> str:
+    """curate_corpus_v2 oracle: the SIX r12 pipeline stages —
+    normalize -> in-query NB training (label doc_id %% 2 = 0, the
+    nb_train ilog2 chain) -> classifier gate -> 4-gram
+    decontamination (eval = doc_id %% 97 = 0) -> winnow span CUT
+    (the winnow_spans chain over the gated survivors + the
+    winnow_cut removal sweep) -> quality-scored MinHash-LSH
+    keep-best over the CUT text — composed into ONE query from the
+    same shared generators the per-stage oracles use, so the
+    end-to-end survivor set, span-cut stats, quality AND the final
+    md5(text) are hash-verified as a unit."""
+    from db_spark.llm.text import STOPWORDS
+    from db_spark.llm.text import ilog2_fp256_layers as _log_layers
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    norm = _normalize_chain("text")
+    nb_base = f"""
+        SELECT idx, n1 + 1 AS _nbp, n0 + 1 AS _nbq
+        FROM (SELECT {_H32.format(x='f')} % 4096 AS idx,
+                     CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n1,
+                     CAST(sum(CASE WHEN lab THEN 0 ELSE 1 END)
+                          AS BIGINT) AS n0
+              FROM nbfeats GROUP BY 1)
+    """
+    nb_inner = nb_base
+    for layer in _log_layers(
+            [("_nbp", "_nbl1"), ("_nbq", "_nbl0")], "//",
+            lambda b, a: f"(CAST({b} AS BIGINT) << ({a}))"):
+        nb_inner = f"SELECT *, {', '.join(layer)} FROM ({nb_inner})"
+    return f"""
+        WITH RECURSIVE
+        src AS MATERIALIZED (SELECT doc_id, lang, source, {norm} AS text
+                FROM documents),
+        -- stage 2: NB training over the normalized corpus
+        nbd AS (SELECT (doc_id % 2 = 0) AS lab, {_TOKS} AS toks FROM src),
+        nbu AS (SELECT lab, unnest(toks) AS f FROM nbd),
+        nbb AS (SELECT lab,
+                       unnest(list_transform(range(2, len(toks) + 1),
+                           i -> toks[i-1] || ' ' || toks[i])) AS f
+                FROM nbd WHERE len(toks) >= 2),
+        nbfeats AS (SELECT * FROM nbu UNION ALL SELECT * FROM nbb),
+        weights AS MATERIALIZED (
+          SELECT idx, ((_nbl1 - _nbl0) * 15625) // 4 AS w_ppm
+          FROM ({nb_inner})),
+        -- stage 3: classifier gate (bias 0, threshold 0, dim 4096)
+        dtk AS (SELECT doc_id, {_TOKS} AS toks FROM src),
+        du AS (SELECT doc_id, unnest(toks) AS f FROM dtk),
+        dbg AS (SELECT doc_id,
+                       unnest(list_transform(range(2, len(toks) + 1),
+                           i -> toks[i-1] || ' ' || toks[i])) AS f
+                FROM dtk WHERE len(toks) >= 2),
+        dfeat AS (SELECT * FROM du UNION ALL SELECT * FROM dbg),
+        dsc AS (SELECT doc_id, count(*) AS n,
+                       sum(coalesce(w.w_ppm, 0)) AS sw
+                FROM (SELECT doc_id, {_H32.format(x='f')} % 4096 AS idx
+                      FROM dfeat) fx
+                LEFT JOIN weights w USING (idx)
+                GROUP BY doc_id),
+        gate AS MATERIALIZED (
+          SELECT s.* FROM src s JOIN dsc USING (doc_id)
+          WHERE round(CAST(sw AS DOUBLE)
+                      / CAST(n * 1000000 AS DOUBLE), 6)
+                + CAST(0 AS DOUBLE) >= {clf_threshold}),
+        -- stage 4: eval removal + 4-gram decontamination
+        train0 AS MATERIALIZED (SELECT * FROM gate WHERE doc_id % 97 <> 0),
+        egr AS (
+          SELECT DISTINCT unnest(list_distinct(list_transform(
+                     range(1, greatest(len(toks)-2, 1)),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                          toks[i+2] || ' ' || toks[i+3]))) AS gram
+          FROM (SELECT {_TOKS} AS toks FROM src WHERE doc_id % 97 = 0)),
+        tgr AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                     range(1, greatest(len(toks)-2, 1)),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                          toks[i+2] || ' ' || toks[i+3]))) AS gram
+          FROM (SELECT doc_id, {_TOKS} AS toks FROM train0)),
+        contaminated AS (
+          SELECT DISTINCT tgr.doc_id FROM tgr JOIN egr USING (gram)),
+        clean AS MATERIALIZED (
+          SELECT * FROM train0
+          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        -- stage 5: winnow span detection over the survivors, then CUT
+        -- the b-side character ranges (the winnow_cut sweep)
+        spans AS MATERIALIZED (
+          SELECT * FROM ({_winnow_spans_oracle(rel='clean')})),
+        rng AS (SELECT DISTINCT id_b AS rid, b_char_start AS s,
+                       b_char_end AS e
+                FROM spans
+                WHERE b_char_start IS NOT NULL
+                  AND b_char_end IS NOT NULL),
+        dcs AS (SELECT doc_id AS rid, lang, source, text,
+                       length(text) AS L
+                FROM clean),
+        wflg AS (SELECT rid, s, e,
+                        CASE WHEN s > coalesce(max(e) OVER (
+                                 PARTITION BY rid ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) + 1
+                             THEN 1 ELSE 0 END AS nf
+                 FROM rng),
+        wisl AS (SELECT rid, s, e,
+                        SUM(nf) OVER (PARTITION BY rid ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS g
+                 FROM wflg),
+        mg0 AS (SELECT rid, g, min(s) AS s, max(e) AS e
+                FROM wisl GROUP BY 1, 2),
+        mg AS (SELECT mg0.rid, greatest(s, 1) AS s, least(e, L) AS e, L
+               FROM mg0 JOIN dcs ON dcs.rid = mg0.rid
+               WHERE greatest(s, 1) <= least(e, L)),
+        wgaps AS (
+          SELECT rid,
+                 coalesce(lag(e) OVER (PARTITION BY rid ORDER BY s), 0)
+                     + 1 AS gs,
+                 s - 1 AS ge
+          FROM mg
+          UNION ALL
+          SELECT rid, max(e) + 1 AS gs, max(L) AS ge FROM mg GROUP BY rid),
+        wpc AS (SELECT g.rid, gs,
+                       substr(d.text, CAST(gs AS INT),
+                              CAST(ge - gs + 1 AS INT)) AS p
+                FROM wgaps g JOIN dcs d ON d.rid = g.rid WHERE gs <= ge),
+        wrb AS (SELECT rid, string_agg(p, '' ORDER BY gs) AS txt
+                FROM wpc GROUP BY rid),
+        wst AS (SELECT rid, CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(e - s + 1) AS BIGINT) AS rm
+                FROM mg GROUP BY rid),
+        cutd AS MATERIALIZED (
+          SELECT d.rid AS doc_id, d.lang, d.source,
+                 coalesce(wrb.txt,
+                          CASE WHEN wst.n IS NOT NULL THEN '' END,
+                          d.text) AS text,
+                 coalesce(wst.n, 0) AS n_spans_cut,
+                 coalesce(wst.rm, 0) AS chars_removed
+          FROM dcs d
+          LEFT JOIN wrb ON wrb.rid = d.rid
+          LEFT JOIN wst ON wst.rid = d.rid),
+        -- stage 6: quality over the CUT text + LSH keep-best
+        qx2 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '[a-zA-Z'']+')) AS nt,
+                 len(list_filter(list_transform(
+                     regexp_extract_all(text, '[a-zA-Z'']+'),
+                     t -> lower(t)), t -> t IN ({sw}))) AS s_en,
+                 length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))
+                     AS np,
+                 length(text) AS nc
+          FROM cutd),
+        scored2 AS (
+          SELECT doc_id,
+                 CAST(round(least(1.0, greatest(0.0,
+                      least(nt::DOUBLE / 20.0, 1.0) * 0.4
+                      + least((CASE WHEN nt > 0
+                               THEN s_en::DOUBLE / nt::DOUBLE
+                               ELSE 0.0 END) * 4.0, 1.0) * 0.3
+                      + greatest(0.0, 1.0 - (CASE WHEN nc > 0 THEN np::DOUBLE / nc::DOUBLE ELSE 0.0 END) * 4.0)
+                          * 0.3)) * 1000000) AS BIGINT) AS quality_ppm
+          FROM qx2),
+        cutq AS MATERIALIZED (
+          SELECT c.*, s.quality_ppm FROM cutd c JOIN scored2 s
+          USING (doc_id)),
+        pairs AS MATERIALIZED ({_minhash_lsh_oracle(rel='cutq')}),
+        edges AS MATERIALIZED (
+          SELECT id_a AS src_n, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        reach(src_n, dst) AS (
+          SELECT src_n, dst FROM edges
+          UNION
+          SELECT r.src_n, e.dst FROM reach r JOIN edges e
+            ON r.dst = e.src_n),
+        members AS (
+          SELECT src_n AS doc_id, least(src_n, MIN(dst)) AS cluster_id
+          FROM reach GROUP BY src_n),
+        keepers AS (
+          SELECT cluster_id, doc_id AS keep_id FROM (
+            SELECT m.cluster_id, m.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                     ORDER BY c.quality_ppm DESC, m.doc_id) AS rk
+            FROM members m JOIN cutq c USING (doc_id)) WHERE rk = 1),
+        losers AS (
+          SELECT m.doc_id FROM members m JOIN keepers USING (cluster_id)
+          WHERE m.doc_id <> keep_id)
+        SELECT doc_id, lang, source, n_spans_cut, chars_removed,
+               quality_ppm, md5(text) AS text_hash
+        FROM cutq
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """
+
+
 def _normalize_chain(expr: str) -> str:
     """The db_spark.llm.text.NORMALIZATION_RULES rewrite chain as a SQL
     expression over ``expr`` (patterns are Java/RE2-shared; replacements
@@ -5526,6 +5756,100 @@ def _ivfpq_topk_oracle(k: int = 10, n_cells: int = 8, n_probe: int = 3,
     """
 
 
+def _winnow_spans_oracle(rel: str = "documents") -> str:
+    """winnow_overlap(output='spans', k=4, w=4, min_shared=2) as SQL
+    over any relation ``rel`` carrying (doc_id, text) — the literal
+    that was the r11 ``winnow_spans`` entry, parametrized so
+    curate_corpus_v2 can run the identical chain over its gated
+    survivor CTE (DuckDB CTEs are lexically scoped, so a nested WITH
+    inside a derived table sees the outer CTE)."""
+    return f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM {rel}),
+            g AS (SELECT doc_id, len(toks) - 3 AS ng, pos,
+                         ('0x' || substr(md5(
+                             toks[pos] || ' ' || toks[pos+1] || ' ' ||
+                             toks[pos+2] || ' ' || toks[pos+3]), 1, 15))::BIGINT AS gh
+                  FROM (SELECT doc_id, toks,
+                               unnest(range(1, greatest(len(toks) - 2, 1))) AS pos
+                        FROM tok)),
+            wm AS (SELECT doc_id, ng, pos,
+                          min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+                   FROM g),
+            fp AS (SELECT DISTINCT doc_id, sel AS fp FROM wm WHERE pos <= ng - 3),
+            ok AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 1000),
+            fpo AS (SELECT doc_id, fp FROM fp JOIN ok USING (fp)),
+            -- every gram occurrence of a doc-selected fingerprint value
+            hits AS (SELECT g.doc_id, g.pos, g.gh AS fp
+                     FROM g JOIN fpo
+                       ON fpo.doc_id = g.doc_id AND fpo.fp = g.gh),
+            pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM fpo a JOIN fpo b
+                     ON a.fp = b.fp AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2 HAVING count(*) >= 2),
+            anch AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.pos AS pa, b.pos AS pb
+                     FROM hits a JOIN hits b
+                       ON a.fp = b.fp AND a.doc_id < b.doc_id
+                     JOIN pr ON pr.id_a = a.doc_id AND pr.id_b = b.doc_id),
+            dg AS (SELECT id_a, id_b, pa, pb, pb - pa AS diag FROM anch),
+            fl AS (SELECT id_a, id_b, pa, diag,
+                          CASE WHEN pa - lag(pa) OVER
+                              (PARTITION BY id_a, id_b, diag ORDER BY pa) > 7
+                          THEN 1 ELSE 0 END AS nf
+                   FROM dg),
+            isl AS (SELECT id_a, id_b, pa, diag,
+                           SUM(nf) OVER (PARTITION BY id_a, id_b, diag
+                               ORDER BY pa ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS grp
+                    FROM fl),
+            sp AS (SELECT id_a, id_b,
+                          CAST(min(pa) AS BIGINT) AS a_start,
+                          CAST(max(pa) + 3 AS BIGINT) AS a_end,
+                          CAST(min(pa) + diag AS BIGINT) AS b_start,
+                          CAST(max(pa) + 3 + diag AS BIGINT) AS b_end,
+                          CAST(count(*) AS BIGINT) AS n_anchors
+                   FROM isl GROUP BY id_a, id_b, diag, grp),
+            -- token -> char-offset map (r11): split the lowered text
+            -- on the token regex (separator pieces, leading/trailing
+            -- empties kept like Java split limit -1), interleave seps
+            -- (key 2i) with tokens (key 2n-1), one running sum
+            ev AS (
+              SELECT doc_id, 2 * (u.i - 1) AS k, length(u.x) AS l
+              FROM (SELECT doc_id,
+                           unnest(list_transform(
+                               regexp_split_to_array({_LOW},
+                                                     '[a-z'']+'),
+                               (x, i) -> struct_pack(i := i, x := x)))
+                               AS u
+                    FROM {rel})
+              UNION ALL
+              SELECT doc_id, 2 * u.i - 1 AS k, length(u.x) AS l
+              FROM (SELECT doc_id,
+                           unnest(list_transform({_TOKS},
+                               (x, i) -> struct_pack(i := i, x := x)))
+                               AS u
+                    FROM {rel})),
+            om AS (
+              SELECT doc_id, (k + 1) // 2 AS tp,
+                     1 + coalesce(SUM(l) OVER (PARTITION BY doc_id
+                         ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS cs,
+                     l AS tl
+              FROM ev QUALIFY k % 2 = 1)
+            SELECT id_a, id_b, a_start, a_end, b_start, b_end, n_anchors,
+                   CAST(oas.cs AS BIGINT) AS a_char_start,
+                   CAST(oae.cs + oae.tl - 1 AS BIGINT) AS a_char_end,
+                   CAST(obs.cs AS BIGINT) AS b_char_start,
+                   CAST(obe.cs + obe.tl - 1 AS BIGINT) AS b_char_end
+            FROM sp
+            JOIN om oas ON oas.doc_id = sp.id_a AND oas.tp = sp.a_start
+            JOIN om oae ON oae.doc_id = sp.id_a AND oae.tp = sp.a_end
+            JOIN om obs ON obs.doc_id = sp.id_b AND obs.tp = sp.b_start
+            JOIN om obe ON obe.doc_id = sp.id_b AND obe.tp = sp.b_end
+    """
+
+
 def _winnow_probe_oracle(min_shared: int = 2, max_fp_df: int = 1000,
                          gap: int = 7) -> str:
     """Mirror of llm.dedup.winnow_index_build + winnow_probe
@@ -6198,6 +6522,7 @@ _REGISTRY_KEYS: list[str] = [
     "ivfpq_topk",
     "winnow_probe",
     "pq_sampled",
+    "curate_corpus_v2",
 ]
 
 
@@ -7550,91 +7875,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN nf na ON na.doc_id = pr.id_a
             JOIN nf nb ON nb.doc_id = pr.id_b
         """,
-        "winnow_spans": f"""
-            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-            g AS (SELECT doc_id, len(toks) - 3 AS ng, pos,
-                         ('0x' || substr(md5(
-                             toks[pos] || ' ' || toks[pos+1] || ' ' ||
-                             toks[pos+2] || ' ' || toks[pos+3]), 1, 15))::BIGINT AS gh
-                  FROM (SELECT doc_id, toks,
-                               unnest(range(1, greatest(len(toks) - 2, 1))) AS pos
-                        FROM tok)),
-            wm AS (SELECT doc_id, ng, pos,
-                          min(gh) OVER (PARTITION BY doc_id ORDER BY pos
-                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
-                   FROM g),
-            fp AS (SELECT DISTINCT doc_id, sel AS fp FROM wm WHERE pos <= ng - 3),
-            ok AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 1000),
-            fpo AS (SELECT doc_id, fp FROM fp JOIN ok USING (fp)),
-            -- every gram occurrence of a doc-selected fingerprint value
-            hits AS (SELECT g.doc_id, g.pos, g.gh AS fp
-                     FROM g JOIN fpo
-                       ON fpo.doc_id = g.doc_id AND fpo.fp = g.gh),
-            pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                   FROM fpo a JOIN fpo b
-                     ON a.fp = b.fp AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2 HAVING count(*) >= 2),
-            anch AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                            a.pos AS pa, b.pos AS pb
-                     FROM hits a JOIN hits b
-                       ON a.fp = b.fp AND a.doc_id < b.doc_id
-                     JOIN pr ON pr.id_a = a.doc_id AND pr.id_b = b.doc_id),
-            dg AS (SELECT id_a, id_b, pa, pb, pb - pa AS diag FROM anch),
-            fl AS (SELECT id_a, id_b, pa, diag,
-                          CASE WHEN pa - lag(pa) OVER
-                              (PARTITION BY id_a, id_b, diag ORDER BY pa) > 7
-                          THEN 1 ELSE 0 END AS nf
-                   FROM dg),
-            isl AS (SELECT id_a, id_b, pa, diag,
-                           SUM(nf) OVER (PARTITION BY id_a, id_b, diag
-                               ORDER BY pa ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND CURRENT ROW) AS grp
-                    FROM fl),
-            sp AS (SELECT id_a, id_b,
-                          CAST(min(pa) AS BIGINT) AS a_start,
-                          CAST(max(pa) + 3 AS BIGINT) AS a_end,
-                          CAST(min(pa) + diag AS BIGINT) AS b_start,
-                          CAST(max(pa) + 3 + diag AS BIGINT) AS b_end,
-                          CAST(count(*) AS BIGINT) AS n_anchors
-                   FROM isl GROUP BY id_a, id_b, diag, grp),
-            -- token -> char-offset map (r11): split the lowered text
-            -- on the token regex (separator pieces, leading/trailing
-            -- empties kept like Java split limit -1), interleave seps
-            -- (key 2i) with tokens (key 2n-1), one running sum
-            ev AS (
-              SELECT doc_id, 2 * (u.i - 1) AS k, length(u.x) AS l
-              FROM (SELECT doc_id,
-                           unnest(list_transform(
-                               regexp_split_to_array({_LOW},
-                                                     '[a-z'']+'),
-                               (x, i) -> struct_pack(i := i, x := x)))
-                               AS u
-                    FROM documents)
-              UNION ALL
-              SELECT doc_id, 2 * u.i - 1 AS k, length(u.x) AS l
-              FROM (SELECT doc_id,
-                           unnest(list_transform({_TOKS},
-                               (x, i) -> struct_pack(i := i, x := x)))
-                               AS u
-                    FROM documents)),
-            om AS (
-              SELECT doc_id, (k + 1) // 2 AS tp,
-                     1 + coalesce(SUM(l) OVER (PARTITION BY doc_id
-                         ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
-                         AND 1 PRECEDING), 0) AS cs,
-                     l AS tl
-              FROM ev QUALIFY k % 2 = 1)
-            SELECT id_a, id_b, a_start, a_end, b_start, b_end, n_anchors,
-                   CAST(oas.cs AS BIGINT) AS a_char_start,
-                   CAST(oae.cs + oae.tl - 1 AS BIGINT) AS a_char_end,
-                   CAST(obs.cs AS BIGINT) AS b_char_start,
-                   CAST(obe.cs + obe.tl - 1 AS BIGINT) AS b_char_end
-            FROM sp
-            JOIN om oas ON oas.doc_id = sp.id_a AND oas.tp = sp.a_start
-            JOIN om oae ON oae.doc_id = sp.id_a AND oae.tp = sp.a_end
-            JOIN om obs ON obs.doc_id = sp.id_b AND obs.tp = sp.b_start
-            JOIN om obe ON obe.doc_id = sp.id_b AND obe.tp = sp.b_end
-        """,
+        "winnow_spans": _winnow_spans_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "pca_project": _pca_project_oracle(n_iter=8),
         "pca_topk": _pca_topk_oracle(k=3, n_iter=8),
@@ -7644,6 +7885,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_probe": _winnow_probe_oracle(),
         "pq_sampled": _pq_topk_oracle(
             k=10, m=4, n_codes=8, n_iter=2, sample_n=200),
+        "curate_corpus_v2": _curate_v2_oracle(),
         "collocations": f"""
             WITH tok AS (SELECT {_TOKS} AS toks FROM documents),
             uc AS (SELECT w, count(*) AS cw

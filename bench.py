@@ -222,6 +222,56 @@ def _contention_suspect(cal: dict, times: dict, sf1_times: dict | None) -> list[
     return reasons
 
 
+def _prev_bench() -> "tuple[str, dict] | None":
+    """Latest committed BENCH_r{N}.json — the round-over-round
+    reference for the noise_suspect fields below."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = f, int(m.group(1))
+    if best is None:
+        return None
+    try:
+        with open(best) as fh:
+            return os.path.basename(best), json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _vs_prev(times: dict, stats: dict, prev_times: dict,
+             prev_stats: dict) -> dict:
+    """Per-query round-over-round comparison with a machine-readable
+    ``noise_suspect`` flag (r12, VERDICT r11 directive #6): a delta
+    whose magnitude sits WITHIN the larger of the two rounds' own
+    min-max spreads is not evidence of a plan change — r11's driver
+    file moved scan_collect +14% while solo runs improved, and the
+    judge had to arbitrate by re-running. With the flag, a
+    spread-dominated move is labeled at measurement time."""
+    out = {}
+    for name, med in times.items():
+        pmed = prev_times.get(name)
+        if pmed is None:
+            continue
+        ps = (prev_stats or {}).get(name) or {}
+        spread = round(max(
+            stats[name]["max"] - stats[name]["min"],
+            (ps.get("max", 0.0) or 0.0) - (ps.get("min", 0.0) or 0.0),
+        ), 4)
+        delta = round(med - pmed, 4)
+        out[name] = {
+            "prev_median": pmed,
+            "delta": delta,
+            "minmax_spread": spread,
+            "noise_suspect": abs(delta) <= spread,
+        }
+    return out
+
+
 def _run_set(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
     """Per query: one untimed warm-up then REPEATS timed runs. Returns
     (median per query — the driver-facing number) and (min/median/max/
@@ -298,6 +348,19 @@ def main() -> None:
                 ("sf0.1" if p01 > p1 else "sf1")
                 + f" set probe {ratio}x the other's — that set's medians "
                 "may carry set-local load; prefer its per-query min")
+    prev = _prev_bench()
+    if prev is not None:
+        src, pdata = prev
+        vs = {"source": src,
+              "queries": _vs_prev(times, stats,
+                                  pdata.get("queries", {}),
+                                  pdata.get("query_stats", {}))}
+        if SF1_ENABLED and "sf1_queries" in out:
+            vs["sf1_queries"] = _vs_prev(
+                out["sf1_queries"], out["sf1_query_stats"],
+                pdata.get("sf1_queries", {}),
+                pdata.get("sf1_query_stats", {}))
+        out["vs_prev"] = vs
     reasons = _contention_suspect(cal, times, out.get("sf1_queries"))
     out["calibration"] = cal
     out["contention_suspect"] = bool(reasons)

@@ -2560,3 +2560,69 @@ def test_ivf_kmeans_sample_equals_manual_subset(spark):
     b = sorted(map(tuple, similarity.ivf_kmeans_centroids(
         manual, n_cells=4, n_iter=2).collect()))
     assert a == b and len(a) == 4
+
+
+def _curate_v2_fixture(spark):
+    base = ("the quick brown fox jumps over the lazy dog while a "
+            "calm cat watches from the tall green tree nearby and "
+            "counts every passing cloud in the warm afternoon sky")
+    rows = [
+        (1, base + " first unique tail about rivers and mountains", "en"),
+        # exact duplicate of doc 1's long passage (the b-side to cut)
+        (2, base + " second distinct ending mentioning harbors", "en"),
+        (3, "completely different filler content with no overlap at "
+            "all in this document whatsoever nothing is shared here "
+            "and the words keep being entirely distinct throughout", "en"),
+        # contaminated: shares a 4-gram with the eval doc
+        (4, "training text leaking the secret benchmark answer key "
+            "plus enough extra words to form several full grams "
+            "so the document is not trivially short overall", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    eval_df = spark.createDataFrame(
+        [(900, "the secret benchmark answer key for the held out set",
+          "en")],
+        "doc_id long, text string, lang string")
+    return docs, eval_df
+
+
+def test_curate_v2_span_cut_and_decontaminate(spark):
+    """Composed pipeline, cut stage ACTIVE: the duplicated passage is
+    cut from the higher-id copy (n_spans_cut > 0, chars_removed
+    consistent with the text), the contaminated doc is dropped, and
+    after the cut the LSH stage finds no residual near-dup — both
+    copies survive with their unique tails."""
+    from db_spark.llm import pipeline as lpipe
+
+    docs, eval_df = _curate_v2_fixture(spark)
+    out = {r["doc_id"]: r for r in lpipe.curate_v2(
+        docs, seed_label=(F.col("doc_id") % 2 == 0),
+        clf_dim=256, clf_threshold=-100.0, eval_df=eval_df,
+        decontam_n=4, dedup_threshold=0.5).collect()}
+    assert 4 not in out          # decontaminated
+    assert set(out) == {1, 2, 3}
+    assert out[2]["n_spans_cut"] >= 1 and out[2]["chars_removed"] > 0
+    assert "second distinct ending" in out[2]["text"]
+    assert "quick brown fox" not in out[2]["text"]  # passage cut
+    assert out[1]["n_spans_cut"] == 0  # a-side (lower id) keeps its text
+    assert out[3]["n_spans_cut"] == 0
+
+
+def test_curate_v2_dedup_stage_catches_uncut_dups(spark):
+    """Composed pipeline, cut stage INERT (min_shared too high): the
+    exact near-dup pair now reaches the LSH stage intact and the
+    lower-quality copy is removed — stage 6 is live inside v2, and
+    the two runs together pin the documented interaction (an active
+    span cut removes the verbatim duplication before whole-doc dedup
+    can see it)."""
+    from db_spark.llm import pipeline as lpipe
+
+    docs, eval_df = _curate_v2_fixture(spark)
+    out = {r["doc_id"]: r for r in lpipe.curate_v2(
+        docs, seed_label=(F.col("doc_id") % 2 == 0),
+        clf_dim=256, clf_threshold=-100.0, eval_df=eval_df,
+        decontam_n=4, min_shared=10**6, dedup_threshold=0.5).collect()}
+    assert all(r["n_spans_cut"] == 0 for r in out.values())
+    # docs 1 and 2 are near-dups of each other; exactly one survives
+    assert len({1, 2} & set(out)) == 1
+    assert 3 in out

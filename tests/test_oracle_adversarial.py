@@ -502,7 +502,7 @@ def test_tokenizer_tier_dirty_text(spark, dirty_dir, key):
     "simhash", "simhash_near_dup", "simhash_grouped",
     "minhash_lsh_pairs",
     "dedup_corpus", "dedup_keep_best", "dedup_clusters",
-    "curate_corpus", "decontaminate", "lsh_probe",
+    "curate_corpus", "curate_corpus_v2", "decontaminate", "lsh_probe",
     "winnow_fingerprints", "winnow_overlap", "winnow_spans",
     "winnow_cut", "winnow_probe",
 ])

@@ -3377,6 +3377,20 @@ def q_pq_sampled(spark, sf_dir):
                         train_sample_n=200)
 
 
+def q_pq_subspace_var(spark, sf_dir):
+    """OPQ-lite diagnostic (db_spark/llm/similarity.py:
+    pq_subspace_variance — Ge et al. 2013 motivate balanced subspace
+    energy): per-PQ-subspace variance share from exact scaled-integer
+    moments (DECIMAL/HUGEINT n·Σx² − (Σx)² folds, one final double
+    division). Strongly unequal shares with multi-dim subspaces =
+    pre-rotate with pca_topk before pq_train (the documented remedy,
+    recall-pinned by test). Map-only + one dim-cardinality aggregate."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsim.pq_subspace_variance(emb, m=4)
+
+
 def q_ivfpq_topk(spark, sf_dir):
     """IVF-PQ / IVFADC (db_spark/llm/similarity.py: ivfpq_topk —
     Jégou et al. TPAMI 2011 §IV, the composition billion-scale ANN
@@ -6523,6 +6537,7 @@ _REGISTRY_KEYS: list[str] = [
     "winnow_probe",
     "pq_sampled",
     "curate_corpus_v2",
+    "pq_subspace_var",
 ]
 
 
@@ -7886,6 +7901,33 @@ def oracle_sql() -> dict[str, str]:
         "pq_sampled": _pq_topk_oracle(
             k=10, m=4, n_codes=8, n_iter=2, sample_n=200),
         "curate_corpus_v2": _curate_v2_oracle(),
+        "pq_subspace_var": f"""
+            WITH comp AS (
+              SELECT vec_id,
+                     CAST((u.i - 1) // (dim // 4) AS INT) AS j,
+                     CAST((u.i - 1) % (dim // 4) AS INT) AS pos,
+                     CAST(round(CASE WHEN u.x > 1000000.0 THEN 1000000.0
+                                     WHEN u.x < -1000000.0 THEN -1000000.0
+                                     ELSE u.x END * 1000000) AS BIGINT) AS x
+              FROM (SELECT vec_id, len(embedding) AS dim,
+                           unnest(list_transform(embedding,
+                               (x, i) -> struct_pack(
+                                   i := i, x := CAST(x AS DOUBLE)))) AS u
+                    FROM embeddings)),
+            mom AS (
+              SELECT j, pos, count(*) AS n,
+                     sum(CAST(x AS HUGEINT)) AS s,
+                     sum(CAST(x AS HUGEINT) * x) AS s2
+              FROM comp GROUP BY 1, 2),
+            byj AS (
+              SELECT j, sum(n * s2 - s * s) AS v FROM mom GROUP BY 1)
+            SELECT CAST(j AS BIGINT) AS subspace,
+                   CASE WHEN sum(v) OVER () <> 0
+                        THEN round(CAST(v AS DOUBLE)
+                                   / CAST(sum(v) OVER () AS DOUBLE), 6)
+                             + CAST(0 AS DOUBLE) END AS var_share
+            FROM byj
+        """,
         "collocations": f"""
             WITH tok AS (SELECT {_TOKS} AS toks FROM documents),
             uc AS (SELECT w, count(*) AS cw

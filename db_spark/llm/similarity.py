@@ -1354,6 +1354,54 @@ def pq_index_topk(
                 F.col("_rk").cast("long").alias("rank")))
 
 
+def pq_subspace_variance(
+    corpus: DataFrame, m: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    scale: int = 1_000_000, clamp: float = 1_000_000.0,
+) -> DataFrame:
+    """Per-subspace ENERGY SHARE — the OPQ-lite diagnostic (Ge et al.
+    2013 "Optimized Product Quantization" motivate rotating the space
+    so subspaces carry balanced, independent energy; this measures how
+    far the CURRENT layout is from that). For each contiguous PQ
+    subspace j, ``var_share`` = Σ_{pos∈j} (n·Σx² − (Σx)²) over the
+    same total across all subspaces — the per-dimension scaled-integer
+    second moments `_pq_components` already implies, folded EXACTLY
+    (DECIMAL(38,0); bound: n·(clamp·scale)² per term, fine to n≈1e13
+    at the default scale) with ONE final double division (round 6,
+    −0.0 normalized).
+
+    Reading it: strongly unequal shares with d_sub > 1 mean correlated
+    energy is straddling subspace boundaries — the geometry flat PQ
+    quantizes worst. Remedy without a full OPQ solver: pre-rotate with
+    ``pca_topk`` (energy-compacting orthogonal rotation; use m = k so
+    each retained component gets its OWN 1-D codebook) and PQ the
+    projections — on anisotropic corpora this measurably beats raw PQ
+    recall (pinned by test on a planted low-rank fixture). Map-only +
+    one (j, pos) aggregate at dim cardinality; corpus-independent
+    output."""
+    comp = _pq_components(corpus, m, id_col, vec_col, scale, clamp, "_vid")
+    x = F.col("_x").cast("decimal(38,0)")
+    mom = (
+        comp.groupBy("_j", "_pos")
+        .agg(F.count(F.lit(1)).alias("_n"),
+             F.sum(x).cast("decimal(38,0)").alias("_s"),
+             F.sum(x * x).cast("decimal(38,0)").alias("_s2")))
+    byj = (
+        mom.select(
+            "_j",
+            (F.col("_n").cast("decimal(38,0)") * F.col("_s2")
+             - F.col("_s") * F.col("_s")).alias("_ssd"))
+        .groupBy("_j")
+        .agg(F.sum("_ssd").cast("decimal(38,0)").alias("_v")))
+    w = Window.partitionBy()
+    tot = F.sum("_v").over(w)
+    return byj.select(
+        F.col("_j").cast("long").alias("subspace"),
+        F.when(tot != 0,
+               F.round(F.col("_v").cast("double") / tot.cast("double"), 6)
+               + F.lit(0.0)).alias("var_share"))
+
+
 def _ivfpq_parts(
     corpus: DataFrame, n_cells: int, m: int, n_codes: int, n_iter: int,
     id_col: str, vec_col: str, scale: int, clamp: float,

@@ -2626,3 +2626,77 @@ def test_curate_v2_dedup_stage_catches_uncut_dups(spark):
     # docs 1 and 2 are near-dups of each other; exactly one survives
     assert len({1, 2} & set(out)) == 1
     assert 3 in out
+
+
+def test_pq_subspace_variance_detects_imbalance(spark):
+    """The OPQ-lite diagnostic: a corpus whose energy sits in dims 0-1
+    must report nearly all variance share in subspace 0 (m=4 over
+    8 dims -> dims 0-1 form subspace 0); shares sum to ~1 and are
+    partition-invariant (exact integer moments)."""
+    import numpy as np
+
+    rng = np.random.RandomState(29)
+    X = np.hstack([rng.randn(80, 2) * 10.0, rng.randn(80, 6) * 0.1])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>")
+    shares = {r["subspace"]: r["var_share"]
+              for r in similarity.pq_subspace_variance(df, m=4).collect()}
+    assert set(shares) == {0, 1, 2, 3}
+    assert shares[0] > 0.99
+    assert abs(sum(shares.values()) - 1.0) < 1e-5
+    again = {r["subspace"]: r["var_share"]
+             for r in similarity.pq_subspace_variance(
+                 df.repartition(7), m=4).collect()}
+    assert shares == again
+
+
+def test_pca_rotated_pq_beats_raw_on_anisotropic_corpus(spark):
+    """OPQ-lite remedy, recall-pinned (r11 VERDICT stretch #8): on a
+    corpus whose similarity structure is low-rank (2-D cluster signal
+    rotated into 8-D plus isotropic noise), PQ over the pca_topk
+    projections (m = k: each retained component gets its own 1-D
+    codebook) beats raw contiguous-subspace PQ on exact-NN recall.
+    Fully deterministic — seeded fixture, exact-integer engine — so
+    the aggregate comparison is a fixed inequality, not a flaky
+    statistical bound."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    n, dim, K = 160, 8, 10
+    centers2 = rng.randn(8, 2) * 10
+    lat = np.vstack([centers2[i % 8] + rng.randn(2) * 0.3
+                     for i in range(n)])
+    Q, _ = np.linalg.qr(rng.randn(dim, dim))
+    emb = lat @ Q[:2, :] + rng.randn(n, dim) * 1.2
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in emb[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    qids = [3, 12, 40, 55, 77, 91, 104, 130]
+    qdf = spark.createDataFrame(
+        [(j, [float(v) for v in emb[j]]) for j in qids],
+        "query_id long, embedding array<double>")
+
+    def true_topk(j):
+        d = ((emb - emb[j]) ** 2).sum(1)
+        return set(np.argsort(d, kind="stable")[:K])
+
+    def hits(out):
+        byq = {}
+        for r in out.collect():
+            byq.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(byq.get(j, set()) & true_topk(j)) for j in qids)
+
+    raw_hits = hits(similarity.pq_topk(
+        df, qdf, k=K, m=4, n_codes=4, n_iter=3))
+    proj = similarity.pca_topk(df, k=4, n_iter=8)
+    pcols = sorted(c for c in proj.columns if c.startswith("pc"))
+    pr = proj.select("vec_id", F.array(*pcols).alias("embedding"))
+    qr = (proj.filter(F.col("vec_id").isin(qids))
+          .select(F.col("vec_id").alias("query_id"),
+                  F.array(*pcols).alias("embedding")))
+    rot_hits = hits(similarity.pq_topk(
+        pr, qr, k=K, m=4, n_codes=4, n_iter=3))
+    # measured on this pinned fixture: raw 40/80, rotated 47/80
+    assert rot_hits > raw_hits
+    assert raw_hits >= 30  # raw PQ is degraded, not broken

@@ -201,6 +201,39 @@ INT_SUM_BOUNDS: dict[str, str] = {
                "and its truncating-division quotient <= 1e12 is "
                "int64-safe on both engines (Spark div verified exact "
                "for in-range quotients)",
+    "ivfpq_topk": "pq_topk's doctrine with one extra doubling per "
+                  "subtraction: clamped scaled components reach 1e12, "
+                  "residuals (x - cx) 2e12, residual codewords "
+                  "(truncating means of residuals) 2e12, diffs vs "
+                  "codewords 4e12, squares 1.6e25 — every square is "
+                  "cast to DECIMAL(38,0)/HUGEINT BEFORE the multiply; "
+                  "per-subspace sums <= dim*1.6e25 ~ 1e27 and ADC "
+                  "sums <= m*1e27 ~ 4e27, exact to 1e38. The k-means "
+                  "mean SUM(x) <= n*2e12 folds in HUGEINT (exact to "
+                  "n ~ 1e25) and its truncating-division quotient "
+                  "<= 2e12 is int64-safe on both engines",
+    "pq_sampled": "identical chains to pq_topk (same components, "
+                  "k-means, ADC — see its bound); sampling only "
+                  "SHRINKS the training n, never widens any term",
+    "pq_subspace_var": "n*s2 - s*s folded in DECIMAL(38,0)/HUGEINT: "
+                       "s2 <= n*(clamp*scale)^2; at the adversarial "
+                       "clamp (|x_s| = 1e12) exact to n ~ 1e7 rows "
+                       "per dimension, at real unit-normalized "
+                       "embedding magnitudes (|x_s| <= ~1e6, x^2 <= "
+                       "1e12) exact to n ~ 1e13 — the docstring "
+                       "states the bound; shares are scale-free so a "
+                       "smaller `scale` extends n a million-fold if "
+                       "ever needed",
+    "curate_corpus_v2": "a composition of already-bounded SUM "
+                        "families, each inside its own stage: the NB "
+                        "0/1 class-indicator counts (nb_train bound), "
+                        "the per-document w_ppm fold (classifier_score "
+                        "bound: |w_ppm| * 2*doc tokens << 2^63), the "
+                        "winnow char-offset running sums (<= "
+                        "length(text) per document), and SUM(e - s + "
+                        "1) chars removed (winnow_cut bound, <= "
+                        "length(text)); no stage introduces a new "
+                        "unbounded fold",
     "winnow_cut": "SUM(e - s + 1) is total characters removed per "
                   "document: merged disjoint ranges clipped to the "
                   "document, so the sum <= length(text) — per-doc "

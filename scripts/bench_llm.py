@@ -72,6 +72,13 @@ PICKS = [
     # round-11: product quantization (per-subspace k-means + ADC code
     # join — the memory-bounded ANN path)
     "pq_topk",
+    # round-12: IVF-PQ (coarse cells x residual codes), bounded-sample
+    # PQ training, incremental winnow probe (index build included in
+    # the timed body — the registry query builds then probes), the
+    # six-stage composed curation pipeline, and the OPQ-lite subspace
+    # energy diagnostic
+    "ivfpq_topk", "pq_sampled", "winnow_probe", "curate_corpus_v2",
+    "pq_subspace_var",
 ]
 
 

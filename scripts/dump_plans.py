@@ -303,6 +303,40 @@ PICKS = {
         "joins corpus CODES (m rows per vector) against broadcast "
         "per-query distance tables and sums m lookups — the raw "
         "embeddings never re-enter the plan after encoding."),
+    "ivfpq_topk": (E.q_ivfpq_topk,
+        "IVFADC composition: the coarse assignment is one broadcast "
+        "centroid cross join + per-vector argmax window; residuals "
+        "are a BIGINT subtraction inside the component join (never a "
+        "float fold); the shared residual codebook trains at "
+        "component x n_codes cardinality, and search joins probed-"
+        "cell CODES against broadcast (query, cell) distance tables "
+        "— every exchange is at code/model cardinality, the raw "
+        "embeddings are read once."),
+    "winnow_probe": (E.q_winnow_probe,
+        "Incremental probe: the corpus side is a parquet scan of the "
+        "persisted (id, fingerprint, pos) hits — NO text column in "
+        "any ReadSchema — joined per fingerprint against the delta "
+        "batch's freshly-computed hits; the span merge windows run "
+        "at anchor cardinality partitioned by (pair, diagonal)."),
+    "pq_sampled": (E.q_pq_sampled,
+        "Bounded-sample training: the pick is ONE TakeOrdered (top-n "
+        "heap on the salted id-hash — no global sort "
+        "materialization) broadcast into a semi-join; the k-means "
+        "chain then runs at SAMPLE component cardinality while "
+        "encode/ADC still cover the full corpus."),
+    "curate_corpus_v2": (E.q_curate_corpus_v2,
+        "Six-stage composition with lineage truncated at the two "
+        "stage boundaries (localCheckpoint = the natural "
+        "materialization points): normalize + NB-train + classifier "
+        "gate are map passes plus one dim-bounded aggregate and a "
+        "broadcast model join; decontamination a broadcast semi-"
+        "join; the winnow cut and LSH dedup run their blocked joins "
+        "on the already-shrunk survivor checkpoint."),
+    "pq_subspace_var": (E.q_pq_subspace_var,
+        "OPQ-lite diagnostic: one Generate (component explode) into "
+        "ONE exchange at (subspace, pos) cardinality — dim rows, "
+        "corpus-independent — then a dim-row window for the share "
+        "division. Nothing corpus-sized ever shuffles."),
 }
 
 

@@ -238,9 +238,15 @@ def _prev_bench() -> "tuple[str, dict] | None":
         return None
     try:
         with open(best) as fh:
-            return os.path.basename(best), json.load(fh)
+            data = json.load(fh)
     except (OSError, ValueError):
         return None
+    # The driver's BENCH_r{N}.json wraps this script's JSON line in a
+    # {"tail": ..., "parsed": {...}} envelope; a raw line has
+    # "queries" at top level. Accept both.
+    if "queries" not in data and isinstance(data.get("parsed"), dict):
+        data = data["parsed"]
+    return os.path.basename(best), data
 
 
 def _vs_prev(times: dict, stats: dict, prev_times: dict,

@@ -3358,6 +3358,46 @@ def q_pq_topk(spark, sf_dir):
     return lsim.pq_topk(emb, queries_df, k=10, m=4, n_codes=8, n_iter=2)
 
 
+def q_pq_index_topk(spark, sf_dir):
+    """Persisted-PQ search through the driver gate (db_spark/llm/
+    similarity.py: pq_index_build/pq_index_topk): codebooks + codes +
+    meta written once, ADC search reads ONLY the code and codebook
+    parquet (never the raw embeddings —
+    tests/test_llm.py::test_pq_index_persisted_matches_one_shot pins
+    the ReadSchema). Bit-identical to one-shot pq_topk with the same
+    build parameters, so the same oracle checks it value-exactly
+    (ivf_index_topk precedent)."""
+    import tempfile
+
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    idx = tempfile.mkdtemp(prefix="pq_index_") + "/pq"
+    lsim.pq_index_build(emb, idx, m=4, n_codes=8, n_iter=2)
+    return lsim.pq_index_topk(spark, idx, queries_df, k=10)
+
+
+def q_ivfpq_index_topk(spark, sf_dir):
+    """Persisted-IVF-PQ search through the driver gate (db_spark/llm/
+    similarity.py: ivfpq_index_build/ivfpq_index_topk): centroids +
+    residual codebooks + cell-partitioned codes written once; probes
+    push the probed cell set down as PartitionFilters and read m ints
+    per vector. Bit-identical to one-shot ivfpq_topk with the same
+    build parameters — one oracle serves both."""
+    import tempfile
+
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    idx = tempfile.mkdtemp(prefix="ivfpq_index_") + "/ivfpq"
+    lsim.ivfpq_index_build(emb, idx, n_cells=8, m=4, n_codes=8, n_iter=2)
+    return lsim.ivfpq_index_topk(spark, idx, queries_df, k=10, n_probe=3)
+
+
 def q_pq_sampled(spark, sf_dir):
     """Bounded-sample PQ training (db_spark/llm/similarity.py:
     pq_train(train_sample_n=...)): codebooks k-means over the 200
@@ -6538,6 +6578,8 @@ _REGISTRY_KEYS: list[str] = [
     "pq_sampled",
     "curate_corpus_v2",
     "pq_subspace_var",
+    "pq_index_topk",
+    "ivfpq_index_topk",
 ]
 
 
@@ -10027,6 +10069,11 @@ def oracle_sql() -> dict[str, str]:
     # The persisted-index probe computes the same math as the in-flight
     # ivf_topk (same centroids, k, n_probe) — one oracle serves both.
     d["ivf_index_topk"] = d["ivf_topk"]
+    # persisted PQ / IVF-PQ are bit-identical to their one-shot twins
+    # (same build parameters; exact-integer arithmetic throughout), so
+    # one oracle serves each pair (ivf_index_topk precedent).
+    d["pq_index_topk"] = d["pq_topk"]
+    d["ivfpq_index_topk"] = d["ivfpq_topk"]
     # truncated RBO@10: same two rankings, per-doc closed-form weights
     # (nano-integer literals from the same Python formula the engine
     # uses) keyed by max rank, BIGINT-summed

@@ -1405,6 +1405,7 @@ def pq_subspace_variance(
 def _ivfpq_parts(
     corpus: DataFrame, n_cells: int, m: int, n_codes: int, n_iter: int,
     id_col: str, vec_col: str, scale: int, clamp: float,
+    train_sample_n: "int | None" = None,
 ) -> "tuple[DataFrame, DataFrame, DataFrame, DataFrame]":
     """Shared IVF-PQ build (Jégou, Douze, Schmid, TPAMI 2011 §IV —
     the IVFADC composition production billion-scale ANN systems
@@ -1441,14 +1442,34 @@ def _ivfpq_parts(
         .join(F.broadcast(ccomp), ["cell_id", "_j", "_pos"])
         .select("_vid", "cell_id", "_j", "_pos",
                 (F.col("_x") - F.col("_cx")).alias("_x")))
-    seeds = (
-        corpus.select(F.col(id_col).alias("_vid")).orderBy("_vid")
-        .limit(n_cells + n_codes)
-        .select("_vid", (F.row_number().over(Window.orderBy("_vid"))
-                         - 1 - n_cells).alias("_sq"))
-        .filter(F.col("_sq") >= 0)
-        .select("_vid", F.col("_sq").cast("int").alias("_code")))
-    cent = _pq_kmeans(rcomp, seeds, n_iter)
+    rfit = rcomp
+    if train_sample_n is None:
+        seeds = (
+            corpus.select(F.col(id_col).alias("_vid")).orderBy("_vid")
+            .limit(n_cells + n_codes)
+            .select("_vid", (F.row_number().over(Window.orderBy("_vid"))
+                             - 1 - n_cells).alias("_sq"))
+            .filter(F.col("_sq") >= 0)
+            .select("_vid", F.col("_sq").cast("int").alias("_code")))
+    else:
+        # bounded-sample residual-codebook training (pq_train's 'pqs:'
+        # doctrine): k-means over the sampled residuals only; seeds =
+        # the lowest-id NON-centroid sample members (a centroid's own
+        # residual is all-zero — pq seeding rule)
+        pick = (
+            corpus.select(F.col(id_col).alias("_vid"))
+            .orderBy(h32(F.concat(F.lit("pqs:"),
+                                  F.col(id_col).cast("string"))),
+                     F.col(id_col))
+            .limit(int(train_sample_n)))
+        rfit = rcomp.join(F.broadcast(pick), "_vid", "left_semi")
+        seeds = (
+            pick.join(centroids.select(F.col("cell_id").alias("_vid")),
+                      "_vid", "left_anti")
+            .orderBy("_vid").limit(n_codes)
+            .select("_vid", (F.row_number().over(Window.orderBy("_vid"))
+                             - 1).cast("int").alias("_code")))
+    cent = _pq_kmeans(rfit, seeds, n_iter)
     codes = (
         _pq_assign(rcomp, cent, "_vid")
         .select("_vid", "_j", "_code")
@@ -1519,6 +1540,7 @@ def ivfpq_topk(
     n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
     query_id_col: str = "query_id",
     scale: int = 1_000_000, clamp: float = 1_000_000.0,
+    train_sample_n: "int | None" = None,
 ) -> DataFrame:
     """IVF-PQ (IVFADC) approximate top-k — the production
     billion-scale ANN architecture (Jégou et al. TPAMI 2011 §IV):
@@ -1531,9 +1553,13 @@ def ivfpq_topk(
     deployments run. Deterministic and SQL-oracle-expressible end to
     end: exact-integer residuals, HUGEINT-replayable squared-L2, all
     ties broken by lowest id/code/cell. Returns (query_id, vec_id,
-    adc_dist DOUBLE, rank)."""
+    adc_dist DOUBLE, rank). ``train_sample_n`` bounds the residual
+    codebook's k-means to the pq_train 'pqs:' id-hash sample (seeds =
+    its lowest-id non-centroid members); encode and search still
+    cover every vector."""
     centroids, ccomp, cent, codes = _ivfpq_parts(
-        corpus, n_cells, m, n_codes, n_iter, id_col, vec_col, scale, clamp)
+        corpus, n_cells, m, n_codes, n_iter, id_col, vec_col, scale,
+        clamp, train_sample_n)
     probes = _ivfpq_probes(queries, centroids, n_probe,
                            vec_col, query_id_col)
     qcomp = _pq_components(
@@ -1547,6 +1573,7 @@ def ivfpq_index_build(
     n_codes: int = 8, n_iter: int = 2, id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1_000_000, clamp: float = 1_000_000.0,
+    train_sample_n: "int | None" = None,
 ) -> None:
     """Materialize an IVF-PQ index: centroids (model-sized), the
     shared residual codebook (model-sized), and the corpus CODES
@@ -1558,7 +1585,8 @@ def ivfpq_index_build(
     Parameters are persisted in ``meta`` (the pq_index_build
     doctrine — stored, never inferred)."""
     centroids, ccomp, cent, codes = _ivfpq_parts(
-        corpus, n_cells, m, n_codes, n_iter, id_col, vec_col, scale, clamp)
+        corpus, n_cells, m, n_codes, n_iter, id_col, vec_col, scale,
+        clamp, train_sample_n)
     centroids.withColumnRenamed("_cvec", "centroid").write.mode(
         "overwrite").parquet(path + "/centroids")
     cent.select(F.col("_j").alias("subspace"), F.col("_code").alias("code"),
@@ -1613,6 +1641,64 @@ def ivfpq_index_topk(
         queries, m, query_id_col, vec_col, scale, clamp, "_qid")
     return _ivfpq_search(probes, qcomp, ccomp, cent, codes, k,
                          id_col, query_id_col, scale)
+
+
+def ivfpq_index_append(
+    spark, path: str, new_vectors: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> int:
+    """Incremental IVF-PQ index maintenance (the ivf_index_append
+    doctrine, extended to codes): assign ``new_vectors`` to the
+    index's EXISTING centroids, PQ-encode their residuals with the
+    STORED codebooks, and append the resulting code rows into the
+    matching ``cell_id=`` directories — the daily-embedding-ingest
+    path that keeps a 100 TB ANN index current without retraining.
+    Probes see the new vectors immediately, with arithmetic identical
+    to an index whose build had included them under the same
+    centroids + codebooks (assignment and encoding depend only on
+    (vector, centroids, codebooks) — asserted by the exact-duplicate
+    twin test).
+
+    Centroids and codebooks deliberately do NOT move: quantization
+    error grows only as the data distribution drifts from the frozen
+    model, at which point a scheduled ``ivfpq_index_build`` retrains
+    — the standard offline-retrain / online-append split. Cost is
+    O(delta): one broadcast centroid assignment + one broadcast
+    codebook encode over the new batch only. Returns the number of
+    vectors appended."""
+    meta = spark.read.parquet(path + "/meta").first()
+    if meta is None:
+        raise ValueError(f"empty IVF-PQ index at {path!r}")
+    m, scale, clamp = int(meta["m"]), int(meta["scale"]), meta["clamp"]
+    centroids = spark.read.parquet(path + "/centroids").withColumnRenamed(
+        "centroid", "_cvec")
+    cells = (_assign_to(new_vectors, centroids, id_col, vec_col)
+             .select(F.col(id_col).alias("_vid"), "cell_id"))
+    comp = _pq_components(
+        new_vectors, m, id_col, vec_col, scale, clamp, "_vid")
+    ccomp = (
+        _pq_components(
+            centroids.select("cell_id", F.col("_cvec").alias(vec_col)),
+            m, "cell_id", vec_col, scale, clamp, "cell_id")
+        .select("cell_id", "_j", "_pos", F.col("_x").alias("_cx")))
+    rcomp = (
+        comp.join(cells, "_vid")
+        .join(F.broadcast(ccomp), ["cell_id", "_j", "_pos"])
+        .select("_vid", "cell_id", "_j", "_pos",
+                (F.col("_x") - F.col("_cx")).alias("_x")))
+    cent = spark.read.parquet(path + "/codebooks").select(
+        F.col("subspace").alias("_j"), F.col("code").alias("_code"),
+        F.col("pos").alias("_pos"), F.col("c").alias("_c"))
+    codes = (
+        _pq_assign(rcomp, cent, "_vid")
+        .select("_vid", "_j", "_code")
+        .join(cells, "_vid"))
+    # column types must match the build exactly (parquet append)
+    codes.select("cell_id", F.col("_vid").alias(id_col),
+                 F.col("_j").alias("subspace"), F.col("_code").alias("code")
+                 ).write.mode("append").partitionBy("cell_id").parquet(
+                     path + "/codes")
+    return new_vectors.count()
 
 
 def pca_project(

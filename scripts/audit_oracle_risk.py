@@ -215,6 +215,12 @@ INT_SUM_BOUNDS: dict[str, str] = {
     "pq_sampled": "identical chains to pq_topk (same components, "
                   "k-means, ADC — see its bound); sampling only "
                   "SHRINKS the training n, never widens any term",
+    "pq_index_topk": "oracle IS pq_topk's (persisted search is "
+                     "bit-identical to one-shot; the alias at "
+                     "oracle_sql) — see pq_topk's bound",
+    "ivfpq_index_topk": "oracle IS ivfpq_topk's (persisted search is "
+                        "bit-identical to one-shot; the alias at "
+                        "oracle_sql) — see ivfpq_topk's bound",
     "pq_subspace_var": "n*s2 - s*s folded in DECIMAL(38,0)/HUGEINT: "
                        "s2 <= n*(clamp*scale)^2; at the adversarial "
                        "clamp (|x_s| = 1e12) exact to n ~ 1e7 rows "

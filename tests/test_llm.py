@@ -2700,3 +2700,73 @@ def test_pca_rotated_pq_beats_raw_on_anisotropic_corpus(spark):
     # measured on this pinned fixture: raw 40/80, rotated 47/80
     assert rot_hits > raw_hits
     assert raw_hits >= 30  # raw PQ is degraded, not broken
+
+
+def test_ivfpq_index_append_twins_and_immediacy(spark, tmp_path):
+    """Incremental IVF-PQ maintenance: appending a batch of EXACT
+    duplicates (new ids, same vectors) must (a) leave the original
+    results' distances unchanged, (b) surface each twin with an ADC
+    distance identical to its original (assignment + encoding depend
+    only on vector, centroids, codebooks), immediately visible to
+    probes. Appended batch encodes against the STORED model — no
+    retrain, O(delta) work."""
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    centers = rng.randn(8, 8) * 10
+    X = np.vstack([centers[i % 8] + rng.randn(8) * 0.05
+                   for i in range(96)])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(96)],
+        "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivfpq_app")
+    similarity.ivfpq_index_build(df, idx, n_cells=8, m=4, n_codes=8,
+                                 n_iter=2)
+    q = spark.createDataFrame(
+        [(9, [float(v) for v in X[9]])],
+        "query_id long, embedding array<double>")
+    before = {r["vec_id"]: r["adc_dist"] for r in
+              similarity.ivfpq_index_topk(spark, idx, q, k=96,
+                                          n_probe=8).collect()}
+    twins = spark.createDataFrame(
+        [(1000 + i, [float(v) for v in X[i]]) for i in (9, 17, 25)],
+        "vec_id long, embedding array<double>")
+    assert similarity.ivfpq_index_append(spark, idx, twins) == 3
+    after = {r["vec_id"]: r["adc_dist"] for r in
+             similarity.ivfpq_index_topk(spark, idx, q, k=200,
+                                         n_probe=8).collect()}
+    for vid, d in before.items():
+        assert after[vid] == d
+    for i in (9, 17, 25):
+        if i in after:  # twin's cell probed iff original's cell probed
+            assert after[1000 + i] == after[i]
+    assert after[1009] == after[9]
+
+
+def test_ivfpq_sampled_training_recovers_clusters(spark):
+    """ivfpq_topk(train_sample_n=N): the residual codebook trains on
+    the 'pqs:' id-hash sample only, yet planted-cluster recovery stays
+    exact (the sample is hash-uniform across clusters) and results
+    are partition-invariant."""
+    import numpy as np
+
+    rng = np.random.RandomState(37)
+    centers = rng.randn(8, 8) * 10
+    X = np.vstack([centers[i % 8] + rng.randn(8) * 0.05
+                   for i in range(160)])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(160)],
+        "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(18, [float(v) for v in X[18]])],
+        "query_id long, embedding array<double>")
+    out = similarity.ivfpq_topk(df, q, k=20, n_cells=8, n_probe=3,
+                                m=4, n_codes=8, n_iter=2,
+                                train_sample_n=60)
+    got = {r["vec_id"] for r in out.collect()}
+    assert got == set(range(18 % 8, 160, 8))
+    out2 = similarity.ivfpq_topk(df.repartition(5), q, k=20, n_cells=8,
+                                 n_probe=3, m=4, n_codes=8, n_iter=2,
+                                 train_sample_n=60)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, out2.collect()))

@@ -523,7 +523,7 @@ def test_dedup_tier_dirty_text(spark, dirty_dir, key):
     "cosine_topk", "embedding_quantize", "centroid_outliers",
     "array_funcs", "mmr_rerank", "kcenter", "semantic_dedup",
     "pca_project", "pca_topk", "pq_topk", "ivfpq_topk", "pq_sampled",
-    "pq_subspace_var",
+    "pq_subspace_var", "pq_index_topk", "ivfpq_index_topk",
 ])
 def test_embedding_tier_dirty_vecs(spark, dirty_dir, key):
     _assert_engines_agree(spark, dirty_dir, key)

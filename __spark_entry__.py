@@ -3309,6 +3309,41 @@ def q_semantic_dedup(spark, sf_dir):
                                refine_iters=2, target_cell_size=None)
 
 
+def q_embedding_decontaminate(spark, sf_dir):
+    """Semantic (retrieval-based) decontamination (db_spark/llm/
+    similarity.py: embedding_decontaminate): flag training vectors
+    cosine-near ANY eval vector — catches the paraphrased benchmark
+    leakage n-gram `decontaminate` cannot see. Eval = vec_id %% 11 = 0;
+    the training side is the remaining corpus UNIONED with perturbed
+    copies of the eval vectors (vec_id + 1e8, the q_semantic_dedup
+    indexed-transform construction) as planted contamination — the
+    testdata embeddings have no natural cross-set pairs above 0.52,
+    so the planted copies (cos ~> 0.999) are exactly what threshold
+    0.9 must flag. Eval broadcasts; the check is map-only over the
+    corpus at any scale."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _max_vec_id = emb.agg(F.max("vec_id")).first()[0]
+    if _max_vec_id is not None and _max_vec_id >= 100000000:
+        raise ValueError(
+            "vec_id >= 1e8 would collide with the perturbed-id offset"
+        )
+    arr = F.col("embedding").cast("array<double>")
+    ev = emb.filter(F.col("vec_id") % 11 == 0)
+    planted = ev.select(
+        (F.col("vec_id") + 100000000).alias("vec_id"),
+        F.transform(
+            arr, lambda x, j: x + (j % 7 - 3).cast("double") * 0.01,
+        ).alias("embedding"),
+    )
+    train = (emb.filter(F.col("vec_id") % 11 != 0)
+             .select("vec_id", arr.alias("embedding"))
+             .unionByName(planted))
+    return lsim.embedding_decontaminate(
+        train, ev.select("vec_id", arr.alias("embedding")), threshold=0.9)
+
+
 def q_pca_project(spark, sf_dir):
     """Dominant-principal-component projection (db_spark/llm/
     similarity.py:pca_project): exact-integer covariance moments (one
@@ -6580,6 +6615,7 @@ _REGISTRY_KEYS: list[str] = [
     "pq_subspace_var",
     "pq_index_topk",
     "ivfpq_index_topk",
+    "embedding_decontaminate",
 ]
 
 
@@ -7943,6 +7979,31 @@ def oracle_sql() -> dict[str, str]:
         "pq_sampled": _pq_topk_oracle(
             k=10, m=4, n_codes=8, n_iter=2, sample_n=200),
         "curate_corpus_v2": _curate_v2_oracle(),
+        "embedding_decontaminate": """
+            WITH base AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings),
+            ev AS (SELECT vec_id, v FROM base WHERE vec_id % 11 = 0),
+            planted AS (
+              SELECT vec_id + 100000000 AS vec_id,
+                     list_transform(v, (x, j) ->
+                         x + ((j - 1) % 7 - 3)::DOUBLE * 0.01) AS v
+              FROM ev),
+            train AS (
+              SELECT vec_id, v FROM base WHERE vec_id % 11 <> 0
+              UNION ALL SELECT vec_id, v FROM planted),
+            s AS (
+              SELECT t.vec_id,
+                     (CASE WHEN list_inner_product(t.v, t.v)
+                                * list_inner_product(e.v, e.v) > 0
+                           THEN round(list_cosine_similarity(t.v, e.v), 6)
+                           ELSE 0.0 END) AS sim
+              FROM train t CROSS JOIN ev e)
+            SELECT vec_id, CAST(count(*) AS BIGINT) AS n_matches,
+                   max(sim) + CAST(0 AS DOUBLE) AS max_sim
+            FROM s WHERE sim >= 0.9 GROUP BY vec_id
+        """,
         "pq_subspace_var": f"""
             WITH comp AS (
               SELECT vec_id,

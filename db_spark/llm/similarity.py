@@ -1354,6 +1354,43 @@ def pq_index_topk(
                 F.col("_rk").cast("long").alias("rank")))
 
 
+def embedding_decontaminate(
+    train: DataFrame, eval_df: DataFrame, threshold: float = 0.9,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC decontamination — flag training vectors whose cosine
+    similarity to ANY eval-set vector meets ``threshold``: the
+    retrieval-based contamination check modern pipelines run BESIDE
+    n-gram `corpus.decontaminate`, because a paraphrased or
+    reformatted benchmark question shares almost no 4-grams with its
+    source while its embedding stays nearly collinear.
+
+    Scale shape: eval sets are bounded by nature (thousands of rows,
+    not corpora), so the eval side BROADCASTS and the whole check is
+    map-only over the training corpus — one pass, no shuffle, no LSH
+    machinery (blocking only matters when BOTH sides are
+    corpus-sized; for a corpus-vs-corpus sweep use
+    `embedding_near_dup_pairs`). Per-side casts and norms are staged
+    once (the brute_force_topk discipline); similarities are the
+    module's guarded round-6 cosine, so the flag set is
+    engine-identical. Returns one row per FLAGGED training vector:
+    (id, n_matches, max_sim DOUBLE)."""
+    t = train.select(F.col(id_col), _dbl(F.col(vec_col)).alias("_tv"))
+    t = t.select(id_col, "_tv", _norm_d(F.col("_tv")).alias("_tn"))
+    e = eval_df.select(_dbl(F.col(vec_col)).alias("_ev"))
+    e = e.select("_ev", _norm_d(F.col("_ev")).alias("_en"))
+    sim = F.round(_cos_guarded(
+        _dot_d(F.col("_tv"), F.col("_ev")),
+        F.col("_tn") * F.col("_en")), 6)
+    return (
+        t.crossJoin(F.broadcast(e))
+        .select(F.col(id_col), sim.alias("_s"))
+        .filter(F.col("_s") >= threshold)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"),
+             (F.max("_s") + F.lit(0.0)).alias("max_sim")))
+
+
 def pq_subspace_variance(
     corpus: DataFrame, m: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -84,6 +84,8 @@ PICKS = [
     # the one-shot winnow_fingerprints / gate stages benched above.
     "ivfpq_topk", "pq_sampled", "winnow_probe", "curate_corpus_v2",
     "pq_subspace_var",
+    # round-12: semantic decontamination (broadcast eval, map-only)
+    "embedding_decontaminate",
 ]
 
 

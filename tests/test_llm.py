@@ -2770,3 +2770,41 @@ def test_ivfpq_sampled_training_recovers_clusters(spark):
                                  train_sample_n=60)
     assert sorted(map(tuple, out.collect())) == \
         sorted(map(tuple, out2.collect()))
+
+
+def test_embedding_decontaminate_flags_planted_copies(spark):
+    """Semantic decontamination: near-collinear copies of eval vectors
+    are flagged (with n_matches and a ~1.0 max_sim); orthogonal
+    training vectors are not; an empty eval set flags nothing; the
+    plan broadcasts the eval side (map-only over the corpus — no
+    shuffle of the training vectors before the final aggregate)."""
+    import numpy as np
+
+    rng = np.random.RandomState(41)
+    E = rng.randn(4, 8) * 2
+    rows = [(100 + i, [float(v) for v in E[i]]) for i in range(4)]
+    ev = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    train_rows = (
+        # near-copies of eval vectors 0 and 1 (tiny perturbation)
+        [(1, [float(v) + 0.001 for v in E[0]]),
+         (2, [float(v) - 0.002 for v in E[1]]),
+         # a vector similar to BOTH eval 0 and a scaled eval 0 copy
+         (3, [float(v) * 3.0 for v in E[0]])]
+        + [(10 + i, [float(v) for v in rng.randn(8) * 2])
+           for i in range(20)])
+    train = spark.createDataFrame(
+        train_rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in similarity.embedding_decontaminate(
+        train, ev, threshold=0.99).collect()}
+    assert {1, 2, 3}.issubset(set(out))
+    for vid in (1, 2, 3):
+        assert out[vid]["max_sim"] > 0.999
+        assert out[vid]["n_matches"] >= 1
+    assert all(v >= 100 or v in (1, 2, 3) for v in out)  # no random hits
+    empty_ev = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    assert similarity.embedding_decontaminate(
+        train, empty_ev, threshold=0.5).count() == 0
+    plan = similarity.embedding_decontaminate(
+        train, ev, threshold=0.99)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

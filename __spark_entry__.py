@@ -3433,6 +3433,45 @@ def q_ivfpq_index_topk(spark, sf_dir):
     return lsim.ivfpq_index_topk(spark, idx, queries_df, k=10, n_probe=3)
 
 
+def q_l2_topk(spark, sf_dir):
+    """Exact squared-L2 top-k in the PQ scaled-integer space
+    (db_spark/llm/similarity.py: l2_topk) — the ground-truth twin the
+    ADC searchers approximate (pq/ivfpq rank by THIS metric;
+    cosine_topk is a different metric on unnormalized vectors).
+    Broadcast query components, one corpus scan, DECIMAL/HUGEINT
+    distance folds, ties -> lowest id."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return lsim.l2_topk(emb, queries_df, k=10)
+
+
+def q_ivfpq_recall(spark, sf_dir):
+    """recall@10 of IVF-PQ against the exact-L2 ground truth — the
+    driver-gated QUALITY number for the billion-scale ANN composition
+    (metric-matched: ADC approximates squared L2, so l2_topk, not the
+    cosine brute force, is the honest baseline). Composes the two
+    oracle-checked top-k results; a hash match proves both the
+    searcher and the measurement."""
+    from db_spark.llm import similarity as lsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = lsim.l2_topk(emb, queries_df, k=10)
+    approx = lsim.ivfpq_topk(emb, queries_df, k=10, n_cells=8,
+                             n_probe=3, m=4, n_codes=8, n_iter=2)
+    return (
+        exact.select("query_id", "vec_id")
+        .join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"),
+             F.round(F.count(F.lit(1)).cast("double") / 10.0, 6)
+             .alias("recall_at_10")))
+
+
 def q_pq_sampled(spark, sf_dir):
     """Bounded-sample PQ training (db_spark/llm/similarity.py:
     pq_train(train_sample_n=...)): codebooks k-means over the 200
@@ -6616,6 +6655,8 @@ _REGISTRY_KEYS: list[str] = [
     "pq_index_topk",
     "ivfpq_index_topk",
     "embedding_decontaminate",
+    "l2_topk",
+    "ivfpq_recall",
 ]
 
 
@@ -7979,6 +8020,33 @@ def oracle_sql() -> dict[str, str]:
         "pq_sampled": _pq_topk_oracle(
             k=10, m=4, n_codes=8, n_iter=2, sample_n=200),
         "curate_corpus_v2": _curate_v2_oracle(),
+        "l2_topk": """
+            WITH comp AS MATERIALIZED (
+              SELECT vec_id, u.i - 1 AS pos,
+                     CAST(round(CASE WHEN u.x > 1000000.0 THEN 1000000.0
+                                     WHEN u.x < -1000000.0 THEN -1000000.0
+                                     ELSE u.x END * 1000000) AS BIGINT) AS x
+              FROM (SELECT vec_id,
+                           unnest(list_transform(embedding,
+                               (x, i) -> struct_pack(
+                                   i := i, x := CAST(x AS DOUBLE)))) AS u
+                    FROM embeddings)),
+            s AS (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     SUM(CAST(c.x - q.x AS HUGEINT) * (c.x - q.x)) AS d
+              FROM comp c JOIN comp q
+                ON q.pos = c.pos AND q.vec_id < 3
+              GROUP BY 1, 2)
+            SELECT query_id, vec_id,
+                   round(CAST(d AS DOUBLE) / 1000000.0 / 1000000.0, 6)
+                       + CAST(0 AS DOUBLE) AS l2_dist,
+                   CAST(rk AS BIGINT) AS rank
+            FROM (SELECT query_id, vec_id, d,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY d, vec_id) AS rk
+                  FROM s)
+            WHERE rk <= 10
+        """,
         "embedding_decontaminate": """
             WITH base AS (
               SELECT vec_id,
@@ -10135,6 +10203,17 @@ def oracle_sql() -> dict[str, str]:
     # one oracle serves each pair (ivf_index_topk precedent).
     d["pq_index_topk"] = d["pq_topk"]
     d["ivfpq_index_topk"] = d["ivfpq_topk"]
+    # recall@10 of IVF-PQ vs the exact-L2 ground truth (metric-matched:
+    # ADC approximates squared L2) — compose the two top-k oracles
+    d["ivfpq_recall"] = f"""
+        WITH exact AS (SELECT * FROM ({d['l2_topk']})),
+             approx AS (SELECT * FROM ({d['ivfpq_topk']}))
+        SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit,
+               round(count(*)::DOUBLE / 10.0, 6) AS recall_at_10
+        FROM exact e JOIN approx a
+          ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        GROUP BY e.query_id
+    """
     # truncated RBO@10: same two rankings, per-doc closed-form weights
     # (nano-integer literals from the same Python formula the engine
     # uses) keyed by max rank, BIGINT-summed

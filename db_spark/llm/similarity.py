@@ -1109,7 +1109,12 @@ def _pq_kmeans(comp: DataFrame, seeds: DataFrame, n_iter: int) -> DataFrame:
             .agg(F.expr("SUM(CAST(_x AS DECIMAL(38,0))) div COUNT(*)")
                  .cast("long").alias("_new")))
         cent = (
-            cent.join(means, ["_j", "_code", "_pos"], "left")
+            # means is dim x n_codes rows (model-sized) but sits above
+            # an aggregate, so Catalyst has no size estimate and would
+            # sort-merge every update round (the ivf_kmeans_centroids
+            # new_cent precedent); broadcast — join strategy only,
+            # arithmetic and results unchanged
+            cent.join(F.broadcast(means), ["_j", "_code", "_pos"], "left")
             .select("_j", "_code", "_pos",
                     F.coalesce("_new", "_c").alias("_c")))
     return cent
@@ -1351,6 +1356,51 @@ def pq_index_topk(
                 (F.round(F.col("_adc").cast("double")
                          / float(scale) / float(scale), 6)
                  + F.lit(0.0)).alias("adc_dist"),
+                F.col("_rk").cast("long").alias("rank")))
+
+
+def l2_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = 1_000_000, clamp: float = 1_000_000.0,
+) -> DataFrame:
+    """EXACT squared-L2 top-k in the PQ family's scaled-integer space
+    — the ground-truth twin of the ADC searchers (`pq_topk` /
+    `ivfpq_topk` approximate THIS metric, so recall against it is the
+    meaningful quality number; `brute_force_topk` ranks by cosine, a
+    different metric on unnormalized vectors). Components clamp+scale
+    exactly as `_pq_components` (m=1: one subspace spanning the
+    vector), distances fold in DECIMAL(38,0)/HUGEINT, ties -> lowest
+    id — bit-identical on any engine/partitioning. The reported
+    distance is one final double division (round 6).
+
+    Scale shape: the query component table is broadcast (queries are
+    a bounded working set — the brute_force_topk contract) and the
+    corpus is scanned once: a position-keyed join + one (query, id)
+    aggregate + TakeOrdered. Exact by construction — the baseline the
+    ANN paths are measured against, not a scale path itself. Returns
+    (query_id, vec_id, l2_dist DOUBLE, rank)."""
+    comp = _pq_components(corpus, 1, id_col, vec_col, scale, clamp, "_vid")
+    qcomp = (
+        _pq_components(queries, 1, query_id_col, vec_col, scale, clamp,
+                       "_qid")
+        .select("_qid", "_pos", F.col("_x").alias("_qx")))
+    d = F.col("_x") - F.col("_qx")
+    scored = (
+        comp.join(F.broadcast(qcomp), "_pos")
+        .groupBy("_qid", "_vid")
+        .agg(F.sum(d.cast("decimal(38,0)") * d)
+             .cast("decimal(38,0)").alias("_d")))
+    w = Window.partitionBy("_qid").orderBy(F.col("_d"), F.col("_vid"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(F.col("_qid").alias(query_id_col),
+                F.col("_vid").alias(id_col),
+                (F.round(F.col("_d").cast("double")
+                         / float(scale) / float(scale), 6)
+                 + F.lit(0.0)).alias("l2_dist"),
                 F.col("_rk").cast("long").alias("rank")))
 
 

@@ -215,6 +215,13 @@ INT_SUM_BOUNDS: dict[str, str] = {
     "pq_sampled": "identical chains to pq_topk (same components, "
                   "k-means, ADC — see its bound); sampling only "
                   "SHRINKS the training n, never widens any term",
+    "l2_topk": "pq_topk's component doctrine with m=1: clamped scaled "
+               "components reach 1e12, diffs 2e12, squares 4e24 cast "
+               "to HUGEINT BEFORE the multiply; the per-pair sum is "
+               "<= dim * 4e24 ~ 2.6e26 — exact to 1e38",
+    "ivfpq_recall": "composes the l2_topk and ivfpq_topk oracles "
+                    "(see their bounds); its own aggregates are "
+                    "COUNT(*) over <= k rows per query",
     "pq_index_topk": "oracle IS pq_topk's (persisted search is "
                      "bit-identical to one-shot; the alias at "
                      "oracle_sql) — see pq_topk's bound",

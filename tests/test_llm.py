@@ -2808,3 +2808,31 @@ def test_embedding_decontaminate_flags_planted_copies(spark):
     plan = similarity.embedding_decontaminate(
         train, ev, threshold=0.99)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_l2_topk_matches_numpy_ground_truth(spark):
+    """l2_topk must reproduce numpy's exact squared-L2 ranking (stable
+    sort = the lowest-id tie rule) and its reported distances, and be
+    partition-invariant — it is the ground-truth baseline the ADC
+    searchers are measured against."""
+    import numpy as np
+
+    rng = np.random.RandomState(43)
+    X = rng.randn(50, 8) * 3
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(4, [float(v) for v in X[4]])],
+        "query_id long, embedding array<double>")
+    out = sorted(similarity.l2_topk(df, q, k=7).collect(),
+                 key=lambda r: r["rank"])
+    sx = np.round(X * 1_000_000).astype(np.int64)
+    d = ((sx - sx[4]).astype(object) ** 2).sum(1)  # exact int
+    order = sorted(range(50), key=lambda i: (d[i], i))[:7]
+    assert [r["vec_id"] for r in out] == order
+    for r in out:
+        assert r["l2_dist"] == round(int(d[r["vec_id"]]) / 1e12, 6)
+    out2 = sorted(similarity.l2_topk(df.repartition(7), q, k=7).collect(),
+                  key=lambda r: r["rank"])
+    assert list(map(tuple, out)) == list(map(tuple, out2))

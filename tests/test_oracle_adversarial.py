@@ -524,7 +524,7 @@ def test_dedup_tier_dirty_text(spark, dirty_dir, key):
     "array_funcs", "mmr_rerank", "kcenter", "semantic_dedup",
     "pca_project", "pca_topk", "pq_topk", "ivfpq_topk", "pq_sampled",
     "pq_subspace_var", "pq_index_topk", "ivfpq_index_topk",
-    "embedding_decontaminate",
+    "embedding_decontaminate", "l2_topk", "ivfpq_recall",
 ])
 def test_embedding_tier_dirty_vecs(spark, dirty_dir, key):
     _assert_engines_agree(spark, dirty_dir, key)

@@ -424,6 +424,115 @@ def srp_signature(vec: Column, dim: int, n_bits: int = 16) -> Column:
     return out
 
 
+def _srp_verify_kernel(id_col: str, threshold: float):
+    """Per-bucket all-pairs cosine verify for ``embedding_near_dup_pairs``
+    (guide §4.2: hand whole batches to vectorized native code instead of
+    per-pair interpreted expressions).
+
+    Bit-exactness contract: dots and squared norms accumulate
+    DIM-SEQUENTIALLY (one vectorized ``+=`` per component, left to
+    right), which reproduces the ``F.aggregate`` fold
+    ``((0.0 + x0*y0) + x1*y1) + ...`` IEEE-op-for-op, so the emitted
+    ``(_dot, _den)`` are bit-identical to the expression path and the
+    final guarded division / round / threshold stays in Catalyst.
+
+    The in-kernel threshold is only a PREFILTER with a safety margin
+    (1e-5, far above both the 0.5e-6 round-half-up boundary and the
+    ~d·eps summation-order slack of a BLAS GEMM): the candidate pass is
+    one ``X @ X.T`` — order-free, cache-blocked, the fast path — and
+    only the pairs it keeps get the exact dim-sequential dot. The
+    prefilter may emit extra sub-threshold pairs (Catalyst re-filters
+    exactly) but never drops a qualifying one — NaN dots/denominators
+    are emitted rather than judged, mirroring Spark's NaN-largest
+    comparison semantics. (A first cut ran the dim-sequential
+    accumulation over the FULL pair matrix: 64 read-modify-write
+    passes over every b_block x b scratch block made it memory-bound
+    at ~2x the expression path's win; the GEMM-prefilter form is
+    compute-bound and ~4x faster again.)
+
+    Pairs whose vectors differ in length are dropped: the expression
+    path's ``zip_with`` null-pads them, the dot folds to NULL and the
+    guarded cosine to 0.0, which a positive threshold excludes (the
+    fast path is only taken when threshold > 0)."""
+    margin = 1e-5
+
+    def verify(pdf):
+        import os
+
+        # guard against BLAS-thread oversubscription across the many
+        # concurrent Python workers (no-op if numpy is already loaded)
+        os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+        os.environ.setdefault("OMP_NUM_THREADS", "1")
+        os.environ.setdefault("MKL_NUM_THREADS", "1")
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "_dot": pd.Series(dtype="float64"),
+            "_den": pd.Series(dtype="float64"),
+        })
+        vecs = pdf["_vd"]
+        ids_all = pdf[id_col].to_numpy()
+        by_len: dict = {}
+        for i in range(len(pdf)):
+            v = vecs.iat[i]
+            if v is None:
+                continue
+            by_len.setdefault(len(v), []).append(i)
+        out_a, out_b, out_d, out_den = [], [], [], []
+        for idxs in by_len.values():
+            if len(idxs) < 2:
+                continue
+            X = np.stack([np.asarray(vecs.iat[i], dtype=np.float64)
+                          for i in idxs])
+            ids = ids_all[idxs]
+            b, d = X.shape
+            # exact norms: dim-sequential fold, bit-identical to
+            # sqrt(aggregate(v, 0.0, (acc, x) -> acc + x*x))
+            n2 = np.zeros(b)
+            for j in range(d):
+                n2 += X[:, j] * X[:, j]
+            nd = np.sqrt(n2)
+            # row blocks bound the b_block x b scratch to ~32 MB
+            block = max(1, 4_000_000 // max(b, 1))
+            for s in range(0, b, block):
+                e = min(s + block, b)
+                # order-free GEMM prefilter (see docstring contract)
+                C = X[s:e] @ X.T
+                den = np.multiply.outer(nd[s:e], nd)
+                with np.errstate(invalid="ignore"):
+                    keep = (np.isnan(den) | np.isnan(C)
+                            | ((den > 0)
+                               & (C >= (threshold - margin) * den)))
+                keep &= ids[s:e][:, None] < ids[None, :]
+                ra, ca = np.nonzero(keep)
+                if not ra.size:
+                    continue
+                # exact dots for the survivors only: dim-sequential
+                # fold, bit-identical to the expression path
+                A = X[s + ra]
+                B = X[ca]
+                dot = np.zeros(ra.size)
+                for j in range(d):
+                    dot += A[:, j] * B[:, j]
+                out_a.append(ids[s:e][ra])
+                out_b.append(ids[ca])
+                out_d.append(dot)
+                out_den.append(den[ra, ca])
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "_dot": np.concatenate(out_d),
+            "_den": np.concatenate(out_den),
+        })
+
+    return verify
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame, dim: int, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -433,17 +542,65 @@ def embedding_near_dup_pairs(
     (pigeonhole segments, like simhash_pairs), exact cosine verifies.
     Never materializes the full pair matrix.
 
+    The verify is a per-bucket Arrow kernel (``applyInPandas``) whose
+    arithmetic is dim-sequential and therefore bit-identical to the
+    expression fold — see ``_srp_verify_kernel``. Only bucket VECTORS
+    cross the exchange and the Python boundary (O(corpus · segments)
+    bytes), never per-pair payloads; the O(sum of squared bucket sizes)
+    pair work runs as vectorized NumPy inside the kernel. The r12
+    measurement that motivated this (guide §1/§4): at sf1 the
+    interpreted higher-order-function fold over the 211.5M candidate
+    pairs dominated the query's 142.5 s noop time, and a fully unrolled
+    codegen expression was even slower (JIT bails out past the
+    8K-bytecode method limit).
+
     Scale note: bucket count per segment is 2^(n_bits/(max_hamming+1)).
     The 16-bit default keeps the oracle SQL tractable; at corpus sizes
     past ~1e6 vectors use n_bits=64 (4 segments x 16 bits = 65536
     buckets/segment) so per-bucket candidate groups stay bounded — the
     verify cost is sum of squared bucket sizes."""
+    from pyspark.sql.types import (
+        ByteType, DoubleType, IntegerType, LongType, ShortType,
+        StructField, StructType)
+
     seg_n = max_hamming + 1
     seg_bits = max(1, n_bits // seg_n)
+    id_type = corpus.schema[id_col].dataType
+    fast = threshold > 0.0 and isinstance(
+        id_type, (ByteType, ShortType, IntegerType, LongType))
     sig = corpus.select(
         F.col(id_col), _dbl(F.col(vec_col)).alias("_vd"),
         srp_signature(F.col(vec_col), dim, n_bits).alias("_sig"),
     )
+    if fast:
+        segs = sig.select(
+            id_col, "_vd",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(s).alias("seg_id"),
+                    F.shiftright(F.col("_sig"), s * seg_bits)
+                    .bitwiseAND(F.lit((1 << seg_bits) - 1)).alias("seg_key"),
+                )
+                for s in range(seg_n)
+            ])).alias("seg"),
+        ).select(id_col, "_vd", "seg.seg_id", "seg.seg_key")
+        out_schema = StructType([
+            StructField("id_a", id_type), StructField("id_b", id_type),
+            StructField("_dot", DoubleType()),
+            StructField("_den", DoubleType())])
+        raw = segs.groupBy("seg_id", "seg_key").applyInPandas(
+            _srp_verify_kernel(id_col, float(threshold)), out_schema)
+        return (
+            raw.select(
+                "id_a", "id_b",
+                F.round(_cos_guarded(F.col("_dot"), F.col("_den")), 6)
+                .alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+            .distinct()
+        )
+    # expression path: non-integral id types or non-positive thresholds
+    # (where the kernel's NULL/zero-vector shortcuts would not be
+    # output-equivalent) keep the original per-pair fold
     sig = sig.select(
         id_col, "_vd", _norm_d(F.col("_vd")).alias("_nd"), "_sig")
     segs = sig.select(

@@ -1243,7 +1243,14 @@ def remove_char_spans(
                 F.sum("_nf").over(
                     ow.rowsBetween(Window.unboundedPreceding, 0))
                 .alias("_g")))
-    merged = (
+    # plan-cache the merged intervals: FOUR consumers follow (gaps,
+    # tails, stats, and pieces via gaps∪tails) and ``spans`` is often an
+    # expensive subplan (winnow_cut feeds the whole span-alignment
+    # pipeline in here) — uncached, every consumer re-executes it from
+    # scratch (measured 4x the spans pipeline, ~52 s of the sf1
+    # winnow_cut noop run; cached, the subplan runs once). Merged rows
+    # are span-cardinality — narrow and small.
+    merged = _plan_cache(
         isl.groupBy("_rid", "_g")
         .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
         .join(docs.select("_rid", "_len"), "_rid")
@@ -1425,12 +1432,19 @@ def winnow_overlap(
                          F.col("pos").alias("_pa"))
         hb = hits.select(F.col("_fid").alias("id_b"), "fingerprint",
                          F.col("pos").alias("_pb"))
+        # no DISTINCT: anchor rows are unique by construction — ``hits``
+        # has one row per (doc, pos) and the fingerprint VALUE is a
+        # function of (doc, pos), so the fingerprint equi-join emits each
+        # (id_a, _pa, id_b, _pb) combination exactly once (a full
+        # exchange + aggregate at anchor cardinality, measured 4.8 s of
+        # the sf1 noop run, bought nothing — r12, guide §2.4 "a distinct
+        # on data that is already unique")
         anchors = (
             ha.join(hb, "fingerprint")
             .filter(F.col("id_a") < F.col("id_b"))
             .join(pairs.select("id_a", "id_b"), ["id_a", "id_b"],
                   "left_semi")
-            .select("id_a", "id_b", "_pa", "_pb").distinct()
+            .select("id_a", "id_b", "_pa", "_pb")
             .withColumn("_diag", F.col("_pb") - F.col("_pa")))
         wp = Window.partitionBy("id_a", "id_b", "_diag").orderBy("_pa")
         flagged = anchors.withColumn(
@@ -1452,22 +1466,51 @@ def winnow_overlap(
                 .alias("b_end"),
                 F.col("_n").cast("long").alias("n_anchors")))
         om = _plan_cache(_token_char_offsets(df, id_col, text_col))
-        for side, tok_col, cs_name, ce_name in (
-                ("id_a", "a_start", "a_char_start", None),
-                ("id_a", "a_end", None, "a_char_end"),
-                ("id_b", "b_start", "b_char_start", None),
-                ("id_b", "b_end", None, "b_char_end")):
-            sel = [F.col("_oid").alias(side),
-                   F.col("_tp").alias(tok_col)]
-            if cs_name:
-                sel.append(F.col("_cs").alias(cs_name))
-            if ce_name:
-                sel.append(F.col("_ce").alias(ce_name))
-            spans = spans.join(om.select(*sel), [side, tok_col])
-        return spans.select(
-            "id_a", "id_b", "a_start", "a_end", "b_start", "b_end",
-            "n_anchors", "a_char_start", "a_char_end",
-            "b_char_start", "b_char_end")
+        # ONE join for all four char-offset lookups, not four: the
+        # span rows melt to (endpoint tag, doc, token) and pivot back
+        # after a single equi-join against the token-cardinality map,
+        # so ``om`` crosses one exchange instead of four (guide §2.4;
+        # measured −4 s of the sf1 noop run). The _nm == 4 guard keeps
+        # the inner-join-per-endpoint semantics: a span only survives
+        # if every endpoint resolves (they always do — endpoints come
+        # from gram positions, which are tokens — but the guard makes
+        # the equivalence unconditional). ``om`` is unique per (doc,
+        # token), so each melted row matches at most once and MAX
+        # per tag is exact reassembly, giving byte-identical rows in
+        # the declared column order (struct-field expansion).
+        melted = spans.select(
+            F.struct("id_a", "id_b", "a_start", "a_end", "b_start",
+                     "b_end", "n_anchors").alias("_sp"),
+            F.explode(F.array(
+                F.struct(F.lit(0).alias("_t"),
+                         F.col("id_a").alias("_d"),
+                         F.col("a_start").alias("_p")),
+                F.struct(F.lit(1).alias("_t"),
+                         F.col("id_a").alias("_d"),
+                         F.col("a_end").alias("_p")),
+                F.struct(F.lit(2).alias("_t"),
+                         F.col("id_b").alias("_d"),
+                         F.col("b_start").alias("_p")),
+                F.struct(F.lit(3).alias("_t"),
+                         F.col("id_b").alias("_d"),
+                         F.col("b_end").alias("_p")),
+            )).alias("_q")).select("_sp", "_q._t", "_q._d", "_q._p")
+        j = melted.join(om, (F.col("_d") == F.col("_oid"))
+                        & (F.col("_p") == F.col("_tp")))
+        return (
+            j.groupBy("_sp")
+            .agg(F.count(F.lit(1)).alias("_nm"),
+                 F.max(F.when(F.col("_t") == 0, F.col("_cs")))
+                 .alias("a_char_start"),
+                 F.max(F.when(F.col("_t") == 1, F.col("_ce")))
+                 .alias("a_char_end"),
+                 F.max(F.when(F.col("_t") == 2, F.col("_cs")))
+                 .alias("b_char_start"),
+                 F.max(F.when(F.col("_t") == 3, F.col("_ce")))
+                 .alias("b_char_end"))
+            .filter(F.col("_nm") == 4)
+            .select("_sp.*", "a_char_start", "a_char_end",
+                    "b_char_start", "b_char_end"))
     nf = fp.groupBy("_fid").agg(F.count(F.lit(1)).alias("_nfp"))
     na = nf.select(F.col("_fid").alias("id_a"), F.col("_nfp").alias("_na"))
     nb = nf.select(F.col("_fid").alias("id_b"), F.col("_nfp").alias("_nb"))
@@ -1588,10 +1631,13 @@ def winnow_probe(
                             / F.least("_na", "_nb"), 6)
                     .alias("containment")))
     gap = (k + w - 1) if merge_gap is None else merge_gap
+    # no DISTINCT: unique by construction, as in winnow_overlap — one
+    # hits row per (doc, pos), fingerprint value a function of (doc,
+    # pos), so the equi-join emits each position pair exactly once
     anchors = (
         idx.join(new_hits, "fingerprint")
         .join(pairs.select("_cid", "_nid"), ["_cid", "_nid"], "left_semi")
-        .select("_cid", "_nid", "_pa", "_pb").distinct()
+        .select("_cid", "_nid", "_pa", "_pb")
         .withColumn("_diag", F.col("_pb") - F.col("_pa")))
     wp = Window.partitionBy("_cid", "_nid", "_diag").orderBy("_pa")
     flagged = anchors.withColumn(

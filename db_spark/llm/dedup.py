@@ -206,7 +206,11 @@ def ngram_jaccard_pairs(
     reps = fp.groupBy("_fp").agg(F.min("_sid").alias("_rep"))
     members = _plan_cache(fp.join(reps, "_fp").select("_fp", "_sid", "_rep"))
 
-    sh_rep = sh.join(reps.select(F.col("_rep").alias("_sid")), "_sid", "semi")
+    # plan-cache the representative shingle table: its consumers
+    # (sizes, both join sides) each re-ran the fingerprint aggregate +
+    # semi-join subtree uncached (guide §2.4 shared-exchange rule)
+    sh_rep = _plan_cache(
+        sh.join(reps.select(F.col("_rep").alias("_sid")), "_sid", "semi"))
     rep_pairs = _inverted_index_jaccard(sh_rep, threshold)
 
     if output == "grouped":
@@ -974,8 +978,12 @@ def jaccard_similarity_join(
     reps = fp.groupBy("_fp").agg(F.min("_jid").alias("_rep"))
     members = _plan_cache(fp.join(reps, "_fp").select("_fp", "_jid", "_rep"))
 
-    sh_rep = sh.join(reps.select(F.col("_rep").alias("_jid")),
-                     "_jid", "semi")
+    # plan-cache the representative shingle table: _ppjoin_pairs reads
+    # it five ways (sizes, freq, ranked, both verify arrays) and each
+    # consumer re-ran the sha2 fingerprint aggregate + semi-join
+    # subtree uncached — measured ~4 s of the sf1 noop run (guide §2.4)
+    sh_rep = _plan_cache(
+        sh.join(reps.select(F.col("_rep").alias("_jid")), "_jid", "semi"))
     rep_pairs = _ppjoin_pairs(sh_rep, threshold, t_ppm)
 
     if output == "grouped":
@@ -1054,18 +1062,47 @@ def _ppjoin_pairs(sh: DataFrame, threshold: float, t_ppm: int) -> DataFrame:
                 <= F.least("_sza", "_szb") * F.lit(1_000_000))
         .select("id_a", "id_b").distinct()
     )
-    sa = sh.select(F.col("_jid").alias("id_a"), "shingle")
-    sb = sh.select(F.col("_jid").alias("id_b"), "shingle")
+    # verify on SET ARRAYS, not exploded rows: the old form expanded
+    # every candidate pair by all of id_a's shingles (|cand| x |set|
+    # rows — 21M at sf1, 13 s of the 20 s noop run) through a join and
+    # a pair-keyed count. Attaching each side's whole shingle set as
+    # one array row (doc cardinality, built from the cached shingle
+    # table) and counting with size(array_intersect(...)) does the
+    # same exact intersection per pair inside codegen — two
+    # doc-cardinality joins instead of a 21M-row join + aggregate
+    # (guide §2.3 "aggregate before you shuffle" / §2.4). Shingle rows
+    # are unique per (doc, shingle), so the collected arrays are sets
+    # and array_intersect's set semantics count exactly. The _i >= 1
+    # guard keeps the old inner-join behavior where zero-intersection
+    # candidates never surfaced (only reachable at threshold 0).
+    arrs = sh.groupBy("_jid").agg(
+        F.collect_list("shingle").alias("_set"),
+        F.count(F.lit(1)).alias("_sz"))
+    aa = arrs.select(F.col("_jid").alias("id_a"),
+                     F.col("_set").alias("_seta"),
+                     F.col("_sz").alias("_sza"))
+    ab = arrs.select(F.col("_jid").alias("id_b"),
+                     F.col("_set").alias("_setb"),
+                     F.col("_sz").alias("_szb"))
+    # the one-element explode is a deliberate pushdown BARRIER: without
+    # it, PushDownPredicate folds the threshold filter into the join
+    # condition with the _i alias INLINED, evaluating array_intersect
+    # three times per candidate row in the join condition plus once in
+    # the projection (seen in the sf1 plan; ~4x the verify cost).
+    # Filters on a generator output cannot be pushed below the
+    # Generate, so the intersect is computed exactly once per pair.
     inter = (
-        cand.join(sa, "id_a").join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("_i"))
+        cand.join(aa, "id_a").join(ab, "id_b")
+        .select("id_a", "id_b", "_sza", "_szb",
+                F.explode(F.array(
+                    F.size(F.array_intersect("_seta", "_setb"))
+                    .cast("long"))).alias("_i"))
     )
-    sza = sizes.select(F.col("_jid").alias("id_a"), F.col("_sz").alias("_sza"))
-    szb = sizes.select(F.col("_jid").alias("id_b"), F.col("_sz").alias("_szb"))
     union_sz = F.col("_sza") + F.col("_szb") - F.col("_i")
     return (
-        inter.join(sza, "id_a").join(szb, "id_b")
-        .filter(F.col("_i") * F.lit(1_000_000) >= F.lit(t_ppm) * union_sz)
+        inter
+        .filter((F.col("_i") >= 1)
+                & (F.col("_i") * F.lit(1_000_000) >= F.lit(t_ppm) * union_sz))
         .select("id_a", "id_b",
                 F.round(F.col("_i").cast("double") / union_sz, 6)
                 .alias("jaccard"))

@@ -525,7 +525,9 @@ def test_unpersist_plan_caches(spark):
     dedup.unpersist_plan_caches()  # drop leftovers from other tests
     dedup.simhash_pairs(df).count()
     dedup.jaccard_similarity_join(df, 0.5).count()
-    assert dedup.unpersist_plan_caches() == 3  # members + sh + members
+    # simhash members + jaccard sh + members + sh_rep (the r12 PPJoin
+    # verify caches the representative shingle table too)
+    assert dedup.unpersist_plan_caches() == 4
     assert dedup.unpersist_plan_caches() == 0
 
 

@@ -1194,12 +1194,48 @@ def winnow_fingerprints(
         # every gram occurrence of a selected fingerprint VALUE — the
         # value-set selection rule means a selected hash marks all its
         # occurrences (same hash = same gram text, modulo the 60-bit
-        # collision odds), which is exactly what span alignment wants
+        # collision odds), which is exactly what span alignment wants.
+        #
+        # JOIN-FREE form (r12, guide §2.4): the first cut joined the
+        # gram rows back against fps on (_wid, _fp) — a second full
+        # execution of the token-window subtree (ReuseExchange dedups
+        # only the first exchange, not the sorts/windows above it)
+        # plus a gram-cardinality shuffle join — measured 16.5 s solo
+        # at sf1, the dominant stage of winnow_spans. Equivalent
+        # window algebra on ONE pass instead:
+        #   _wm(p)  = min of window starting at p (NULL if p is not a
+        #             valid start) — the value window p SELECTS;
+        #   _sel(q) = max of _wm over the w windows containing q; max
+        #             ignores the NULL invalid starts, and since every
+        #             covering window's min is <= _gh(q), equality
+        #             _sel(q) == _gh(q) holds iff q's VALUE is the min
+        #             of at least one covering window — i.e. iff q is
+        #             an occurrence where the value got selected;
+        #   hit(q)  = any occurrence of _gh(q) in the doc satisfies
+        #             _sel == _gh — lifted from the occurrence to the
+        #             VALUE by one (doc, value)-partition window max.
+        # Both extra frames ride the existing (_wid, _pos) sort; the
+        # only new exchange is the (doc, value) window — replacing the
+        # distinct's exchange AND the join's two, and the subtree runs
+        # once.
+        wm = F.when(F.col("_pos") <= ng - w, F.min("_gh").over(wnd))
+        back = (Window.partitionBy("_wid").orderBy("_pos")
+                .rowsBetween(-(w - 1), 0))
+        occ = (
+            g.select("_wid", "_pos", "_gh", wm.alias("_wm"))
+            .select("_wid", "_pos", "_gh",
+                    (F.max("_wm").over(back) == F.col("_gh"))
+                    .alias("_lsel"))
+        )
+        vw = Window.partitionBy("_wid", "_gh")
         return (
-            g.select("_wid", "_pos", F.col("_gh").alias("_fp"))
-            .join(fps.select("_wid", "_fp").distinct(), ["_wid", "_fp"])
+            occ.select(
+                "_wid", "_pos", "_gh",
+                F.max(F.when(F.col("_lsel"), 1).otherwise(0)).over(vw)
+                .alias("_hit"))
+            .filter(F.col("_hit") == 1)
             .select(F.col("_wid").alias(id_col),
-                    F.col("_fp").alias("fingerprint"),
+                    F.col("_gh").alias("fingerprint"),
                     (F.col("_pos") + 1).cast("long").alias("pos"))
         )
     return (
@@ -1351,26 +1387,55 @@ def _token_char_offsets(
     pieces, leading/trailing empties kept identically by Java split
     with limit -1 and DuckDB regexp_split_to_array); interleave both
     by position key (sep_i at 2i, tok_n at 2n-1) and one running-sum
-    window over the key gives every token's start offset — one
-    explode + one union + ONE window pass at token cardinality, no
-    per-character work, no UDFs."""
+    window over the key gives every token's start offset — no
+    per-character work, no UDFs.
+
+    The interleave is done ARRAY-side (both length arrays zip into one
+    (key, len) struct array per document) so the pipeline is ONE
+    explode and no union: the first cut exploded tokens and separators
+    separately and unioned the row sets, which re-executed the base
+    projection — the tokenize regex AND the split regex — once per
+    branch (two full regex passes over the corpus text, guide §2.4
+    "duplicated subtrees"). arrays_zip pads the shorter side (tokens,
+    n vs n+1) with NULL structs; the explode drops nothing because the
+    filter on odd keys happens after the running sum, and a NULL token
+    slot contributes length NULL only at the very end of the zip where
+    no later row consumes it (see the _l IS NOT NULL guard).
+
+    The zip is built behind a one-element explode (the module's
+    pushdown-barrier idiom, see _ppjoin_pairs): InferFiltersFromGenerate
+    puts a ``size(e) > 0 AND isnotnull(e)`` prefilter under the
+    posexplode, and PushDownPredicate would substitute the _z alias
+    into it — evaluating both regexes three times per document (seen
+    in the plan: the zip expression verbatim inside Filter twice plus
+    the Project). A generator output can't be pushed below its
+    Generate, and the barrier's own inferred filter constant-folds away
+    (size of a 1-element array literal), so each regex runs exactly
+    once per document."""
     low = ascii_lower(F.col(text_col))
     base = df.select(
         F.col(id_col).alias("_oid"),
-        F.regexp_extract_all(low, F.lit(r"[a-z']+"), 0).alias("_tks"),
-        F.split(low, r"[a-z']+").alias("_sps"))
-    tokrows = base.select(
-        "_oid", F.posexplode("_tks").alias("_i0", "_x")
-    ).select("_oid", (F.col("_i0") * 2 + 1).alias("_k"),
-             F.length("_x").alias("_l"))
-    seprows = base.select(
-        "_oid", F.posexplode("_sps").alias("_i0", "_x")
-    ).select("_oid", (F.col("_i0") * 2).alias("_k"),
-             F.length("_x").alias("_l"))
+        F.explode(F.array(F.arrays_zip(
+            F.transform(F.split(low, r"[a-z']+"), F.length).alias("_sl"),
+            F.transform(F.regexp_extract_all(low, F.lit(r"[a-z']+"), 0),
+                        F.length).alias("_tl"),
+        ))).alias("_z"))
+    rows = base.select(
+        "_oid", F.posexplode("_z").alias("_i0", "_p")
+    ).select(
+        "_oid", "_i0",
+        F.explode(F.array(
+            F.struct((F.col("_i0") * 2).alias("_k"),
+                     F.col("_p._sl").alias("_l")),
+            F.struct((F.col("_i0") * 2 + 1).alias("_k"),
+                     F.col("_p._tl").alias("_l")),
+        )).alias("_e")
+    ).select("_oid", F.col("_e._k").alias("_k"), F.col("_e._l").alias("_l")
+             ).filter(F.col("_l").isNotNull())
     wd = (Window.partitionBy("_oid").orderBy("_k")
           .rowsBetween(Window.unboundedPreceding, -1))
     return (
-        tokrows.unionByName(seprows)
+        rows
         .select("_oid", "_k", "_l",
                 (F.coalesce(F.sum("_l").over(wd), F.lit(0)) + 1)
                 .alias("_cs"))

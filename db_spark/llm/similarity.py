@@ -568,11 +568,42 @@ def embedding_near_dup_pairs(
     id_type = corpus.schema[id_col].dataType
     fast = threshold > 0.0 and isinstance(
         id_type, (ByteType, ShortType, IntegerType, LongType))
-    sig = corpus.select(
-        F.col(id_col), _dbl(F.col(vec_col)).alias("_vd"),
-        srp_signature(F.col(vec_col), dim, n_bits).alias("_sig"),
-    )
     if fast:
+        from pyspark.sql import Window
+        from db_spark.llm.dedup import _plan_cache
+
+        # Identical-vector grouping (r12 — the jaccard identical-SET
+        # grouping discipline applied to embeddings): real corpora are
+        # duplicate-saturated, and g byte-identical vectors would send
+        # every copy through the signature fold AND blow the per-bucket
+        # verify up by g^2 (the GEMM is sum-of-squared-bucket-sizes; at
+        # the 10x-replicated sf1 dir one hot bucket held ~all copies —
+        # a single-task straggler, guide §2.5). Group by the vector
+        # VALUE, run blocking + verify on ONE representative (min id)
+        # per distinct vector, then expand rep pairs to members.
+        # Exact because every decision is a function of the vector
+        # bytes alone: members have their rep's signature (same
+        # buckets), and a member pair's dim-sequential dot/norms are
+        # bit-identical to the rep pair's. Spark's group/window key
+        # normalization (NaN==NaN, -0.0==0.0) can merge sign-of-zero
+        # variants; their dots differ only in +/-0.0 intermediates, so
+        # every merged pair still rounds to the same cos_sim, and a
+        # +/-0.0 cos_sim is unreachable here (threshold > 0 gates this
+        # path). Within-group pairs (identical vectors) get the SAME
+        # guarded/rounded formula on the shared vector value — 1.0 for
+        # normal vectors, excluded for zero/NULL/NaN vectors exactly
+        # like the kernel path (zero den -> 0.0; NULL/NaN never pass a
+        # positive threshold).
+        mem = _plan_cache(
+            corpus.select(F.col(id_col), _dbl(F.col(vec_col)).alias("_vd"))
+            .select(
+                id_col, "_vd",
+                F.min(id_col).over(Window.partitionBy("_vd")).alias("_rep")))
+        reps = mem.filter(F.col(id_col) == F.col("_rep"))
+        sig = reps.select(
+            F.col(id_col), "_vd",
+            srp_signature(F.col("_vd"), dim, n_bits).alias("_sig"),
+        )
         segs = sig.select(
             id_col, "_vd",
             F.explode(F.array(*[
@@ -590,7 +621,7 @@ def embedding_near_dup_pairs(
             StructField("_den", DoubleType())])
         raw = segs.groupBy("seg_id", "seg_key").applyInPandas(
             _srp_verify_kernel(id_col, float(threshold)), out_schema)
-        return (
+        rep_pairs = (
             raw.select(
                 "id_a", "id_b",
                 F.round(_cos_guarded(F.col("_dot"), F.col("_den")), 6)
@@ -598,6 +629,27 @@ def embedding_near_dup_pairs(
             .filter(F.col("cos_sim") >= threshold)
             .distinct()
         )
+        xa = mem.select(F.col("_rep").alias("id_a"),
+                        F.col(id_col).alias("_xa"))
+        xb = mem.select(F.col("_rep").alias("id_b"),
+                        F.col(id_col).alias("_xb"))
+        cross = (
+            rep_pairs.join(xa, "id_a").join(xb, "id_b")
+            .select(F.least("_xa", "_xb").alias("id_a"),
+                    F.greatest("_xa", "_xb").alias("id_b"), "cos_sim"))
+        selfcos = F.round(_cos_guarded(
+            _dot_d(F.col("_vd"), F.col("_vd")),
+            _norm_d(F.col("_vd")) * _norm_d(F.col("_vd"))), 6)
+        w1 = mem.select(F.col("_rep").alias("_g"),
+                        F.col(id_col).alias("id_a"), "_vd")
+        w2 = mem.select(F.col("_rep").alias("_g"),
+                        F.col(id_col).alias("id_b"))
+        within = (
+            w1.join(w2, "_g")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", selfcos.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+        return cross.unionByName(within).distinct()
     # expression path: non-integral id types or non-positive thresholds
     # (where the kernel's NULL/zero-vector shortcuts would not be
     # output-equivalent) keep the original per-pair fold

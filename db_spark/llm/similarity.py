@@ -653,6 +653,10 @@ def embedding_near_dup_pairs(
     # expression path: non-integral id types or non-positive thresholds
     # (where the kernel's NULL/zero-vector shortcuts would not be
     # output-equivalent) keep the original per-pair fold
+    sig = corpus.select(
+        F.col(id_col), _dbl(F.col(vec_col)).alias("_vd"),
+        srp_signature(F.col(vec_col), dim, n_bits).alias("_sig"),
+    )
     sig = sig.select(
         id_col, "_vd", _norm_d(F.col("_vd")).alias("_nd"), "_sig")
     segs = sig.select(

@@ -138,6 +138,21 @@ def test_embedding_near_dup(spark):
     assert (1, 2) in got and (1, 3) not in got
 
 
+def test_embedding_near_dup_expression_path(spark):
+    # string ids force the non-kernel expression path (fast=False);
+    # r12 regression guard: the fast-path refactor once dropped the
+    # shared signature projection this branch consumes
+    rows = [
+        ("a", [1.0, 0.0, 0.0, 0.0]),
+        ("b", [0.999, 0.001, 0.0, 0.0]),   # near dup of a
+        ("c", [0.0, 1.0, 0.0, 0.0]),       # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = similarity.embedding_near_dup_pairs(df, dim=4, threshold=0.99).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert ("a", "b") in got and ("a", "c") not in got
+
+
 def test_text_stats(docs):
     out = {r["doc_id"]: r for r in text.text_stats(docs).collect()}
     assert out[1]["n_tokens"] == 9

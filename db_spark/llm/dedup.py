@@ -1499,28 +1499,63 @@ def winnow_overlap(
     if output not in ("stats", "spans"):
         raise ValueError(
             f"output must be 'stats' or 'spans', got {output!r}")
+    # Identical-TEXT grouping (r12 — the jaccard identical-set / SRP
+    # identical-vector discipline applied to winnowing): every
+    # downstream decision (fingerprint values, positions, anchors,
+    # spans, char offsets) is a pure function of the text, so g docs
+    # with byte-identical texts would pay the token-window pass g
+    # times and the fingerprint/anchor self-joins g^2 times. Group
+    # docs by sha2(text) (the jaccard_similarity_join precedent), run
+    # the whole pipeline on ONE min-id representative per distinct
+    # text, then expand rep pairs to member pairs at the end. Cross
+    # pairs inherit the rep pair's row verbatim (identical texts =>
+    # identical stats and spans), with an orientation swap in spans
+    # mode when member ids order opposite to their reps'; pairs
+    # WITHIN a group (identical texts) share their whole fingerprint
+    # set (containment 1.0) and, in spans mode, the rep's
+    # self-anchor spans — both computed once per group from the rep
+    # alone. The df-cap stays exact: a fingerprint's document
+    # frequency is the SUM OF GROUP SIZES over the distinct texts
+    # holding it, not the rep count.
+    mem = _plan_cache(
+        df.select(F.col(id_col).alias("_mid"),
+                  F.sha2(F.col(text_col), 256).alias("_tk"))
+        .select("_mid",
+                F.min("_mid").over(Window.partitionBy("_tk"))
+                .alias("_mrep")))
+    gs = mem.groupBy("_mrep").agg(F.count(F.lit(1)).alias("_gsz"))
+    reps = df.join(
+        mem.filter(F.col("_mid") == F.col("_mrep"))
+        .select(F.col("_mid").alias(id_col)), id_col, "semi")
     # The fingerprint table feeds FOUR consumers (df-cap, per-doc
     # counts, both self-join sides); uncached, each re-derives the
     # full gram-hash pass from the scan — cache it once (the module's
     # plan-cache lifecycle; ~2/(w+1) of gram cardinality, narrow rows).
     if output == "spans":
         hits = _plan_cache(
-            winnow_fingerprints(df, id_col, text_col, k, w, output="hits")
+            winnow_fingerprints(reps, id_col, text_col, k, w,
+                                output="hits")
             .select(F.col(id_col).alias("_fid"), "fingerprint", "pos"))
         fp = hits.select("_fid", "fingerprint").distinct()
     else:
         hits = None
         fp = _plan_cache(
-            winnow_fingerprints(df, id_col, text_col, k, w, output="fps")
+            winnow_fingerprints(reps, id_col, text_col, k, w,
+                                output="fps")
             .select(F.col(id_col).alias("_fid"), "fingerprint"))
     if max_fp_df is not None:
         hot = (
-            fp.groupBy("fingerprint")
-            .agg(F.count(F.lit(1)).alias("_df"))
+            fp.join(gs, fp["_fid"] == gs["_mrep"])
+            .groupBy("fingerprint")
+            .agg(F.sum("_gsz").alias("_df"))
             .filter(F.col("_df") > max_fp_df).select("fingerprint"))
         fp = fp.join(hot, "fingerprint", "left_anti")
         if hits is not None:
             hits = hits.join(hot, "fingerprint", "left_anti")
+    # per-rep post-cap distinct fingerprint count: containment
+    # denominators (stats) and the min_shared gate on within-group
+    # self pairs (both modes)
+    nf = fp.groupBy("_fid").agg(F.count(F.lit(1)).alias("_nfp"))
     a = fp.select(F.col("_fid").alias("id_a"), "fingerprint")
     b = fp.select(F.col("_fid").alias("id_b"), "fingerprint")
     pairs = (
@@ -1528,6 +1563,10 @@ def winnow_overlap(
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("_sh"))
         .filter(F.col("_sh") >= min_shared))
+    ga = mem.select(F.col("_mrep").alias("id_a"),
+                    F.col("_mid").alias("_xa"))
+    gb = mem.select(F.col("_mrep").alias("id_b"),
+                    F.col("_mid").alias("_xb"))
     if output == "spans":
         gap = (k + w - 1) if merge_gap is None else merge_gap
         ha = hits.select(F.col("_fid").alias("id_a"), "fingerprint",
@@ -1541,12 +1580,31 @@ def winnow_overlap(
         # exchange + aggregate at anchor cardinality, measured 4.8 s of
         # the sf1 noop run, bought nothing — r12, guide §2.4 "a distinct
         # on data that is already unique")
-        anchors = (
+        cross_anchors = (
             ha.join(hb, "fingerprint")
             .filter(F.col("id_a") < F.col("id_b"))
             .join(pairs.select("id_a", "id_b"), ["id_a", "id_b"],
                   "left_semi")
-            .select("id_a", "id_b", "_pa", "_pb")
+            .select("id_a", "id_b", "_pa", "_pb"))
+        # WITHIN-group pairs have identical texts, so their span set is
+        # the rep's SELF-anchor structure (all position combinations of
+        # each selected value — exactly what the member-level
+        # fingerprint join produced for two identical docs), computed
+        # once per group with >= 2 members whose rep meets min_shared.
+        selfdocs = (
+            nf.filter(F.col("_nfp") >= min_shared).select("_fid")
+            .join(gs.filter(F.col("_gsz") >= 2)
+                  .select(F.col("_mrep").alias("_fid")), "_fid", "semi"))
+        sh = hits.join(selfdocs, "_fid", "semi")
+        self_anchors = (
+            sh.select("_fid", "fingerprint", F.col("pos").alias("_pa"))
+            .join(sh.select("_fid", "fingerprint",
+                            F.col("pos").alias("_pb")),
+                  ["_fid", "fingerprint"])
+            .select(F.col("_fid").alias("id_a"),
+                    F.col("_fid").alias("id_b"), "_pa", "_pb"))
+        anchors = (
+            cross_anchors.unionByName(self_anchors)
             .withColumn("_diag", F.col("_pb") - F.col("_pa")))
         wp = Window.partitionBy("id_a", "id_b", "_diag").orderBy("_pa")
         flagged = anchors.withColumn(
@@ -1567,7 +1625,7 @@ def winnow_overlap(
                 (F.col("_e") + (k - 1) + F.col("_diag")).cast("long")
                 .alias("b_end"),
                 F.col("_n").cast("long").alias("n_anchors")))
-        om = _plan_cache(_token_char_offsets(df, id_col, text_col))
+        om = _plan_cache(_token_char_offsets(reps, id_col, text_col))
         # ONE join for all four char-offset lookups, not four: the
         # span rows melt to (endpoint tag, doc, token) and pivot back
         # after a single equi-join against the token-cardinality map,
@@ -1599,7 +1657,7 @@ def winnow_overlap(
             )).alias("_q")).select("_sp", "_q._t", "_q._d", "_q._p")
         j = melted.join(om, (F.col("_d") == F.col("_oid"))
                         & (F.col("_p") == F.col("_tp")))
-        return (
+        rep_spans = (
             j.groupBy("_sp")
             .agg(F.count(F.lit(1)).alias("_nm"),
                  F.max(F.when(F.col("_t") == 0, F.col("_cs")))
@@ -1613,15 +1671,64 @@ def winnow_overlap(
             .filter(F.col("_nm") == 4)
             .select("_sp.*", "a_char_start", "a_char_end",
                     "b_char_start", "b_char_end"))
-    nf = fp.groupBy("_fid").agg(F.count(F.lit(1)).alias("_nfp"))
+        # expand rep rows to member pairs: self rows (id_a == id_b)
+        # fan out to each within-group pair once (_xa < _xb; the self
+        # span set is symmetric under a/b exchange, so no swap is ever
+        # needed), cross rows to every member combination, swapping
+        # the a/b column groups when the member ids order opposite to
+        # their reps' (the span columns are side-specific; identical
+        # texts make the swapped row exactly the member pair's)
+        ex = (
+            rep_spans.join(ga, "id_a").join(gb, "id_b")
+            .filter((F.col("id_a") != F.col("id_b"))
+                    | (F.col("_xa") < F.col("_xb"))))
+        sw = F.col("_xa") > F.col("_xb")
+
+        def _side(fwd: str, rev: str) -> Column:
+            return F.when(sw, F.col(rev)).otherwise(F.col(fwd)).alias(fwd)
+
+        return ex.select(
+            F.least("_xa", "_xb").alias("id_a"),
+            F.greatest("_xa", "_xb").alias("id_b"),
+            _side("a_start", "b_start"), _side("a_end", "b_end"),
+            _side("b_start", "a_start"), _side("b_end", "a_end"),
+            "n_anchors",
+            _side("a_char_start", "b_char_start"),
+            _side("a_char_end", "b_char_end"),
+            _side("b_char_start", "a_char_start"),
+            _side("b_char_end", "a_char_end"))
     na = nf.select(F.col("_fid").alias("id_a"), F.col("_nfp").alias("_na"))
     nb = nf.select(F.col("_fid").alias("id_b"), F.col("_nfp").alias("_nb"))
-    return (
+    rep_stats = (
         pairs.join(na, "id_a").join(nb, "id_b")
         .select("id_a", "id_b",
                 F.col("_sh").cast("long").alias("shared_fps"),
                 F.round(F.col("_sh").cast("double")
                         / F.least("_na", "_nb"), 6).alias("containment")))
+    # cross pairs: every member combination inherits the rep pair's
+    # row (identical texts => identical fingerprint sets); stats
+    # columns are symmetric, so only the id order needs normalizing
+    cross = (
+        rep_stats.join(ga, "id_a").join(gb, "id_b")
+        .select(F.least("_xa", "_xb").alias("id_a"),
+                F.greatest("_xa", "_xb").alias("id_b"),
+                "shared_fps", "containment"))
+    # within-group pairs share their WHOLE post-cap fingerprint set:
+    # shared = |set| (gated by min_shared), containment = 1.0 exactly
+    # (round(n/n, 6)); groups whose rep has no fingerprints have no nf
+    # row and correctly emit nothing
+    q = nf.filter(F.col("_nfp") >= min_shared).select(
+        F.col("_fid").alias("_g"), "_nfp")
+    wa = mem.select(F.col("_mrep").alias("_g"), F.col("_mid").alias("id_a"))
+    wb = mem.select(F.col("_mrep").alias("_g"), F.col("_mid").alias("id_b"))
+    within = (
+        wa.join(wb, "_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(q, "_g")
+        .select("id_a", "id_b",
+                F.col("_nfp").cast("long").alias("shared_fps"),
+                F.lit(1.0).alias("containment")))
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------

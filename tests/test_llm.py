@@ -2005,6 +2005,45 @@ def test_winnow_spans_char_offsets_cut_matching_text(spark):
         assert "quick" in a.lower()
 
 
+def test_winnow_spans_duplicate_texts_expand_exactly(spark):
+    """r12 identical-text grouping: duplicated texts must yield the
+    same spans as their originals — within-group pairs get the self
+    span set, and cross pairs whose member ids order OPPOSITE to
+    their reps' get the a/b column groups swapped. Char slices must
+    stay real offsets into each side's own text for every row."""
+    t_a = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+           "juliet kilo lima")
+    t_b = ("zebra yak xray wombat alpha bravo charlie delta echo "
+           "foxtrot golf hotel india juliet kilo lima")
+    texts = {1: t_a, 2: t_b, 3: t_b, 4: t_a}   # 3 dups 2, 4 dups 1
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    out = dedup.winnow_overlap(
+        df, k=4, w=4, min_shared=1, output="spans").collect()
+    by_pair: dict = {}
+    for r in out:
+        by_pair.setdefault((r["id_a"], r["id_b"]), []).append(r)
+        a = texts[r["id_a"]][r["a_char_start"] - 1:r["a_char_end"]]
+        b = texts[r["id_b"]][r["b_char_start"] - 1:r["b_char_end"]]
+        assert a.lower() == b.lower()
+    # every T_a x T_b combination must carry the same passage; (2, 4)
+    # is the swap case (id_a holds T_b, the rep pair computed T_a as
+    # the a-side)
+    assert {(1, 2), (1, 3), (2, 4), (3, 4)} <= set(by_pair)
+    base = {(r["a_start"], r["a_end"], r["b_start"], r["b_end"])
+            for r in by_pair[(1, 2)]}
+    assert base == {(r["a_start"], r["a_end"], r["b_start"], r["b_end"])
+                    for r in by_pair[(1, 3)]}
+    swapped = {(r["b_start"], r["b_end"], r["a_start"], r["a_end"])
+               for r in by_pair[(2, 4)]}
+    assert base == swapped
+    # within-group pairs (identical texts) self-align on diagonal 0
+    for pair in ((1, 4), (2, 3)):
+        assert pair in by_pair
+        assert any(r["a_start"] == r["b_start"]
+                   and r["a_end"] == r["b_end"] for r in by_pair[pair])
+
+
 def test_remove_char_spans_edge_cases(spark):
     """Interval merge (overlap AND adjacency), clipping past the text
     end, full-document coverage -> empty string, and untouched

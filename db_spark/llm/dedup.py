@@ -291,6 +291,18 @@ def _inverted_index_jaccard(sh: DataFrame, threshold: float) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _signature_from_shingles(sh: DataFrame, id_col: str,
+                             k: int) -> DataFrame:
+    """k-permutation MinHash signature over a prebuilt (``_sid``,
+    ``shingle``) table — one hash-aggregate, a single doc-id shuffle."""
+    hv = sh.withColumn("_h", h32(F.col("shingle")) % HASH_P)
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % HASH_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(perm_constants(k))
+    ]
+    return hv.groupBy(F.col("_sid").alias(id_col)).agg(*aggs)
+
+
 def minhash_signature(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 16, n: int = 3,
@@ -299,12 +311,7 @@ def minhash_signature(
     """k-permutation MinHash signature per document, columns m0..m{k-1}.
     One explode + one hash-aggregate — a single shuffle on doc id."""
     sh = shingle_table(df, id_col, text_col, n, max_shingle_df)
-    hv = sh.withColumn("_h", h32(F.col("shingle")) % HASH_P)
-    aggs = [
-        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % HASH_P).alias(f"m{i}")
-        for i, (a, b) in enumerate(perm_constants(k))
-    ]
-    return hv.groupBy(F.col("_sid").alias(id_col)).agg(*aggs)
+    return _signature_from_shingles(sh, id_col, k)
 
 
 def lsh_candidate_pairs(
@@ -345,20 +352,86 @@ def minhash_dedup_pairs(
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """LSH candidates + signature-estimated Jaccard filter. Returns
-    (id_a, id_b, est_jaccard = fraction of equal signature components)."""
-    sig = minhash_signature(df, id_col, text_col, k, n, max_shingle_df)
-    cand = lsh_candidate_pairs(sig, id_col, k, bands, max_bucket_size)
-    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(k)])
-    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(k)])
+    (id_a, id_b, est_jaccard = fraction of equal signature components).
+
+    Identical-set grouping (r12 — lossless, the module's established
+    discipline): the signature, the band keys, and therefore every
+    bucket decision are pure functions of the guarded shingle SET, so
+    g docs with identical sets paid the signature aggregate g times
+    and the bucket self-join g^2 times. Group docs by a sha2 of their
+    sorted set, sign and bucket ONE min-id representative per
+    distinct set, and expand at the end: cross pairs inherit the rep
+    pair's est_jaccard (identical signatures), within-group pairs are
+    est 1.0 (k equal components) gated on the group retaining at
+    least one bucket. The ``max_bucket_size`` cap stays EXACT: a
+    bucket's size is the member count — the sum of group sizes over
+    the distinct sets holding that band key — not the rep count, so
+    precisely the same buckets are skipped as before."""
+    sh = _plan_cache(shingle_table(df, id_col, text_col, n,
+                                   max_shingle_df))
+    fp = sh.groupBy("_sid").agg(
+        F.sha2(F.concat_ws("\x1f", F.array_sort(F.collect_list("shingle"))),
+               256).alias("_fp"))
+    reps = fp.groupBy("_fp").agg(F.min("_sid").alias("_rep"))
+    members = _plan_cache(fp.join(reps, "_fp").select("_sid", "_rep"))
+    gsz = members.groupBy("_rep").agg(F.count(F.lit(1)).alias("_gsz"))
+    sh_rep = sh.join(reps.select(F.col("_rep").alias("_sid")), "_sid",
+                     "semi")
+    sig = _plan_cache(_signature_from_shingles(sh_rep, id_col, k))
+
+    exploded = _banded_rows(sig, id_col, k, bands)
+    if max_bucket_size is not None:
+        sizes = (
+            exploded.join(gsz, exploded["_bid"] == gsz["_rep"])
+            .groupBy("band_id", "band_key")
+            .agg(F.sum("_gsz").alias("_bn")))
+        exploded = exploded.join(
+            sizes.filter(F.col("_bn") <= max_bucket_size).drop("_bn"),
+            ["band_id", "band_key"])
+    exploded = _plan_cache(exploded)
+    a = exploded.select(F.col("_bid").alias("id_a"), "band_id", "band_key")
+    b = exploded.select(F.col("_bid").alias("id_b"), "band_id", "band_key")
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"),
+                    *[F.col(f"m{i}").alias(f"a{i}") for i in range(k)])
+    sb = sig.select(F.col(id_col).alias("id_b"),
+                    *[F.col(f"m{i}").alias(f"b{i}") for i in range(k)])
     est = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
     ) / F.lit(float(k))
-    return (
+    rep_pairs = (
         cand.join(sa, "id_a").join(sb, "id_b")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    ra = members.select(F.col("_rep").alias("id_a"),
+                        F.col("_sid").alias("_xa"))
+    rb = members.select(F.col("_rep").alias("id_b"),
+                        F.col("_sid").alias("_xb"))
+    cross = (
+        rep_pairs.join(ra, "id_a").join(rb, "id_b")
+        .select(F.least("_xa", "_xb").alias("id_a"),
+                F.greatest("_xa", "_xb").alias("id_b"), "est_jaccard"))
+    # within-group pairs: identical signatures agree on every band, so
+    # the pair is a candidate iff ANY of the group's buckets survived
+    # the cap; est is exactly k/k = 1.0
+    wdocs = exploded.select(F.col("_bid").alias("_rep")).distinct()
+    wa = members.select("_rep", F.col("_sid").alias("id_a"))
+    wb = members.select("_rep", F.col("_sid").alias("id_b"))
+    within = (
+        wa.join(wb, "_rep")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(wdocs, "_rep", "semi")
+        .select("id_a", "id_b", F.lit(1.0).alias("est_jaccard")))
+    if threshold > 1.0:  # even identical signatures fail the filter
+        within = within.filter(F.lit(False))
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------

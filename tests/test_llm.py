@@ -75,6 +75,24 @@ def test_minhash_lsh(docs):
     assert (1, 3) not in got
 
 
+def test_minhash_bucket_cap_counts_members_not_distinct_sets(spark):
+    """r12 identical-set grouping must keep the bucket cap exact: 12
+    byte-identical docs are ONE distinct set but TWELVE bucket members,
+    so every bucket exceeds cap 10 and no pair may surface; without
+    the cap all 66 within-group pairs come back at est 1.0."""
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog repeatedly")
+         for i in range(12)], "doc_id long, text string")
+    capped = dedup.minhash_dedup_pairs(
+        df, threshold=0.5, max_shingle_df=None, max_bucket_size=10)
+    assert capped.count() == 0
+    full = dedup.minhash_dedup_pairs(
+        df, threshold=0.5, max_shingle_df=None, max_bucket_size=None)
+    rows = full.collect()
+    assert len(rows) == 12 * 11 // 2
+    assert all(r["est_jaccard"] == 1.0 for r in rows)
+
+
 def test_minhash_estimates_jaccard(docs):
     pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
              for r in dedup.minhash_dedup_pairs(docs, threshold=0.0, bands=16, k=16).collect()}

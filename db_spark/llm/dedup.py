@@ -1111,15 +1111,18 @@ def _ppjoin_pairs(sh: DataFrame, threshold: float, t_ppm: int) -> DataFrame:
     filtering + length filter + exact intersection verify (see
     jaccard_similarity_join's docstring for the theorem). Callers
     guarantee one row per (doc, shingle)."""
-    sizes = sh.groupBy("_jid").agg(F.count(F.lit(1)).alias("_sz"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
     from pyspark.sql import Window
 
+    # set size via a count window on the SAME (_jid) partitioning the
+    # rank window establishes — one exchange instead of a separate
+    # sizes aggregate + doc-keyed join (r12, guide §2.4)
     ranked = (
         sh.join(freq, "shingle")
         .withColumn("_pos", F.row_number().over(
             Window.partitionBy("_jid").orderBy("_f", "shingle")))
-        .join(sizes, "_jid")
+        .withColumn("_sz", F.count(F.lit(1)).over(
+            Window.partitionBy("_jid")))
     )
     plen = (F.col("_sz")
             - F.ceil(F.lit(threshold) * F.col("_sz")).cast("long") + 1)

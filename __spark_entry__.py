@@ -2693,12 +2693,18 @@ def q_dedup_keep_best(spark, sf_dir):
 def q_simhash(spark, sf_dir):
     """32-bit SimHash per document (fold over token array, no shuffle).
     Token-less docs have no signature (NULL, dropped) — matching the
-    oracle's unnest-based fold, which naturally has no rows for them."""
+    oracle's unnest-based fold, which naturally has no rows for them.
+    The signature is staged behind a one-element explode barrier
+    (text.stage_expr): the NULL filter otherwise pushes below the
+    Project and re-evaluates the whole fold — tokenizer regex + md5
+    per token — a second time per row (r12 plan audit; 4.2 s ->
+    ~2 s noop at sf0.1)."""
     from db_spark.llm import dedup as ldedup
+    from db_spark.llm.text import stage_expr
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", ldedup.simhash(F.col("text")).alias("simhash")
+    return stage_expr(
+        docs, ["doc_id"], ldedup.simhash(F.col("text")), "simhash"
     ).filter(F.col("simhash").isNotNull())
 
 

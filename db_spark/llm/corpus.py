@@ -304,8 +304,13 @@ def bm25_topk(
     norm = tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)). Ranking uses
     round(score, 6) with doc-id tiebreak so top-k is deterministic.
     Returns (id, score, rank)."""
+    from db_spark.llm.text import stage_expr
+
     toks = F.regexp_extract_all(ascii_lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
-    base = df.select(F.col(id_col).alias("_did"), toks.alias("_toks"))
+    # explode-barrier staging (text.stage_expr): the select boundary is
+    # collapsed and the regex re-runs per downstream reference (9 copies
+    # in the pre-r12 optimized plan — stats sum, postings size+explode)
+    base = stage_expr(df, [F.col(id_col).alias("_did")], toks, "_toks")
 
     # corpus stats: N docs, avg doc length (exact rational -> double once)
     stats = base.agg(

@@ -44,12 +44,13 @@ DEFAULT_MAX_BUCKET_SIZE = 1000
 #: evictable storage memory, never correctness.
 _PLAN_CACHES: list[DataFrame] = []
 
-#: Registry cap: each builder call registers 1-2 caches, so 8 keeps the
-#: last ~4 builder plans alive. Older entries were almost certainly
+#: Registry cap: each builder call registers 1-4 caches (the k-means
+#: loops register one model-sized table per iteration), so 16 keeps the
+#: last few builder plans alive. Older entries were almost certainly
 #: materialized already; evicting them bounds the registry (and its
 #: pinned storage blocks) in a long-lived session where the caller
 #: never calls unpersist_plan_caches().
-_PLAN_CACHE_CAP = 8
+_PLAN_CACHE_CAP = 16
 
 
 def _plan_cache(df: DataFrame) -> DataFrame:
@@ -137,14 +138,18 @@ def shingle_table(
     """Exploded (id, shingle) pairs; optionally drops shingles appearing
     in more than ``max_shingle_df`` documents (scale guard).
 
-    Tokens are staged through a projection boundary before the gram
-    transform: Spark does no CSE inside lambdas, so inlining the regexp
-    tree would re-tokenize the text once per gram element."""
-    from db_spark.llm.text import _grams_of
+    Tokens are staged behind a one-element explode BARRIER
+    (text.stage_expr) before the gram transform: Spark does no CSE
+    inside lambdas, and CollapseProject inlines a single-top-level-
+    reference alias straight through a select boundary into the lambda,
+    re-tokenizing the text once per gram element (n x per gram; seen in
+    the r12 plan audit). The Generate barrier makes the regex run
+    exactly once per document."""
+    from db_spark.llm.text import _grams_of, stage_expr
 
     toks = F.regexp_extract_all(
         ascii_lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
-    t = df.select(F.col(id_col).alias("_sid"), toks.alias("_toks"))
+    t = stage_expr(df, [F.col(id_col).alias("_sid")], toks, "_toks")
     sh = t.select(
         "_sid",
         F.explode(F.array_distinct(_grams_of(F.col("_toks"), n))).alias("shingle"))
@@ -633,11 +638,15 @@ def span_dup_stats(
     Returns (id, n_windows, n_dup_windows, n_dup_distinct, first_dup_pos,
     dup_frac) for documents containing at least one window that appears
     in >= ``min_df`` distinct documents."""
-    from db_spark.llm.text import _grams_of
+    from db_spark.llm.text import _grams_of, stage_expr
 
     toks = F.regexp_extract_all(
         ascii_lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
-    t = df.select(F.col(id_col).alias("_sid"), toks.alias("_toks"))
+    # explode-barrier staging (stage_expr): a bare select boundary is
+    # collapsed and the regex lands inside the gram lambda — window x
+    # regex evaluations per document (30 copies in the pre-r12 plan;
+    # 57 s -> ~2 s noop at sf0.1)
+    t = stage_expr(df, [F.col(id_col).alias("_sid")], toks, "_toks")
     wins = t.select(
         "_sid",
         F.transform(_grams_of(F.col("_toks"), window), h60).alias("_wins"))
@@ -689,11 +698,13 @@ def remove_dup_spans(
 
     Returns (id, n_tokens_before, n_tokens_removed, clean_text) for
     documents that changed."""
-    from db_spark.llm.text import _grams_of
+    from db_spark.llm.text import _grams_of, stage_expr
 
     toks = F.regexp_extract_all(
         ascii_lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
-    t = df.select(F.col(id_col).alias("_sid"), toks.alias("_toks"))
+    # explode-barrier staging — same CollapseProject-into-lambda hazard
+    # as span_dup_stats (see stage_expr)
+    t = stage_expr(df, [F.col(id_col).alias("_sid")], toks, "_toks")
     w = t.select(
         "_sid",
         F.posexplode(

@@ -174,7 +174,13 @@ def ivf_kmeans_centroids(
                      F.col(id_col))
             .limit(int(train_sample_n)))
         src = corpus.join(F.broadcast(pick), id_col, "left_semi")
-    cent = (
+    # per-round centroid tables are plan-cached (n_cells rows): the
+    # Lloyd chain otherwise grows exponentially (cent_i references
+    # cent_{i-1} in both the assignment and the update join), so every
+    # downstream consumer — semantic_dedup's three v-references, the
+    # ivf_topk refine path — replayed the full chain per reference
+    # (r12; the _pq_kmeans fix applied to the vector-space loop)
+    cent = _plan_cache(
         src.orderBy(F.col(id_col)).limit(n_cells)
         .select(F.col(id_col).alias("cell_id"), _dbl(F.col(vec_col)).alias("_cvec"))
     )
@@ -199,7 +205,7 @@ def ivf_kmeans_centroids(
                 "cell_id",
                 F.transform(F.col("_jm"), lambda s: s.getField("_m")).alias("_new"))
         )
-        cent = (
+        cent = _plan_cache(
             # new_cent is <= n_cells rows but sits above an aggregate, so
             # Catalyst has no size estimate and would sort-merge; broadcast
             cent.join(F.broadcast(new_cent), "cell_id", "left")
@@ -1311,7 +1317,17 @@ def _pq_kmeans(comp: DataFrame, seeds: DataFrame, n_iter: int) -> DataFrame:
     value. Shared by ``pq_train`` (raw components) and ``ivfpq_train``
     (residual components) — identical arithmetic, so both replay 1:1
     in the HUGEINT oracle chain. Returns (_j, _code, _pos, _c)."""
-    cent = (
+    # Each round's codebook is plan-cached (model-sized: dim x n_codes
+    # rows). Without the cache the lineage grows EXPONENTIALLY — cent_i
+    # references cent_{i-1} twice (assignment + update join) and comp
+    # twice per round — so every downstream reference (codes, ADC
+    # tables) replayed the whole k-means chain and the composed plans
+    # (ivfpq_recall) spent tens of seconds in planning + recompute
+    # (r12, guide §2.4 duplicated subtrees / §3.3 plan size; sf0.1
+    # noop: ivfpq_recall 36.2 s -> ~2 s, ivfpq_topk 6.2 s -> ~1.5 s).
+    # Caching truncates each round to: one assignment pass over comp +
+    # one model-sized update, the inherent Lloyd cost.
+    cent = _plan_cache(
         comp.join(F.broadcast(seeds), "_vid")
         .select("_j", "_code", "_pos", F.col("_x").alias("_c")))
     for _ in range(n_iter):
@@ -1321,7 +1337,7 @@ def _pq_kmeans(comp: DataFrame, seeds: DataFrame, n_iter: int) -> DataFrame:
             .groupBy("_j", "_code", "_pos")
             .agg(F.expr("SUM(CAST(_x AS DECIMAL(38,0))) div COUNT(*)")
                  .cast("long").alias("_new")))
-        cent = (
+        cent = _plan_cache(
             # means is dim x n_codes rows (model-sized) but sits above
             # an aggregate, so Catalyst has no size estimate and would
             # sort-merge every update round (the ivf_kmeans_centroids
@@ -1730,7 +1746,14 @@ def _ivfpq_parts(
     trained codebook (_j, _code, _pos, _c), codes
     (_vid, cell_id, _j, _code))."""
     centroids, assigned = ivf_assign(corpus, n_cells, id_col, vec_col)
-    cells = assigned.select(F.col(id_col).alias("_vid"), "cell_id")
+    # centroids (n_cells rows, but derived via a corpus TakeOrdered) and
+    # the full cell assignment (corpus-cardinality, 2 narrow columns)
+    # each feed 2-3 consumers (ccomp + probes + seed anti-join; rcomp +
+    # codes) — plan-cache both so the corpus scan + argmax pass runs
+    # once, not per consumer (r12, guide §2.4)
+    centroids = _plan_cache(centroids)
+    cells = _plan_cache(assigned.select(F.col(id_col).alias("_vid"),
+                                        "cell_id"))
     comp = _pq_components(corpus, m, id_col, vec_col, scale, clamp, "_vid")
     ccomp = (
         _pq_components(

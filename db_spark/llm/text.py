@@ -36,6 +36,29 @@ def tokens(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(_WORD_RE), 0)
 
 
+def stage_expr(df: DataFrame, keep: list, expr: Column, alias: str) -> DataFrame:
+    """Materialize ``expr`` as a real per-row column behind a one-element
+    explode (Generate) BARRIER, so downstream references read an
+    attribute instead of re-evaluating the expression tree.
+
+    A plain ``select`` boundary is NOT enough: CollapseProject merges
+    adjacent Projects and substitutes the alias's expression into every
+    reference, and its duplicate-expensive-expression guard does not
+    count references inside higher-order-function lambda bodies — so a
+    tokenizer regex staged through a select and then referenced by the
+    n ``element_at`` calls of a gram lambda is re-run n times per array
+    element (observed: 30 ``regexp_extract_all`` copies in span_dup's
+    optimized plan, one full-text regex scan per gram element). A
+    generator output cannot be substituted below its Generate, and the
+    barrier's own inferred filter (``size(array(e)) > 0``) constant-
+    folds away, so ``expr`` is evaluated exactly once per row.
+
+    ``keep`` columns pass through unchanged; filters on them still push
+    below the Generate (only generator-output predicates are blocked).
+    """
+    return df.select(*keep, F.explode(F.array(expr)).alias(alias))
+
+
 def token_count(text: Column) -> Column:
     """Whitespace word count."""
     return F.size(tokens(text)).cast("long")
@@ -381,8 +404,12 @@ def bigram_surprisal(
     unconditionally at 100 TB, unlike the unigram model. Documents with
     < 2 tokens contribute nothing. Returns (id, n_bigrams, sum_bits,
     avg_bits)."""
-    d = df.select(
-        F.col(id_col), tokens(ascii_lower(F.col(text_col))).alias("_tk")
+    # explode-barrier staging (stage_expr): the select boundary is
+    # collapsed and the regex lands inside the pair-building lambda
+    # (2 evaluations per bigram position) plus the size() filter —
+    # 8 copies in the pre-r12 optimized plan
+    d = stage_expr(
+        df, [F.col(id_col)], tokens(ascii_lower(F.col(text_col))), "_tk"
     ).filter(F.size("_tk") >= 2)
     bg = d.select(
         F.col(id_col),
@@ -469,7 +496,10 @@ def collocations(
     Returns (bigram, pair_count, ratio, rank)."""
     toks = F.regexp_extract_all(
         ascii_lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
-    t = df.select(toks.alias("_toks"))
+    # explode-barrier staging (stage_expr): CollapseProject would inline
+    # the regex into the bigram lambda (2 evaluations per gram) and into
+    # the size() passes — 11 copies in the pre-r12 optimized plan
+    t = stage_expr(df, [], toks, "_toks")
     uni = (
         t.select(F.explode("_toks").alias("_w"))
         .groupBy("_w").agg(F.count(F.lit(1)).alias("_cw"))

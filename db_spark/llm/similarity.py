@@ -1231,6 +1231,53 @@ def semantic_dedup(
         corpus, n_cells=n_cells, n_iter=refine_iters,
         id_col=id_col, vec_col=vec_col)
     assigned = _assign_to(corpus, cent, id_col, vec_col)
+    from pyspark.sql.types import (
+        ByteType, DoubleType, IntegerType, LongType, ShortType,
+        StructField, StructType)
+
+    id_type = corpus.schema[id_col].dataType
+    fast = threshold > 0.0 and isinstance(
+        id_type, (ByteType, ShortType, IntegerType, LongType))
+    if fast:
+        # Per-cell GEMM verify (r12 — the `_srp_verify_kernel` shape
+        # applied to SemDeDup's within-cluster stage; guide §4.2): the
+        # relational a x b pair filter evaluated the interpreted
+        # zip_with cosine fold per pair — O(sum cell_size^2) rows
+        # through codegen'd-but-per-pair expressions, the dominant
+        # stage (sf0.1 noop ~6 s of which ~4 s was the pair filter).
+        # The kernel is exact under the SRP contract: order-free BLAS
+        # GEMM only PREFILTERS (1e-5 margin), survivors get the
+        # dim-sequential dot/norm fold bit-identical to the expression
+        # path, and the round/guard/threshold stays in Catalyst.
+        # Gated exactly like the SRP fast path: positive threshold
+        # (NULL/zero/length-mismatch vectors excluded identically on
+        # both paths) and integral ids (the kernel's int64 schema).
+        seg = assigned.select(
+            "cell_id", F.col(id_col), _dbl(F.col(vec_col)).alias("_vd"))
+        out_schema = StructType([
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("_dot", DoubleType()),
+            StructField("_den", DoubleType())])
+        raw = seg.groupBy("cell_id").applyInPandas(
+            _srp_verify_kernel(id_col, float(threshold)), out_schema)
+        removed = (
+            raw.select(
+                "id_b",
+                F.round(_cos_guarded(F.col("_dot"), F.col("_den")), 6)
+                .alias("_cs"))
+            .filter(F.col("_cs") >= F.lit(threshold))
+            .select(F.col("id_b").alias(id_col)).distinct()
+            .withColumn("_kept", F.lit(False)))
+        return (
+            assigned.select(F.col(id_col), "cell_id")
+            .join(removed, id_col, "left")
+            .select(F.col(id_col), F.col("cell_id"),
+                    F.coalesce(F.col("_kept"), F.lit(True)).alias("kept"))
+        )
+    # expression path: non-integral id types or non-positive thresholds
+    # (where the kernel's NULL/zero-vector shortcuts would not be
+    # output-equivalent) keep the original per-pair fold
     v = assigned.select(
         F.col(id_col), F.col("cell_id"), _dbl(F.col(vec_col)).alias("_v"))
     v = v.select(id_col, "cell_id", "_v", _norm_d(F.col("_v")).alias("_nn"))

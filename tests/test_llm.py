@@ -2178,6 +2178,65 @@ def test_semantic_dedup_only_compares_within_cells(spark):
     assert out[2]["kept"] and out[3]["kept"]
 
 
+def test_semantic_dedup_kernel_matches_expression_on_dirty_vectors(spark):
+    """r12: the within-cell verify moved to the per-cell GEMM kernel
+    (`_srp_verify_kernel`) for integral ids + positive thresholds. Pin
+    exact output equality between the kernel path (long ids) and the
+    expression path's per-pair fold on a dirty fixture — NULL vector,
+    zero vector, length-mismatched vector, exact duplicates — where
+    the two paths' NULL/zero shortcuts must still agree."""
+    from pyspark.sql import functions as F
+
+    from db_spark.llm.similarity import (
+        _assign_to, _cos_guarded, _dbl, _dot_d, _norm_d,
+        ivf_kmeans_centroids)
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),       # exact duplicate of 0
+        (2, [0.999, 0.01, 0.0, 0.0]),    # near-dup of 0
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, None),                       # NULL vector
+        (5, [0.0, 0.0, 0.0, 0.0]),       # zero vector (guarded cos 0)
+        (6, [1.0, 0.0]),                 # length mismatch
+        (7, [0.0, 0.998, 0.05, 0.0]),    # near-dup of 3
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fast = similarity.semantic_dedup(
+        df, n_cells=2, threshold=0.95, refine_iters=1)
+
+    # the pre-r12 expression path, inlined on the same inputs
+    cent = ivf_kmeans_centroids(df, n_cells=2, n_iter=1,
+                                id_col="vec_id", vec_col="embedding")
+    assigned = _assign_to(df, cent, "vec_id", "embedding")
+    v = assigned.select(
+        F.col("vec_id"), F.col("cell_id"),
+        _dbl(F.col("embedding")).alias("_v"))
+    v = v.select("vec_id", "cell_id", "_v", _norm_d(F.col("_v")).alias("_nn"))
+    a = v.select(F.col("vec_id").alias("_ida"), "cell_id",
+                 F.col("_v").alias("_va"), F.col("_nn").alias("_na"))
+    b = v.select(F.col("vec_id").alias("_idb"), "cell_id",
+                 F.col("_v").alias("_vb"), F.col("_nn").alias("_nb"))
+    removed = (
+        a.join(b, "cell_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(F.round(_cos_guarded(
+            _dot_d(F.col("_va"), F.col("_vb")),
+            F.col("_na") * F.col("_nb")), 6) >= F.lit(0.95))
+        .select(F.col("_idb").alias("vec_id")).distinct()
+        .withColumn("_kept", F.lit(False)))
+    slow = (
+        v.join(removed, "vec_id", "left")
+        .select(F.col("vec_id"), F.col("cell_id"),
+                F.coalesce(F.col("_kept"), F.lit(True)).alias("kept")))
+
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+    out = {r["vec_id"]: r for r in fast.collect()}
+    assert out[0]["kept"] and not out[1]["kept"]  # exact dup pruned
+    assert out[4]["kept"] and out[5]["kept"]      # NULL/zero never match
+
+
 def test_pca_project_matches_numpy_eigendecomposition(spark):
     """The integer power iteration must land on numpy's dominant
     eigenvector (|corr| ~ 1 of the projections — sign is pinned by our

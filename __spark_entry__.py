@@ -32,6 +32,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread LIGHTWEIGHT key rows across every core before expensive
+    per-row Python work attaches (guide §8: shuffle the proxy, never
+    the payload). Only fires when the scan's file count is below the
+    cluster's defaultParallelism — the testdata tables are 1-10
+    single-row-group files, so a per-row decode stage otherwise runs
+    on 1-10 tasks of a 32-core executor. At scale a table has more
+    splits than cores and this is a NO-OP (a repartition there would
+    REDUCE parallelism). Round-robin repartition is retry-safe
+    (sort-before-repartition is on by default) and the downstream
+    per-row decodes are partition-order-independent, so results are
+    unchanged."""
+    par = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < par:
+        return df.repartition(par)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Core operator queries (SURVEY §2.1)
 # ---------------------------------------------------------------------------
@@ -3793,6 +3811,11 @@ def q_video_features(spark, sf_dir):
         payload.alias("payload"),
         F.lit(None).cast(lmm.MEDIA_SCHEMA["meta"].dataType).alias("meta"),
     )
+    # deliberately NOT _spread: the y4m parse is ~µs per 100-byte
+    # payload, so the extra exchange costs what the parallelism buys
+    # back (A/B r12: 0.81-0.95 s both ways at sf0.1) — contrast
+    # q_mjpeg_features, whose Huffman+IDCT decode is expensive enough
+    # that spreading keys wins ~1.8x
     feats = lmm.extract_features(media)
     f = feats["features"]
     return feats.select(
@@ -3832,7 +3855,9 @@ def q_mjpeg_features(spark, sf_dir):
     lut = spark.createDataFrame(rows, "m long, payload binary")
     docs = _t(spark, sf_dir, "documents")
     media = (
-        docs.select("doc_id", F.pmod(F.col("doc_id"), F.lit(256)).alias("m"))
+        _spread(spark,
+                docs.select("doc_id",
+                            F.pmod(F.col("doc_id"), F.lit(256)).alias("m")))
         .join(F.broadcast(lut), "m")
         .select(F.col("doc_id").alias("media_id"),
                 F.lit("video").alias("modality"),

@@ -1701,6 +1701,131 @@ def embedding_decontaminate(
     module's guarded round-6 cosine, so the flag set is
     engine-identical. Returns one row per FLAGGED training vector:
     (id, n_matches, max_sim DOUBLE)."""
+    from pyspark.sql.types import (
+        ByteType, DoubleType, IntegerType, LongType, ShortType,
+        StructField, StructType)
+
+    id_type = train.schema[id_col].dataType
+    fast = threshold > 0.0 and isinstance(
+        id_type, (ByteType, ShortType, IntegerType, LongType))
+    if fast:
+        # GEMM fast path (r12 — the `_srp_verify_kernel` contract on
+        # the corpus x bounded-eval shape; guide §4.2): the crossJoin
+        # evaluated the interpreted zip_with cosine fold once per
+        # (train, eval) pair — |corpus| x |eval| lambda evaluations
+        # (227M at sf0.1). The eval side is a bounded working set by
+        # the operator's own contract (it already broadcast), so it is
+        # fetched once (model-sized driver fetch, the accepted class),
+        # grouped by dimensionality, and shipped to each task; train
+        # batches then GEMM-prefilter against it (1e-5 margin, order-
+        # free) and survivors get the dim-sequential dot/norm fold
+        # bit-identical to the expression path. round/guard/threshold
+        # and the count/max aggregation stay in Catalyst, so the
+        # emitted values are judged exactly as the expression path —
+        # including NaNs (emitted, Spark NaN-largest semantics) and
+        # n_matches counting eval ROWS, duplicates included. NULL /
+        # zero / length-mismatched vectors are excluded identically on
+        # both paths only under a positive threshold (the SRP gating
+        # argument), hence the gate; non-integral ids keep the
+        # expression path (the kernel's int64 output schema).
+        import numpy as np
+
+        ev_rows = [r[0] for r in eval_df.select(
+            _dbl(F.col(vec_col)).alias("_ev")).collect()]
+        by_len: dict = {}
+        for v in ev_rows:
+            if v is None:
+                continue
+            by_len.setdefault(len(v), []).append(v)
+        groups = {}
+        for d, vs in by_len.items():
+            Ecol = np.asarray(vs, dtype=np.float64)
+            n2 = np.zeros(len(vs))
+            for j in range(d):
+                n2 += Ecol[:, j] * Ecol[:, j]
+            groups[d] = (Ecol, np.sqrt(n2))
+        bc = train.sparkSession.sparkContext.broadcast(groups)
+        margin = 1e-5
+        thr = float(threshold)
+
+        def kernel(batches):
+            import os
+
+            os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+            os.environ.setdefault("OMP_NUM_THREADS", "1")
+            os.environ.setdefault("MKL_NUM_THREADS", "1")
+            import numpy as np
+            import pandas as pd
+
+            evg = bc.value
+            for pdf in batches:
+                vecs = pdf["_tv"]
+                ids_all = pdf["_tid"].to_numpy()
+                rows_by_len: dict = {}
+                for i in range(len(pdf)):
+                    v = vecs.iat[i]
+                    if v is None:
+                        continue
+                    rows_by_len.setdefault(len(v), []).append(i)
+                out_id, out_d, out_den = [], [], []
+                for d, idxs in rows_by_len.items():
+                    if d not in evg:
+                        continue
+                    Ecol, en = evg[d]
+                    X = np.stack([np.asarray(vecs.iat[i], dtype=np.float64)
+                                  for i in idxs])
+                    ids = ids_all[idxs]
+                    n2 = np.zeros(len(idxs))
+                    for j in range(d):
+                        n2 += X[:, j] * X[:, j]
+                    tn = np.sqrt(n2)
+                    C = X @ Ecol.T
+                    den = np.multiply.outer(tn, en)
+                    with np.errstate(invalid="ignore"):
+                        keep = (np.isnan(den) | np.isnan(C)
+                                | ((den > 0)
+                                   & (C >= (thr - margin) * den)))
+                    ra, ca = np.nonzero(keep)
+                    if not ra.size:
+                        continue
+                    A = X[ra]
+                    B = Ecol[ca]
+                    dot = np.zeros(ra.size)
+                    for j in range(d):
+                        dot += A[:, j] * B[:, j]
+                    out_id.append(ids[ra])
+                    out_d.append(dot)
+                    out_den.append(den[ra, ca])
+                if not out_id:
+                    yield pd.DataFrame({
+                        "_tid": pd.Series(dtype="int64"),
+                        "_dot": pd.Series(dtype="float64"),
+                        "_den": pd.Series(dtype="float64")})
+                    continue
+                yield pd.DataFrame({
+                    "_tid": np.concatenate(out_id),
+                    "_dot": np.concatenate(out_d),
+                    "_den": np.concatenate(out_den)})
+
+        out_schema = StructType([
+            StructField("_tid", LongType()),
+            StructField("_dot", DoubleType()),
+            StructField("_den", DoubleType())])
+        raw = train.select(
+            F.col(id_col).alias("_tid"),
+            _dbl(F.col(vec_col)).alias("_tv")).mapInPandas(
+                kernel, out_schema)
+        return (
+            raw.select(
+                "_tid",
+                F.round(_cos_guarded(F.col("_dot"), F.col("_den")), 6)
+                .alias("_s"))
+            .filter(F.col("_s") >= F.lit(threshold))
+            .groupBy("_tid")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matches"),
+                 (F.max("_s") + F.lit(0.0)).alias("max_sim"))
+            .select(F.col("_tid").cast(id_type).alias(id_col),
+                    "n_matches", "max_sim"))
     t = train.select(F.col(id_col), _dbl(F.col(vec_col)).alias("_tv"))
     t = t.select(id_col, "_tv", _norm_d(F.col("_tv")).alias("_tn"))
     e = eval_df.select(_dbl(F.col(vec_col)).alias("_ev"))

@@ -2938,9 +2938,67 @@ def test_embedding_decontaminate_flags_planted_copies(spark):
         [], "vec_id long, embedding array<double>")
     assert similarity.embedding_decontaminate(
         train, empty_ev, threshold=0.5).count() == 0
+    # r12: integral ids + positive threshold take the GEMM kernel path
+    # (eval matrix shipped per task, corpus mapInPandas — no pair join
+    # at all); string ids keep the broadcast crossJoin expression path
     plan = similarity.embedding_decontaminate(
         train, ev, threshold=0.99)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "MapInPandas" in plan
+    train_s = train.select(F.col("vec_id").cast("string").alias("vec_id"),
+                           "embedding")
+    plan_s = similarity.embedding_decontaminate(
+        train_s, ev, threshold=0.99)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan_s or "BroadcastExchange" in plan_s
+
+
+def test_embedding_decontaminate_kernel_matches_expression_on_dirty(spark):
+    """r12: pin exact output equality between the GEMM kernel path and
+    the crossJoin expression fold on a dirty fixture — NULL vectors on
+    both sides, zero vectors, length mismatches, duplicate eval rows
+    (n_matches must count eval ROWS, not distinct values)."""
+    from db_spark.llm.similarity import (
+        _cos_guarded, _dbl, _dot_d, _norm_d)
+
+    train_rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, None),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+        (4, [1.0, 0.0]),                 # length mismatch vs 4-dim eval
+        (5, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    ev_rows = [
+        (100, [1.0, 0.0, 0.0, 0.0]),
+        (101, [1.0, 0.0, 0.0, 0.0]),     # duplicate eval row
+        (102, None),
+        (103, [1.0, 0.0]),               # matches train 4's length
+    ]
+    train = spark.createDataFrame(
+        train_rows, "vec_id long, embedding array<double>")
+    ev = spark.createDataFrame(
+        ev_rows, "vec_id long, embedding array<double>")
+    fast = similarity.embedding_decontaminate(train, ev, threshold=0.9)
+
+    t = train.select(F.col("vec_id"), _dbl(F.col("embedding")).alias("_tv"))
+    t = t.select("vec_id", "_tv", _norm_d(F.col("_tv")).alias("_tn"))
+    e = ev.select(_dbl(F.col("embedding")).alias("_ev"))
+    e = e.select("_ev", _norm_d(F.col("_ev")).alias("_en"))
+    sim = F.round(_cos_guarded(
+        _dot_d(F.col("_tv"), F.col("_ev")),
+        F.col("_tn") * F.col("_en")), 6)
+    slow = (
+        t.crossJoin(F.broadcast(e))
+        .select(F.col("vec_id"), sim.alias("_s"))
+        .filter(F.col("_s") >= 0.9)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"),
+             (F.max("_s") + F.lit(0.0)).alias("max_sim")))
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+    out = {r["vec_id"]: r for r in fast.collect()}
+    assert out[0]["n_matches"] == 2          # duplicate eval counted twice
+    assert out[4]["n_matches"] == 1          # 2-dim eval row matches
+    assert 2 not in out and 3 not in out and 5 not in out
 
 
 def test_l2_topk_matches_numpy_ground_truth(spark):

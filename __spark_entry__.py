@@ -45,7 +45,10 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     per-row decodes are partition-order-independent, so results are
     unchanged."""
     par = spark.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < par:
+    files = df.inputFiles()
+    # inputFiles() is best-effort: non-file-scan plans return [] — treat
+    # that as "unknown parallelism", not "one file", and leave df alone.
+    if 0 < len(files) < par:
         return df.repartition(par)
     return df
 
@@ -6436,11 +6439,34 @@ def _driver_checked_rounds() -> dict[str, int]:
 # force them back into the 50-query window as if never checked. Clear
 # an entry once the next CORRECTNESS file carries its fresh row.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # r12: empty — the two r11 entries (json_agg lanes form,
-    # winnow_spans char offsets) both earned fresh green rows in
-    # CORRECTNESS_r11.json, so rotation is purely age-ordered again
-    # (the r11 verdict's directive #4: let the 50-slot window drain
-    # the r7 evidence tail naturally).
+    # r13: every operator rewritten by the r12 optimization commits
+    # whose latest driver row predates the rewrite (the r12 verdict's
+    # directive #1). Local oracle sweeps pass at sf0.01 and sf0.1, but
+    # the driver is ground truth — force fresh rows for all of them.
+    "bigram_surprisal",
+    "bm25_topk",
+    "collocations",
+    "curate_corpus",
+    "dedup_clusters",
+    "dedup_corpus",
+    "ivf_kmeans_topk",
+    "jaccard_grouped",
+    "jaccard_join",
+    "kcenter",
+    "lsh_probe",
+    "minhash_lsh_pairs",
+    "mjpeg_features",
+    "ngram_jaccard",
+    "semantic_dedup",
+    "simhash",
+    "simhash_grouped",
+    "simhash_near_dup",
+    "span_dedup",
+    "span_dup",
+    "winnow_cut",
+    "winnow_fingerprints",
+    "winnow_overlap",
+    "winnow_spans",
 })
 
 

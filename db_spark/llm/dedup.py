@@ -65,16 +65,82 @@ def _plan_cache(df: DataFrame) -> DataFrame:
     return cached
 
 
+def _model_barrier(df: DataFrame) -> DataFrame:
+    """Persist a MODEL-SIZED derived table (centroids, codebooks —
+    n_cells / m x n_codes rows, never corpus-cardinality) AND truncate
+    its logical plan to an RDD scan via ``localCheckpoint(eager=False)``
+    (r13, guide §3.3 plan size / §5 localCheckpoint-to-cut-lineage).
+
+    Where ``_plan_cache`` only dedups execution (the InMemoryRelation
+    still EMBEDS the child plan, so k-means loops still composed
+    exponentially-growing LOGICAL plans — ivfpq_recall's audited plan
+    reached 1444 Exchange refs and planning itself became a cost),
+    the checkpoint makes every downstream reference a LogicalRDD leaf:
+    plans stay round-sized no matter how many rounds or consumers.
+
+    Lazy (eager=False): no job at builder time — the checkpoint
+    computes on first materialization and persists MEMORY_AND_DISK.
+    LogicalRDD has no size statistics, so every consumer must (and
+    does) use an explicit ``F.broadcast`` hint. Cleanup is by GC
+    (ContextCleaner), the accepted lifecycle for model-sized tables;
+    eviction pressure on the _PLAN_CACHES registry no longer affects
+    the loops at all (r13 ADVICE: the cap-overflow replay risk is
+    gone, not resized)."""
+    return df.localCheckpoint(eager=False)
+
+
 def unpersist_plan_caches() -> int:
-    """Release every plan-scoped cache registered by the dedup builders.
-    Call after the DataFrames returned by simhash_pairs /
-    jaccard_similarity_join have been materialized (collected/written);
-    returns the number of caches released."""
+    """Release every plan-scoped cache (and builder-registered
+    broadcast — see ``register_broadcast``) registered by the dedup/
+    similarity builders. Call after the DataFrames returned by
+    simhash_pairs / jaccard_similarity_join have been materialized
+    (collected/written); returns the number of caches released
+    (broadcasts are released too but not counted — the count is a
+    cache-lifecycle test contract)."""
     n = 0
     while _PLAN_CACHES:
         df = _PLAN_CACHES.pop()
         try:
             df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 - session may already be stopped
+            pass
+    _unpersist_broadcasts()
+    return n
+
+
+#: Driver-side broadcasts created by builders (e.g. the eval-side
+#: matrix groups of embedding_decontaminate's GEMM kernel) — same
+#: lifecycle problem as _PLAN_CACHES: the broadcast must outlive the
+#: caller's materialization of the returned DataFrame, so builders
+#: register here and a long-lived session reclaims blocks with
+#: unpersist_plan_caches(). Capped like the plan caches; evicted
+#: entries are unpersisted non-blocking (executors re-fetch from the
+#: driver if a straggling task still needs the variable, so eviction
+#: is never a correctness risk — destroy() would be).
+_BROADCASTS: list = []
+_BROADCAST_CAP = 16
+
+
+def register_broadcast(bc):
+    """Track a builder-created Broadcast for lifecycle management (the
+    _PLAN_CACHES discipline applied to broadcast variables)."""
+    _BROADCASTS.append(bc)
+    while len(_BROADCASTS) > _BROADCAST_CAP:
+        old = _BROADCASTS.pop(0)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 - session may already be stopped
+            pass
+    return bc
+
+
+def _unpersist_broadcasts() -> int:
+    n = 0
+    while _BROADCASTS:
+        bc = _BROADCASTS.pop()
+        try:
+            bc.unpersist(blocking=False)
             n += 1
         except Exception:  # noqa: BLE001 - session may already be stopped
             pass
@@ -1203,6 +1269,7 @@ def _ppjoin_pairs(sh: DataFrame, threshold: float, t_ppm: int) -> DataFrame:
 def winnow_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 4, w: int = 4, output: str = "stats",
+    char_offsets: bool = False,
 ) -> DataFrame:
     """Winnowing fingerprints (Schleimer, Wilkerson, Aiken, "Winnowing:
     Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash
@@ -1236,10 +1303,24 @@ def winnow_fingerprints(
     (the module's position convention, first_dup_pos precedent) — the
     position-bearing form ``winnow_overlap(output="spans")`` aligns
     passages from.
+
+    ``char_offsets=True`` (``hits`` mode only, r13) additionally emits
+    the GRAM's 1-based inclusive codepoint span into the original text
+    — (char_start, char_end) = the char start of the gram's first
+    token and the char end of its last. The offsets ride the token
+    pass itself: the tokenize regex's SPLIT pieces (separator lengths)
+    zip with the tokens, one running-sum window over the existing
+    (_wid, _pos) sort yields every token's char start, and the gram's
+    end is a lead() on the same sort — no second text pass, no
+    separate offset table, no lookup join (previously
+    ``_token_char_offsets`` + a melt-join: one extra full regex pass
+    over the corpus plus an exchange at span cardinality, guide §2.4).
     """
     if output not in ("stats", "fps", "hits"):
         raise ValueError(
             f"output must be 'stats', 'fps' or 'hits', got {output!r}")
+    if char_offsets and output != "hits":
+        raise ValueError("char_offsets requires output='hits'")
     # Relational shape, NOT array higher-order functions: tokens are
     # exploded to rows ONCE (the regex runs once per document inside
     # the Generate), grams come from lead() windows, the winnowing
@@ -1250,17 +1331,54 @@ def winnow_fingerprints(
     # full text windows*w*k times per document (jstack showed
     # RegExpExtractAll under ConcatWs) — a ~1000x interpreted-eval
     # blowup at sf0.1. The row form evaluates each stage exactly once.
-    toks = F.regexp_extract_all(
-        ascii_lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
-    t = df.select(F.col(id_col).alias("_wid"),
-                  F.posexplode(toks).alias("_pos", "_tok"))
+    low = ascii_lower(F.col(text_col))
+    toks = F.regexp_extract_all(low, F.lit(r"[a-z']+"), 0)
     wd = Window.partitionBy("_wid").orderBy("_pos")
+    if char_offsets:
+        # tokens zipped with the separator-piece lengths (n+1 pieces
+        # for n tokens; the zip's last row has a NULL token and is
+        # dropped — identical row set to the plain posexplode). Char
+        # start of token i = 1 + sum of all separator and token
+        # lengths before it: one running-sum frame on the same
+        # (_wid, _pos) sort every gram window already uses. The
+        # formula is the _token_char_offsets interleave collapsed —
+        # cs(i) = sum_{j<i}(sl_j + tl_j) + sl_i + 1 — so the emitted
+        # offsets are value-identical to the offset-map path.
+        seps = F.transform(F.split(low, r"[a-z']+"), F.length)
+        t = (
+            df.select(F.col(id_col).alias("_wid"),
+                      F.posexplode(F.arrays_zip(
+                          seps.alias("_sl"), toks.alias("_tk")))
+                      .alias("_pos", "_z"))
+            .select("_wid", "_pos", F.col("_z._sl").alias("_sl"),
+                    F.col("_z._tk").alias("_tok"))
+            .filter(F.col("_tok").isNotNull()))
+        prev = wd.rowsBetween(Window.unboundedPreceding, -1)
+        t = (
+            t.select(
+                "_wid", "_pos", "_tok",
+                (F.coalesce(
+                    F.sum(F.col("_sl") + F.length("_tok")).over(prev),
+                    F.lit(0)) + F.col("_sl") + 1).alias("_tcs"))
+            .select("_wid", "_pos", "_tok", "_tcs",
+                    (F.col("_tcs") + F.length("_tok") - 1).alias("_tce")))
+    else:
+        t = df.select(F.col(id_col).alias("_wid"),
+                      F.posexplode(toks).alias("_pos", "_tok"))
     gram = F.concat_ws(
         " ", F.col("_tok"),
         *[F.lead("_tok", j).over(wd) for j in range(1, k)])
     nt = F.count(F.lit(1)).over(Window.partitionBy("_wid"))
+    gcols = []
+    if char_offsets:
+        # the gram's codepoint span: its first token's char start, its
+        # last token's char end — the lead rides the same sort
+        gcols = [F.col("_tcs").alias("_gcs"),
+                 (F.lead("_tce", k - 1).over(wd) if k > 1
+                  else F.col("_tce")).alias("_gce")]
     g = (
-        t.select("_wid", "_pos", nt.alias("_nt"), h60(gram).alias("_gh"))
+        t.select("_wid", "_pos", nt.alias("_nt"), h60(gram).alias("_gh"),
+                 *gcols)
         # only full k-gram rows (lead past the document end returns
         # NULL and concat_ws would silently shorten the gram)
         .filter(F.col("_pos") <= F.col("_nt") - k)
@@ -1308,22 +1426,27 @@ def winnow_fingerprints(
         wm = F.when(F.col("_pos") <= ng - w, F.min("_gh").over(wnd))
         back = (Window.partitionBy("_wid").orderBy("_pos")
                 .rowsBetween(-(w - 1), 0))
+        carry = ["_gcs", "_gce"] if char_offsets else []
         occ = (
-            g.select("_wid", "_pos", "_gh", wm.alias("_wm"))
+            g.select("_wid", "_pos", "_gh", wm.alias("_wm"), *carry)
             .select("_wid", "_pos", "_gh",
                     (F.max("_wm").over(back) == F.col("_gh"))
-                    .alias("_lsel"))
+                    .alias("_lsel"), *carry)
         )
         vw = Window.partitionBy("_wid", "_gh")
+        ccols = ([F.col("_gcs").cast("long").alias("char_start"),
+                  F.col("_gce").cast("long").alias("char_end")]
+                 if char_offsets else [])
         return (
             occ.select(
                 "_wid", "_pos", "_gh",
                 F.max(F.when(F.col("_lsel"), 1).otherwise(0)).over(vw)
-                .alias("_hit"))
+                .alias("_hit"), *carry)
             .filter(F.col("_hit") == 1)
             .select(F.col("_wid").alias(id_col),
                     F.col("_gh").alias("fingerprint"),
-                    (F.col("_pos") + 1).cast("long").alias("pos"))
+                    (F.col("_pos") + 1).cast("long").alias("pos"),
+                    *ccols)
         )
     return (
         fps.groupBy("_wid", "_ng")
@@ -1619,10 +1742,17 @@ def winnow_overlap(
     # full gram-hash pass from the scan — cache it once (the module's
     # plan-cache lifecycle; ~2/(w+1) of gram cardinality, narrow rows).
     if output == "spans":
+        # hits carry their gram's codepoint span (char_offsets=True,
+        # r13): char endpoints then fall out of the SAME min/max
+        # aggregation that computes the token endpoints — see the
+        # passage-merge comment below — and the whole offset-map
+        # machinery (a second full regex pass + a melt-join at span
+        # cardinality) disappears.
         hits = _plan_cache(
             winnow_fingerprints(reps, id_col, text_col, k, w,
-                                output="hits")
-            .select(F.col(id_col).alias("_fid"), "fingerprint", "pos"))
+                                output="hits", char_offsets=True)
+            .select(F.col(id_col).alias("_fid"), "fingerprint", "pos",
+                    "char_start", "char_end"))
         fp = hits.select("_fid", "fingerprint").distinct()
     else:
         hits = None
@@ -1657,9 +1787,13 @@ def winnow_overlap(
     if output == "spans":
         gap = (k + w - 1) if merge_gap is None else merge_gap
         ha = hits.select(F.col("_fid").alias("id_a"), "fingerprint",
-                         F.col("pos").alias("_pa"))
+                         F.col("pos").alias("_pa"),
+                         F.col("char_start").alias("_acs"),
+                         F.col("char_end").alias("_ace"))
         hb = hits.select(F.col("_fid").alias("id_b"), "fingerprint",
-                         F.col("pos").alias("_pb"))
+                         F.col("pos").alias("_pb"),
+                         F.col("char_start").alias("_bcs"),
+                         F.col("char_end").alias("_bce"))
         # no DISTINCT: anchor rows are unique by construction — ``hits``
         # has one row per (doc, pos) and the fingerprint VALUE is a
         # function of (doc, pos), so the fingerprint equi-join emits each
@@ -1672,7 +1806,8 @@ def winnow_overlap(
             .filter(F.col("id_a") < F.col("id_b"))
             .join(pairs.select("id_a", "id_b"), ["id_a", "id_b"],
                   "left_semi")
-            .select("id_a", "id_b", "_pa", "_pb"))
+            .select("id_a", "id_b", "_pa", "_pb",
+                    "_acs", "_ace", "_bcs", "_bce"))
         # WITHIN-group pairs have identical texts, so their span set is
         # the rep's SELF-anchor structure (all position combinations of
         # each selected value — exactly what the member-level
@@ -1684,12 +1819,17 @@ def winnow_overlap(
                   .select(F.col("_mrep").alias("_fid")), "_fid", "semi"))
         sh = hits.join(selfdocs, "_fid", "semi")
         self_anchors = (
-            sh.select("_fid", "fingerprint", F.col("pos").alias("_pa"))
+            sh.select("_fid", "fingerprint", F.col("pos").alias("_pa"),
+                      F.col("char_start").alias("_acs"),
+                      F.col("char_end").alias("_ace"))
             .join(sh.select("_fid", "fingerprint",
-                            F.col("pos").alias("_pb")),
+                            F.col("pos").alias("_pb"),
+                            F.col("char_start").alias("_bcs"),
+                            F.col("char_end").alias("_bce")),
                   ["_fid", "fingerprint"])
             .select(F.col("_fid").alias("id_a"),
-                    F.col("_fid").alias("id_b"), "_pa", "_pb"))
+                    F.col("_fid").alias("id_b"), "_pa", "_pb",
+                    "_acs", "_ace", "_bcs", "_bce"))
         anchors = (
             cross_anchors.unionByName(self_anchors)
             .withColumn("_diag", F.col("_pb") - F.col("_pa")))
@@ -1700,10 +1840,26 @@ def winnow_overlap(
         isl = flagged.withColumn(
             "_isl", F.sum("_new").over(
                 wp.rowsBetween(Window.unboundedPreceding, 0)))
-        spans = (
+        # char endpoints aggregate with the token endpoints (r13):
+        # within one (pair, diagonal, island) group, anchor char
+        # offsets are CO-MONOTONE with anchor token positions (a
+        # token's char start/end strictly increases with its
+        # position), so min(_acs) is exactly the char start of the
+        # min-_pa anchor's gram — the offset the old melt-join looked
+        # up for a_start — and max(_ace) is the char end of token
+        # a_end = max(_pa) + k - 1 (the hit's char_end IS its gram's
+        # last-token end). Same for the b side (positions shift by
+        # the constant _diag). Every span's endpoints resolve by
+        # construction — they're carried on the anchors themselves —
+        # so the melt-join's _nm == 4 guard is vacuous and gone.
+        rep_spans = (
             isl.groupBy("id_a", "id_b", "_diag", "_isl")
             .agg(F.min("_pa").alias("_s"), F.max("_pa").alias("_e"),
-                 F.count(F.lit(1)).alias("_n"))
+                 F.count(F.lit(1)).alias("_n"),
+                 F.min("_acs").alias("a_char_start"),
+                 F.max("_ace").alias("a_char_end"),
+                 F.min("_bcs").alias("b_char_start"),
+                 F.max("_bce").alias("b_char_end"))
             .select(
                 "id_a", "id_b",
                 F.col("_s").cast("long").alias("a_start"),
@@ -1711,53 +1867,9 @@ def winnow_overlap(
                 (F.col("_s") + F.col("_diag")).cast("long").alias("b_start"),
                 (F.col("_e") + (k - 1) + F.col("_diag")).cast("long")
                 .alias("b_end"),
-                F.col("_n").cast("long").alias("n_anchors")))
-        om = _plan_cache(_token_char_offsets(reps, id_col, text_col))
-        # ONE join for all four char-offset lookups, not four: the
-        # span rows melt to (endpoint tag, doc, token) and pivot back
-        # after a single equi-join against the token-cardinality map,
-        # so ``om`` crosses one exchange instead of four (guide §2.4;
-        # measured −4 s of the sf1 noop run). The _nm == 4 guard keeps
-        # the inner-join-per-endpoint semantics: a span only survives
-        # if every endpoint resolves (they always do — endpoints come
-        # from gram positions, which are tokens — but the guard makes
-        # the equivalence unconditional). ``om`` is unique per (doc,
-        # token), so each melted row matches at most once and MAX
-        # per tag is exact reassembly, giving byte-identical rows in
-        # the declared column order (struct-field expansion).
-        melted = spans.select(
-            F.struct("id_a", "id_b", "a_start", "a_end", "b_start",
-                     "b_end", "n_anchors").alias("_sp"),
-            F.explode(F.array(
-                F.struct(F.lit(0).alias("_t"),
-                         F.col("id_a").alias("_d"),
-                         F.col("a_start").alias("_p")),
-                F.struct(F.lit(1).alias("_t"),
-                         F.col("id_a").alias("_d"),
-                         F.col("a_end").alias("_p")),
-                F.struct(F.lit(2).alias("_t"),
-                         F.col("id_b").alias("_d"),
-                         F.col("b_start").alias("_p")),
-                F.struct(F.lit(3).alias("_t"),
-                         F.col("id_b").alias("_d"),
-                         F.col("b_end").alias("_p")),
-            )).alias("_q")).select("_sp", "_q._t", "_q._d", "_q._p")
-        j = melted.join(om, (F.col("_d") == F.col("_oid"))
-                        & (F.col("_p") == F.col("_tp")))
-        rep_spans = (
-            j.groupBy("_sp")
-            .agg(F.count(F.lit(1)).alias("_nm"),
-                 F.max(F.when(F.col("_t") == 0, F.col("_cs")))
-                 .alias("a_char_start"),
-                 F.max(F.when(F.col("_t") == 1, F.col("_ce")))
-                 .alias("a_char_end"),
-                 F.max(F.when(F.col("_t") == 2, F.col("_cs")))
-                 .alias("b_char_start"),
-                 F.max(F.when(F.col("_t") == 3, F.col("_ce")))
-                 .alias("b_char_end"))
-            .filter(F.col("_nm") == 4)
-            .select("_sp.*", "a_char_start", "a_char_end",
-                    "b_char_start", "b_char_end"))
+                F.col("_n").cast("long").alias("n_anchors"),
+                "a_char_start", "a_char_end",
+                "b_char_start", "b_char_end"))
         # expand rep rows to member pairs: self rows (id_a == id_b)
         # fan out to each within-group pair once (_xa < _xb; the self
         # span set is symmetric under a/b exchange, so no swap is ever

@@ -61,6 +61,17 @@ def curate(
     ).cast("long")
     out = (out.withColumn("quality_ppm", ppm)
            .filter(F.col("quality_ppm") >= int(round(quality_min * 1_000_000))))
+    if eval_df is not None or dedup_threshold is not None:
+        # ONE normalized/scored pass shared across the remaining
+        # stages (r13, guide §2.4 duplicated subtrees / §5 caching-
+        # when-reused): the gated survivor relation feeds the eval
+        # anti-join, the decontamination gram pass, the contamination
+        # anti-join AND the dedup signature pass — uncached, each
+        # consumer re-ran the regex-heavy normalize + quality chain
+        # over the full corpus (the curate_v2 stage-boundary doctrine,
+        # done lazily with the module's plan-cache lifecycle since
+        # this plan stays small enough to not need lineage truncation).
+        out = _dedup._plan_cache(out)
     if eval_df is not None:
         ev = eval_df
         if normalize:

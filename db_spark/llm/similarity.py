@@ -15,7 +15,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from db_spark.llm.dedup import _plan_cache, h32
+from db_spark.llm.dedup import _model_barrier, _plan_cache, h32
+
+#: semantic_dedup only routes a cell through the per-cell GEMM verify
+#: kernel when its EXPECTED size (n / n_cells) is at or under this cap
+#: — one applyInPandas group materializes the whole cell as numpy/
+#: pandas state (~100k rows x dim 64 float64 = 51 MB, comfortable per
+#: task even a few-fold skewed); above it the expression path's
+#: spilling sort-merge pair join computes the identical output.
+_KERNEL_CELL_CAP = 100_000
 
 
 def _dbl(v: Column) -> Column:
@@ -174,13 +182,15 @@ def ivf_kmeans_centroids(
                      F.col(id_col))
             .limit(int(train_sample_n)))
         src = corpus.join(F.broadcast(pick), id_col, "left_semi")
-    # per-round centroid tables are plan-cached (n_cells rows): the
-    # Lloyd chain otherwise grows exponentially (cent_i references
-    # cent_{i-1} in both the assignment and the update join), so every
-    # downstream consumer — semantic_dedup's three v-references, the
-    # ivf_topk refine path — replayed the full chain per reference
-    # (r12; the _pq_kmeans fix applied to the vector-space loop)
-    cent = _plan_cache(
+    # per-round centroid tables are persisted AND plan-truncated
+    # (n_cells rows): the Lloyd chain otherwise grows exponentially
+    # (cent_i references cent_{i-1} in both the assignment and the
+    # update join), so every downstream consumer — semantic_dedup's
+    # three v-references, the ivf_topk refine path — replayed the full
+    # chain per reference (r12 cache; r13 _model_barrier so the
+    # LOGICAL plan is cut too, not just the execution — see the
+    # helper's docstring)
+    cent = _model_barrier(
         src.orderBy(F.col(id_col)).limit(n_cells)
         .select(F.col(id_col).alias("cell_id"), _dbl(F.col(vec_col)).alias("_cvec"))
     )
@@ -205,7 +215,7 @@ def ivf_kmeans_centroids(
                 "cell_id",
                 F.transform(F.col("_jm"), lambda s: s.getField("_m")).alias("_new"))
         )
-        cent = _plan_cache(
+        cent = _model_barrier(
             # new_cent is <= n_cells rows but sits above an aggregate, so
             # Catalyst has no size estimate and would sort-merge; broadcast
             cent.join(F.broadcast(new_cent), "cell_id", "left")
@@ -1224,6 +1234,7 @@ def semantic_dedup(
     Returns one row per input vector: (id, cell_id, kept) — kept=false
     iff a same-cell lower-id vector is cosine-similar at threshold.
     """
+    n = None
     if target_cell_size is not None:
         n = corpus.count()
         n_cells = max(n_cells, -(-n // target_cell_size))
@@ -1238,6 +1249,20 @@ def semantic_dedup(
     id_type = corpus.schema[id_col].dataType
     fast = threshold > 0.0 and isinstance(
         id_type, (ByteType, ShortType, IntegerType, LongType))
+    if fast:
+        # Bounded-cell gate (r13 ADVICE): the GEMM kernel materializes
+        # ONE WHOLE CELL per Python task (applyInPandas group), so it
+        # is only taken when the expected cell size n / n_cells is
+        # under a cap — enforced by construction when target_cell_size
+        # is set, checked via the same scalar count() when the caller
+        # pinned the cell count (target_cell_size=None), where cell
+        # size would otherwise grow linearly with the corpus and turn
+        # the streaming pair-join into an unbounded per-task memory
+        # requirement. Over the cap, the expression path's sort-merge
+        # pair join (spills gracefully) computes the identical output.
+        if n is None:
+            n = corpus.count()
+        fast = n <= _KERNEL_CELL_CAP * n_cells
     if fast:
         # Per-cell GEMM verify (r12 — the `_srp_verify_kernel` shape
         # applied to SemDeDup's within-cluster stage; guide §4.2): the
@@ -1374,7 +1399,7 @@ def _pq_kmeans(comp: DataFrame, seeds: DataFrame, n_iter: int) -> DataFrame:
     # noop: ivfpq_recall 36.2 s -> ~2 s, ivfpq_topk 6.2 s -> ~1.5 s).
     # Caching truncates each round to: one assignment pass over comp +
     # one model-sized update, the inherent Lloyd cost.
-    cent = _plan_cache(
+    cent = _model_barrier(
         comp.join(F.broadcast(seeds), "_vid")
         .select("_j", "_code", "_pos", F.col("_x").alias("_c")))
     for _ in range(n_iter):
@@ -1384,7 +1409,7 @@ def _pq_kmeans(comp: DataFrame, seeds: DataFrame, n_iter: int) -> DataFrame:
             .groupBy("_j", "_code", "_pos")
             .agg(F.expr("SUM(CAST(_x AS DECIMAL(38,0))) div COUNT(*)")
                  .cast("long").alias("_new")))
-        cent = _plan_cache(
+        cent = _model_barrier(
             # means is dim x n_codes rows (model-sized) but sits above
             # an aggregate, so Catalyst has no size estimate and would
             # sort-merge every update round (the ivf_kmeans_centroids
@@ -1744,7 +1769,16 @@ def embedding_decontaminate(
             for j in range(d):
                 n2 += Ecol[:, j] * Ecol[:, j]
             groups[d] = (Ecol, np.sqrt(n2))
-        bc = train.sparkSession.sparkContext.broadcast(groups)
+        # NOTE: the eval-side collect() above runs a Spark job AT
+        # BUILDER TIME (the one eager builder in the module — the eval
+        # set is bounded by the operator's contract and must sit on
+        # the driver to become the broadcast matrix). The broadcast is
+        # registered for cleanup so long-lived sessions reclaim its
+        # blocks with unpersist_plan_caches() (r13 ADVICE).
+        from db_spark.llm.dedup import register_broadcast
+
+        bc = register_broadcast(
+            train.sparkSession.sparkContext.broadcast(groups))
         margin = 1e-5
         thr = float(threshold)
 
@@ -1921,9 +1955,11 @@ def _ivfpq_parts(
     # centroids (n_cells rows, but derived via a corpus TakeOrdered) and
     # the full cell assignment (corpus-cardinality, 2 narrow columns)
     # each feed 2-3 consumers (ccomp + probes + seed anti-join; rcomp +
-    # codes) — plan-cache both so the corpus scan + argmax pass runs
-    # once, not per consumer (r12, guide §2.4)
-    centroids = _plan_cache(centroids)
+    # codes) — persist both so the corpus scan + argmax pass runs
+    # once, not per consumer (r12, guide §2.4). centroids is
+    # model-sized, so it gets the plan-truncating barrier (r13);
+    # cells is corpus-cardinality and stays a plain plan cache.
+    centroids = _model_barrier(centroids)
     cells = _plan_cache(assigned.select(F.col(id_col).alias("_vid"),
                                         "cell_id"))
     comp = _pq_components(corpus, m, id_col, vec_col, scale, clamp, "_vid")

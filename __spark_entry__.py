@@ -1532,15 +1532,21 @@ def q_exact_percentiles(spark, sf_dir):
     is a per-group sort — at 100 TB use hist_quantiles (bounded-state
     sketch) instead; this is the small-group exact path."""
     li = _t(spark, sf_dir, "lineitem")
+    # ONE percentile aggregate with an array of percentages, not three
+    # scalar ones (r13, guide §2.3): each scalar `percentile` keeps its
+    # OWN value buffer and sorts it, so three expressions tripled the
+    # per-group buffer + sort; the array form sorts once and reads all
+    # three ranks off the same sorted counts — the per-percentage
+    # interpolation code path is identical, so values are bit-identical.
+    pctl = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4)
-            .alias("p25"),
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
-            .alias("median"),
-            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4)
-            .alias("p75"))
+        .agg(pctl.alias("_p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p")[0], 4).alias("p25"),
+            F.round(F.col("_p")[1], 4).alias("median"),
+            F.round(F.col("_p")[2], 4).alias("p75"))
     )
 
 
@@ -3857,25 +3863,36 @@ def q_mjpeg_features(spark, sf_dir):
         rows.append((m, bytearray(avi)))
     lut = spark.createDataFrame(rows, "m long, payload binary")
     docs = _t(spark, sf_dir, "documents")
-    media = (
-        _spread(spark,
-                docs.select("doc_id",
-                            F.pmod(F.col("doc_id"), F.lit(256)).alias("m")))
-        .join(F.broadcast(lut), "m")
-        .select(F.col("doc_id").alias("media_id"),
-                F.lit("video").alias("modality"),
-                F.col("payload"),
-                F.lit(None).cast(lmm.MEDIA_SCHEMA["meta"].dataType)
-                .alias("meta")))
-    feats = lmm.extract_features(media)
-    f = feats["features"]
-    return feats.select(
-        "media_id",
+    # Identical-payload grouping (r13 — the r12 identical-vector/-text
+    # discipline applied to the decode): every feature column is a pure
+    # function of the payload, and payloads come from the 256-row LUT,
+    # so the Huffman+IDCT decode runs ONCE PER DISTINCT PAYLOAD through
+    # the same Arrow-batched mapInPandas pipeline (createDataFrame
+    # spreads the 256 rows over defaultParallelism tasks) instead of
+    # once per document (~20x the decode work at sf0.1, unbounded
+    # repetition at corpus scale). Documents then broadcast-join the
+    # decoded feature dim — the decide-on-small-rows shape (guide §8);
+    # per-doc cost drops from a JPEG decode to a hash probe.
+    lmedia = lut.select(
+        F.col("m").alias("media_id"),
+        F.lit("video").alias("modality"),
+        F.col("payload"),
+        F.lit(None).cast(lmm.MEDIA_SCHEMA["meta"].dataType).alias("meta"))
+    lf = lmm.extract_features(lmedia)
+    f = lf["features"]
+    lut_feats = lf.select(
+        F.col("media_id").alias("m"),
         f[2].cast("double").alias("n_frames"),
         f[4].cast("double").alias("duration_ms"),
         f[5].cast("double").alias("mean_luma"),
         f[6].cast("double").alias("std_luma"),
-        f[7].cast("double").alias("motion"),
+        f[7].cast("double").alias("motion"))
+    return (
+        docs.select(F.col("doc_id").alias("media_id"),
+                    F.pmod(F.col("doc_id"), F.lit(256)).alias("m"))
+        .join(F.broadcast(lut_feats), "m")
+        .select("media_id", "n_frames", "duration_ms", "mean_luma",
+                "std_luma", "motion")
     )
 
 

@@ -469,9 +469,16 @@ def winsorize(
     groups swap the bound computation for `hist_quantile` sketch
     bounds; the clipping scan is unchanged."""
     keys = list(group_cols)
-    bounds = df.groupBy(*keys).agg(
-        F.expr(f"percentile({value_col}, {lo!r})").alias("_blo"),
-        F.expr(f"percentile({value_col}, {hi!r})").alias("_bhi"))
+    # one array-percentile aggregate: two scalar `percentile` calls
+    # each buffer + sort the group's values independently; the array
+    # form sorts once and reads both ranks from the same sorted counts
+    # (identical per-percentage interpolation — bit-identical bounds)
+    bounds = (
+        df.groupBy(*keys)
+        .agg(F.expr(f"percentile({value_col}, array({lo!r}, {hi!r}))")
+             .alias("_b"))
+        .select(*keys, F.col("_b")[0].alias("_blo"),
+                F.col("_b")[1].alias("_bhi")))
     v = F.col(value_col)
     return (
         df.join(F.broadcast(bounds), keys)

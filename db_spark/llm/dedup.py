@@ -1334,6 +1334,22 @@ def winnow_fingerprints(
     low = ascii_lower(F.col(text_col))
     toks = F.regexp_extract_all(low, F.lit(r"[a-z']+"), 0)
     wd = Window.partitionBy("_wid").orderBy("_pos")
+    # The whole gram/winnow chain is CPU-bound windows over the token
+    # rows, but its exchange carries few COMPRESSED bytes, so AQE's
+    # byte-based coalescing squeezed it to 1-2 tasks and serialized
+    # the dominant compute (r13; the mjpeg _spread lesson — bytes are
+    # the wrong proxy for per-row CPU). An explicit keyed repartition
+    # to the session's configured shuffle width pins the exchange
+    # (user repartitions are exempt from AQE coalescing); the Window
+    # reuses it (same key + count, guide §2.4), so this adds NO
+    # exchange — it only stops the existing one from collapsing.
+    # Scale-adaptive: the width is the operator's configured
+    # spark.sql.shuffle.partitions, not a local constant.
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+    def _pin(tok_rows: DataFrame) -> DataFrame:
+        return tok_rows.repartition(n_shuffle, "_wid")
+
     if char_offsets:
         # tokens zipped with the separator-piece lengths (n+1 pieces
         # for n tokens; the zip's last row has a NULL token and is
@@ -1345,7 +1361,7 @@ def winnow_fingerprints(
         # cs(i) = sum_{j<i}(sl_j + tl_j) + sl_i + 1 — so the emitted
         # offsets are value-identical to the offset-map path.
         seps = F.transform(F.split(low, r"[a-z']+"), F.length)
-        t = (
+        t = _pin(
             df.select(F.col(id_col).alias("_wid"),
                       F.posexplode(F.arrays_zip(
                           seps.alias("_sl"), toks.alias("_tk")))
@@ -1363,8 +1379,8 @@ def winnow_fingerprints(
             .select("_wid", "_pos", "_tok", "_tcs",
                     (F.col("_tcs") + F.length("_tok") - 1).alias("_tce")))
     else:
-        t = df.select(F.col(id_col).alias("_wid"),
-                      F.posexplode(toks).alias("_pos", "_tok"))
+        t = _pin(df.select(F.col(id_col).alias("_wid"),
+                           F.posexplode(toks).alias("_pos", "_tok")))
     gram = F.concat_ws(
         " ", F.col("_tok"),
         *[F.lead("_tok", j).over(wd) for j in range(1, k)])
@@ -1773,13 +1789,6 @@ def winnow_overlap(
     # denominators (stats) and the min_shared gate on within-group
     # self pairs (both modes)
     nf = fp.groupBy("_fid").agg(F.count(F.lit(1)).alias("_nfp"))
-    a = fp.select(F.col("_fid").alias("id_a"), "fingerprint")
-    b = fp.select(F.col("_fid").alias("id_b"), "fingerprint")
-    pairs = (
-        a.join(b, "fingerprint")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("_sh"))
-        .filter(F.col("_sh") >= min_shared))
     ga = mem.select(F.col("_mrep").alias("id_a"),
                     F.col("_mid").alias("_xa"))
     gb = mem.select(F.col("_mrep").alias("id_b"),
@@ -1801,11 +1810,24 @@ def winnow_overlap(
         # exchange + aggregate at anchor cardinality, measured 4.8 s of
         # the sf1 noop run, bought nothing — r12, guide §2.4 "a distinct
         # on data that is already unique")
+        # min_shared gate folded into the anchor exchange (r13, guide
+        # §2.4): the anchor rows already contain every shared
+        # fingerprint VALUE of a pair (each with >= 1 occurrence per
+        # side), so the pair's distinct-shared count is a dense_rank
+        # max over the anchors themselves — two window passes on ONE
+        # (id_a, id_b) exchange, replacing the fp self-join + count
+        # aggregate + semi-join broadcast the stats path uses (three
+        # exchanges + a broadcast, all at fingerprint/pair
+        # cardinality, that spans mode paid on top of the anchor
+        # join).
+        pw = Window.partitionBy("id_a", "id_b")
         cross_anchors = (
             ha.join(hb, "fingerprint")
             .filter(F.col("id_a") < F.col("id_b"))
-            .join(pairs.select("id_a", "id_b"), ["id_a", "id_b"],
-                  "left_semi")
+            .withColumn("_dr",
+                        F.dense_rank().over(pw.orderBy("fingerprint")))
+            .withColumn("_ndv", F.max("_dr").over(pw))
+            .filter(F.col("_ndv") >= min_shared)
             .select("id_a", "id_b", "_pa", "_pb",
                     "_acs", "_ace", "_bcs", "_bce"))
         # WITHIN-group pairs have identical texts, so their span set is
@@ -1896,6 +1918,13 @@ def winnow_overlap(
             _side("a_char_end", "b_char_end"),
             _side("b_char_start", "a_char_start"),
             _side("b_char_end", "a_char_end"))
+    a = fp.select(F.col("_fid").alias("id_a"), "fingerprint")
+    b = fp.select(F.col("_fid").alias("id_b"), "fingerprint")
+    pairs = (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("_sh"))
+        .filter(F.col("_sh") >= min_shared))
     na = nf.select(F.col("_fid").alias("id_a"), F.col("_nfp").alias("_na"))
     nb = nf.select(F.col("_fid").alias("id_b"), F.col("_nfp").alias("_nb"))
     rep_stats = (

@@ -37,9 +37,30 @@ def _decimal_paths(dt, prefix=""):
     return out
 
 
-def test_no_registry_output_schema_carries_decimal(spark):
+# Builders that run MATERIALIZING work at build time (fixpoint label
+# propagation, MVCC/matview log setup writes, persisted-index builds,
+# eager stage checkpoints) — each costs seconds-to-a-minute just to
+# obtain a schema. The smoke tier skips them (their schemas are pinned
+# by the full tier, which the builder runs every round, and their
+# values by check_oracle + the driver window); everything else still
+# schema-checks on every run.
+_EAGER_BUILD_KEYS = frozenset({
+    "curate_corpus", "curate_corpus_v2", "dedup_clusters", "dedup_corpus",
+    "dedup_keep_best", "leakage_split", "matview_join",
+    "matview_incremental", "mvcc_cdc", "mvcc_delete_where", "mvcc_evolve",
+    "mvcc_history", "mvcc_multi_tx", "mvcc_snapshot", "mvcc_vacuum",
+    "ivf_index_topk", "ivfpq_index_topk", "ivfpq_topk", "ivfpq_recall",
+    "pq_index_topk", "lsh_probe", "winnow_probe", "kcenter_batched",
+    "kcenter", "pagerank", "ppr", "communities", "dbscan",
+    "entity_resolution", "semantic_dedup", "embedding_decontaminate",
+})
+
+
+def _scan_registry_for_decimals(spark, keys):
     offenders, built, skipped = [], 0, []
     for name, fn in E.queries().items():
+        if name not in keys:
+            continue
         try:
             df = fn(spark, SF)
         except Exception:  # noqa: BLE001 - runtime-only builds (mvcc setup)
@@ -49,10 +70,31 @@ def test_no_registry_output_schema_carries_decimal(spark):
         paths = _decimal_paths(df.schema)
         if paths:
             offenders.append((name, paths))
-    # the registry is >200 keys; if most fail to even build, the test
-    # proves nothing — require near-total coverage
-    assert built >= 190, (
-        f"only {built} registry queries built a plan (skipped: {skipped})"
+    return offenders, built, skipped
+
+
+def test_no_registry_output_schema_carries_decimal(spark):
+    keys = set(E.queries()) - _EAGER_BUILD_KEYS
+    offenders, built, skipped = _scan_registry_for_decimals(spark, keys)
+    # the smoke slice is ~190 keys; if most fail to even build, the
+    # test proves nothing — require near-total coverage
+    assert built >= len(keys) - 10, (
+        f"only {built}/{len(keys)} smoke-tier queries built a plan "
+        f"(skipped: {skipped})"
+    )
+    assert not offenders, (
+        "DECIMAL output columns are a proven driver hash-fail class "
+        f"(r7-r10 json_agg bisection); offending queries: {offenders}"
+    )
+
+
+@pytest.mark.full
+def test_no_registry_output_schema_carries_decimal_eager_builders(spark):
+    offenders, built, skipped = _scan_registry_for_decimals(
+        spark, _EAGER_BUILD_KEYS)
+    assert built >= len(_EAGER_BUILD_KEYS) - 5, (
+        f"only {built} eager-builder queries built a plan "
+        f"(skipped: {skipped})"
     )
     assert not offenders, (
         "DECIMAL output columns are a proven driver hash-fail class "

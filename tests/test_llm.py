@@ -1647,6 +1647,7 @@ def test_k_center_greedy_deterministic_across_partitionings(spark):
     assert a.collect() == b.collect()
 
 
+@pytest.mark.full
 def test_k_center_batched_equals_m1(spark):
     from db_spark.llm import similarity
 
@@ -1678,6 +1679,7 @@ def test_k_center_batched_equals_m1(spark):
         assert got_d == base_d, f"dup corpus: batch_m={m} diverged"
 
 
+@pytest.mark.full
 def test_k_center_batched_compresses_job_chain(spark):
     from db_spark.llm import similarity
 

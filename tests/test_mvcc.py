@@ -391,9 +391,13 @@ def test_marker_coalesce_bounds_files(storage, spark):
     assert c.table_scan(txids[4]).count() == 5
 
 
+@pytest.mark.full
 def test_maybe_compact_folds_markers(spark, tmp_path):
     # redundancy threshold 0.9 so 1-row-per-commit traffic (1 marker per
-    # data row = 50% redundancy) exercises the fold path, not compaction
+    # data row = 50% redundancy) exercises the fold path, not compaction.
+    # Full tier (r13 suite budget): 70 commits = 140 log writes, minutes
+    # of wall; the smoke tier keeps the fold behavior covered by
+    # test_marker_coalesce_bounds_files.
     st = Storage(spark, str(tmp_path / "mk"),
                  StorageConfig(max_entries=64,
                                compaction_redundancy_percentage=0.9))
@@ -969,6 +973,7 @@ def test_merge_keeps_entries_pending_when_marker_above_cutoff(spark, tmp_path):
         == {("a", "v1", 1), ("x", "vtx", 9), ("z", "v1", 3)}
 
 
+@pytest.mark.full
 def test_full_lifecycle_at_log_scale(spark, tmp_path):
     """Full lifecycle at realistic SEGMENT COUNTS and row volume
     (VERDICT r7 #6): ~26 log segments over ~600K lineitem-derived rows

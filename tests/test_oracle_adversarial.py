@@ -480,6 +480,28 @@ def test_dedup_exact_dirty_text(spark, dirty_dir):
 # over the İ/final-sigma/ligature/VT probes converts the audit's
 # "doctrine-pinned" classification into executed dirty-data evidence.
 
+#: Smoke/full ANSI tiering (r13 suite budget, the r12 verdict's
+#: directive #2): the module-scoped ansi_mode fixture doubles every
+#: parity case, which put the full sweep past the external driver's
+#: pytest budget. In the default (smoke) tier each parametrized KEY
+#: runs under ONE deterministically-chosen ANSI mode — every key keeps
+#: dirty-fixture coverage on every run, and the mode alternates by key
+#: hash so both modes stay exercised across the sweep. The full tier
+#: (SPARK_GRAFT_FULL_TESTS=1, run by the builder every round) keeps
+#: the exhaustive both-modes matrix.
+_FULL_TIER = os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1"
+
+
+def _skip_other_ansi_mode(key: str, ansi_mode: str) -> None:
+    import zlib
+
+    if _FULL_TIER:
+        return
+    want = "ansi-on" if zlib.crc32(key.encode()) % 2 == 0 else "ansi-off"
+    if ansi_mode != want:
+        pytest.skip(f"{key} runs under {want} in the smoke tier")
+
+
 @pytest.mark.parametrize("key", [
     "quality_rules", "token_budget", "unigram_surprisal",
     "bigram_surprisal", "keywords_tfidf", "bm25_topk",
@@ -487,7 +509,8 @@ def test_dedup_exact_dirty_text(spark, dirty_dir):
     "span_dup", "hashed_features", "redact_pii", "classifier_score",
     "nb_train",
 ])
-def test_tokenizer_tier_dirty_text(spark, dirty_dir, key):
+def test_tokenizer_tier_dirty_text(spark, dirty_dir, key, ansi_mode):
+    _skip_other_ansi_mode(key, ansi_mode)
     _assert_engines_agree(spark, dirty_dir, key)
 
 
@@ -506,7 +529,8 @@ def test_tokenizer_tier_dirty_text(spark, dirty_dir, key):
     "winnow_fingerprints", "winnow_overlap", "winnow_spans",
     "winnow_cut", "winnow_probe",
 ])
-def test_dedup_tier_dirty_text(spark, dirty_dir, key):
+def test_dedup_tier_dirty_text(spark, dirty_dir, key, ansi_mode):
+    _skip_other_ansi_mode(key, ansi_mode)
     _assert_engines_agree(spark, dirty_dir, key)
 
 
@@ -526,7 +550,8 @@ def test_dedup_tier_dirty_text(spark, dirty_dir, key):
     "pq_subspace_var", "pq_index_topk", "ivfpq_index_topk",
     "embedding_decontaminate", "l2_topk", "ivfpq_recall",
 ])
-def test_embedding_tier_dirty_vecs(spark, dirty_dir, key):
+def test_embedding_tier_dirty_vecs(spark, dirty_dir, key, ansi_mode):
+    _skip_other_ansi_mode(key, ansi_mode)
     _assert_engines_agree(spark, dirty_dir, key)
 
 
@@ -617,7 +642,8 @@ def test_fuzzy_join_dirty_names(spark, dirty_dir):
     "unpivot", "video_features", "volume_shipping", "weighted_paths",
     "weighted_sample", "window_frames", "window_funcs", "winsorize",
 ])
-def test_full_registry_dirty_dir(spark, dirty_dir, key):
+def test_full_registry_dirty_dir(spark, dirty_dir, key, ansi_mode):
+    _skip_other_ansi_mode(key, ansi_mode)
     _assert_engines_agree(spark, dirty_dir, key)
 
 
@@ -631,5 +657,6 @@ def test_full_registry_dirty_dir(spark, dirty_dir, key):
     "hypertable_rollup", "count_when", "asof_join",
     "tumbling_window", "sliding_window", "session_window",
 ])
-def test_events_tier_dirty_events(spark, dirty_dir, key):
+def test_events_tier_dirty_events(spark, dirty_dir, key, ansi_mode):
+    _skip_other_ansi_mode(key, ansi_mode)
     _assert_engines_agree(spark, dirty_dir, key)

@@ -549,14 +549,25 @@ def q_late_only_supplier(spark, sf_dir):
     late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
     lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
         "l_orderkey", "l_suppkey", late.alias("is_late"))
-    per_order = lo.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
-    )
+    # EXISTS / NOT EXISTS as window aggregates over the one l_orderkey
+    # partition instead of an aggregate-and-join-back (r13, guide §2.4
+    # duplicated subtrees): the join-back form executed the
+    # lineitem x orders join subtree TWICE (once under the per-order
+    # aggregate, once as the probe side — ReuseExchange cannot dedup
+    # across the broadcast boundary). count_distinct isn't a window
+    # aggregate, so both counts are size(collect_set(...)) over the
+    # full-partition frame — same values, one exchange, one pass.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    flagged = lo.select(
+        "l_orderkey", "l_suppkey", "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey")))
+               .over(w)).alias("n_late_supp"))
     return (
-        lo.filter(F.col("is_late"))
-        .join(F.broadcast(per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))),
-              F.col("l_orderkey") == F.col("po_orderkey"))
+        flagged.filter(F.col("is_late") & (F.col("n_supp") > 1)
+                       & (F.col("n_late_supp") == 1))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count_distinct("l_orderkey").alias("numwait"))
@@ -6460,6 +6471,20 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # whose latest driver row predates the rewrite (the r12 verdict's
     # directive #1). Local oracle sweeps pass at sf0.01 and sf0.1, but
     # the driver is ground truth — force fresh rows for all of them.
+    # Plus the r13 rewrites themselves (same rule, one round earlier):
+    # array-form percentiles, the classifier/late-supplier/mjpeg
+    # restructures, the decontaminate kernel's broadcast lifecycle,
+    # and the ivfpq/pq representatives of the checkpoint-barrier
+    # conversion. 32 forced + 18 stalest slots still drain all but 4
+    # of the remaining r8-row backlog this round.
+    "exact_percentiles",
+    "winsorize",
+    "classifier_score",
+    "late_only_supplier",
+    "embedding_decontaminate",
+    "ivfpq_recall",
+    "ivfpq_topk",
+    "pq_sampled",
     "bigram_surprisal",
     "bm25_topk",
     "collocations",

@@ -35,13 +35,15 @@ KNUTH = 2_654_435_761
 DEFAULT_MAX_SHINGLE_DF = 1000
 DEFAULT_MAX_BUCKET_SIZE = 1000
 
-#: Cached intermediates reused inside LAZY returned plans (the grouping
-#: tables in simhash_pairs / jaccard_similarity_join). The builder can't
-#: unpersist them itself — the cache must outlive the caller's
-#: materialization of the returned DataFrame — so they register here and
-#: a long-lived session reclaims the blocks with unpersist_plan_caches()
-#: once results are consumed. Unreclaimed caches only ever cost LRU-
-#: evictable storage memory, never correctness.
+#: Persisted intermediates reused inside LAZY returned plans (the
+#: grouping tables in simhash_pairs / jaccard_similarity_join) —
+#: checkpoint-backed since r13, see _plan_cache. The builder can't
+#: release them itself — the persisted table must outlive the caller's
+#: materialization of the returned DataFrame — so they register here
+#: and a long-lived session drops the references with
+#: unpersist_plan_caches() once results are consumed (ContextCleaner
+#: then reclaims the blocks on GC). Unreclaimed entries only ever cost
+#: storage, never correctness.
 _PLAN_CACHES: list[DataFrame] = []
 
 #: Registry cap: each builder call registers 1-4 caches (the k-means
@@ -54,15 +56,37 @@ _PLAN_CACHE_CAP = 16
 
 
 def _plan_cache(df: DataFrame) -> DataFrame:
-    cached = df.cache()
-    _PLAN_CACHES.append(cached)
+    """Persist a derived intermediate that several consumers re-read
+    AND truncate its logical plan to an RDD scan
+    (``localCheckpoint(eager=False)``, r13).
+
+    This was ``df.cache()`` through r12. The InMemoryRelation EMBEDS
+    the child plan, so under AQE every query stage that referenced a
+    cache re-analyzed and re-optimized the embedded plan and raced one
+    broadcast-collect job per consumer — on winnow_spans the waves of
+    32-task cache-rescan jobs dominated wall time (stage profile:
+    executorRunTime 3-4x executorCpuTime). The checkpoint makes every
+    reference a LogicalRDD leaf: planned once, scanned cheaply.
+    Measured on the same warm session (sf0.1, 3 reps): winnow_spans
+    4.91 -> 1.98 s, winnow_overlap 2.56 -> 0.83 s.
+
+    Two contracts change with the checkpoint and are deliberate:
+    - LogicalRDD carries no size statistics, so joins against the
+      persisted table plan as sort-merge INITIALLY; AQE re-plans them
+      to broadcast at runtime from the actual shuffle sizes (and
+      model-sized tables that must broadcast use explicit hints).
+    - Release is by DROPPING REFERENCES (ContextCleaner reclaims the
+      blocks once the RDD is garbage-collected), not by unpersist():
+      a materialized local checkpoint has no lineage to recompute
+      from, so explicitly unpersisting one would turn any later reuse
+      into a missing-block failure — reference-dropping keeps the old
+      registry's "never a correctness risk" property.
+    """
+    out = df.localCheckpoint(eager=False)
+    _PLAN_CACHES.append(out)
     while len(_PLAN_CACHES) > _PLAN_CACHE_CAP:
-        old = _PLAN_CACHES.pop(0)
-        try:
-            old.unpersist()
-        except Exception:  # noqa: BLE001 - session may already be stopped
-            pass
-    return cached
+        _PLAN_CACHES.pop(0)
+    return out
 
 
 def _model_barrier(df: DataFrame) -> DataFrame:
@@ -90,21 +114,19 @@ def _model_barrier(df: DataFrame) -> DataFrame:
 
 
 def unpersist_plan_caches() -> int:
-    """Release every plan-scoped cache (and builder-registered
-    broadcast — see ``register_broadcast``) registered by the dedup/
-    similarity builders. Call after the DataFrames returned by
-    simhash_pairs / jaccard_similarity_join have been materialized
-    (collected/written); returns the number of caches released
-    (broadcasts are released too but not counted — the count is a
-    cache-lifecycle test contract)."""
-    n = 0
-    while _PLAN_CACHES:
-        df = _PLAN_CACHES.pop()
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:  # noqa: BLE001 - session may already be stopped
-            pass
+    """Release every plan-scoped persisted intermediate (and builder-
+    registered broadcast — see ``register_broadcast``) registered by
+    the dedup/similarity builders. Call after the DataFrames returned
+    by simhash_pairs / jaccard_similarity_join have been materialized
+    (collected/written); returns the number of registrations released.
+
+    Since the r13 checkpoint form, "release" means dropping the
+    registry's references — the blocks are reclaimed by Spark's
+    ContextCleaner once the checkpointed RDD is garbage-collected (an
+    explicit unpersist of a materialized local checkpoint would make
+    any still-live reuse fail with missing blocks; see _plan_cache)."""
+    n = len(_PLAN_CACHES)
+    _PLAN_CACHES.clear()
     _unpersist_broadcasts()
     return n
 
@@ -211,11 +233,12 @@ def shingle_table(
     re-tokenizing the text once per gram element (n x per gram; seen in
     the r12 plan audit). The Generate barrier makes the regex run
     exactly once per document."""
-    from db_spark.llm.text import _grams_of, stage_expr
+    from db_spark.llm.text import _grams_of, spread_scan, stage_expr
 
     toks = F.regexp_extract_all(
         ascii_lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
-    t = stage_expr(df, [F.col(id_col).alias("_sid")], toks, "_toks")
+    t = stage_expr(spread_scan(df), [F.col(id_col).alias("_sid")], toks,
+                   "_toks")
     sh = t.select(
         "_sid",
         F.explode(F.array_distinct(_grams_of(F.col("_toks"), n))).alias("shingle"))
@@ -590,8 +613,11 @@ def simhash_pairs(
     seg_n = max_hamming + 1
     seg_bits = bits // seg_n
     # NULL signatures (token-less docs) carry no signal — see simhash()
-    sh = df.select(F.col(id_col).alias("_hid"),
-                   simhash(F.col(text_col), bits).alias("sh")) \
+    from db_spark.llm.text import spread_scan
+
+    sh = spread_scan(df).select(
+        F.col(id_col).alias("_hid"),
+        simhash(F.col(text_col), bits).alias("sh")) \
         .filter(F.col("sh").isNotNull())
 
     reps = sh.groupBy("sh").agg(F.min("_hid").alias("_rep"))
@@ -704,15 +730,17 @@ def span_dup_stats(
     Returns (id, n_windows, n_dup_windows, n_dup_distinct, first_dup_pos,
     dup_frac) for documents containing at least one window that appears
     in >= ``min_df`` distinct documents."""
-    from db_spark.llm.text import _grams_of, stage_expr
+    from db_spark.llm.text import _grams_of, spread_scan, stage_expr
 
     toks = F.regexp_extract_all(
         ascii_lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
     # explode-barrier staging (stage_expr): a bare select boundary is
     # collapsed and the regex lands inside the gram lambda — window x
     # regex evaluations per document (30 copies in the pre-r12 plan;
-    # 57 s -> ~2 s noop at sf0.1)
-    t = stage_expr(df, [F.col(id_col).alias("_sid")], toks, "_toks")
+    # 57 s -> ~2 s noop at sf0.1). spread_scan parallelizes the regex
+    # map side on small scans (r13; no-op at scale).
+    t = stage_expr(spread_scan(df), [F.col(id_col).alias("_sid")], toks,
+                   "_toks")
     wins = t.select(
         "_sid",
         F.transform(_grams_of(F.col("_toks"), window), h60).alias("_wins"))
@@ -764,13 +792,14 @@ def remove_dup_spans(
 
     Returns (id, n_tokens_before, n_tokens_removed, clean_text) for
     documents that changed."""
-    from db_spark.llm.text import _grams_of, stage_expr
+    from db_spark.llm.text import _grams_of, spread_scan, stage_expr
 
     toks = F.regexp_extract_all(
         ascii_lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
     # explode-barrier staging — same CollapseProject-into-lambda hazard
     # as span_dup_stats (see stage_expr)
-    t = stage_expr(df, [F.col(id_col).alias("_sid")], toks, "_toks")
+    t = stage_expr(spread_scan(df), [F.col(id_col).alias("_sid")], toks,
+                   "_toks")
     w = t.select(
         "_sid",
         F.posexplode(
@@ -1334,22 +1363,25 @@ def winnow_fingerprints(
     low = ascii_lower(F.col(text_col))
     toks = F.regexp_extract_all(low, F.lit(r"[a-z']+"), 0)
     wd = Window.partitionBy("_wid").orderBy("_pos")
-    # The whole gram/winnow chain is CPU-bound windows over the token
-    # rows, but its exchange carries few COMPRESSED bytes, so AQE's
-    # byte-based coalescing squeezed it to 1-2 tasks and serialized
-    # the dominant compute (r13; the mjpeg _spread lesson — bytes are
-    # the wrong proxy for per-row CPU). An explicit keyed repartition
-    # to the session's configured shuffle width pins the exchange
-    # (user repartitions are exempt from AQE coalescing); the Window
-    # reuses it (same key + count, guide §2.4), so this adds NO
-    # exchange — it only stops the existing one from collapsing.
-    # Scale-adaptive: the width is the operator's configured
-    # spark.sql.shuffle.partitions, not a local constant.
+    # The gram/winnow chain is CPU-bound regex + windows, and BOTH of
+    # its serialization points are fixed by ONE keyed repartition of
+    # the documents BEFORE the tokenize (r13):
+    # - the tokenize regex + explode otherwise run at SCAN parallelism
+    #   (the testdata tables are single-row-group files — 1-2 tasks);
+    # - the window exchange otherwise carries the EXPLODED token rows
+    #   (more bytes than the text), and AQE's byte-based coalescing
+    #   squeezed that exchange to 1-2 tasks anyway (compressed bytes
+    #   are the wrong cost proxy for per-row CPU).
+    # hashpartitioning(id) propagates through the Generate and the
+    # projections, so Window.partitionBy(_wid) adds NO exchange — the
+    # corpus text shuffles once where the token rows shuffled before
+    # (strictly fewer bytes), at the session's configured pre-AQE
+    # shuffle width (a user repartition, exempt from AQE coalescing;
+    # scale-adaptive because the width is the operator's configured
+    # spark.sql.shuffle.partitions, not a local constant).
     n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-
-    def _pin(tok_rows: DataFrame) -> DataFrame:
-        return tok_rows.repartition(n_shuffle, "_wid")
-
+    df = df.select(F.col(id_col), F.col(text_col)).repartition(
+        n_shuffle, F.col(id_col))
     if char_offsets:
         # tokens zipped with the separator-piece lengths (n+1 pieces
         # for n tokens; the zip's last row has a NULL token and is
@@ -1361,7 +1393,7 @@ def winnow_fingerprints(
         # cs(i) = sum_{j<i}(sl_j + tl_j) + sl_i + 1 — so the emitted
         # offsets are value-identical to the offset-map path.
         seps = F.transform(F.split(low, r"[a-z']+"), F.length)
-        t = _pin(
+        t = (
             df.select(F.col(id_col).alias("_wid"),
                       F.posexplode(F.arrays_zip(
                           seps.alias("_sl"), toks.alias("_tk")))
@@ -1379,8 +1411,8 @@ def winnow_fingerprints(
             .select("_wid", "_pos", "_tok", "_tcs",
                     (F.col("_tcs") + F.length("_tok") - 1).alias("_tce")))
     else:
-        t = _pin(df.select(F.col(id_col).alias("_wid"),
-                           F.posexplode(toks).alias("_pos", "_tok")))
+        t = df.select(F.col(id_col).alias("_wid"),
+                      F.posexplode(toks).alias("_pos", "_tok"))
     gram = F.concat_ws(
         " ", F.col("_tok"),
         *[F.lead("_tok", j).over(wd) for j in range(1, k)])

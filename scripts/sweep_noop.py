@@ -48,8 +48,18 @@ def main() -> None:
             dedup.unpersist_plan_caches()
             spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(None)
+    # Host-health calibration (r13 — bench.py's probe discipline): the
+    # measurement host's speed swings 2-3x across hours (observed
+    # probe_ratio up to 3.3 on an in-VM-idle machine this round), so a
+    # sweep's absolute seconds are only comparable to another sweep
+    # whose probe reads similarly. Same probe as bench.py: the
+    # data-invariant sf0.001 pricing_summary collect, prepared once,
+    # one warm-up, timed 3x, run AFTER the sweep.
+    import bench as _bench
+    probe = _bench._calibration_probe(spark)
     doc = {"sf_dir": sf_dir, "noop_sec": out,
-           "total": round(sum(v for v in out.values() if v > 0), 2)}
+           "total": round(sum(v for v in out.values() if v > 0), 2),
+           "calibration": probe}
     line = json.dumps(doc)
     if out_path:
         with open(out_path, "w") as f:

@@ -7,6 +7,8 @@ pushdown to the scan, bounded exchange counts, no cartesian products."""
 import os
 import re
 
+import pytest
+
 import __spark_entry__ as E
 
 SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -133,9 +135,33 @@ def test_salted_join_broadcasts_replicated_dim(spark):
 def test_no_cartesian_products_anywhere_in_window(spark):
     """The whole driver-checked window must be cartesian-free (broadcast
     nested-loop with a tiny side is acceptable; a real CartesianProduct
-    is not)."""
+    is not). Smoke tier skips the eager-builder keys (minutes of
+    materializing build work just to obtain a plan — see
+    test_contract._EAGER_BUILD_KEYS); they are covered by the full-tier
+    twin below and by docs/PLAN_AUDIT.md, regenerated every round over
+    the whole registry."""
+    from tests.test_contract import _EAGER_BUILD_KEYS
+
     bad = []
     for name, fn in list(E.queries().items())[:50]:
+        if name in _EAGER_BUILD_KEYS:
+            continue
+        try:
+            if "CartesianProduct" in _plan(fn(spark, SF)):
+                bad.append(name)
+        except Exception:  # noqa: BLE001 - runtime-only queries (mvcc builds)
+            continue
+    assert not bad, f"cartesian products in: {bad}"
+
+
+@pytest.mark.full
+def test_no_cartesian_products_in_window_eager_builders(spark):
+    from tests.test_contract import _EAGER_BUILD_KEYS
+
+    bad = []
+    for name, fn in list(E.queries().items())[:50]:
+        if name not in _EAGER_BUILD_KEYS:
+            continue
         try:
             if "CartesianProduct" in _plan(fn(spark, SF)):
                 bad.append(name)

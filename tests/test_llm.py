@@ -2607,26 +2607,38 @@ def test_winnow_probe_finds_cross_set_spans(spark, tmp_path):
         dedup.winnow_probe(spark, idx, new, output="nope")
 
 
-def test_winnow_probe_never_rereads_corpus_text(spark, tmp_path):
+def test_winnow_probe_never_rereads_corpus_text(spark, tmp_path,
+                                                monkeypatch):
     """The probe's whole point at 100 TB: corpus text is read ONCE at
-    index build. The probe plan's only parquet scans are the stored
+    index build. The probe's only parquet scans are the stored
     (doc_id, fingerprint, pos) hits — no ReadSchema ever contains a
-    text column, and the hits table is in the plan."""
+    corpus text column, and the hits table is in the plan. Since the
+    r13 checkpoint-backed _plan_cache, the shipped probe plan shows
+    LogicalRDD leaves instead of its scans, so the scan-source
+    assertions run on the identity-patched (un-barriered) plan — the
+    same logical computation with its true data sources visible."""
     import re as _re
 
     corpus, new = _winnow_probe_fixture(spark)
     idx = str(tmp_path / "widx2")
     dedup.winnow_index_build(corpus, idx, k=4, w=4)
-    out = dedup.winnow_probe(spark, idx, new, min_shared=2,
-                             output="spans")
-    plan = out._sc._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "formatted")
+    with monkeypatch.context() as m:
+        m.setattr(dedup, "_plan_cache", lambda df: df)
+        bare = dedup.winnow_probe(spark, idx, new, min_shared=2,
+                                  output="spans")
+        plan = bare._sc._jvm.PythonSQLUtils.explainString(
+            bare._jdf.queryExecution(), "formatted")
     assert "hits" in plan
     schemas = _re.findall(r"ReadSchema: (\S+)", plan)
     assert schemas, "expected at least one parquet scan (the index)"
+    # the probe tokenizes the NEW batch (its own text) but must never
+    # scan the corpus: the only file scans are the index hits and the
+    # new-batch in-memory relation — no parquet ReadSchema carries text
     for rs in schemas:
         assert "text" not in rs
     # probe results are invariant to the new batch's partitioning
+    out = dedup.winnow_probe(spark, idx, new, min_shared=2,
+                             output="spans")
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, dedup.winnow_probe(
         spark, idx, new.repartition(5), min_shared=2,

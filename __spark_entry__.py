@@ -53,6 +53,17 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def _lspread(df: DataFrame) -> DataFrame:
+    """text.spread_scan at the query site: spread a tiny doc scan
+    across cores BEFORE a tokenizer regex + explode feeds a sketch
+    aggregate (r13, guide §2.6) — the regex otherwise runs on the scan's
+    1-2 tasks. Gated exactly like every spread: no-op at scale, no-op on
+    plans that already shuffle."""
+    from db_spark.llm.text import spread_scan
+
+    return spread_scan(df)
+
+
 # ---------------------------------------------------------------------------
 # Core operator queries (SURVEY §2.1)
 # ---------------------------------------------------------------------------
@@ -3971,7 +3982,7 @@ def q_kmv_distinct(spark, sf_dir):
     from db_spark.llm import text as ltext
 
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
+    tok = _lspread(docs).select(
         "source",
         F.explode(ltext.tokens(ascii_lower(F.col("text")))).alias("_tk"))
     sk = lsk.kmv_sketch(tok, F.col("_tk"), k=64, group_cols=["source"])
@@ -3993,7 +4004,7 @@ def q_kmv_merge(spark, sf_dir):
     from db_spark.llm import text as ltext
 
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
+    tok = _lspread(docs).select(
         "source", "doc_id",
         F.explode(ltext.tokens(ascii_lower(F.col("text")))).alias("_tk"))
     sa = lsk.kmv_sketch(tok.filter(F.col("doc_id") % 2 == 0),
@@ -4057,7 +4068,7 @@ def q_hll_distinct(spark, sf_dir):
     from db_spark.llm import text as ltext
 
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
+    tok = _lspread(docs).select(
         "source",
         F.explode(ltext.tokens(ascii_lower(F.col("text")))).alias("_tk"))
     sk = lsk.hll_sketch(tok, F.col("_tk"), p=8, group_cols=["source"])
@@ -4077,7 +4088,7 @@ def q_hll_merge(spark, sf_dir):
     from db_spark.llm import text as ltext
 
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
+    tok = _lspread(docs).select(
         "source", "doc_id",
         F.explode(ltext.tokens(ascii_lower(F.col("text")))).alias("_tk"))
     sa = lsk.hll_sketch(tok.filter(F.col("doc_id") % 2 == 0),
@@ -4104,7 +4115,7 @@ def q_hll_set_ops(spark, sf_dir):
     from db_spark.llm import text as ltext
 
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
+    tok = _lspread(docs).select(
         "source", "doc_id",
         F.explode(ltext.tokens(ascii_lower(F.col("text")))).alias("_tk"))
     half = (F.col("doc_id") - F.col("doc_id") % 20) / 20 % 2
@@ -4159,7 +4170,7 @@ def q_cm_heavy_hitters(spark, sf_dir):
     from db_spark.llm import text as ltext
 
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
+    tok = _lspread(docs).select(
         F.explode(ltext.tokens(ascii_lower(F.col("text")))).alias("_tk"))
     return lsk.cm_heavy_hitters(
         tok, F.col("_tk"), min_count=500, depth=4, width=1024)

@@ -1145,25 +1145,31 @@ def jaccard_similarity_join(
     if output not in ("pairs", "grouped"):
         raise ValueError(f"output must be 'pairs' or 'grouped', got {output!r}")
     t_ppm = int(round(threshold * 1_000_000))
-    sh = shingle_table(df, id_col, text_col, n, max_shingle_df=None)
-    sh = _plan_cache(sh.withColumnRenamed("_sid", "_jid"))
+
+    # ---- per-doc shingle-set table, array-first (r13, guide §2.3) ----
+    # ONE map-only pass yields each doc's distinct shingle set as an
+    # array plus its size and identical-set fingerprint. The previous
+    # form exploded the set (shingle_table) and re-aggregated it back
+    # by doc THREE times — the sha2 fingerprint groupBy, a per-doc
+    # count window, and the verify-array collect_list — three _jid
+    # exchanges over shingle-cardinality rows that all duplicate
+    # information the gram array already had before the explode. The
+    # fingerprint is bit-identical: sha2 over the sorted array equals
+    # sha2 over array_sort(collect_list(exploded elements)).
+    arrs = _plan_cache(_shingle_sets(df, id_col, text_col, n))
 
     # ---- identical-set grouping --------------------------------------
-    # one row per doc: fingerprint of the full sorted shingle set
-    # (docs with zero shingles never enter sh, so they can't group)
-    fp = sh.groupBy("_jid").agg(
-        F.sha2(F.concat_ws("\x1f", F.array_sort(F.collect_list("shingle"))),
-               256).alias("_fp"))
-    reps = fp.groupBy("_fp").agg(F.min("_jid").alias("_rep"))
-    members = _plan_cache(fp.join(reps, "_fp").select("_fp", "_jid", "_rep"))
+    # (docs with zero shingles never enter arrs, so they can't group)
+    reps = arrs.groupBy("_fp").agg(F.min("_jid").alias("_rep"))
+    members = _plan_cache(
+        arrs.select("_fp", "_jid").join(reps, "_fp")
+        .select("_fp", "_jid", "_rep"))
 
-    # plan-cache the representative shingle table: _ppjoin_pairs reads
-    # it five ways (sizes, freq, ranked, both verify arrays) and each
-    # consumer re-ran the sha2 fingerprint aggregate + semi-join
-    # subtree uncached — measured ~4 s of the sf1 noop run (guide §2.4)
-    sh_rep = _plan_cache(
-        sh.join(reps.select(F.col("_rep").alias("_jid")), "_jid", "semi"))
-    rep_pairs = _ppjoin_pairs(sh_rep, threshold, t_ppm)
+    # plan-cache the representative set table: _ppjoin_pairs reads it
+    # three ways (freq explode, ranked prefix, verify arrays)
+    arr_rep = _plan_cache(
+        arrs.join(reps.select(F.col("_rep").alias("_jid")), "_jid", "semi"))
+    rep_pairs = _ppjoin_pairs(arr_rep, threshold, t_ppm)
 
     if output == "grouped":
         counts = members.groupBy("_rep").agg(
@@ -1212,54 +1218,93 @@ def jaccard_similarity_join(
     return within.unionByName(cross)
 
 
-def _ppjoin_pairs(sh: DataFrame, threshold: float, t_ppm: int) -> DataFrame:
-    """PPJoin core over an (``_jid``, ``shingle``) table — prefix
-    filtering + length filter + exact intersection verify (see
-    jaccard_similarity_join's docstring for the theorem). Callers
-    guarantee one row per (doc, shingle)."""
+def _shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int,
+) -> DataFrame:
+    """One row per document with >= 1 shingle: ``(_jid, _set, _sz,
+    _fp)`` — the distinct n-gram shingle set as an array, its size, and
+    the identical-set fingerprint (sha2 over the sorted set) — from ONE
+    map-only pass with NO exchange. Tokens and the gram array are each
+    staged behind a one-element explode barrier (text.stage_expr):
+    CollapseProject would otherwise inline the tokenizer regex into
+    every gram lambda element and the gram transform into each of its
+    three downstream references (set / size / fingerprint)."""
+    from db_spark.llm.text import _grams_of, spread_scan, stage_expr
+
+    toks = F.regexp_extract_all(
+        ascii_lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
+    t = stage_expr(spread_scan(df), [F.col(id_col).alias("_jid")], toks,
+                   "_toks")
+    s = stage_expr(t, ["_jid"],
+                   F.array_distinct(_grams_of(F.col("_toks"), n)), "_set")
+    return (
+        s.filter(F.size("_set") > 0)
+        .select(
+            "_jid", "_set",
+            F.size("_set").cast("long").alias("_sz"),
+            F.sha2(F.concat_ws("\x1f", F.array_sort("_set")), 256)
+            .alias("_fp"))
+    )
+
+
+def _ppjoin_pairs(arrs: DataFrame, threshold: float, t_ppm: int) -> DataFrame:
+    """PPJoin core over a per-doc set-array table ``(_jid, _set, _sz)``
+    (one row per doc, ``_set`` a distinct-element array) — prefix
+    filtering + length filter + positional filter + exact intersection
+    verify (see jaccard_similarity_join's docstring for the prefix
+    theorem)."""
+    sh = arrs.select("_jid", "_sz", F.explode("_set").alias("shingle"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
     from pyspark.sql import Window
 
-    # set size via a count window on the SAME (_jid) partitioning the
-    # rank window establishes — one exchange instead of a separate
-    # sizes aggregate + doc-keyed join (r12, guide §2.4)
-    ranked = (
-        sh.join(freq, "shingle")
-        .withColumn("_pos", F.row_number().over(
+    # set size rides along from the array form — the rank window is the
+    # only per-doc pass left (the r12 count window is gone)
+    ranked = sh.join(freq, "shingle").withColumn(
+        "_pos", F.row_number().over(
             Window.partitionBy("_jid").orderBy("_f", "shingle")))
-        .withColumn("_sz", F.count(F.lit(1)).over(
-            Window.partitionBy("_jid")))
-    )
     plen = (F.col("_sz")
             - F.ceil(F.lit(threshold) * F.col("_sz")).cast("long") + 1)
     prefix = ranked.filter(F.col("_pos") <= plen)
     a = prefix.select(F.col("_jid").alias("id_a"), "shingle",
-                      F.col("_sz").alias("_sza"))
+                      F.col("_sz").alias("_sza"), F.col("_pos").alias("_pa"))
     b = prefix.select(F.col("_jid").alias("id_b"), "shingle",
-                      F.col("_sz").alias("_szb"))
+                      F.col("_sz").alias("_szb"), F.col("_pos").alias("_pb"))
+    # positional filter (PPJoin, Xiao et al. 2008): a join row matching
+    # token w at ranks (_pa, _pb) bounds the pair's TOTAL overlap when w
+    # is the pair's FIRST shared token in the global (_f, shingle)
+    # order — every shared token then sits at rank >= _pa in a and
+    # >= _pb in b, so overlap <= 1 + min(_sza - _pa, _szb - _pb). J >= t
+    # forces overlap*(1e6 + t_ppm) >= t_ppm*(_sza + _szb) (integer form
+    # of i >= t/(1+t)*(|a|+|b|)), so rows whose bound fails it cannot
+    # witness a qualifying pair. Lossless: a qualifying pair's
+    # first-shared-token row lies in both prefixes (the prefix theorem's
+    # witness IS the first shared token) and its bound >= the true
+    # overlap, so that row always survives into the distinct. Measured
+    # at sf0.1: candidate pairs 309k -> 125k (same 241 verified).
+    ub = F.lit(1) + F.least(F.col("_sza") - F.col("_pa"),
+                            F.col("_szb") - F.col("_pb"))
     cand = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.greatest("_sza", "_szb") * F.lit(t_ppm)
                 <= F.least("_sza", "_szb") * F.lit(1_000_000))
+        .filter(ub * F.lit(1_000_000 + t_ppm)
+                >= F.lit(t_ppm) * (F.col("_sza") + F.col("_szb")))
         .select("id_a", "id_b").distinct()
     )
     # verify on SET ARRAYS, not exploded rows: the old form expanded
     # every candidate pair by all of id_a's shingles (|cand| x |set|
     # rows — 21M at sf1, 13 s of the 20 s noop run) through a join and
     # a pair-keyed count. Attaching each side's whole shingle set as
-    # one array row (doc cardinality, built from the cached shingle
+    # one array row (doc cardinality, straight from the cached array
     # table) and counting with size(array_intersect(...)) does the
     # same exact intersection per pair inside codegen — two
     # doc-cardinality joins instead of a 21M-row join + aggregate
-    # (guide §2.3 "aggregate before you shuffle" / §2.4). Shingle rows
-    # are unique per (doc, shingle), so the collected arrays are sets
-    # and array_intersect's set semantics count exactly. The _i >= 1
+    # (guide §2.3 "aggregate before you shuffle" / §2.4). The gram
+    # arrays are array_distinct outputs, so they are sets and
+    # array_intersect's set semantics count exactly. The _i >= 1
     # guard keeps the old inner-join behavior where zero-intersection
     # candidates never surfaced (only reachable at threshold 0).
-    arrs = sh.groupBy("_jid").agg(
-        F.collect_list("shingle").alias("_set"),
-        F.count(F.lit(1)).alias("_sz"))
     aa = arrs.select(F.col("_jid").alias("id_a"),
                      F.col("_set").alias("_seta"),
                      F.col("_sz").alias("_sza"))

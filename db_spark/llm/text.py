@@ -36,7 +36,7 @@ def tokens(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(_WORD_RE), 0)
 
 
-def spread_scan(df: DataFrame) -> DataFrame:
+def spread_scan(df: DataFrame, *cols) -> DataFrame:
     """Spread a SMALL file scan across every core before CPU-heavy
     per-row work (tokenizer regexes, gram hashing) — the mjpeg
     `_spread` idiom generalized (r13, guide §2.6/§8): the testdata
@@ -59,9 +59,30 @@ def spread_scan(df: DataFrame) -> DataFrame:
         files = df.inputFiles()
     except Exception:  # noqa: BLE001 - exotic plans; spreading is optional
         return df
-    if 0 < len(files) < par:
-        return df.repartition(par)
-    return df
+    if not (0 < len(files) < par):
+        return df
+    try:
+        # skip plans that already pass through an exchange below this
+        # point (r13): an upstream aggregate / join / distinct / window /
+        # repartition means the rows arrive at shuffle-partition
+        # parallelism already, and respreading would only add an
+        # exchange (seen when a sketch builder is fed a post-distinct
+        # key table, or a spread scan feeds a second spread call site)
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(k in plan for k in (
+                "Repartition", "Aggregate", "Join", "Window",
+                "Deduplicate", "Sort")):
+            return df
+    except Exception:  # noqa: BLE001 - plan introspection is best-effort
+        pass
+    if cols:
+        # hash-repartition on deterministic caller-chosen columns: skips
+        # round-robin's sort-before-repartition pass (~2x cheaper on a
+        # 600k-row spread, measured) and is retry-safe by construction.
+        # Callers pick columns with far more distinct values than cores
+        # (join keys, tokens) so the hash spreads evenly (guide §2.5).
+        return df.repartition(par, *cols)
+    return df.repartition(par)
 
 
 def stage_expr(df: DataFrame, keep: list, expr: Column, alias: str) -> DataFrame:

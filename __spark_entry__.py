@@ -53,15 +53,16 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
-def _lspread(df: DataFrame) -> DataFrame:
+def _lspread(df: DataFrame, *cols) -> DataFrame:
     """text.spread_scan at the query site: spread a tiny doc scan
     across cores BEFORE a tokenizer regex + explode feeds a sketch
     aggregate (r13, guide §2.6) — the regex otherwise runs on the scan's
     1-2 tasks. Gated exactly like every spread: no-op at scale, no-op on
-    plans that already shuffle."""
+    plans that already shuffle. Pass a high-cardinality deterministic
+    key column to skip round-robin's sort-before-repartition pass."""
     from db_spark.llm.text import spread_scan
 
-    return spread_scan(df)
+    return spread_scan(df, *cols)
 
 
 # ---------------------------------------------------------------------------
@@ -1424,12 +1425,23 @@ def q_copurchase_pairs(spark, sf_dir):
     with a total ordering (count desc, then both keys) so the LIMIT
     boundary is deterministic on any engine."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = li.select(F.col("l_orderkey").alias("_ok"),
-                  F.col("l_partkey").alias("part_b"))
+    # pair generation in-array (r13, guide §2.3 aggregate-before-
+    # shuffle): collect each order's basket once (one partial-agg
+    # exchange of part ids) and emit the a < b pairs from the array,
+    # instead of a basket-keyed self-join that shuffles the table
+    # twice and re-scans it. Identical pair multiset — the nested
+    # transform enumerates exactly the join's (a < b) matches.
+    basket = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("_ps"))
+    pairs = F.flatten(F.transform(
+        "_ps",
+        lambda x: F.filter(
+            F.transform("_ps", lambda y: F.when(
+                x < y, F.struct(x.alias("part_a"), y.alias("part_b")))),
+            lambda s: s.isNotNull())))
     return (
-        a.join(b, (F.col("l_orderkey") == F.col("_ok"))
-               & (F.col("part_a") < F.col("part_b")))
+        basket.select(F.explode(pairs).alias("_p"))
+        .select("_p.part_a", "_p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
@@ -1524,13 +1536,24 @@ def q_triangle_count(spark, sf_dir):
     edges(b,c) forms wedges, closed by a semi-check against edges(a,c)
     — never an all-pairs product; at scale the wedge join is the
     degree-squared term the >= 2 support threshold bounds."""
+    from db_spark.llm.dedup import _plan_cache
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("_ok"),
-                  F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, (F.col("l_orderkey") == F.col("_ok"))
-               & (F.col("pa") < F.col("pb")))
+    # in-array pair generation (see q_copurchase_pairs) + a plan cache
+    # on the edge table: the wedge/closure joins read edges THREE ways
+    # and each consumer re-ran the whole basket self-join subtree
+    # (r13; sf0.1 noop 2.2 -> 0.2 s, identical n_triangles).
+    basket = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("_ps"))
+    pairs = F.flatten(F.transform(
+        "_ps",
+        lambda x: F.filter(
+            F.transform("_ps", lambda y: F.when(
+                x < y, F.struct(x.alias("pa"), y.alias("pb")))),
+            lambda s: s.isNotNull())))
+    edges = _plan_cache(
+        basket.select(F.explode(pairs).alias("_p"))
+        .select("_p.pa", "_p.pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") >= 2)
@@ -2093,12 +2116,19 @@ def q_stats_agg(spark, sf_dir):
     # (price_qty_corr pattern).
     q100 = F.round(qty * 100).cast("long")
     p10 = F.round(price * 10).cast("long")
+    # ONE percentile aggregate with an array of percentages (r13, the
+    # exact_percentiles precedent, guide §2.3): median() IS
+    # percentile(. , 0.5), and each scalar exact-percentile aggregate
+    # keeps its own value buffer and sorts it — the array form buffers
+    # and sorts once, and the per-percentage interpolation is the
+    # identical code path, so values are bit-identical.
+    pctl = F.expr("percentile(l_quantity, array(0.5, 0.95))")
     grouped = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.stddev_samp(qty), 6).alias("stddev_qty"),
         F.round(F.var_samp(qty), 6).alias("var_qty"),
-        F.round(F.median(qty), 6).alias("median_qty"),
-        F.round(F.percentile(qty, 0.95), 6).alias("p95_qty"),
+        F.round(pctl.getItem(0), 6).alias("median_qty"),
+        F.round(pctl.getItem(1), 6).alias("p95_qty"),
         F.sum(price.cast(T.DecimalType(12, 2))).alias("_sy"),
         F.sum((price * price).cast(T.DecimalType(18, 2))).alias("_syy"),
         F.sum(q100).alias("_cq"), F.sum(p10).alias("_cp"),
@@ -2752,8 +2782,12 @@ def q_simhash(spark, sf_dir):
     from db_spark.llm.text import stage_expr
 
     docs = _t(spark, sf_dir, "documents")
+    # keyed spread before the fold (r13): map-only 1:1, but the per-row
+    # work (tokenize + one md5 per token + 32 bit-counter folds) dwarfs
+    # the one text shuffle it costs, and the gate makes it a no-op at
+    # scale. A/B sf0.1: 1.27 -> 0.30 s, identical rows.
     return stage_expr(
-        docs, ["doc_id"], ldedup.simhash(F.col("text")), "simhash"
+        _lspread(docs, "doc_id"), ["doc_id"], ldedup.simhash(F.col("text")), "simhash"
     ).filter(F.col("simhash").isNotNull())
 
 
@@ -3982,7 +4016,7 @@ def q_kmv_distinct(spark, sf_dir):
     from db_spark.llm import text as ltext
 
     docs = _t(spark, sf_dir, "documents")
-    tok = _lspread(docs).select(
+    tok = _lspread(docs, "doc_id").select(
         "source",
         F.explode(ltext.tokens(ascii_lower(F.col("text")))).alias("_tk"))
     sk = lsk.kmv_sketch(tok, F.col("_tk"), k=64, group_cols=["source"])
@@ -4004,7 +4038,7 @@ def q_kmv_merge(spark, sf_dir):
     from db_spark.llm import text as ltext
 
     docs = _t(spark, sf_dir, "documents")
-    tok = _lspread(docs).select(
+    tok = _lspread(docs, "doc_id").select(
         "source", "doc_id",
         F.explode(ltext.tokens(ascii_lower(F.col("text")))).alias("_tk"))
     sa = lsk.kmv_sketch(tok.filter(F.col("doc_id") % 2 == 0),
@@ -4068,7 +4102,7 @@ def q_hll_distinct(spark, sf_dir):
     from db_spark.llm import text as ltext
 
     docs = _t(spark, sf_dir, "documents")
-    tok = _lspread(docs).select(
+    tok = _lspread(docs, "doc_id").select(
         "source",
         F.explode(ltext.tokens(ascii_lower(F.col("text")))).alias("_tk"))
     sk = lsk.hll_sketch(tok, F.col("_tk"), p=8, group_cols=["source"])
@@ -4088,7 +4122,7 @@ def q_hll_merge(spark, sf_dir):
     from db_spark.llm import text as ltext
 
     docs = _t(spark, sf_dir, "documents")
-    tok = _lspread(docs).select(
+    tok = _lspread(docs, "doc_id").select(
         "source", "doc_id",
         F.explode(ltext.tokens(ascii_lower(F.col("text")))).alias("_tk"))
     sa = lsk.hll_sketch(tok.filter(F.col("doc_id") % 2 == 0),
@@ -4115,7 +4149,7 @@ def q_hll_set_ops(spark, sf_dir):
     from db_spark.llm import text as ltext
 
     docs = _t(spark, sf_dir, "documents")
-    tok = _lspread(docs).select(
+    tok = _lspread(docs, "doc_id").select(
         "source", "doc_id",
         F.explode(ltext.tokens(ascii_lower(F.col("text")))).alias("_tk"))
     half = (F.col("doc_id") - F.col("doc_id") % 20) / 20 % 2
@@ -4170,7 +4204,7 @@ def q_cm_heavy_hitters(spark, sf_dir):
     from db_spark.llm import text as ltext
 
     docs = _t(spark, sf_dir, "documents")
-    tok = _lspread(docs).select(
+    tok = _lspread(docs, "doc_id").select(
         F.explode(ltext.tokens(ascii_lower(F.col("text")))).alias("_tk"))
     return lsk.cm_heavy_hitters(
         tok, F.col("_tk"), min_count=500, depth=4, width=1024)
@@ -4482,8 +4516,19 @@ def q_bloom_prefilter(spark, sf_dir):
         orders.filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").cast("string").alias("value")).distinct())
     bf = lsk.bloom_sketch(members, F.col("value"), bits=1 << 16, k=4)
-    probes = li.select(
-        F.col("l_orderkey").cast("string").alias("value")).distinct()
+    # distinct on the LONG key with the scan hash-spread first (r13):
+    # AQE's byte-based coalescing otherwise squeezes the post-distinct
+    # probe table (~1 MB) to one partition, serializing the 4-hash
+    # probe stage; a keyed spread pins the distinct AND the probe
+    # hashing at full width with no extra exchange (distinct reuses
+    # the repartition's hash partitioning). Cast to string after the
+    # dedup — bijective on longs, so the same probe set and schema.
+    from db_spark.llm.text import spread_scan
+
+    probes = (
+        spread_scan(li.select(F.col("l_orderkey").alias("_k")), "_k")
+        .distinct()
+        .select(F.col("_k").cast("string").alias("value")))
     return lsk.bloom_contains(bf, probes, "value", bits=1 << 16, k=4)
 
 

@@ -566,15 +566,30 @@ def association_rules(
     Returns (antecedent, consequent, pair_count, antecedent_count,
     consequent_count, support, confidence, lift) x top_k.
     """
-    distinct_bi = baskets.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")).distinct()
-    n_baskets = distinct_bi.select("_b").distinct().count()
-    item_cnt = distinct_bi.groupBy("_i").agg(
-        F.count(F.lit(1)).cast("long").alias("_ic"))
-    a = distinct_bi.select("_b", F.col("_i").alias("_ia"))
-    b = distinct_bi.select(F.col("_b").alias("_b2"), F.col("_i").alias("_ib"))
+    from db_spark.llm.dedup import _plan_cache
+
+    # one basket-keyed collect_set exchange replaces the old
+    # distinct + basket-keyed self-join (r13, guide §2.3): the basket
+    # table is plan-cached and feeds all three consumers (the eager
+    # basket count, per-item counts, in-array pair generation), and
+    # pair enumeration stays quadratic only in basket size — now
+    # inside one array transform instead of a join
+    basket_sets = _plan_cache(
+        baskets.select(F.col(basket_col).alias("_b"),
+                       F.col(item_col).alias("_i"))
+        .groupBy("_b").agg(F.collect_set("_i").alias("_is")))
+    n_baskets = basket_sets.count()
+    item_cnt = basket_sets.select(F.explode("_is").alias("_i")).groupBy(
+        "_i").agg(F.count(F.lit(1)).cast("long").alias("_ic"))
+    pair_arr = F.flatten(F.transform(
+        "_is",
+        lambda x: F.filter(
+            F.transform("_is", lambda y: F.when(
+                x < y, F.struct(x.alias("_ia"), y.alias("_ib")))),
+            lambda s: s.isNotNull())))
     pairs = (
-        a.join(b, (F.col("_b") == F.col("_b2")) & (F.col("_ia") < F.col("_ib")))
+        basket_sets.select(F.explode(pair_arr).alias("_p"))
+        .select("_p._ia", "_p._ib")
         .groupBy("_ia", "_ib")
         .agg(F.count(F.lit(1)).cast("long").alias("_pc"))
         .filter(F.col("_pc") >= min_pair_count)

@@ -309,8 +309,14 @@ def bm25_topk(
     toks = F.regexp_extract_all(ascii_lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
     # explode-barrier staging (text.stage_expr): the select boundary is
     # collapsed and the regex re-runs per downstream reference (9 copies
-    # in the pre-r12 optimized plan — stats sum, postings size+explode)
-    base = stage_expr(df, [F.col(id_col).alias("_did")], toks, "_toks")
+    # in the pre-r12 optimized plan — stats sum, postings size+explode).
+    # spread_scan (r13): the stats + postings passes each re-run the
+    # tokenize at single-file scan parallelism otherwise — gated no-op
+    # at scale.
+    from db_spark.llm.text import spread_scan
+
+    base = stage_expr(spread_scan(df, id_col),
+                      [F.col(id_col).alias("_did")], toks, "_toks")
 
     # corpus stats: N docs, avg doc length (exact rational -> double once)
     stats = base.agg(

@@ -456,9 +456,12 @@ def bigram_surprisal(
     # explode-barrier staging (stage_expr): the select boundary is
     # collapsed and the regex lands inside the pair-building lambda
     # (2 evaluations per bigram position) plus the size() filter —
-    # 8 copies in the pre-r12 optimized plan
+    # 8 copies in the pre-r12 optimized plan. spread_scan (r13): the
+    # tokenize + bigram explode otherwise runs at single-file scan
+    # parallelism, twice (model + scoring pass) — gated no-op at scale.
     d = stage_expr(
-        df, [F.col(id_col)], tokens(ascii_lower(F.col(text_col))), "_tk"
+        spread_scan(df, id_col), [F.col(id_col)],
+        tokens(ascii_lower(F.col(text_col))), "_tk"
     ).filter(F.size("_tk") >= 2)
     bg = d.select(
         F.col(id_col),
@@ -547,8 +550,10 @@ def collocations(
         ascii_lower(F.col(text_col)), F.lit(r"[a-z']+"), 0)
     # explode-barrier staging (stage_expr): CollapseProject would inline
     # the regex into the bigram lambda (2 evaluations per gram) and into
-    # the size() passes — 11 copies in the pre-r12 optimized plan
-    t = stage_expr(df, [], toks, "_toks")
+    # the size() passes — 11 copies in the pre-r12 optimized plan.
+    # spread_scan (r13): three aggregate consumers re-run the tokenize
+    # at single-file scan parallelism otherwise — gated no-op at scale.
+    t = stage_expr(spread_scan(df), [], toks, "_toks")
     uni = (
         t.select(F.explode("_toks").alias("_w"))
         .groupBy("_w").agg(F.count(F.lit(1)).alias("_cw"))
